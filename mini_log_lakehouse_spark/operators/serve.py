@@ -1,0 +1,94 @@
+"""Serving-layer queries (SURVEY.md §3 EP3): the reference's FastAPI /
+Streamlit queries as parameterized DataFrame functions.
+
+The HTTP/UI layer is presentation, not engine — what we rebuild is each
+query's plan. All of these read the pre-aggregated fact table (the
+reference's one architectural optimization: serve from the cube, not the
+raw logs), so they are filter -> small re-aggregation -> sort, with the
+``date`` equality filter hitting partition pruning when the fact table is
+date-partitioned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def errors_by_endpoint(fct: DataFrame, date: str) -> DataFrame:
+    """reference serve/api.py:33-41: per-endpoint error/request totals for a day."""
+    return (
+        fct.filter(F.col("date") == F.to_date(F.lit(date)))
+        .groupBy("endpoint")
+        .agg(
+            F.sum("errors").cast("long").alias("errors"),
+            F.sum("requests").cast("long").alias("requests"),
+        )
+        .orderBy(F.desc("errors"), F.desc("requests"))
+    )
+
+
+def top_endpoints(fct: DataFrame, date: str, limit: int = 10) -> DataFrame:
+    """reference serve/api.py:63-72: top-K endpoints by requests for a day.
+
+    orderBy + limit plans as TakeOrderedAndProject — no global sort.
+    """
+    limit = max(1, min(int(limit), 100))  # reference serve/api.py:53 bounds
+    return (
+        fct.filter(F.col("date") == F.to_date(F.lit(date)))
+        .groupBy("endpoint")
+        .agg(
+            F.sum("requests").cast("long").alias("requests"),
+            F.sum("errors").cast("long").alias("errors"),
+        )
+        .orderBy(F.desc("requests"), F.desc("errors"))
+        .limit(limit)
+    )
+
+
+def available_dates(fct: DataFrame) -> DataFrame:
+    """reference serve/app.py:23: SELECT DISTINCT date ... ORDER BY 1."""
+    return fct.select("date").distinct().orderBy("date")
+
+
+def hourly_breakdown(fct: DataFrame, date: str) -> DataFrame:
+    """reference serve/app.py:29-37: full fact slice for a day."""
+    return (
+        fct.filter(F.col("date") == F.to_date(F.lit(date)))
+        .select("date", "hour", "endpoint", "requests", "errors", "p95_bytes")
+        .orderBy("hour", "endpoint")
+    )
+
+
+def kpi_totals(fct: DataFrame, date: str) -> DataFrame:
+    """reference serve/app.py:63-65: grand totals + zero-guarded error rate."""
+    agg = (
+        fct.filter(F.col("date") == F.to_date(F.lit(date)))
+        .agg(
+            F.sum("requests").cast("long").alias("total_requests"),
+            F.sum("errors").cast("long").alias("total_errors"),
+        )
+    )
+    return agg.select(
+        "total_requests",
+        "total_errors",
+        F.when(
+            F.col("total_requests") > 0,
+            F.round(F.col("total_errors") * 100.0 / F.col("total_requests"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("error_rate_pct"),
+    )
+
+
+def hourly_trend(fct: DataFrame, date: str) -> DataFrame:
+    """reference serve/app.py:77-83: per-hour request/error totals."""
+    return (
+        fct.filter(F.col("date") == F.to_date(F.lit(date)))
+        .groupBy("hour")
+        .agg(
+            F.sum("requests").cast("long").alias("requests"),
+            F.sum("errors").cast("long").alias("errors"),
+        )
+        .orderBy("hour")
+    )

@@ -1,0 +1,89 @@
+"""SparkSession factory and runtime tuning.
+
+The reference delegates all execution to DuckDB/Pandas and has no engine
+configuration of its own (SURVEY.md §4). Here the "engine work" is session
+configuration chosen for correctness parity with a DuckDB oracle and for
+100 TB scale:
+
+- session timezone pinned to UTC — the reference parses naive timestamps
+  (reference etl/ingest_logs.py:19-20 drops the TZ offset); DuckDB reads
+  parquet timestamps as naive. Pinning UTC makes Spark's TimestampType
+  behave identically.
+- AQE on (coalesce shuffle partitions, skew-join handling) — at 100 TB the
+  static shuffle-partition count is always wrong for some stage; AQE
+  re-plans from runtime statistics.
+- ``spark.sql.legacy.parquet.nanosAsLong`` — the events table is written
+  with nanosecond timestamps, which Spark's parquet reader rejects
+  (PARQUET_TYPE_ILLEGAL). Reading them as raw int64 nanos and converting
+  with integer division preserves exact microsecond truncation semantics
+  (matching DuckDB's TIMESTAMP_NS -> TIMESTAMP cast).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable confs applied both to sessions we build and to foreign
+#: sessions handed to us (e.g. the verification driver's).
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Built-in parquet pushdown/pruning — cheap insurance that scans stay
+    # minimal; verified via .explain() PushedFilters/ReadSchema in tests.
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    # Arrow transfer for the few pandas_udf / toPandas paths.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 8)
+
+
+def get_spark(
+    app_name: str = "mini-log-lakehouse-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a tuned SparkSession.
+
+    ``shuffle_partitions`` defaults to the local core count — on a real
+    cluster you would size this (or rely on AQE coalescing, which is on)
+    to keep post-shuffle partitions in the 64-256 MiB range.
+    """
+    cores = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an externally-created session (best effort).
+
+    The verification driver builds its own SparkSession; every public
+    entry point calls this so correctness-critical confs (UTC timezone,
+    nanos-as-long) hold regardless of who built the session.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Static conf on this build — keep going; defaults are sane.
+            pass
+    return spark

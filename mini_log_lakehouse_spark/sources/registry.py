@@ -1,0 +1,55 @@
+"""Testdata table registry.
+
+Loads the driver's synthetic TPC-H-ish parquet tables
+(``/root/testdata/sf*/``) with schemas normalized so Spark results are
+bit-comparable with a DuckDB oracle reading the same files:
+
+- ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
+  reader rejects outright. We read it as raw int64 nanoseconds
+  (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to microseconds
+  with *integer* division (``div``) — double division would lose
+  precision above 2^53 ns (≈1970+104 days). DuckDB's
+  ``CAST(ts AS TIMESTAMP)`` truncates identically.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mini_log_lakehouse_spark.session import tune
+
+#: All driver-provided tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table with normalized column types."""
+    tune(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # int64 epoch-nanos -> TimestampType at µs precision (floor), exactly
+        # DuckDB's TIMESTAMP_NS -> TIMESTAMP cast for positive epochs.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register each table as a temp view for ``spark.sql`` queries."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
