@@ -1,0 +1,27 @@
+"""Central registry assembling (queries, oracles) pairs from operator
+modules for the driver contract (__spark_entry__.py).
+
+Every Spark query lives next to its DuckDB oracle SQL in the defining
+module; this module only merges and sanity-checks the dicts.
+"""
+
+from __future__ import annotations
+
+from mini_log_lakehouse_spark.operators import events, relational
+
+_MODULES = (events, relational)
+
+QUERIES = {}
+ORACLES = {}
+for _m in _MODULES:
+    for _name, _fn in _m.QUERIES.items():
+        if _name in QUERIES:
+            raise ValueError(f"duplicate query name: {_name}")
+        QUERIES[_name] = _fn
+    ORACLES.update(getattr(_m, "ORACLES", {}))
+
+# Oracles must reference declared queries (the reverse is allowed: a query
+# without an oracle gets the driver's weaker rows-only check).
+_unknown = set(ORACLES) - set(QUERIES)
+if _unknown:
+    raise ValueError(f"oracles without queries: {sorted(_unknown)}")

@@ -1,0 +1,281 @@
+"""Log-surface queries phrased over the ``events`` testdata table.
+
+``events`` plays the reference's log table (FIXTURES.md §B role mapping):
+``ts`` -> hour bucketing, ``event_type == 'error'`` -> is_error,
+``props`` -> JSON extraction. Each function is the Spark half of a
+(queries(), oracle_sql()) pair; the DuckDB oracle SQL lives alongside in
+``ORACLES`` so parity is auditable in one place.
+
+Determinism rules (driver hash-compares values against DuckDB):
+- double aggregates are summed through ``decimal(38,10)`` — exact and
+  associative, so shuffle/AQE ordering can't change the result — then
+  rounded; per-row IEEE arithmetic is bit-identical across engines.
+- every computed column is aliased identically on both sides.
+
+Scale notes: all groupings here have bounded cardinality (days × hours ×
+types), so partial aggregation collapses each 100 TB scan to a tiny
+shuffle; the one-day queries filter *before* grouping so row pruning
+happens at the scan (ts is a sortable parquet column — min/max row-group
+stats skip non-matching files).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mini_log_lakehouse_spark.sources.registry import load_table
+
+#: Fixed parameters for the parameterized serving queries (events span
+#: 2024-01-01..2024-01-30; TESTDATA.md).
+DAY = "2024-01-15"
+TOP_K = 3
+
+def _is_error() -> F.Column:
+    return F.when(F.col("event_type") == "error", F.lit(1)).otherwise(F.lit(0))
+
+
+def _dec_sum(col: F.Column) -> F.Column:
+    """Exact associative sum of a double expression (see module docstring)."""
+    return F.sum(col.cast("decimal(38,10)")).cast("double")
+
+
+def stg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P6/F3/F4/F10: staging projection + derived columns
+    (stg_logs shape, reference stg_logs.sql:7-16)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        F.to_date("ts").alias("date"),
+        F.date_format("ts", "HH").alias("hour"),
+        _is_error().alias("is_error"),
+    )
+
+
+def fct_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A4: the hourly fact (reference fct_requests_hourly.sql:1-12) —
+    grain (date, hour, event_type); exact interpolated p95."""
+    return (
+        stg_events(spark, sf_dir)
+        .groupBy("date", "hour", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("requests"),
+            F.sum("is_error").cast("long").alias("errors"),
+            F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95_value"),
+        )
+    )
+
+
+def errors_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3+A6+O1 (reference serve/api.py:33-41): one day, per-type totals."""
+    return (
+        stg_events(spark, sf_dir)
+        .filter(F.col("date") == F.to_date(F.lit(DAY)))
+        .groupBy("event_type")
+        .agg(
+            F.sum("is_error").cast("long").alias("errors"),
+            F.count(F.lit(1)).alias("requests"),
+        )
+        .orderBy(F.desc("errors"), F.desc("requests"), "event_type")
+    )
+
+
+def top_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 top-K (reference serve/api.py:63-72); deterministic tiebreak."""
+    return (
+        stg_events(spark, sf_dir)
+        .filter(F.col("date") == F.to_date(F.lit(DAY)))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("requests"),
+            F.sum("is_error").cast("long").alias("errors"),
+        )
+        .orderBy(F.desc("requests"), F.desc("errors"), "event_type")
+        .limit(TOP_K)
+    )
+
+
+def available_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 distinct + O2 sort (reference serve/app.py:23)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("date"))
+        .distinct()
+        .orderBy("date")
+    )
+
+
+def kpi_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/A8 (reference serve/app.py:63-65): totals + zero-guarded rate."""
+    agg = (
+        stg_events(spark, sf_dir)
+        .filter(F.col("date") == F.to_date(F.lit(DAY)))
+        .agg(
+            F.count(F.lit(1)).alias("total_events"),
+            F.sum("is_error").cast("long").alias("total_errors"),
+        )
+    )
+    return agg.select(
+        "total_events",
+        "total_errors",
+        F.when(
+            F.col("total_events") > 0,
+            F.round(F.col("total_errors") * 100.0 / F.col("total_events"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("error_rate_pct"),
+    )
+
+
+def hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/O2 (reference serve/app.py:77-83): per-hour totals for one day."""
+    return (
+        stg_events(spark, sf_dir)
+        .filter(F.col("date") == F.to_date(F.lit(DAY)))
+        .groupBy("hour")
+        .agg(
+            F.count(F.lit(1)).alias("requests"),
+            F.sum("is_error").cast("long").alias("errors"),
+        )
+        .orderBy("hour")
+    )
+
+
+def dim_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 (reference dim_endpoint.sql:1): distinct single column."""
+    return load_table(spark, sf_dir, "events").select("event_type").distinct()
+
+
+def props_k_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction (driver testdata extension, FIXTURES.md §B):
+    get_json_object on the ``props`` string column, grouped histogram."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(F.get_json_object("props", "$.k").cast("int").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("k")
+    )
+
+
+def value_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 + decimal-exact double sums: per-type value statistics."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(_dec_sum(F.col("value")), 6).alias("sum_value"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+#: DuckDB oracle twins. The driver registers raw parquet as views, so the
+#: oracle must cast events.ts (TIMESTAMP_NS) to TIMESTAMP itself — that is
+#: exactly the µs truncation our loader applies.
+_STG_SQL = """
+    SELECT event_id,
+           CAST(ts AS TIMESTAMP) AS ts,
+           user_id,
+           event_type,
+           value,
+           CAST(CAST(ts AS TIMESTAMP) AS DATE) AS date,
+           strftime(CAST(ts AS TIMESTAMP), '%H') AS hour,
+           CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_error
+    FROM events
+"""
+
+ORACLES: dict[str, str] = {
+    "stg_events": _STG_SQL,
+    "fct_events_hourly": f"""
+        SELECT date, hour, event_type,
+               COUNT(*) AS requests,
+               CAST(SUM(is_error) AS BIGINT) AS errors,
+               ROUND(quantile_cont(value, 0.95), 6) AS p95_value
+        FROM ({_STG_SQL}) stg
+        GROUP BY 1, 2, 3
+    """,
+    "errors_by_type": f"""
+        SELECT event_type,
+               CAST(SUM(is_error) AS BIGINT) AS errors,
+               COUNT(*) AS requests
+        FROM ({_STG_SQL}) stg
+        WHERE date = DATE '{DAY}'
+        GROUP BY 1
+        ORDER BY errors DESC, requests DESC, event_type
+    """,
+    "top_event_types": f"""
+        SELECT event_type,
+               COUNT(*) AS requests,
+               CAST(SUM(is_error) AS BIGINT) AS errors
+        FROM ({_STG_SQL}) stg
+        WHERE date = DATE '{DAY}'
+        GROUP BY 1
+        ORDER BY requests DESC, errors DESC, event_type
+        LIMIT {TOP_K}
+    """,
+    "available_days": """
+        SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS date
+        FROM events ORDER BY 1
+    """,
+    "kpi_totals": f"""
+        WITH agg AS (
+            SELECT COUNT(*) AS total_events,
+                   CAST(SUM(is_error) AS BIGINT) AS total_errors
+            FROM ({_STG_SQL}) stg
+            WHERE date = DATE '{DAY}'
+        )
+        SELECT total_events, total_errors,
+               CASE WHEN total_events > 0
+                    THEN ROUND(total_errors * 100.0 / total_events, 6)
+                    ELSE 0.0 END AS error_rate_pct
+        FROM agg
+    """,
+    "hourly_trend": f"""
+        SELECT hour,
+               COUNT(*) AS requests,
+               CAST(SUM(is_error) AS BIGINT) AS errors
+        FROM ({_STG_SQL}) stg
+        WHERE date = DATE '{DAY}'
+        GROUP BY 1
+        ORDER BY hour
+    """,
+    "dim_event_type": "SELECT DISTINCT event_type FROM events",
+    "props_k_histogram": """
+        SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY 1
+        ORDER BY k
+    """,
+    "value_stats_by_type": """
+        SELECT event_type,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6) AS sum_value,
+               ROUND(MIN(value), 6) AS min_value,
+               ROUND(MAX(value), 6) AS max_value,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY 1
+        ORDER BY event_type
+    """,
+}
+
+QUERIES = {
+    "stg_events": stg_events,
+    "fct_events_hourly": fct_events_hourly,
+    "errors_by_type": errors_by_type,
+    "top_event_types": top_event_types,
+    "available_days": available_days,
+    "kpi_totals": kpi_totals,
+    "hourly_trend": hourly_trend,
+    "dim_event_type": dim_event_type,
+    "props_k_histogram": props_k_histogram,
+    "value_stats_by_type": value_stats_by_type,
+}

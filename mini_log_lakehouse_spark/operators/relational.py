@@ -1,0 +1,447 @@
+"""Generalized relational operator surface over the TPC-H-ish testdata.
+
+The reference's star schema *implies* joins it never executes (SURVEY.md
+§2.3); these queries implement the full join / window / set-op / rich
+aggregation surface as oracle-checkable Spark plans, with the physical
+strategy chosen for scale:
+
+- dimension joins are explicitly ``broadcast()`` — nation/region/supplier
+  are tiny at any scale factor; a 100 TB fact side then joins with zero
+  shuffle.
+- fact-fact joins (orders ⋈ lineitem) shuffle on the join key; AQE picks
+  the final partitioning and handles skew.
+- windows partition by a real key wherever possible; the single
+  global-ordering window (daily lag) runs over *pre-aggregated* daily
+  rows, so the single-partition stage sees ~one row per day, not raw data.
+
+Determinism for the DuckDB oracle: double sums go through decimal(38,10)
+(exact, associative), rank ties are broken by unique keys, and top-K
+orderings carry a full tiebreak. See operators/events.py docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mini_log_lakehouse_spark.sources.registry import load_table
+
+
+def _dec_sum(col) -> F.Column:
+    """Exact associative sum, returned as double — only safe for sums whose
+    magnitude stays below ~1e7 (above that, double spacing approaches the
+    1e-6 rounding grain and engines disagree on ROUND(x, 6))."""
+    return F.sum(col.cast("decimal(38,10)")).cast("double")
+
+
+def _money_sum(col) -> F.Column:
+    """Exact associative sum returned AS DECIMAL(38,10) — for money-scale
+    aggregates that can exceed 1e7 at high scale factors. Spark's
+    sum(decimal(28,10)) widens to decimal(38,10), matching DuckDB's
+    SUM(DECIMAL(28,10)) exactly, so the comparison is digit-exact at any
+    magnitude."""
+    return F.sum(col.cast("decimal(28,10)"))
+
+
+# --- rich aggregation -------------------------------------------------------
+
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy multi-aggregate with bounded grain.
+
+    The flagship bench query: one pass over lineitem, partial aggregation
+    collapses everything before the shuffle.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _money_sum(F.col("l_quantity")).alias("sum_qty"),
+            _money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _money_sum(disc_price).alias("sum_disc_price"),
+            _money_sum(charge).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def lineitem_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 exact interpolated percentiles (reference fct_requests_hourly.sql:8)
+    at three points, per group."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = lambda q: F.round(F.percentile("l_extendedprice", F.lit(q)), 6)
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            p(0.5).alias("p50_price"),
+            p(0.9).alias("p90_price"),
+            p(0.99).alias("p99_price"),
+            F.round(F.min("l_extendedprice"), 6).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 6).alias("max_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- joins ------------------------------------------------------------------
+
+def region_customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim-chain join: customer ⋈ nation ⋈ region, rolled up.
+
+    Both dims are broadcast — the plan has no shuffle on the fact side
+    until the final tiny groupBy."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            _money_sum(F.col("c_acctbal")).alias("total_acctbal"),
+        )
+        .orderBy("region")
+    )
+
+
+def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join (lineitem ⋈ orders ⋈ customer) + agg + top-K.
+
+    lineitem⋈orders shuffles on orderkey (both huge at scale); the
+    customer join happens after aggregation to custkey grain — joining
+    post-aggregation keeps the expensive join narrow."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    revenue = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(_money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    return (
+        revenue.join(c, revenue.o_custkey == c.c_custkey)
+        .select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"), "revenue")
+        .orderBy(F.desc("revenue"), "custkey")
+        .limit(10)
+    )
+
+
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def nation_customer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join preserving empty nations; COUNT(col) null semantics."""
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        n.join(c, n.n_nationkey == c.c_nationkey, "left")
+        .groupBy("n_name")
+        .agg(F.count("c_custkey").alias("customers"))
+        .orderBy("n_name")
+    )
+
+
+def orders_with_prompt_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join + range predicate (shipped within 30 days of ordering)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (
+        (l.l_orderkey == o.o_orderkey)
+        & (l.l_shipdate >= o.o_orderdate)
+        & (l.l_shipdate <= o.o_orderdate + F.expr("INTERVAL 30 DAYS"))
+    )
+    return (
+        l.join(o, cond)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("prompt_lines"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- windows ----------------------------------------------------------------
+
+def top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: row_number per nation by acctbal (unique tiebreak)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.select(
+            "c_nationkey",
+            "c_custkey",
+            F.round("c_acctbal", 6).alias("acctbal"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("c_nationkey", "rn")
+    )
+
+
+def daily_order_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window (lag) over pre-aggregated daily counts.
+
+    The global-order window runs on ~2500 daily rows regardless of input
+    scale — aggregate first, window second."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("orders"))
+    )
+    w = Window.orderBy("day")
+    return (
+        daily.select(
+            "day",
+            "orders",
+            F.lag("orders").over(w).alias("prev_orders"),
+        )
+        .orderBy("day")
+    )
+
+
+def orders_running_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-based window: running total within a partition (rowsBetween)."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+        ).agg(F.count(F.lit(1)).alias("orders"))
+    )
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        monthly.select(
+            "priority",
+            "month",
+            "orders",
+            F.sum("orders").over(w).cast("long").alias("cum_orders"),
+        )
+        .orderBy("priority", "month")
+    )
+
+
+# --- set operations ---------------------------------------------------------
+
+def setop_union_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (dedup) of customer vs supplier nation keys."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct().orderBy("nationkey")
+
+
+def setop_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s).orderBy("nationkey")
+
+
+def setop_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (nations with customers but no suppliers)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s).distinct().orderBy("nationkey")
+
+
+# --- grouping extensions ----------------------------------------------------
+
+def orders_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (SURVEY.md §2.4 extension)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("orders"),
+            _money_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+ORACLES: dict[str, str] = {
+    "tpch_q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(l_quantity AS DECIMAL(28,10))) AS sum_qty,
+               SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS sum_base_price,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS sum_disc_price,
+               SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,10))) AS sum_charge,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    "lineitem_price_quantiles": """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price,
+               ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+               ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price,
+               ROUND(MIN(l_extendedprice), 6) AS min_price,
+               ROUND(MAX(l_extendedprice), 6) AS max_price
+        FROM lineitem
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    "region_customer_rollup": """
+        SELECT r.r_name AS region,
+               COUNT(*) AS customers,
+               SUM(CAST(c.c_acctbal AS DECIMAL(28,10))) AS total_acctbal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    "top_customers_by_revenue": """
+        WITH revenue AS (
+            SELECT o.o_custkey,
+                   SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1
+        )
+        SELECT c.c_custkey AS custkey, c.c_name AS name, r.revenue
+        FROM revenue r
+        JOIN customer c ON r.o_custkey = c.c_custkey
+        ORDER BY revenue DESC, custkey
+        LIMIT 10
+    """,
+    "customers_with_orders": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        ORDER BY c_custkey
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        ORDER BY c_custkey
+    """,
+    "nation_customer_counts": """
+        SELECT n.n_name, COUNT(c.c_custkey) AS customers
+        FROM nation n
+        LEFT JOIN customer c ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    "orders_with_prompt_lines": """
+        SELECT o.o_orderpriority, COUNT(*) AS prompt_lines
+        FROM lineitem l
+        JOIN orders o
+          ON l.l_orderkey = o.o_orderkey
+         AND l.l_shipdate >= o.o_orderdate
+         AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    "top3_customers_per_nation": """
+        SELECT * FROM (
+            SELECT c_nationkey, c_custkey,
+                   ROUND(c_acctbal, 6) AS acctbal,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c_nationkey
+                       ORDER BY c_acctbal DESC, c_custkey ASC
+                   ) AS rn
+            FROM customer
+        ) ranked
+        WHERE rn <= 3
+        ORDER BY c_nationkey, rn
+    """,
+    "daily_order_lag": """
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS orders
+            FROM orders GROUP BY 1
+        )
+        SELECT day, orders, LAG(orders) OVER (ORDER BY day) AS prev_orders
+        FROM daily
+        ORDER BY day
+    """,
+    "orders_running_share": """
+        WITH monthly AS (
+            SELECT o_orderpriority AS priority,
+                   CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                   COUNT(*) AS orders
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT priority, month, orders,
+               CAST(SUM(orders) OVER (
+                   PARTITION BY priority ORDER BY month
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_orders
+        FROM monthly
+        ORDER BY priority, month
+    """,
+    "setop_union_nations": """
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey FROM supplier
+        ORDER BY nationkey
+    """,
+    "setop_intersect_nations": """
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey FROM supplier
+        ORDER BY nationkey
+    """,
+    "setop_except_nations": """
+        SELECT DISTINCT nationkey FROM (
+            SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT ALL
+            SELECT s_nationkey FROM supplier
+        )
+        ORDER BY nationkey
+    """,
+    "orders_rollup_status_priority": """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS orders,
+               SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS total_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+    """,
+}
+
+QUERIES = {
+    "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
+    "lineitem_price_quantiles": lineitem_price_quantiles,
+    "region_customer_rollup": region_customer_rollup,
+    "top_customers_by_revenue": top_customers_by_revenue,
+    "customers_with_orders": customers_with_orders,
+    "customers_without_orders": customers_without_orders,
+    "nation_customer_counts": nation_customer_counts,
+    "orders_with_prompt_lines": orders_with_prompt_lines,
+    "top3_customers_per_nation": top3_customers_per_nation,
+    "daily_order_lag": daily_order_lag,
+    "orders_running_share": orders_running_share,
+    "setop_union_nations": setop_union_nations,
+    "setop_intersect_nations": setop_intersect_nations,
+    "setop_except_nations": setop_except_nations,
+    "orders_rollup_status_priority": orders_rollup_status_priority,
+}

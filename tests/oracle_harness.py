@@ -1,0 +1,68 @@
+"""Local replica of the driver's correctness gate: run a Spark query and
+its DuckDB oracle over the same parquet, compare row count + column names
++ values (order-insensitive, exact).
+
+Exact value equality is intentional — the driver hash-compares, so any
+float divergence must be engineered away in the queries themselves
+(decimal-exact sums + rounding), not tolerated here.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+
+from mini_log_lakehouse_spark.sources.registry import TABLES
+
+
+def run_oracle(sql: str, sf_dir: str):
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            path = os.path.join(sf_dir, f"{t}.parquet")
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+        cur = con.execute(sql)
+        cols = [d[0] for d in cur.description]
+        return cols, cur.fetchall()
+    finally:
+        con.close()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("float", "nan")
+        if v == 0.0:
+            v = 0.0  # collapse -0.0
+        return ("float", repr(v))
+    return (type(v).__name__, str(v))
+
+
+def _sorted_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm(r[i]) for i in order) for r in rows]
+    return sorted(out)
+
+
+def compare(spark_df, oracle_sql: str, sf_dir: str, name: str = "?"):
+    s_cols = spark_df.columns
+    s_rows = [tuple(row) for row in spark_df.collect()]
+    o_cols, o_rows = run_oracle(oracle_sql, sf_dir)
+
+    assert sorted(s_cols) == sorted(o_cols), (
+        f"{name}: column mismatch spark={sorted(s_cols)} oracle={sorted(o_cols)}"
+    )
+    assert len(s_rows) == len(o_rows), (
+        f"{name}: row count mismatch spark={len(s_rows)} oracle={len(o_rows)}"
+    )
+    s_sorted = _sorted_rows(s_cols, s_rows)
+    o_sorted = _sorted_rows(o_cols, o_rows)
+    if s_sorted != o_sorted:
+        diffs = [
+            (i, a, b)
+            for i, (a, b) in enumerate(zip(s_sorted, o_sorted))
+            if a != b
+        ][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
