@@ -7,9 +7,15 @@ module; this module only merges and sanity-checks the dicts.
 
 from __future__ import annotations
 
-from mini_log_lakehouse_spark.operators import events, relational
+from mini_log_lakehouse_spark.operators import (
+    dedup,
+    events,
+    relational,
+    similarity,
+    textstats,
+)
 
-_MODULES = (events, relational)
+_MODULES = (events, relational, textstats, dedup, similarity)
 
 QUERIES = {}
 ORACLES = {}

@@ -1,0 +1,67 @@
+"""Reusable text column expressions — all built-in functions, JVM-side.
+
+These are the building blocks for the text-analysis and dedup operators
+(north-star LLM-data-pipeline surface, BASELINE.json). Everything here
+stays inside WholeStageCodegen: no Python UDFs in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: BPE-ish tokenizer regex: runs of word chars, runs of digits, or single
+#: non-space symbols. Valid in both Java regex (Spark) and RE2 (DuckDB
+#: oracle) — keep it metacharacter-simple.
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def ws_tokens(col) -> Column:
+    """Whitespace tokenization (reference-style split, stg_logs.sql:11 idiom)."""
+    return F.split(col, " ")
+
+
+def bpe_ish_tokens(col) -> Column:
+    """Regex tokenization approximating BPE pre-tokenization."""
+    return F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), F.lit(0))
+
+
+def token_count(col) -> Column:
+    return F.array_size(ws_tokens(col))
+
+
+def distinct_token_count(col) -> Column:
+    return F.array_size(F.array_distinct(ws_tokens(col)))
+
+
+def avg_token_len(col) -> Column:
+    """Mean token length = chars-without-spaces / token count (double)."""
+    chars = F.length(F.replace(col, F.lit(" "), F.lit("")))
+    return chars / token_count(col)
+
+
+def quality_score(col) -> Column:
+    """Deterministic [0,1] quality heuristic: half unique-token ratio, half
+    saturating length score. Rational arithmetic only — no exp/log, so the
+    DuckDB oracle computes bit-identical doubles."""
+    toks = token_count(col).cast("double")
+    uniq_ratio = distinct_token_count(col) / toks
+    len_score = F.least(F.lit(1.0), toks / F.lit(100.0))
+    return F.round(uniq_ratio * 0.5 + len_score * 0.5, 6)
+
+
+def char_shingles(col, n: int = 5) -> Column:
+    """Character n-gram shingles (array<string>) via sliding substrings.
+
+    Expressed with transform over an index sequence — stays in codegen.
+    Used by MinHash / SimHash / Jaccard dedup.
+    """
+    idx = F.sequence(F.lit(1), F.greatest(F.length(col) - F.lit(n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: col.substr(i, F.lit(n)))
+
+
+def token_shingles(col, n: int = 3) -> Column:
+    """Token n-gram shingles from whitespace tokens (array<string>)."""
+    toks = ws_tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.array_size(toks) - F.lit(n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(n))))

@@ -1,0 +1,319 @@
+"""Deduplication operators over ``documents`` / ``embeddings`` (north-star
+LLM-data-pipeline surface): exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Design for 100 TB:
+
+- **Signatures are computed per-row with array higher-order functions**
+  (transform / array_min / aggregate over the shingle array) — no explode,
+  no shuffle, no Python; a document's MinHash/SimHash costs one codegen'd
+  map pass.
+- **Candidate generation is a bucket join**: explode only the B band keys
+  (B≈16 rows per doc, not |shingles| rows), shuffle on (band, band_hash).
+  Bucket sizes are data-dependent; skewed buckets (boilerplate docs) are
+  handled by AQE skew-join splitting.
+- **Verification is exact** on candidate pairs only (Jaccard over shingle
+  sets / hamming over simhash), never all-pairs.
+
+Hash functions are Spark built-ins (xxhash64 with a seed column), so the
+whole pipeline is deterministic run-to-run — but not shared with DuckDB,
+hence these queries are rows-only checks for the driver (the exact-dedup
+summary and the cosine near-dup have true SQL oracles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mini_log_lakehouse_spark.functions.text import char_shingles
+from mini_log_lakehouse_spark.functions.vector import cosine
+from mini_log_lakehouse_spark.sources.registry import load_table
+
+# MinHash configuration: K = BANDS × ROWS_PER_BAND signatures.
+MINHASH_BANDS = 16
+MINHASH_ROWS = 4
+MINHASH_K = MINHASH_BANDS * MINHASH_ROWS
+
+
+# --- exact ------------------------------------------------------------------
+
+def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup accounting: total docs vs distinct texts vs distinct
+    fingerprints. (At 100 TB you group by md5/xxhash of the content, never
+    by the content itself — the shuffle carries 16 bytes per doc.)"""
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_distinct_texts"),
+        F.countDistinct(F.md5("text")).alias("n_distinct_fingerprints"),
+    )
+
+
+def drop_exact_duplicates(docs: DataFrame, key: str = "text") -> DataFrame:
+    """Keep one row per distinct content (hash-groupBy under the hood)."""
+    return docs.dropDuplicates([key])
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+def minhash_signature(text_col, k: int = MINHASH_K, shingle_n: int = 5) -> Column:
+    """array<bigint> of K min-hashes over char shingles — one map pass.
+
+    Each hash family member is xxhash64 seeded by its index (seed goes in
+    as an extra hashed column)."""
+    shingles = F.array_distinct(char_shingles(text_col, shingle_n))
+
+    # NB: the seed must be bound via a closure factory — a `lambda s, i=i:`
+    # two-parameter lambda would be treated by transform() as an
+    # (element, index) function and the seed would silently become the
+    # element index column.
+    def hasher(seed: int):
+        return lambda s: F.xxhash64(F.lit(seed), s)
+
+    return F.array(
+        *[F.array_min(F.transform(shingles, hasher(i))) for i in range(k)]
+    )
+
+
+def _banded(docs: DataFrame, id_col: str, sig_col: str = "sig") -> DataFrame:
+    """Explode a signature into (id, band, band_hash) bucket keys."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(sig_col)[b * MINHASH_ROWS + r] for r in range(MINHASH_ROWS)]
+                ).alias("band_hash"),
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    return docs.select(id_col, F.explode(bands).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.band_hash").alias("band_hash")
+    )
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing ≥1 band bucket, with the MinHash
+    Jaccard estimate (fraction of agreeing signature positions)."""
+    sigs = docs.select(id_col, minhash_signature(F.col(text_col)).alias("sig"))
+    b = _banded(sigs, id_col)
+    left = b.alias("a")
+    right = b.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(agree / F.lit(MINHASH_K), 6).alias("est_jaccard"),
+        )
+    )
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: MinHash-LSH near-dup candidates with est_jaccard ≥ 0.5."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        minhash_candidate_pairs(d)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --- exact n-gram Jaccard verification ---------------------------------------
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Two-stage fuzzy dedup: LSH candidates -> exact Jaccard over shingle
+    sets. The exact set intersection runs only on candidate pairs."""
+    cands = minhash_candidate_pairs(docs, id_col, text_col).select("id_a", "id_b")
+    sh = docs.select(
+        F.col(id_col),
+        F.array_distinct(char_shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.array_size(F.array_intersect("sh_a", "sh_b"))
+    union = F.array_size(F.array_union("sh_a", "sh_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d).orderBy("id_a", "id_b")
+
+
+# --- SimHash ------------------------------------------------------------------
+
+def simhash64(text_col, shingle_n: int = 5) -> Column:
+    """64-bit SimHash over char shingles, per-row (no explode).
+
+    bit j = 1 iff Σ_shingles (±1 by hash bit j) > 0; computed as: for each
+    bit, count of shingles with bit set vs total."""
+    shingles = F.array_distinct(char_shingles(text_col, shingle_n))
+    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    n = F.array_size(shingles)
+    # popcount per bit position: sum over shingles of bit j (closure
+    # factory — see minhash_signature note on lambda arity)
+    def vote(j: int):
+        return lambda acc, h: acc + F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("int")
+
+    bit_votes = [F.aggregate(hashes, F.lit(0), vote(j)) for j in range(64)]
+    out = F.lit(0).cast("long")
+    for j, votes in enumerate(bit_votes):
+        bit = F.when(votes * 2 > n, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        out = out.bitwiseOR(F.shiftleft(bit, j))
+    return out
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Empirically (planted near-dups in tests): single-word edits land at
+    hamming 9-14 over 5-char shingles, unrelated docs at 30+, so 16 is a
+    comfortable default.
+
+    Candidate generation: split the 64-bit simhash into 8 8-bit blocks
+    and key on every C(8,2)=28 block *pair* (the multi-table scheme from
+    the simhash near-dup literature). A true pair is surfaced whenever ≥2
+    blocks are untouched — for ~12 random bit flips the expected clean
+    blocks ≈ 1.8, so recall stays high where a naive 4×16 chunk split
+    (needing one fully-clean 16-bit chunk) misses. 28 small keys per doc,
+    verified exactly with bit_count(xor)."""
+    sh = docs.select(F.col(id_col), simhash64(F.col(text_col)).alias("simhash"))
+
+    def block(i: int):
+        return F.shiftright("simhash", i * 8).bitwiseAND(F.lit(0xFF))
+
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(i * 8 + j).alias("tbl"),
+                (block(i) * 256 + block(j)).alias("ckey"),
+            )
+            for i in range(8)
+            for j in range(i + 1, 8)
+        ]
+    )
+    banded = sh.select(id_col, "simhash", F.explode(keys).alias("ck")).select(
+        id_col, "simhash", F.col("ck.tbl").alias("tbl"), F.col("ck.ckey").alias("ckey")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.ckey") == F.col("b.ckey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(d).orderBy("id_a", "id_b")
+
+
+# --- embedding cosine near-dup ------------------------------------------------
+
+COSINE_DEDUP_THRESHOLD = 0.9
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact near-dup: pairs within the same ``label`` block with
+    cosine ≥ threshold. Blocking bounds the quadratic term to block sizes
+    (at scale, blocks come from LSH/IVF assignment — see
+    operators/similarity.py); within-block compare is exact."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("label"), F.col("embedding").alias("emb_b"))
+    sim = cosine(F.col("emb_a"), F.col("emb_b"))
+    return (
+        a.join(b, ["label"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("label", "id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= COSINE_DEDUP_THRESHOLD)
+        .orderBy("label", "id_a", "id_b")
+    )
+
+
+ORACLES: dict[str, str] = {
+    "dedup_exact_summary": """
+        SELECT COUNT(*) AS n_docs,
+               COUNT(DISTINCT text) AS n_distinct_texts,
+               COUNT(DISTINCT md5(text)) AS n_distinct_fingerprints
+        FROM documents
+    """,
+    "dedup_embedding_cosine": f"""
+        SELECT a.label,
+               a.vec_id AS id_a,
+               b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+        FROM embeddings a
+        JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(
+                  CAST(a.embedding AS DOUBLE[]),
+                  CAST(b.embedding AS DOUBLE[])), 6) >= {COSINE_DEDUP_THRESHOLD}
+        ORDER BY a.label, id_a, id_b
+    """,
+    # minhash / simhash / ngram-jaccard use Spark hash functions — no SQL
+    # oracle; driver records rows-only checks (deterministic run-to-run).
+}
+
+QUERIES = {
+    "dedup_exact_summary": dedup_exact_summary,
+    "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}

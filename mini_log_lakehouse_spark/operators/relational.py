@@ -192,7 +192,8 @@ def top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_nationkey",
             "c_custkey",
             F.round("c_acctbal", 6).alias("acctbal"),
-            F.row_number().over(w).alias("rn"),
+            # long to match DuckDB's BIGINT ROW_NUMBER in the oracle
+            F.row_number().over(w).cast("long").alias("rn"),
         )
         .filter(F.col("rn") <= 3)
         .orderBy("c_nationkey", "rn")

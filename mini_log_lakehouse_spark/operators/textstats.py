@@ -1,0 +1,195 @@
+"""Text-analysis operators over the ``documents`` table (north-star
+LLM-data-pipeline surface: token counting, quality scoring, language ID,
+fingerprinting).
+
+Everything except language-ID is oracle-checked against DuckDB; all
+expressions are built-in (codegen'd JVM side) — a 100 TB documents scan
+runs these as a single map-only stage with partial aggregation where
+grouped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mini_log_lakehouse_spark.functions.text import (
+    BPE_ISH_PATTERN,
+    avg_token_len,
+    bpe_ish_tokens,
+    distinct_token_count,
+    quality_score,
+    token_count,
+    ws_tokens,
+)
+from mini_log_lakehouse_spark.sources.registry import load_table
+
+#: Tiny per-language lexicons for the n-gram/lexicon language-ID heuristic.
+#: Real multilingual function words; deterministic, no model download.
+LANG_LEXICONS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"),
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "es": ("el", "la", "de", "que", "y", "los", "las", "un", "una", "por"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+    "zh": ("的", "是", "了", "在", "和", "有", "我", "不", "人", "这"),
+}
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics (whitespace tokenization)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = token_count(F.col("text"))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(toks).cast("long").alias("total_tokens"),
+            F.round(F.sum(toks) / F.count(F.lit(1)), 6).alias("avg_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def doc_word_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token frequency top-20 (explode + count + top-K)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(ws_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )
+
+
+def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counts per source (regexp_extract_all)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.sum(F.array_size(bpe_ish_tokens(F.col("text")))).cast("long").alias("bpe_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fingerprint + size stats (md5 content hash)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("fingerprint"),
+        # long casts: DuckDB len()/length() return BIGINT
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("text_len"),
+    ).orderBy("doc_id")
+
+
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality heuristic: unique-token ratio + length score."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        distinct_token_count(F.col("text")).cast("long").alias("n_unique_tokens"),
+        F.round(avg_token_len(F.col("text")), 6).alias("avg_token_len"),
+        quality_score(F.col("text")).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-hit language ID: score = |tokens ∩ lexicon(lang)| per
+    language, predict the argmax (alphabetical tiebreak), compare with the
+    labeled ``lang``. One map-only pass + tiny aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(ws_tokens(F.col("text")))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        *[
+            F.array_size(
+                F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+            ).alias(f"score_{lang}")
+            for lang, words in sorted(LANG_LEXICONS.items())
+        ],
+    )
+    # argmax via array of (score, lang) structs sorted desc — deterministic
+    # alphabetical tiebreak comes from sorting on (-score, lang).
+    pairs = F.array(
+        *[
+            F.struct(
+                (-F.col(f"score_{lang}")).alias("neg"), F.lit(lang).alias("lang")
+            )
+            for lang in sorted(LANG_LEXICONS)
+        ]
+    )
+    predicted = F.array_sort(pairs)[0]["lang"]
+    return (
+        scored.select("doc_id", "lang", predicted.alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted_lang")
+    )
+
+
+_TOKS = "string_split(text, ' ')"
+
+ORACLES: dict[str, str] = {
+    "doc_token_stats": f"""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens,
+               ROUND(SUM(len({_TOKS})) * 1.0 / COUNT(*), 6) AS avg_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    "doc_word_histogram": f"""
+        SELECT token, COUNT(*) AS n
+        FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+        GROUP BY 1
+        ORDER BY n DESC, token
+        LIMIT 20
+    """,
+    "doc_bpe_token_counts": f"""
+        SELECT source,
+               CAST(SUM(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))) AS BIGINT) AS bpe_tokens,
+               COUNT(*) AS n_docs
+        FROM documents
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    "doc_fingerprints": f"""
+        SELECT doc_id,
+               md5(text) AS fingerprint,
+               len({_TOKS}) AS n_tokens,
+               length(text) AS text_len
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "doc_quality_scores": f"""
+        SELECT doc_id,
+               lang,
+               len({_TOKS}) AS n_tokens,
+               len(list_distinct({_TOKS})) AS n_unique_tokens,
+               ROUND(length(replace(text, ' ', '')) * 1.0 / len({_TOKS}), 6) AS avg_token_len,
+               ROUND(len(list_distinct({_TOKS})) * 1.0 / len({_TOKS}) * 0.5
+                     + least(1.0, len({_TOKS}) / 100.0) * 0.5, 6) AS quality
+        FROM documents
+        ORDER BY doc_id
+    """,
+}
+
+QUERIES = {
+    "doc_token_stats": doc_token_stats,
+    "doc_word_histogram": doc_word_histogram,
+    "doc_bpe_token_counts": doc_bpe_token_counts,
+    "doc_fingerprints": doc_fingerprints,
+    "doc_quality_scores": doc_quality_scores,
+    "doc_lang_id": doc_lang_id,
+}

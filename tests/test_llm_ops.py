@@ -1,0 +1,122 @@
+"""Behavioral tests for the LLM-data-pipeline operators: fuzzy dedup must
+actually find planted near-duplicates, LSH ANN must have reasonable recall
+vs the exact tier, and language-ID must work on real multilingual text
+(the synthetic documents all share one vocabulary, so that surface only
+gets determinism checks there)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_log_lakehouse_spark.operators import dedup, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the rain falls softly outside"
+    )
+    rows = [
+        (0, base),
+        (1, base),  # exact duplicate
+        (2, base.replace("rain", "snow")),  # near duplicate
+        (3, base.replace("quick", "slow").replace("lazy", "sleepy")),  # near
+        (4, "completely different content about spark sql query planning and adaptive execution strategies"),
+        (5, "yet another unrelated document describing parquet column pruning and predicate pushdown internals"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_minhash_finds_planted_dups(docs_with_dups):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dedup.minhash_candidate_pairs(docs_with_dups)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # exact dup -> identical signatures
+    assert (0, 2) in pairs and (0, 3) in pairs  # near dups found
+    assert (4, 5) not in pairs  # unrelated not paired
+
+
+def test_ngram_jaccard_verifies_exactly(docs_with_dups):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs_with_dups, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert 0.5 <= pairs[(0, 2)] < 1.0
+
+
+def test_simhash_near_pairs(docs_with_dups):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_pairs(docs_with_dups).collect()
+    }
+    assert pairs[(0, 1)] == 0  # identical simhash
+    assert (0, 2) in pairs  # near dup within hamming budget
+    assert (4, 5) not in pairs
+
+
+def test_drop_exact_duplicates(docs_with_dups):
+    assert dedup.drop_exact_duplicates(docs_with_dups).count() == 5
+
+
+def test_lsh_recall_vs_exact(spark, sf_dir):
+    exact = [r["vec_id"] for r in similarity.ann_cosine_topk(spark, sf_dir).collect()]
+    approx = [r["vec_id"] for r in similarity.ann_lsh_topk(spark, sf_dir).collect()]
+    # LSH searches one of 16 buckets; cosine-similar vectors tend to share
+    # hyperplane signs, so the bucket should contain a decent chunk of the
+    # true top-k.
+    assert len(approx) == similarity.TOP_K
+    recall = len(set(approx) & set(exact)) / len(exact)
+    assert recall >= 0.3, f"LSH recall too low: {recall}"
+
+
+def test_lsh_bucket_determinism(spark, sf_dir):
+    from mini_log_lakehouse_spark.sources.registry import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    b1 = {r["vec_id"]: r["bucket"] for r in similarity.lsh_bucketed(e).collect()}
+    b2 = {r["vec_id"]: r["bucket"] for r in similarity.lsh_bucketed(e).collect()}
+    assert b1 == b2
+
+
+def test_lang_id_on_real_text(spark):
+    rows = [
+        (0, "the cat is on the mat and it is warm", "en"),
+        (1, "der Hund ist nicht mit der Katze und das ist gut", "de"),
+        (2, "el perro y el gato que viven en la casa por la noche", "es"),
+        (3, "le chien et le chat est dans la maison pour la nuit", "fr"),
+        (4, "我 是 人 和 你 在 这 里 不 走 了", "zh"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+    # reuse the operator's scoring by pointing it at a temp table via a
+    # monkeypatched loader is overkill — call the internals directly:
+    from mini_log_lakehouse_spark.functions.text import ws_tokens
+
+    toks = F.array_distinct(ws_tokens(F.col("text")))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[
+            F.array_size(
+                F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+            ).alias(f"score_{lang}")
+            for lang, words in sorted(textstats.LANG_LEXICONS.items())
+        ],
+    )
+    pairs = F.array(
+        *[
+            F.struct((-F.col(f"score_{lang}")).alias("neg"), F.lit(lang).alias("lang"))
+            for lang in sorted(textstats.LANG_LEXICONS)
+        ]
+    )
+    out = {
+        r["lang"]: r["pred"]
+        for r in scored.select("lang", F.array_sort(pairs)[0]["lang"].alias("pred")).collect()
+    }
+    assert out == {lang: lang for lang in ("en", "de", "es", "fr", "zh")}
