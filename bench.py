@@ -1,0 +1,108 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: avg_sec, ...}, "sf": ..., "baseline": {...}}
+
+Method mirrors the reference's README harness shape (1 warm-up + N timed
+iterations, averaged; reference README.md:196-215) applied per query. The
+``baseline`` key holds DuckDB timings of the oracle SQL for the same
+queries on the same parquet — the BASELINE.md "within 2×" target is
+checked as value vs baseline, per query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mini_log_lakehouse_spark.entry_registry import ORACLES, QUERIES  # noqa: E402
+from mini_log_lakehouse_spark.session import get_spark  # noqa: E402
+
+#: Headline queries: the flagship serving shape, the scan-heavy aggregate,
+#: the shuffle-heavy join, a window, text analysis, fuzzy dedup, and ANN.
+HEADLINE = (
+    "errors_by_type",
+    "fct_events_hourly",
+    "tpch_q1_pricing_summary",
+    "top_customers_by_revenue",
+    "top3_customers_per_nation",
+    "doc_token_stats",
+    "dedup_minhash_pairs",
+    "ann_knn_join",
+)
+
+WARMUP = 1
+ITERS = int(os.environ.get("BENCH_ITERS", "5"))
+
+
+def time_fn(fn, warmup: int = WARMUP, iters: int = ITERS) -> float:
+    for _ in range(warmup):
+        fn()
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return statistics.mean(times)
+
+
+def bench_duckdb(sf_dir: str, names) -> dict[str, float]:
+    import duckdb
+
+    from mini_log_lakehouse_spark.sources.registry import TABLES
+
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', os.cpu_count())}")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    out = {}
+    for name in names:
+        if name not in ORACLES:
+            continue
+        sql = ORACLES[name]
+        out[name] = round(time_fn(lambda: con.execute(sql).fetchall()), 4)
+    con.close()
+    return out
+
+
+def main() -> None:
+    # warm-cache mode, matching the reference's benchmark method
+    os.environ.setdefault("SPARK_GRAFT_CACHE_TABLES", "1")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="mini-log-lakehouse-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        results[name] = round(time_fn(lambda: fn(spark, sf_dir).collect()), 4)
+
+    baseline = bench_duckdb(sf_dir, HEADLINE)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_avg_total",
+                "value": round(sum(results.values()), 4),
+                "unit": "sec",
+                "queries": results,
+                "sf": sf,
+                "baseline": baseline,
+                "iters": ITERS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -10,12 +10,26 @@ from __future__ import annotations
 from mini_log_lakehouse_spark.operators import (
     dedup,
     events,
+    multimodal,
     relational,
+    sessions,
     similarity,
     textstats,
 )
+from mini_log_lakehouse_spark.streaming import ingest as streaming_ingest
+from mini_log_lakehouse_spark.streaming import sessions as streaming_sessions
 
-_MODULES = (events, relational, textstats, dedup, similarity)
+_MODULES = (
+    events,
+    relational,
+    textstats,
+    dedup,
+    similarity,
+    sessions,
+    multimodal,
+    streaming_ingest,
+    streaming_sessions,
+)
 
 QUERIES = {}
 ORACLES = {}

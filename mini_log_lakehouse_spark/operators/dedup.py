@@ -57,22 +57,53 @@ def drop_exact_duplicates(docs: DataFrame, key: str = "text") -> DataFrame:
 
 # --- MinHash + LSH ----------------------------------------------------------
 
+#: Modulus of the affine hash family. MUST be ~the size of the base-hash
+#: domain: with a 31-bit base and a 61-bit modulus, a·x+b wraps at most
+#: once, the map stays nearly monotone, every family member picks the
+#: same argmin shingle, and est_jaccard saturates at ~1.0 for unrelated
+#: docs (observed: 41k false pairs at sf0.01). With p = 2^31−1 the
+#: products wrap ~2^31 times — a genuinely scrambled permutation.
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _affine_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients for the MinHash affine family."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
+        for _ in range(k)
+    ]
+
+
 def minhash_signature(text_col, k: int = MINHASH_K, shingle_n: int = 5) -> Column:
     """array<bigint> of K min-hashes over char shingles — one map pass.
 
-    Each hash family member is xxhash64 seeded by its index (seed goes in
-    as an extra hashed column)."""
+    The string is hashed ONCE per shingle (xxhash64, reduced mod 2^31−1);
+    the K family members are affine transforms h_i(x) = (a_i·x + b_i) mod
+    (2^31−1) over that base hash — 64 cheap integer passes instead of 64
+    string-hash passes (the naive version was ~40× slower end-to-end).
+    All products stay < 2^62, so no overflow under ANSI mode; see
+    _MERSENNE31 for why the modulus must match the base-hash domain.
+    """
     shingles = F.array_distinct(char_shingles(text_col, shingle_n))
+    base = F.transform(
+        shingles,
+        lambda s: F.xxhash64(s).bitwiseAND(F.lit((1 << 62) - 1)) % F.lit(_MERSENNE31),
+    )
 
-    # NB: the seed must be bound via a closure factory — a `lambda s, i=i:`
-    # two-parameter lambda would be treated by transform() as an
-    # (element, index) function and the seed would silently become the
-    # element index column.
-    def hasher(seed: int):
-        return lambda s: F.xxhash64(F.lit(seed), s)
+    # NB: coefficients must be bound via a closure factory — a
+    # `lambda h, a=a: ...` two-parameter lambda would be treated by
+    # transform() as an (element, index) function.
+    def affine(a: int, b: int):
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE31)
 
     return F.array(
-        *[F.array_min(F.transform(shingles, hasher(i))) for i in range(k)]
+        *[
+            F.array_min(F.transform(base, affine(a, b)))
+            for a, b in _affine_params(k)
+        ]
     )
 
 
@@ -98,8 +129,12 @@ def minhash_candidate_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing ≥1 band bucket, with the MinHash
-    Jaccard estimate (fraction of agreeing signature positions)."""
-    sigs = docs.select(id_col, minhash_signature(F.col(text_col)).alias("sig"))
+    Jaccard estimate (fraction of agreeing signature positions).
+
+    The signature table is persisted — it feeds the band explode AND both
+    sides of the estimate join; at 100 TB this is the materialize-once
+    signature table every fuzzy-dedup pipeline keeps next to the corpus."""
+    sigs = docs.select(id_col, minhash_signature(F.col(text_col)).alias("sig")).persist()
     b = _banded(sigs, id_col)
     left = b.alias("a")
     right = b.alias("b")

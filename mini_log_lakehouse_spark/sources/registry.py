@@ -37,15 +37,35 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: Warm-cache mode (bench): memoize + spark-cache loaded tables, keyed by
+#: (session id, sf_dir, table). The reference's benchmark is explicitly
+#: warm-cache (reference README.md:196-215), so the bench harness opts in
+#: via SPARK_GRAFT_CACHE_TABLES=1; correctness paths read cold by default
+#: to keep parquet pushdown/pruning observable.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table with normalized column types."""
+    cache = os.environ.get("SPARK_GRAFT_CACHE_TABLES") == "1"
+    key = (id(spark), sf_dir, name)
+    if cache and key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
     tune(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # int64 epoch-nanos -> TimestampType at µs precision (floor), exactly
         # DuckDB's TIMESTAMP_NS -> TIMESTAMP cast for positive epochs.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if cache:
+        # The testdata files are single-row-group parquet, so a cold scan
+        # is one task no matter the cluster size; spread the cached copy
+        # across the cores (a real 100 TB table has thousands of row
+        # groups and never needs this).
+        from mini_log_lakehouse_spark.session import default_parallelism
+
+        df = df.repartition(default_parallelism()).persist()
+        _TABLE_CACHE[key] = df
     return df
 
 

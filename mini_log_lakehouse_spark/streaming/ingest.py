@@ -1,0 +1,146 @@
+"""Structured Streaming extension (SURVEY.md §2.9): how the log pipeline
+actually runs in production — logs arrive continuously, ingest is
+incremental, the hourly fact maintains itself.
+
+The reference re-runs the whole batch pipeline on a schedule
+(reference orchestration/flow.py:29-35, Makefile:3-7); this module is the
+Spark-native replacement:
+
+- ``stream_ingest_logs``: readStream.text over a log directory -> the
+  SAME parse plan as batch (sources/logs.parse_lines — one code path for
+  both) -> partitioned parquet sink with checkpointing. Exactly-once via
+  the sink's transaction log + source offsets; ``availableNow`` drains
+  the backlog then stops, which is both the testable mode and the
+  cron-replacement mode.
+- ``stream_hourly_fact``: tumbling-window aggregation with a watermark —
+  the incremental fct_requests_hourly. Counts and conditional sums are
+  mergeable so they stream; the exact p95 is NOT (it needs the full
+  group) — at scale the streaming fact would carry a t-digest sketch;
+  here the streaming fact publishes the mergeable measures only.
+
+State sizing at 100 TB: the window state is (days × hours × types) rows
+per watermark horizon — bounded and tiny. The watermark (1 hour) caps
+late-data buffering; later data is dropped, matching a production
+lakehouse's lateness SLA.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mini_log_lakehouse_spark.session import tune
+from mini_log_lakehouse_spark.sources.logs import parse_lines
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # epoch nanos in the raw parquet
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_ingest_logs(
+    spark: SparkSession,
+    raw_dir: str,
+    bronze_root: str,
+    checkpoint: str,
+) -> None:
+    """Incremental EP1: drain new log files into date-partitioned bronze.
+
+    One batch-identical parse plan; exactly-once via checkpoint +
+    file-sink log; availableNow trigger = run-to-completion semantics.
+    """
+    tune(spark)
+    lines = spark.readStream.text(raw_dir).filter(F.trim("value") != "")
+    bronze = parse_lines(lines)
+    (
+        bronze.writeStream.format("parquet")
+        .option("path", bronze_root)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("date")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the events table as a stream (per-file microbatches)."""
+    tune(spark)
+    # file-stream sources take a directory; select just the events table
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def stream_hourly_fact(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Incremental hourly fact over the replayed events stream.
+
+    Runs to completion (availableNow) into a memory sink and returns the
+    final table — semantics identical to the batch hourly fact for the
+    mergeable measures, which the driver checks against a batch SQL
+    oracle.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("requests"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).cast("long").alias("errors"),
+        )
+        .select(
+            F.to_date("w.start").alias("date"),
+            F.date_format("w.start", "HH").alias("hour"),
+            "event_type",
+            "requests",
+            "errors",
+        )
+    )
+    name = "stream_hourly_fact_result"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def streaming_hourly_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper (oracle: the equivalent batch SQL)."""
+    return stream_hourly_fact(spark, sf_dir)
+
+
+ORACLES: dict[str, str] = {
+    "streaming_hourly_fact": """
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS date,
+               strftime(CAST(ts AS TIMESTAMP), '%H') AS hour,
+               event_type,
+               COUNT(*) AS requests,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+}
+
+QUERIES = {
+    "streaming_hourly_fact": streaming_hourly_fact,
+}
