@@ -10,6 +10,7 @@ from __future__ import annotations
 from mini_log_lakehouse_spark.operators import (
     dedup,
     events,
+    extensions,
     multimodal,
     relational,
     sessions,
@@ -27,6 +28,7 @@ _MODULES = (
     similarity,
     sessions,
     multimodal,
+    extensions,
     streaming_ingest,
     streaming_sessions,
 )

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mini_log_lakehouse_spark.sources.registry import load_table
+from mini_log_lakehouse_spark.sources.registry import load_events_range, load_table
 
 #: Fixed parameters for the parameterized serving queries (events span
 #: 2024-01-01..2024-01-30; TESTDATA.md).
@@ -33,6 +33,34 @@ TOP_K = 3
 
 def _is_error() -> F.Column:
     return F.when(F.col("event_type") == "error", F.lit(1)).otherwise(F.lit(0))
+
+
+def _day_bounds_ns(day: str = DAY) -> tuple[int, int]:
+    """Half-open [start, end) of one UTC day in epoch nanoseconds."""
+    from datetime import date, datetime, timezone
+
+    d = datetime.combine(date.fromisoformat(day), datetime.min.time(), timezone.utc)
+    start = int(d.timestamp()) * 1_000_000_000
+    return start, start + 86_400 * 1_000_000_000
+
+
+def stg_events_one_day(spark: SparkSession, sf_dir: str, day: str = DAY) -> DataFrame:
+    """stg_events restricted to one day, with the day expressed as a RAW
+    ts range at the scan (PushedFilters row-group pruning) — a predicate
+    on the derived to_date(ts) column cannot push, which at 100 TB is the
+    difference between reading one day and reading everything."""
+    lo, hi = _day_bounds_ns(day)
+    ev = load_events_range(spark, sf_dir, lo, hi)
+    return ev.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        F.to_date("ts").alias("date"),
+        F.date_format("ts", "HH").alias("hour"),
+        _is_error().alias("is_error"),
+    )
 
 
 def _dec_sum(col: F.Column) -> F.Column:
@@ -73,8 +101,7 @@ def fct_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def errors_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3+A6+O1 (reference serve/api.py:33-41): one day, per-type totals."""
     return (
-        stg_events(spark, sf_dir)
-        .filter(F.col("date") == F.to_date(F.lit(DAY)))
+        stg_events_one_day(spark, sf_dir)
         .groupBy("event_type")
         .agg(
             F.sum("is_error").cast("long").alias("errors"),
@@ -87,8 +114,7 @@ def errors_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 def top_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3 top-K (reference serve/api.py:63-72); deterministic tiebreak."""
     return (
-        stg_events(spark, sf_dir)
-        .filter(F.col("date") == F.to_date(F.lit(DAY)))
+        stg_events_one_day(spark, sf_dir)
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("requests"),
@@ -112,8 +138,7 @@ def available_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 def kpi_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7/A8 (reference serve/app.py:63-65): totals + zero-guarded rate."""
     agg = (
-        stg_events(spark, sf_dir)
-        .filter(F.col("date") == F.to_date(F.lit(DAY)))
+        stg_events_one_day(spark, sf_dir)
         .agg(
             F.count(F.lit(1)).alias("total_events"),
             F.sum("is_error").cast("long").alias("total_errors"),
@@ -134,8 +159,7 @@ def kpi_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6/O2 (reference serve/app.py:77-83): per-hour totals for one day."""
     return (
-        stg_events(spark, sf_dir)
-        .filter(F.col("date") == F.to_date(F.lit(DAY)))
+        stg_events_one_day(spark, sf_dir)
         .groupBy("hour")
         .agg(
             F.count(F.lit(1)).alias("requests"),

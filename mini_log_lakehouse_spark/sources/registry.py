@@ -69,6 +69,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_events_range(
+    spark: SparkSession, sf_dir: str, start_ns: int, end_ns: int
+) -> DataFrame:
+    """events scan restricted to a half-open [start_ns, end_ns) window,
+    with the range applied to the RAW int64-nanos column so it lands in
+    PushedFilters (a predicate on the converted timestamp cannot push
+    through timestamp_micros). ns-range ⇔ µs-range is exact for
+    truncation, so downstream semantics are unchanged.
+
+    In warm-cache mode the table is already in memory — filter the cached
+    (converted) copy instead; there is no parquet scan left to prune.
+    """
+    if os.environ.get("SPARK_GRAFT_CACHE_TABLES") == "1":
+        df = load_table(spark, sf_dir, "events")
+        return df.filter(
+            (F.col("ts") >= F.timestamp_micros(F.lit(start_ns // 1000)))
+            & (F.col("ts") < F.timestamp_micros(F.lit(end_ns // 1000)))
+        )
+    tune(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.filter((F.col("ts") >= start_ns) & (F.col("ts") < end_ns))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.filter(
+        (F.col("ts") >= F.timestamp_micros(F.lit(start_ns // 1000)))
+        & (F.col("ts") < F.timestamp_micros(F.lit(end_ns // 1000)))
+    )
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Register each table as a temp view for ``spark.sql`` queries."""
     for name in tables:

@@ -1,0 +1,60 @@
+"""Physical-plan assertions (SURVEY.md §4): the declarative plans must
+actually produce the physical strategies the 100 TB design relies on —
+filter pushdown into the parquet scan, column pruning, broadcast joins
+for dims, TakeOrderedAndProject for top-K. These run with table caching
+disabled so the scan properties are observable."""
+
+from __future__ import annotations
+
+import pytest
+
+from mini_log_lakehouse_spark.operators import events as ev_ops
+from mini_log_lakehouse_spark.operators import relational as rel_ops
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(autouse=True)
+def no_table_cache(monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_CACHE_TABLES", raising=False)
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    plan = _plan(rel_ops.tpch_q1_pricing_summary(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    # errors_by_type needs only ts + event_type; the scan must not read
+    # props/value/user_id.
+    plan = _plan(ev_ops.errors_by_type(spark, sf_dir))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "ts" in read_schema and "event_type" in read_schema
+    for col in ("props", "value", "user_id"):
+        assert col not in read_schema
+
+
+def test_dim_joins_are_broadcast(spark, sf_dir):
+    plan = _plan(rel_ops.region_customer_rollup(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    plan = _plan(ev_ops.top_event_types(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_anti_join_strategies(spark, sf_dir):
+    semi = _plan(rel_ops.customers_with_orders(spark, sf_dir))
+    anti = _plan(rel_ops.customers_without_orders(spark, sf_dir))
+    assert "LeftSemi" in semi and "LeftAnti" in anti
+
+
+def test_day_filter_pushes_ts_range(spark, sf_dir):
+    # the one-day serving queries must express the day as a ts RANGE so it
+    # reaches PushedFilters (a to_date(ts) == day predicate cannot push).
+    plan = _plan(ev_ops.errors_by_type(spark, sf_dir))
+    assert "GreaterThanOrEqual(ts," in plan and "LessThan(ts," in plan
