@@ -107,8 +107,12 @@ def minhash_signature(text_col, k: int = MINHASH_K, shingle_n: int = 5) -> Colum
     )
 
 
-def _banded(docs: DataFrame, id_col: str, sig_col: str = "sig") -> DataFrame:
-    """Explode a signature into (id, band, band_hash) bucket keys."""
+def _banded(sigs: DataFrame, id_col: str, sig_col: str = "sig") -> DataFrame:
+    """Explode a signature into (id, band, band_hash, sig) bucket rows.
+
+    The signature rides along so the estimate join downstream needs no
+    second pass over the corpus — signatures are computed exactly once.
+    """
     bands = F.array(
         *[
             F.struct(
@@ -120,27 +124,47 @@ def _banded(docs: DataFrame, id_col: str, sig_col: str = "sig") -> DataFrame:
             for b in range(MINHASH_BANDS)
         ]
     )
-    return docs.select(id_col, F.explode(bands).alias("bk")).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.band_hash").alias("band_hash")
+    return sigs.select(id_col, sig_col, F.explode(bands).alias("bk")).select(
+        id_col,
+        sig_col,
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_hash").alias("band_hash"),
     )
 
 
 def minhash_candidate_pairs(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_est: float | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing ≥1 band bucket, with the MinHash
     Jaccard estimate (fraction of agreeing signature positions).
 
-    The signature table is persisted — it feeds the band explode AND both
-    sides of the estimate join; at 100 TB this is the materialize-once
-    signature table every fuzzy-dedup pipeline keeps next to the corpus."""
-    sigs = docs.select(id_col, minhash_signature(F.col(text_col)).alias("sig")).persist()
+    Signatures are computed once and carried through the band explode, so
+    the bucket self-join yields (sig_a, sig_b) directly; the estimate is
+    evaluated before the pair-dedup, and an optional ``min_est`` filters
+    ahead of the distinct to shrink the shuffle. The band rows carry the
+    K-long signature (~0.5 KB/doc·band) — the classic space-for-one-pass
+    trade; at 100 TB you'd materialize the signature table once instead.
+    """
+    # Signature computation is CPU-bound per row (K affine passes over the
+    # shingle array) — spread it across the cores regardless of how few
+    # input partitions the (tiny-on-disk) corpus arrived in.
+    from mini_log_lakehouse_spark.session import default_parallelism
+
+    docs = docs.repartition(default_parallelism(), F.col(id_col))
+    sigs = docs.select(id_col, minhash_signature(F.col(text_col)).alias("sig"))
     b = _banded(sigs, id_col)
-    left = b.alias("a")
-    right = b.alias("b")
+    a, bb = b.alias("a"), b.alias("b")
+    agree = F.aggregate(
+        F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
     pairs = (
-        left.join(
-            right,
+        a.join(
+            bb,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
@@ -148,35 +172,18 @@ def minhash_candidate_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .distinct()
-    )
-    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
-    agree = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    return (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
             F.round(agree / F.lit(MINHASH_K), 6).alias("est_jaccard"),
         )
     )
+    if min_est is not None:
+        pairs = pairs.filter(F.col("est_jaccard") >= min_est)
+    return pairs.distinct()
 
 
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query: MinHash-LSH near-dup candidates with est_jaccard ≥ 0.5."""
     d = load_table(spark, sf_dir, "documents")
-    return (
-        minhash_candidate_pairs(d)
-        .filter(F.col("est_jaccard") >= 0.5)
-        .orderBy("id_a", "id_b")
-    )
+    return minhash_candidate_pairs(d, min_est=0.5).orderBy("id_a", "id_b")
 
 
 # --- exact n-gram Jaccard verification ---------------------------------------
@@ -254,6 +261,11 @@ def simhash_near_pairs(
     blocks ≈ 1.8, so recall stays high where a naive 4×16 chunk split
     (needing one fully-clean 16-bit chunk) misses. 28 small keys per doc,
     verified exactly with bit_count(xor)."""
+    from mini_log_lakehouse_spark.session import default_parallelism
+
+    # SimHash (64 bit-vote folds per row) is CPU-bound — see the matching
+    # note in minhash_candidate_pairs.
+    docs = docs.repartition(default_parallelism(), F.col(id_col))
     sh = docs.select(F.col(id_col), simhash64(F.col(text_col)).alias("simhash"))
 
     def block(i: int):

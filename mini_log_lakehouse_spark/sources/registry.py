@@ -60,11 +60,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cache:
         # The testdata files are single-row-group parquet, so a cold scan
         # is one task no matter the cluster size; spread the cached copy
-        # across the cores (a real 100 TB table has thousands of row
-        # groups and never needs this).
+        # proportionally to its size (~1 MiB of compressed parquet per
+        # partition, capped at core count). Size-aware: a 0.8 MB table in
+        # 32 partitions costs 32 task/Python-worker round-trips for
+        # microseconds of work each. A real 100 TB table has thousands of
+        # row groups and never needs this.
         from mini_log_lakehouse_spark.session import default_parallelism
 
-        df = df.repartition(default_parallelism()).persist()
+        size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+        parts = max(1, min(default_parallelism(), size // (256 << 10)))
+        df = df.repartition(parts).persist()
         _TABLE_CACHE[key] = df
     return df
 
