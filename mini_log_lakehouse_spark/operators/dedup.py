@@ -77,22 +77,27 @@ def _affine_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
     ]
 
 
-def minhash_signature(text_col, k: int = MINHASH_K, shingle_n: int = 5) -> Column:
-    """array<bigint> of K min-hashes over char shingles — one map pass.
-
-    The string is hashed ONCE per shingle (xxhash64, reduced mod 2^31−1);
-    the K family members are affine transforms h_i(x) = (a_i·x + b_i) mod
-    (2^31−1) over that base hash — 64 cheap integer passes instead of 64
-    string-hash passes (the naive version was ~40× slower end-to-end).
-    All products stay < 2^62, so no overflow under ANSI mode; see
-    _MERSENNE31 for why the modulus must match the base-hash domain.
-    """
+def minhash_base_hashes(text_col, shingle_n: int = 5) -> Column:
+    """array<bigint>: xxhash64 of each distinct char shingle, reduced mod
+    2^31−1. This is the expensive part of a MinHash signature (string
+    hashing over ~|text| shingles) and MUST be materialized as a real
+    column before fanning out into the K affine folds — inlining it into
+    each of the K ``array_min(transform(...))`` elements re-hashes every
+    shingle K times, because higher-order functions defeat Catalyst's
+    common-subexpression elimination (measured: 24s → ~1s at sf0.1)."""
     shingles = F.array_distinct(char_shingles(text_col, shingle_n))
-    base = F.transform(
+    return F.transform(
         shingles,
         lambda s: F.xxhash64(s).bitwiseAND(F.lit((1 << 62) - 1)) % F.lit(_MERSENNE31),
     )
 
+
+def minhash_from_base(base_col, k: int = MINHASH_K) -> Column:
+    """array<bigint> of K min-hashes from a *materialized* base-hash
+    column: K affine transforms h_i(x) = (a_i·x + b_i) mod (2^31−1), each
+    an integer-only pass. All products stay < 2^62, so no overflow under
+    ANSI mode; see _MERSENNE31 for why the modulus must match the
+    base-hash domain."""
     # NB: coefficients must be bound via a closure factory — a
     # `lambda h, a=a: ...` two-parameter lambda would be treated by
     # transform() as an (element, index) function.
@@ -101,10 +106,17 @@ def minhash_signature(text_col, k: int = MINHASH_K, shingle_n: int = 5) -> Colum
 
     return F.array(
         *[
-            F.array_min(F.transform(base, affine(a, b)))
+            F.array_min(F.transform(base_col, affine(a, b)))
             for a, b in _affine_params(k)
         ]
     )
+
+
+def minhash_signature(text_col, k: int = MINHASH_K, shingle_n: int = 5) -> Column:
+    """Single-Column convenience form (base inlined K times — fine for
+    one-off expressions, but pipelines should materialize
+    ``minhash_base_hashes`` in a prior select; see its docstring)."""
+    return minhash_from_base(minhash_base_hashes(text_col, shingle_n), k)
 
 
 def _banded(sigs: DataFrame, id_col: str, sig_col: str = "sig") -> DataFrame:
@@ -154,7 +166,12 @@ def minhash_candidate_pairs(
     from mini_log_lakehouse_spark.session import default_parallelism
 
     docs = docs.repartition(default_parallelism(), F.col(id_col))
-    sigs = docs.select(id_col, minhash_signature(F.col(text_col)).alias("sig"))
+    # Two selects: the shingle-hash array materializes once, then the K
+    # integer-only affine folds read it. CollapseProject keeps the
+    # boundary because `_base` is non-cheap and referenced K times.
+    sigs = docs.select(
+        id_col, minhash_base_hashes(F.col(text_col)).alias("_base")
+    ).select(id_col, minhash_from_base(F.col("_base")).alias("sig"))
     b = _banded(sigs, id_col)
     a, bb = b.alias("a"), b.alias("b")
     agree = F.aggregate(
@@ -221,25 +238,38 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- SimHash ------------------------------------------------------------------
 
-def simhash64(text_col, shingle_n: int = 5) -> Column:
-    """64-bit SimHash over char shingles, per-row (no explode).
-
-    bit j = 1 iff Σ_shingles (±1 by hash bit j) > 0; computed as: for each
-    bit, count of shingles with bit set vs total."""
+def simhash_base_hashes(text_col, shingle_n: int = 5) -> Column:
+    """array<bigint>: xxhash64 of each distinct char shingle — the
+    expensive string-hash pass of a SimHash. Materialize as a real column
+    before the 64 bit-vote folds (same CSE-defeat hazard as
+    minhash_base_hashes)."""
     shingles = F.array_distinct(char_shingles(text_col, shingle_n))
-    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
-    n = F.array_size(shingles)
+    return F.transform(shingles, lambda s: F.xxhash64(s))
+
+
+def simhash_from_base(hashes_col) -> Column:
+    """64-bit SimHash from a *materialized* shingle-hash array, per-row
+    (no explode). bit j = 1 iff Σ_shingles (±1 by hash bit j) > 0;
+    computed as: for each bit, count of shingles with bit set vs total."""
+    n = F.array_size(hashes_col)
     # popcount per bit position: sum over shingles of bit j (closure
-    # factory — see minhash_signature note on lambda arity)
+    # factory — see minhash_from_base note on lambda arity)
     def vote(j: int):
         return lambda acc, h: acc + F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("int")
 
-    bit_votes = [F.aggregate(hashes, F.lit(0), vote(j)) for j in range(64)]
+    bit_votes = [F.aggregate(hashes_col, F.lit(0), vote(j)) for j in range(64)]
     out = F.lit(0).cast("long")
     for j, votes in enumerate(bit_votes):
         bit = F.when(votes * 2 > n, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         out = out.bitwiseOR(F.shiftleft(bit, j))
     return out
+
+
+def simhash64(text_col, shingle_n: int = 5) -> Column:
+    """Single-Column convenience form (shingle hashing inlined 64× — use
+    simhash_base_hashes + simhash_from_base across a select boundary in
+    pipelines)."""
+    return simhash_from_base(simhash_base_hashes(text_col, shingle_n))
 
 
 def simhash_near_pairs(
@@ -266,7 +296,9 @@ def simhash_near_pairs(
     # SimHash (64 bit-vote folds per row) is CPU-bound — see the matching
     # note in minhash_candidate_pairs.
     docs = docs.repartition(default_parallelism(), F.col(id_col))
-    sh = docs.select(F.col(id_col), simhash64(F.col(text_col)).alias("simhash"))
+    sh = docs.select(
+        F.col(id_col), simhash_base_hashes(F.col(text_col)).alias("_base")
+    ).select(F.col(id_col), simhash_from_base(F.col("_base")).alias("simhash"))
 
     def block(i: int):
         return F.shiftright("simhash", i * 8).bitwiseAND(F.lit(0xFF))

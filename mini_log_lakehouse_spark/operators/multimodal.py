@@ -231,11 +231,17 @@ def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    # first_byte is byte-true: the first UTF-8 *byte* of the payload (hex of
+    # the blob, not ascii() which returns the Unicode code point and diverges
+    # on any non-ASCII leading char), with -1 for empty matching the Spark
+    # side's empty-payload sentinel.
     "multimodal_byte_features": """
         SELECT doc_id AS media_id,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                md5(text) AS checksum,
-               CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte
+               CASE WHEN text = '' THEN -1
+                    ELSE ('0x' || substring(hex(encode(text)), 1, 2))::BIGINT
+               END AS first_byte
         FROM documents
         ORDER BY media_id
     """,

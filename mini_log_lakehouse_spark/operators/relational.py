@@ -35,12 +35,17 @@ def _dec_sum(col) -> F.Column:
 
 
 def _money_sum(col) -> F.Column:
-    """Exact associative sum returned AS DECIMAL(38,10) — for money-scale
-    aggregates that can exceed 1e7 at high scale factors. Spark's
-    sum(decimal(28,10)) widens to decimal(38,10), matching DuckDB's
-    SUM(DECIMAL(28,10)) exactly, so the comparison is digit-exact at any
-    magnitude."""
-    return F.sum(col.cast("decimal(28,10)"))
+    """Exact associative sum for money-scale values, emitted as a rounded
+    DOUBLE for the cross-engine hash gate.
+
+    The sum itself accumulates in decimal(28,10) (exact, associative —
+    partial-agg order cannot change the result), so Spark and DuckDB agree
+    digit-for-digit at any magnitude. The final cast-to-double + round(2)
+    is representation only: DECIMAL survives Arrow differently in the two
+    engines (scale-10 Decimal vs float64), which fails a byte-level hash
+    even when values are identical. Money values have 2 real decimals and
+    double spacing at 1e10 is ~2e-6 ≪ 0.005, so round-at-2 is stable."""
+    return F.round(F.sum(col.cast("decimal(28,10)")).cast("double"), 2)
 
 
 # --- rich aggregation -------------------------------------------------------
@@ -263,10 +268,15 @@ def setop_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def setop_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (nations with customers but no suppliers)."""
+    """EXCEPT DISTINCT (nations with customers but no suppliers).
+
+    ``subtract`` is Spark's set-semantics EXCEPT: a key appears in the
+    result iff it occurs in the left side and never in the right —
+    unlike ``exceptAll().distinct()``, which keeps keys whose left
+    multiplicity merely exceeds the right."""
     c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.exceptAll(s).distinct().orderBy("nationkey")
+    return c.subtract(s).orderBy("nationkey")
 
 
 # --- grouping extensions ----------------------------------------------------
@@ -290,10 +300,10 @@ def orders_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame
 ORACLES: dict[str, str] = {
     "tpch_q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               SUM(CAST(l_quantity AS DECIMAL(28,10))) AS sum_qty,
-               SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS sum_base_price,
-               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS sum_disc_price,
-               SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,10))) AS sum_charge,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_qty,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_base_price,
+               ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_disc_price,
+               ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_charge,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -314,7 +324,7 @@ ORACLES: dict[str, str] = {
     "region_customer_rollup": """
         SELECT r.r_name AS region,
                COUNT(*) AS customers,
-               SUM(CAST(c.c_acctbal AS DECIMAL(28,10))) AS total_acctbal
+               ROUND(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,10))) AS DOUBLE), 2) AS total_acctbal
         FROM customer c
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -324,7 +334,7 @@ ORACLES: dict[str, str] = {
     "top_customers_by_revenue": """
         WITH revenue AS (
             SELECT o.o_custkey,
-                   SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) AS revenue
+                   ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) AS DOUBLE), 2) AS revenue
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY 1
@@ -412,17 +422,15 @@ ORACLES: dict[str, str] = {
         ORDER BY nationkey
     """,
     "setop_except_nations": """
-        SELECT DISTINCT nationkey FROM (
-            SELECT c_nationkey AS nationkey FROM customer
-            EXCEPT ALL
-            SELECT s_nationkey FROM supplier
-        )
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey FROM supplier
         ORDER BY nationkey
     """,
     "orders_rollup_status_priority": """
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*) AS orders,
-               SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS total_price
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE), 2) AS total_price
         FROM orders
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST

@@ -9,6 +9,7 @@ float divergence must be engineered away in the queries themselves
 
 from __future__ import annotations
 
+import decimal
 import math
 import os
 
@@ -31,6 +32,17 @@ def run_oracle(sql: str, sf_dir: str):
 
 
 def _norm(v):
+    if isinstance(v, decimal.Decimal):
+        # The driver's hasher canonicalizes DECIMAL differently per engine
+        # (Arrow Decimal vs float64 depending on materialization path), so a
+        # Decimal output can hash-fail even when values are digit-identical
+        # on both sides. Reproduce that hazard locally as a hard failure:
+        # queries must emit ROUND(CAST(.. AS DOUBLE), n) or a string instead.
+        raise AssertionError(
+            "query output contains DECIMAL, which the driver's hash gate "
+            f"does not compare reliably (value={v!r}); emit "
+            "ROUND(CAST(.. AS DOUBLE), n) or a canonical string instead"
+        )
     if isinstance(v, float):
         if math.isnan(v):
             return ("float", "nan")
