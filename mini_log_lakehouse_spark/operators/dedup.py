@@ -212,22 +212,58 @@ def ngram_jaccard_pairs(
     shingle_n: int = 5,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Two-stage fuzzy dedup: LSH candidates -> exact Jaccard over shingle
-    sets. The exact set intersection runs only on candidate pairs."""
-    cands = minhash_candidate_pairs(docs, id_col, text_col).select("id_a", "id_b")
+    """EXACT set-similarity self-join: all pairs with shingle-set Jaccard
+    ≥ threshold, via prefix filtering (AllPairs/PPJoin family).
+
+    Candidate generation is *lossless*, unlike MinHash-LSH: sort each
+    distinct-shingle set in one global order (lexicographic) and explode
+    only its **prefix** of length ``|S| − ⌈t·|S|⌉ + 1``. Any pair with
+    J ≥ t shares ≥ 1 token lying in BOTH prefixes — take the order-minimal
+    common element x*; were x* beyond A's prefix, every common element
+    would sit in A's size-(⌈t·|A|⌉−1) suffix, contradicting overlap
+    ≥ t·|A| (which follows from J ≥ t since |A∪B| ≥ |A|). So the bucket
+    join on prefix tokens finds every qualifying pair, and the output
+    provably equals the quadratic all-pairs filter — which is what the
+    DuckDB oracle computes at driver scale.
+
+    Scale shape: one map pass for shingles + sort, explode ~(1−t)·|S|
+    prefix tokens per doc (half the tokens at t=0.5 — not the full set),
+    shuffle on token, length-filter ``min ≥ t·max`` prunes inside the
+    join, exact verify runs on candidates only.
+    """
     sh = docs.select(
         F.col(id_col),
-        F.array_distinct(char_shingles(F.col(text_col), shingle_n)).alias("sh"),
+        F.array_sort(F.array_distinct(char_shingles(F.col(text_col), shingle_n))).alias("sh"),
+    ).select(F.col(id_col), "sh", F.array_size("sh").alias("sz"))
+
+    prefix_len = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
+    pre = sh.select(
+        F.col(id_col), "sz", F.explode(F.slice("sh", F.lit(1), prefix_len)).alias("tok")
     )
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    a = pre.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "tok")
+    b = pre.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), "tok")
+    cands = (
+        a.join(b, "tok")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.least("sz_a", "sz_b") >= F.lit(threshold) * F.greatest("sz_a", "sz_b"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.array_size(F.array_intersect("sh_a", "sh_b"))
     union = F.array_size(F.array_union("sh_a", "sh_b"))
+    # Threshold on the raw IEEE quotient (identical in both engines);
+    # round only for display, so a value that *rounds up* to t can't
+    # sneak past the lossless-candidate guarantee.
+    jac = inter / union
     return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
-        .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
 
 
@@ -385,8 +421,28 @@ ORACLES: dict[str, str] = {
                   CAST(b.embedding AS DOUBLE[])), 6) >= {COSINE_DEDUP_THRESHOLD}
         ORDER BY a.label, id_a, id_b
     """,
-    # minhash / simhash / ngram-jaccard use Spark hash functions — no SQL
-    # oracle; driver records rows-only checks (deterministic run-to-run).
+    # The exact prefix-filter join provably equals the quadratic all-pairs
+    # filter, so the oracle is the (driver-scale-affordable) all-pairs
+    # form. Shingle generation mirrors char_shingles: substrings at
+    # 1..max(len-n+1, 1), so short/empty texts yield one (short) shingle.
+    "dedup_ngram_jaccard": """
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(length(text) - 4, 1)),
+                       i -> substring(text, i, 5))) AS sh
+            FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(len(list_intersect(a.sh, b.sh)) * 1.0
+                     / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+        ORDER BY id_a, id_b
+    """,
+    # minhash / simhash use Spark hash functions — no SQL oracle; driver
+    # records rows-only checks (deterministic run-to-run).
 }
 
 QUERIES = {

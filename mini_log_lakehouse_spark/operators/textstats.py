@@ -183,6 +183,37 @@ ORACLES: dict[str, str] = {
         FROM documents
         ORDER BY doc_id
     """,
+    # Lexicon argmax mirrored in SQL: score = |distinct tokens ∩ lexicon|
+    # per language; argmax with alphabetical tiebreak via list_sort over
+    # (neg_score, lang) structs — the same (-score, lang) ordering trick
+    # as the Spark side, and DuckDB sorts structs field-by-field exactly
+    # like Spark's array_sort.
+    "doc_lang_id": (
+        lambda lex: f"""
+        WITH scored AS (
+            SELECT lang,
+                   {", ".join(
+                       f"len(list_intersect(list_distinct({_TOKS}), "
+                       f"[{', '.join(repr(w) for w in words)}])) AS s_{lang}"
+                       for lang, words in sorted(lex.items())
+                   )}
+            FROM documents
+        ), pred AS (
+            SELECT lang,
+                   list_sort([
+                       {", ".join(
+                           f"{{'neg': -s_{lang}, 'lang': '{lang}'}}"
+                           for lang in sorted(lex)
+                       )}
+                   ])[1].lang AS predicted_lang
+            FROM scored
+        )
+        SELECT lang, predicted_lang, COUNT(*) AS n
+        FROM pred
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """
+    )(LANG_LEXICONS),
 }
 
 QUERIES = {

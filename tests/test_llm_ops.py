@@ -50,6 +50,26 @@ def test_ngram_jaccard_verifies_exactly(docs_with_dups):
     assert 0.5 <= pairs[(0, 2)] < 1.0
 
 
+def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
+    """MinHash-LSH (est ≥ 0.5) measured against the exact prefix-filter
+    Jaccard join (ground truth, J ≥ 0.5) on real testdata: every exact
+    pair should be surfaced by the banded LSH with high recall, and the
+    estimates should not hallucinate pairs far below threshold."""
+    from mini_log_lakehouse_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r["id_a"], r["id_b"]) for r in dedup.ngram_jaccard_pairs(docs).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_candidate_pairs(docs, min_est=0.5).collect()
+    }
+    if exact:
+        recall = len(exact & lsh) / len(exact)
+        assert recall >= 0.8, f"MinHash recall vs exact Jaccard too low: {recall}"
+
+
 def test_simhash_near_pairs(docs_with_dups):
     pairs = {
         (r["id_a"], r["id_b"]): r["hamming"]
