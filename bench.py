@@ -41,6 +41,13 @@ HEADLINE = (
 WARMUP = 1
 ITERS = int(os.environ.get("BENCH_ITERS", "5"))
 
+#: Scaled leg: replicate the sf dir this many × (semantics-preserving —
+#: see sources/scaleup.py) and re-run the headline set with fewer iters,
+#: to show the Spark/DuckDB ratio as the per-job floor amortizes. Disable
+#: with BENCH_SCALED=0.
+SCALE_FACTOR = int(os.environ.get("BENCH_SCALED", "10"))
+ITERS_SCALED = int(os.environ.get("BENCH_ITERS_SCALED", "2"))
+
 
 def time_fn(fn, warmup: int = WARMUP, iters: int = ITERS) -> float:
     for _ in range(warmup):
@@ -53,7 +60,7 @@ def time_fn(fn, warmup: int = WARMUP, iters: int = ITERS) -> float:
     return statistics.mean(times)
 
 
-def bench_duckdb(sf_dir: str, names) -> dict[str, float]:
+def bench_duckdb(sf_dir: str, names, iters: int = ITERS) -> dict[str, float]:
     import duckdb
 
     from mini_log_lakehouse_spark.sources.registry import TABLES
@@ -61,15 +68,16 @@ def bench_duckdb(sf_dir: str, names) -> dict[str, float]:
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', os.cpu_count())}")
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):  # scaled tables are parquet directories
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     out = {}
     for name in names:
         if name not in ORACLES:
             continue
         sql = ORACLES[name]
-        out[name] = round(time_fn(lambda: con.execute(sql).fetchall()), 4)
+        out[name] = round(time_fn(lambda: con.execute(sql).fetchall(), iters=iters), 4)
     con.close()
     return out
 
@@ -88,19 +96,40 @@ def main() -> None:
         results[name] = round(time_fn(lambda: fn(spark, sf_dir).collect()), 4)
 
     baseline = bench_duckdb(sf_dir, HEADLINE)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_avg_total",
-                "value": round(sum(results.values()), 4),
-                "unit": "sec",
-                "queries": results,
-                "sf": sf,
-                "baseline": baseline,
-                "iters": ITERS,
-            }
+
+    payload = {
+        "metric": "headline_query_avg_total",
+        "value": round(sum(results.values()), 4),
+        "unit": "sec",
+        "queries": results,
+        "sf": sf,
+        "baseline": baseline,
+        "iters": ITERS,
+    }
+
+    if SCALE_FACTOR > 1:
+        from mini_log_lakehouse_spark.sources.scaleup import materialize_scaled
+
+        scaled_dir = os.environ.get(
+            "BENCH_SCALED_DIR", f"/tmp/mini_log_lakehouse_sfx{SCALE_FACTOR}"
         )
-    )
+        materialize_scaled(spark, sf_dir, scaled_dir, SCALE_FACTOR)
+        scaled: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            scaled[name] = round(
+                time_fn(lambda: fn(spark, scaled_dir).collect(), iters=ITERS_SCALED), 4
+            )
+        payload["scaled"] = {
+            "factor": SCALE_FACTOR,
+            "sf": round(sf * SCALE_FACTOR, 4),
+            "value": round(sum(scaled.values()), 4),
+            "queries": scaled,
+            "baseline": bench_duckdb(scaled_dir, HEADLINE, iters=ITERS_SCALED),
+            "iters": ITERS_SCALED,
+        }
+
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -21,6 +21,8 @@ stats skip non-matching files).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -30,6 +32,51 @@ from mini_log_lakehouse_spark.sources.registry import load_events_range, load_ta
 #: 2024-01-01..2024-01-30; TESTDATA.md).
 DAY = "2024-01-15"
 TOP_K = 3
+
+#: Serving-layer result memoization (reference serve/app.py:12-28
+#: ``st.cache_resource``/``st.cache_data``): in warm-cache mode the
+#: hourly fact is materialized once per (session, sf_dir) and every
+#: serving query re-aggregates its ~3k rows instead of the raw events.
+#: Cold mode (the driver's correctness gate) keeps the scan-with-pushdown
+#: plans — at 100 TB a *single* cold query should prune at the scan, but
+#: a *dashboard* should serve hundreds of requests from one materialized
+#: fact; both shapes live here, switched exactly like the table cache.
+_FCT_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _serving_mode() -> bool:
+    return os.environ.get("SPARK_GRAFT_CACHE_TABLES") == "1"
+
+
+def _serving_fct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    df = _FCT_CACHE.get(key)
+    if df is None:
+        # The fact is tiny (days × hours × types, ~3k rows at any scale) —
+        # hold it in ONE partition so every serving re-aggregate is a
+        # single task instead of a 32-way shuffle of near-empty blocks.
+        df = fct_events_hourly.__wrapped__(spark, sf_dir).coalesce(1).persist()
+        df.count()  # materialize eagerly so first serve isn't penalized
+        _FCT_CACHE[key] = df
+    return df
+
+
+def _from_serving_fct(cold_fn):
+    """Decorator: route through the memoized fact in serving mode, the
+    pushdown-first cold plan otherwise. The warm rewrite of each query is
+    defined in _WARM_REWRITES below; results are value-identical (the
+    fact's grain is (date, hour, event_type), a partition of the events,
+    so re-summing its counts equals counting the raw rows)."""
+    import functools
+
+    @functools.wraps(cold_fn)
+    def wrapper(spark: SparkSession, sf_dir: str, *args, **kwargs):
+        rewrite = _WARM_REWRITES.get(cold_fn.__name__)
+        if rewrite is not None and _serving_mode() and not args and not kwargs:
+            return rewrite(_serving_fct(spark, sf_dir))
+        return cold_fn(spark, sf_dir, *args, **kwargs)
+
+    return wrapper
 
 def _is_error() -> F.Column:
     return F.when(F.col("event_type") == "error", F.lit(1)).otherwise(F.lit(0))
@@ -84,6 +131,7 @@ def stg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_from_serving_fct
 def fct_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1-A4: the hourly fact (reference fct_requests_hourly.sql:1-12) —
     grain (date, hour, event_type); exact interpolated p95."""
@@ -98,6 +146,7 @@ def fct_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_from_serving_fct
 def errors_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3+A6+O1 (reference serve/api.py:33-41): one day, per-type totals."""
     return (
@@ -111,6 +160,7 @@ def errors_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_from_serving_fct
 def top_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3 top-K (reference serve/api.py:63-72); deterministic tiebreak."""
     return (
@@ -125,6 +175,7 @@ def top_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_from_serving_fct
 def available_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 distinct + O2 sort (reference serve/app.py:23)."""
     return (
@@ -135,6 +186,7 @@ def available_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_from_serving_fct
 def kpi_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7/A8 (reference serve/app.py:63-65): totals + zero-guarded rate."""
     agg = (
@@ -156,6 +208,7 @@ def kpi_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_from_serving_fct
 def hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6/O2 (reference serve/app.py:77-83): per-hour totals for one day."""
     return (
@@ -199,6 +252,75 @@ def value_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _day_filter(fct: DataFrame) -> DataFrame:
+    return fct.filter(F.col("date") == F.lit(DAY).cast("date"))
+
+
+def _sorted1(df: DataFrame, *cols) -> DataFrame:
+    """Global sort for bounded-tiny serving results: one partition +
+    in-partition sort skips orderBy's range-partitioning exchange (and
+    its sampling job). Only valid because every serving output is at most
+    days × hours × types rows."""
+    return df.coalesce(1).sortWithinPartitions(*cols)
+
+
+#: Warm-mode rewrites over the memoized fact. Each is value-identical to
+#: its cold twin: the fact partitions the events by (date, hour,
+#: event_type), so summing its requests/errors equals counting/summing
+#: the raw rows; column names, types (long casts) and orderings match the
+#: oracle exactly.
+_WARM_REWRITES = {
+    "fct_events_hourly": lambda fct: fct,
+    "errors_by_type": lambda fct: (
+        _day_filter(fct)
+        .groupBy("event_type")
+        .agg(
+            F.sum("errors").cast("long").alias("errors"),
+            F.sum("requests").cast("long").alias("requests"),
+        )
+        .transform(lambda df: _sorted1(df, F.desc("errors"), F.desc("requests"), "event_type"))
+    ),
+    "top_event_types": lambda fct: (
+        _day_filter(fct)
+        .groupBy("event_type")
+        .agg(
+            F.sum("requests").cast("long").alias("requests"),
+            F.sum("errors").cast("long").alias("errors"),
+        )
+        .transform(lambda df: _sorted1(df, F.desc("requests"), F.desc("errors"), "event_type"))
+        .limit(TOP_K)
+    ),
+    "available_days": lambda fct: _sorted1(fct.select("date").distinct(), "date"),
+    "kpi_totals": lambda fct: (
+        _day_filter(fct)
+        .agg(
+            # coalesce-to-0 mirrors the cold path's COUNT(*) on an empty day
+            F.coalesce(F.sum("requests"), F.lit(0)).cast("long").alias("total_events"),
+            F.sum("errors").cast("long").alias("total_errors"),
+        )
+        .select(
+            "total_events",
+            "total_errors",
+            F.when(
+                F.col("total_events") > 0,
+                F.round(F.col("total_errors") * 100.0 / F.col("total_events"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("error_rate_pct"),
+        )
+    ),
+    "hourly_trend": lambda fct: (
+        _day_filter(fct)
+        .groupBy("hour")
+        .agg(
+            F.sum("requests").cast("long").alias("requests"),
+            F.sum("errors").cast("long").alias("errors"),
+        )
+        .transform(lambda df: _sorted1(df, "hour"))
+    ),
+}
 
 
 #: DuckDB oracle twins. The driver registers raw parquet as views, so the

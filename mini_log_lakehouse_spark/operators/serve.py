@@ -15,8 +15,50 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class ServeError(Exception):
+    """The serving error contract (reference serve/api.py HTTPException):
+    ``status`` carries the HTTP code the API layer would return."""
+
+    def __init__(self, status: int, detail: str):
+        super().__init__(detail)
+        self.status = status
+        self.detail = detail
+
+
+def validate_date(date: str) -> str:
+    """400-on-bad-date (reference serve/api.py:27-29,56-59): strict
+    YYYY-MM-DD, returned canonicalized."""
+    from datetime import datetime
+
+    try:
+        return str(datetime.strptime(date, "%Y-%m-%d").date())
+    except (TypeError, ValueError):
+        raise ServeError(400, "date must be YYYY-MM-DD") from None
+
+
+def clamp_limit(limit: int, lo: int = 1, hi: int = 100) -> int:
+    """Limit bounds (reference serve/api.py:53 ``ge=1, le=100``)."""
+    try:
+        return max(lo, min(int(limit), hi))
+    except (TypeError, ValueError):
+        raise ServeError(400, f"limit must be an integer in [{lo}, {hi}]") from None
+
+
+def health(spark, warehouse_probe: str = "fct_requests_hourly") -> dict:
+    """/health (reference serve/api.py:19-21) + 500-on-missing-warehouse
+    (serve/api.py:15): probe that the fact table is resolvable in the
+    session catalog (view or managed table), without running a job."""
+    if not (
+        spark.catalog.tableExists(warehouse_probe)
+        or warehouse_probe in [t.name for t in spark.catalog.listTables()]
+    ):
+        raise ServeError(500, f"warehouse table not found: {warehouse_probe}")
+    return {"status": "ok", "table": warehouse_probe}
+
+
 def errors_by_endpoint(fct: DataFrame, date: str) -> DataFrame:
     """reference serve/api.py:33-41: per-endpoint error/request totals for a day."""
+    date = validate_date(date)
     return (
         fct.filter(F.col("date") == F.to_date(F.lit(date)))
         .groupBy("endpoint")
@@ -33,7 +75,8 @@ def top_endpoints(fct: DataFrame, date: str, limit: int = 10) -> DataFrame:
 
     orderBy + limit plans as TakeOrderedAndProject — no global sort.
     """
-    limit = max(1, min(int(limit), 100))  # reference serve/api.py:53 bounds
+    date = validate_date(date)
+    limit = clamp_limit(limit)  # reference serve/api.py:53 bounds
     return (
         fct.filter(F.col("date") == F.to_date(F.lit(date)))
         .groupBy("endpoint")
@@ -53,6 +96,7 @@ def available_dates(fct: DataFrame) -> DataFrame:
 
 def hourly_breakdown(fct: DataFrame, date: str) -> DataFrame:
     """reference serve/app.py:29-37: full fact slice for a day."""
+    date = validate_date(date)
     return (
         fct.filter(F.col("date") == F.to_date(F.lit(date)))
         .select("date", "hour", "endpoint", "requests", "errors", "p95_bytes")
@@ -62,6 +106,7 @@ def hourly_breakdown(fct: DataFrame, date: str) -> DataFrame:
 
 def kpi_totals(fct: DataFrame, date: str) -> DataFrame:
     """reference serve/app.py:63-65: grand totals + zero-guarded error rate."""
+    date = validate_date(date)
     agg = (
         fct.filter(F.col("date") == F.to_date(F.lit(date)))
         .agg(
@@ -83,6 +128,7 @@ def kpi_totals(fct: DataFrame, date: str) -> DataFrame:
 
 def hourly_trend(fct: DataFrame, date: str) -> DataFrame:
     """reference serve/app.py:77-83: per-hour request/error totals."""
+    date = validate_date(date)
     return (
         fct.filter(F.col("date") == F.to_date(F.lit(date)))
         .groupBy("hour")

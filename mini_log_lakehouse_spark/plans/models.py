@@ -76,16 +76,26 @@ def build_fct_requests_hourly(stg_logs: DataFrame, approx: bool = False) -> Data
     )
 
 
-def materialize(df: DataFrame, name: str, as_table: bool = False) -> DataFrame:
+def materialize(
+    df: DataFrame, name: str, as_table: bool = False, format: str | None = None
+) -> DataFrame:
     """S6/S7: dbt-style materialization.
 
-    ``as_table=True`` -> managed parquet table (CTAS); else a temp view.
-    Returns the re-read table (for CTAS) so downstream models read the
+    ``as_table=True`` -> managed table (CTAS); else a temp view. Returns
+    the re-read table (for CTAS) so downstream models read the
     materialized data, exactly like dbt's ``ref()``.
-    """
+
+    ``format`` plugs the table format per the north star (Delta when the
+    runtime is importable, parquet otherwise — this container ships no
+    Delta/Iceberg jars and no network; see plans/lakehouse.py for the
+    full managed-table layer: MERGE, time travel, compaction)."""
     spark = df.sparkSession
     if as_table:
-        df.write.mode("overwrite").saveAsTable(name)
+        if format is None:
+            from mini_log_lakehouse_spark.plans.lakehouse import delta_available
+
+            format = "delta" if delta_available() else "parquet"
+        df.write.format(format).mode("overwrite").saveAsTable(name)
         return spark.table(name)
     df.createOrReplaceTempView(name)
     return spark.table(name)

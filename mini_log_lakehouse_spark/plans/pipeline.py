@@ -47,3 +47,49 @@ def run_pipeline(
     if fail_on_quality:
         assert_all_passed(results)
     return models
+
+
+def init_lake(spark: SparkSession, bronze_root: str, lake_root: str):
+    """Create the managed fct table (version 0) from current bronze."""
+    from pyspark.sql import functions as F  # noqa: F401  (parity w/ incremental)
+
+    from mini_log_lakehouse_spark.plans.lakehouse import LakehouseTable
+
+    stg = build_stg_logs(read_bronze(spark, bronze_root))
+    lake = LakehouseTable(spark, lake_root, "fct_requests_hourly")
+    lake.write(build_fct_requests_hourly(stg))
+    return lake
+
+
+def incremental_update(
+    spark: SparkSession, new_raw_path: str, bronze_root: str, lake_root: str
+):
+    """Incremental daily load with MERGE semantics (the lakehouse
+    showcase): append the new batch to bronze, recompute the hourly fact
+    ONLY for the dates the batch touches — the bronze re-read filters on
+    the string ``date`` partition key, so the scan is partition-pruned to
+    those days regardless of table size — and MERGE the recomputed grains
+    into the managed fct on (date, hour, endpoint). The ``prune``
+    predicate bounds the copy-on-write rewrite to touched dates, exactly
+    how a partitioned Delta MERGE bounds rewritten files.
+
+    Recomputing whole touched days (not deltas) keeps non-mergeable
+    measures exact — p95 cannot be combined incrementally, counts could.
+    """
+    from pyspark.sql import functions as F
+
+    from mini_log_lakehouse_spark.plans.lakehouse import LakehouseTable
+
+    batch = parse_logs(spark, new_raw_path)
+    touched = [r["date"] for r in batch.select("date").distinct().collect()]
+    write_bronze(batch, bronze_root, mode="append")
+    stg = build_stg_logs(
+        read_bronze(spark, bronze_root).filter(F.col("date").isin(touched))
+    )
+    lake = LakehouseTable(spark, lake_root, "fct_requests_hourly")
+    lake.merge(
+        build_fct_requests_hourly(stg),
+        keys=["date", "hour", "endpoint"],
+        prune=F.col("date").cast("string").isin(touched),
+    )
+    return lake

@@ -67,7 +67,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # row groups and never needs this.
         from mini_log_lakehouse_spark.session import default_parallelism
 
-        size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.isdir(path):  # multi-file table (e.g. scaled replicas)
+            size = sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, files in os.walk(path)
+                for f in files
+            )
+        else:
+            size = os.path.getsize(path)
         parts = max(1, min(default_parallelism(), size // (256 << 10)))
         df = df.repartition(parts).persist()
         _TABLE_CACHE[key] = df

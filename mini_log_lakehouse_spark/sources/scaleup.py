@@ -1,0 +1,89 @@
+"""Scale-up materializer: replicate an sf testdata directory N× so the
+bench can demonstrate how the Spark/DuckDB ratio behaves as data grows
+(Spark's ~0.1-0.4 s per-job floor amortizes with size; a plan defect
+does not — see VERDICT r1 'Performance').
+
+Replication is *semantics-preserving*, not naive duplication:
+
+- fact keys are offset per replica with a fixed stride, consistently
+  across tables (custkey stride matches between customer and orders), so
+  join fan-outs and group cardinalities scale linearly like real growth;
+- ``documents.text`` gets a per-replica Caesar shift (``translate`` over
+  a-z/A-Z), which keeps lengths, token structure and within-replica
+  near-dup pairs identical while making shingle sets disjoint *across*
+  replicas — the dedup workload scales ~N×, not N²× (naive copies would
+  make every doc a 45-pair clique and change the workload's character);
+- dims (region/nation/supplier/part) stay fixed — dimensions grow slower
+  than facts in any real warehouse;
+- ``events.ts`` is written back as TIMESTAMP(MICROS) (the source file's
+  TIMESTAMP(NANOS) is unrepresentable from Spark), which both engines
+  read natively; values are the same µs instants the loaders produce.
+"""
+
+from __future__ import annotations
+
+import os
+import string
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mini_log_lakehouse_spark.sources.registry import TABLES, load_table
+
+#: Key-domain stride between replicas — far above any sf's max key.
+STRIDE = 1_000_000_000
+
+#: Per-table key columns to offset (consistent across tables per domain).
+_OFFSETS: dict[str, tuple[str, ...]] = {
+    "customer": ("c_custkey",),
+    "orders": ("o_orderkey", "o_custkey"),
+    "lineitem": ("l_orderkey",),
+    "events": ("event_id", "user_id"),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
+_LOWER = string.ascii_lowercase
+_UPPER = string.ascii_uppercase
+
+
+def _caesar(col, r: int):
+    k = r % 26
+    if k == 0:
+        return col
+    src = _LOWER + _UPPER
+    dst = _LOWER[k:] + _LOWER[:k] + _UPPER[k:] + _UPPER[:k]
+    return F.translate(col, src, dst)
+
+
+def _replica(df: DataFrame, table: str, r: int) -> DataFrame:
+    for key in _OFFSETS.get(table, ()):
+        df = df.withColumn(key, (F.col(key) + F.lit(r * STRIDE)).cast("long"))
+    if table == "documents":
+        df = df.withColumn("text", _caesar(F.col("text"), r))
+    return df
+
+
+def materialize_scaled(
+    spark: SparkSession, src_dir: str, dst_dir: str, factor: int = 10
+) -> str:
+    """Write a factor× replica of ``src_dir`` under ``dst_dir`` (idempotent:
+    returns immediately if the marker file exists). Each table lands as a
+    parquet *directory* ``{dst_dir}/{table}.parquet`` — Spark reads those
+    natively and the bench's DuckDB baseline globs them."""
+    marker = os.path.join(dst_dir, f"_SCALED_x{factor}")
+    if os.path.exists(marker):
+        return dst_dir
+    os.makedirs(dst_dir, exist_ok=True)
+    for t in TABLES:
+        df = load_table(spark, src_dir, t)
+        if t in _OFFSETS or t == "documents":
+            out = _replica(df, t, 0)
+            for r in range(1, factor):
+                out = out.unionByName(_replica(df, t, r))
+        else:
+            out = df  # fixed dims
+        out.write.mode("overwrite").parquet(os.path.join(dst_dir, f"{t}.parquet"))
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+    return dst_dir

@@ -1,0 +1,95 @@
+"""Managed-table layer e2e: MERGE incremental upsert, time travel,
+compaction/vacuum — on the parquet fallback (this container has no Delta
+runtime; plans/lakehouse.py docstring documents the attempt and the
+switch point)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_log_lakehouse_spark.plans.lakehouse import LakehouseTable, delta_available
+from mini_log_lakehouse_spark.plans.models import build_fct_requests_hourly, build_stg_logs
+from mini_log_lakehouse_spark.plans.pipeline import incremental_update, init_lake
+from mini_log_lakehouse_spark.sources.logs import parse_logs, read_bronze, write_bronze
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "nginx_access.log")
+
+#: Second daily batch: one line re-touching an existing grain
+#: (2025-11-10 10h /api/v1/items) and one opening a brand-new date.
+BATCH2 = """\
+127.0.0.1 - - [10/Nov/2025:10:45:00 +0530] "GET /api/v1/items?id=99 HTTP/1.1" 200 2048 "-" "Mozilla/5.0"
+10.0.0.7 - - [12/Nov/2025:09:00:00 +0530] "GET /metrics HTTP/1.1" 200 64 "-" "curl/8.1.2"
+"""
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def lake_env(spark, tmp_path):
+    bronze = str(tmp_path / "bronze")
+    lake_root = str(tmp_path / "lake")
+    write_bronze(parse_logs(spark, FIXTURE), bronze)
+    batch2 = tmp_path / "batch2.log"
+    batch2.write_text(BATCH2)
+    return bronze, lake_root, str(batch2)
+
+
+def test_environment_has_no_delta_runtime():
+    # If this ever flips to True, the layer upgrades itself to real Delta
+    # MERGE/time-travel — the fallback asserts document the current state.
+    assert not delta_available()
+
+
+def test_incremental_merge_equals_full_recompute(spark, lake_env):
+    bronze, lake_root, batch2 = lake_env
+    lake = init_lake(spark, bronze, lake_root)
+    assert lake.latest_version() == 0
+    v0 = _rows(lake.read())
+
+    lake = incremental_update(spark, batch2, bronze, lake_root)
+    assert lake.latest_version() == 1
+
+    # ground truth: full recompute over ALL bronze (original + batch2)
+    full = build_fct_requests_hourly(build_stg_logs(read_bronze(spark, bronze)))
+    assert _rows(lake.read()) == _rows(full)
+    # and it actually changed: the re-touched grain now has 3 requests
+    merged = {
+        (str(r["date"]), r["hour"], r["endpoint"]): r["requests"]
+        for r in lake.read().collect()
+    }
+    assert merged[("2025-11-10", "10", "/api/v1/items")] == 3
+    assert ("2025-11-12", "09", "/metrics") in merged
+    # untouched grains are byte-identical to v0
+    assert merged[("2025-11-11", "12", "/health")] == 1
+    assert _rows(lake.read(version=0)) == v0  # time travel
+
+
+def test_merge_prune_keeps_untouched_rows_verbatim(spark, lake_env):
+    bronze, lake_root, _ = lake_env
+    lake = init_lake(spark, bronze, lake_root)
+    before = _rows(lake.read())
+    # merge an empty source with a prune that selects nothing: no-op content
+    empty = lake.read().limit(0)
+    lake.merge(empty, keys=["date", "hour", "endpoint"], prune=F.lit(False))
+    assert _rows(lake.read()) == before
+    assert lake.latest_version() == 1  # but it IS a new snapshot
+
+
+def test_compact_and_vacuum(spark, lake_env):
+    bronze, lake_root, batch2 = lake_env
+    lake = init_lake(spark, bronze, lake_root)
+    incremental_update(spark, batch2, bronze, lake_root)
+    content = _rows(lake.read())
+    v = lake.compact()
+    assert v == 2
+    assert _rows(lake.read()) == content  # compaction preserves content
+    dropped = lake.vacuum(keep_last=2)
+    assert dropped == [0]
+    with pytest.raises(FileNotFoundError):
+        lake.read(version=0)
+    assert _rows(lake.read(version=2)) == content

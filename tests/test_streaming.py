@@ -31,6 +31,58 @@ def test_stream_ingest_matches_batch(spark, tmp_path):
     assert read_bronze(spark, bronze).count() == 7
 
 
+def test_streaming_crash_recovery_exactly_once(spark, tmp_path):
+    """Durability probe: kill a query between availableNow runs (possibly
+    mid-microbatch) and prove the recovered pipeline is exactly-once — no
+    duplicates, no loss. The file sink's _spark_metadata transaction log
+    is what makes half-written batches invisible to readers; the source
+    checkpoint is what stops re-ingestion of committed files."""
+    import shutil
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    bronze = str(tmp_path / "bronze")
+    ckpt = str(tmp_path / "ckpt")
+    shutil.copy(f"{FIXTURE_DIR}/nginx_access.log", raw / "a.log")
+
+    # run 1: drain file A to completion
+    stream_ingest_logs(spark, str(raw), bronze, ckpt)
+    assert read_bronze(spark, bronze).count() == 7
+
+    # new data arrives, then the ingest "crashes": start and kill without
+    # awaiting — the microbatch may or may not have committed, and
+    # exactly-once must hold either way.
+    (raw / "b.log").write_text(
+        '1.2.3.4 - - [12/Nov/2025:08:00:00 +0530] "GET /metrics HTTP/1.1" 200 64 "-" "curl/8.1.2"\n'
+        '1.2.3.4 - - [12/Nov/2025:08:01:00 +0530] "GET /health HTTP/1.1" 200 8 "-" "curl/8.1.2"\n'
+    )
+    from mini_log_lakehouse_spark.sources.logs import parse_lines
+
+    lines = spark.readStream.text(str(raw)).filter(F.trim("value") != "")
+    q = (
+        parse_lines(lines)
+        .writeStream.format("parquet")
+        .option("path", bronze)
+        .option("checkpointLocation", ckpt)
+        .partitionBy("date")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.stop()  # crash
+
+    # recovery run drains whatever the crashed run did not commit
+    stream_ingest_logs(spark, str(raw), bronze, ckpt)
+
+    streamed = read_bronze(spark, bronze)
+    batch = parse_logs(spark, str(raw))
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.select(*streamed.columns).collect())
+    )
+    # explicit no-dupes check on the natural key
+    assert streamed.count() == 9
+    assert streamed.select("ts", "client_ip", "request_path").distinct().count() == 9
+
+
 def test_streaming_hourly_fact_matches_batch(spark, sf_dir):
     from mini_log_lakehouse_spark.streaming.ingest import stream_hourly_fact
 
