@@ -15,6 +15,7 @@ from mini_log_lakehouse_spark.operators import (
     relational,
     sessions,
     similarity,
+    temporal,
     textstats,
 )
 from mini_log_lakehouse_spark.streaming import ingest as streaming_ingest
@@ -29,6 +30,7 @@ _MODULES = (
     sessions,
     multimodal,
     extensions,
+    temporal,
     streaming_ingest,
     streaming_sessions,
 )

@@ -211,7 +211,9 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (fake decoder is deterministic but not SQL-expressible)."""
+    """Oracle-checked: the FAKE decoder derives pseudo-dimensions from
+    md5-digest bytes, which DuckDB reproduces from hex(md5) substrings —
+    so even the stubbed codec path gets a cross-engine value check."""
     media = documents_as_media(spark, sf_dir)
     return extract_media_features(media).orderBy("media_id")
 
@@ -242,6 +244,18 @@ ORACLES: dict[str, str] = {
                CASE WHEN text = '' THEN -1
                     ELSE ('0x' || substring(hex(encode(text)), 1, 2))::BIGINT
                END AS first_byte
+        FROM documents
+        ORDER BY media_id
+    """,
+    # The fake decoder's dims come from md5-digest bytes h[0..2]
+    # (fake_decode above); DuckDB's md5() returns the hex string of the
+    # same utf-8-byte digest, so byte i is ('0x' || hex[2i+1..2i+2])::INT.
+    "multimodal_media_features": """
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+               CAST(16 + ('0x' || substring(md5(text), 1, 2))::INT % 64 AS INT) AS width,
+               CAST(16 + ('0x' || substring(md5(text), 3, 2))::INT % 64 AS INT) AS height,
+               CAST(1 + ('0x' || substring(md5(text), 5, 2))::INT % 3 AS INT) AS channels
         FROM documents
         ORDER BY media_id
     """,

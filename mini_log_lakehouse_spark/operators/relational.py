@@ -116,16 +116,24 @@ def region_customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way join (lineitem ⋈ orders ⋈ customer) + agg + top-K.
 
-    lineitem⋈orders shuffles on orderkey (both huge at scale); the
-    customer join happens after aggregation to custkey grain — joining
-    post-aggregation keeps the expensive join narrow."""
+    Aggregation is pushed BELOW the join twice: lineitem first collapses
+    to orderkey grain (partial agg shrinks the shuffle ~4×, and the join
+    then reuses that hash partitioning so only orders shuffles), then the
+    joined rows collapse to custkey grain; the customer join happens last,
+    at customer cardinality. Splitting the sum in two stages is exact
+    because the decimal accumulation is associative."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
+    per_order = l.groupBy("l_orderkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)")
+        ).alias("_rev")
+    )
     revenue = (
-        l.join(o, l.l_orderkey == o.o_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .groupBy("o_custkey")
-        .agg(_money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(F.round(F.sum("_rev").cast("double"), 2).alias("revenue"))
     )
     return (
         revenue.join(c, revenue.o_custkey == c.c_custkey)
