@@ -24,6 +24,31 @@ from mini_log_lakehouse_spark.plans.quality import (
 )
 
 
+def with_retries(fn, retries: int = 2, backoff_s: float = 0.5, sleep=None):
+    """Task-level retry policy (reference orchestration/flow.py:13-27
+    Prefect ``@task(retries=2, retry_delay_seconds=...)``): re-run a step
+    on failure with linear backoff, re-raising after the last attempt.
+    Steps are idempotent by construction (overwrite writes, lazy reads),
+    which is what makes blind re-execution safe — same property Prefect
+    relies on."""
+    import time as _time
+
+    sleep = sleep or _time.sleep
+
+    def wrapped(*args, **kwargs):
+        last = None
+        for attempt in range(retries + 1):
+            try:
+                return fn(*args, **kwargs)
+            except Exception as exc:  # noqa: BLE001 - task boundary
+                last = exc
+                if attempt < retries:
+                    sleep(backoff_s * (attempt + 1))
+        raise last
+
+    return wrapped
+
+
 def run_pipeline(
     spark: SparkSession,
     raw_path: str,

@@ -58,3 +58,24 @@ def test_day_filter_pushes_ts_range(spark, sf_dir):
     # reaches PushedFilters (a to_date(ts) == day predicate cannot push).
     plan = _plan(ev_ops.errors_by_type(spark, sf_dir))
     assert "GreaterThanOrEqual(ts," in plan and "LessThan(ts," in plan
+
+
+def test_asof_join_is_one_shuffle_no_join(spark, sf_dir):
+    # the as-of composition must plan as union + window (ONE hash shuffle
+    # on the key), never as a quadratic theta-join.
+    from mini_log_lakehouse_spark.operators import temporal
+
+    plan = _plan(temporal.asof_error_attribution(spark, sf_dir))
+    assert "Window" in plan and "Union" in plan
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"):
+        assert bad not in plan
+
+
+def test_revenue_aggregates_below_join(spark, sf_dir):
+    # lineitem must collapse to orderkey grain BEFORE joining orders: a
+    # partial_sum over l_extendedprice appears in the plan upstream of the
+    # join (HashAggregate before the orders-side join operator).
+    plan = _plan(rel_ops.top_customers_by_revenue(spark, sf_dir))
+    # the orderkey-grain aggregate is the distinctive marker of the
+    # agg-below-join shape (its keys are the join key, not the group key)
+    assert "HashAggregate(keys=[l_orderkey" in plan
