@@ -89,6 +89,60 @@ def scalar_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def events_hour_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (crosstab): event counts per type × 6 four-hour buckets.
+
+    The pivot value list is FIXED (h00..h20) — an open-ended pivot needs
+    a distinct-scan planning pass, which at 100 TB is a full extra job;
+    declaring the domain keeps it one aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (F.floor(F.date_format("ts", "HH").cast("int") / 4) * 4).cast("int")
+    buckets = [0, 4, 8, 12, 16, 20]
+    return (
+        ev.select("event_type", bucket.alias("h"))
+        .groupBy("event_type")
+        .pivot("h", buckets)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "event_type",
+            *[F.coalesce(F.col(str(b)), F.lit(0)).alias(f"h{b:02d}") for b in buckets],
+        )
+        .orderBy("event_type")
+    )
+
+
+def grouping_sets_status_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither pure ROLLUP nor CUBE): totals by
+    (status), by (priority), and grand total — one pass, three grains."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS orders
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
+def user_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax aggregate (max_by): each user's latest event type — one
+    aggregation pass, no self-join/window (the classic "latest row per
+    key" anti-pattern killer at scale). Deterministic via the (ts,
+    event_id) tiebreak struct."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max_by("event_type", F.struct("ts", "event_id")).alias("last_event_type"),
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("events"),
+        )
+        .orderBy("user_id")
+    )
+
+
 ORACLES: dict[str, str] = {
     "daily_distinct_users": """
         SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS date,
@@ -113,6 +167,54 @@ ORACLES: dict[str, str] = {
         GROUP BY 1
         ORDER BY 1
     """,
+    "events_hour_pivot": """
+        WITH b AS (
+            SELECT event_type,
+                   CAST(FLOOR(CAST(strftime(CAST(ts AS TIMESTAMP), '%H') AS INT) / 4) * 4 AS INT) AS h
+            FROM events
+        )
+        SELECT event_type,
+               COUNT(*) FILTER (WHERE h = 0)  AS h00,
+               COUNT(*) FILTER (WHERE h = 4)  AS h04,
+               COUNT(*) FILTER (WHERE h = 8)  AS h08,
+               COUNT(*) FILTER (WHERE h = 12) AS h12,
+               COUNT(*) FILTER (WHERE h = 16) AS h16,
+               COUNT(*) FILTER (WHERE h = 20) AS h20
+        FROM b
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    "grouping_sets_status_day": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+    """,
+    # max_by with a (ts, event_id) tiebreak struct has no DuckDB arg_max
+    # twin (arg_max takes scalar ordering only) — the oracle derives the
+    # same row via a window, same deterministic (ts DESC, event_id DESC).
+    "user_last_event": """
+        WITH e AS (
+            SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events
+        ),
+        agg AS (
+            SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS events
+            FROM e GROUP BY 1
+        ),
+        last AS (
+            SELECT user_id, event_type AS last_event_type FROM (
+                SELECT user_id, event_type,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                       ) AS rn
+                FROM e
+            ) WHERE rn = 1
+        )
+        SELECT a.user_id, l.last_event_type, a.last_ts, a.events
+        FROM agg a JOIN last l USING (user_id)
+        ORDER BY user_id
+    """,
     "scalar_function_battery": """
         SELECT doc_id,
                upper(lang) AS lang_upper,
@@ -133,4 +235,7 @@ QUERIES = {
     "orders_cube_status_priority": orders_cube_status_priority,
     "setop_union_all_counts": setop_union_all_counts,
     "scalar_function_battery": scalar_function_battery,
+    "events_hour_pivot": events_hour_pivot,
+    "grouping_sets_status_day": grouping_sets_status_day,
+    "user_last_event": user_last_event,
 }

@@ -125,7 +125,56 @@ def asof_error_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def incident_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range (interval-containment) join, broadcast-interval form:
+    derive the 3 worst error minutes, then classify EVERY event falling
+    inside those windows — ``ts ∈ [w_start, w_end)`` with no equi-key.
+
+    A rangeless theta-join is only scalable when one side is tiny; here
+    the interval side is bounded (top-K incidents) and broadcast, so the
+    100 TB fact side streams map-only through a BroadcastNestedLoopJoin
+    against 3 rows. (For two BIG interval sets you'd bucketize the
+    timeline and equi-join on bucket — same trick as the as-of note.)"""
+    ev = load_table(spark, sf_dir, "events")
+    minutes = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("minute", "ts").alias("w_start"))
+        .agg(F.count(F.lit(1)).alias("errors"))
+        .orderBy(F.desc("errors"), "w_start")
+        .limit(3)
+    )
+    w = minutes.select(
+        "w_start", (F.col("w_start") + F.expr("INTERVAL 1 MINUTE")).alias("w_end")
+    )
+    return (
+        ev.join(
+            F.broadcast(w),
+            (ev.ts >= F.col("w_start")) & (ev.ts < F.col("w_end")),
+        )
+        .groupBy("w_start", "event_type")
+        .agg(F.count(F.lit(1)).alias("events"))
+        .orderBy("w_start", "event_type")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "incident_window_events": """
+        WITH minutes AS (
+            SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS w_start,
+                   COUNT(*) AS errors
+            FROM events WHERE event_type = 'error'
+            GROUP BY 1
+            ORDER BY errors DESC, w_start
+            LIMIT 3
+        )
+        SELECT m.w_start, e.event_type, COUNT(*) AS events
+        FROM events e
+        JOIN minutes m
+          ON CAST(e.ts AS TIMESTAMP) >= m.w_start
+         AND CAST(e.ts AS TIMESTAMP) < m.w_start + INTERVAL 1 MINUTE
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
     "asof_error_attribution": """
         WITH errors AS (
             SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
@@ -148,4 +197,5 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "asof_error_attribution": asof_error_attribution,
+    "incident_window_events": incident_window_events,
 }
