@@ -119,6 +119,21 @@ def minhash_signature(text_col, k: int = MINHASH_K, shingle_n: int = 5) -> Colum
     return minhash_from_base(minhash_base_hashes(text_col, shingle_n), k)
 
 
+#: Memoized Column expression trees, keyed by (column name, params).
+#: CONSTRUCTING the K-fold expressions costs ~0.8 s of driver-side py4j
+#: round-trips per call (measured; zero execution) — and name-based
+#: Column objects are immutable and reusable across DataFrames, so the
+#: big trees are built once per session.
+_EXPR_CACHE: dict[tuple, Column] = {}
+
+
+def _cached_expr(key: tuple, build) -> Column:
+    col = _EXPR_CACHE.get(key)
+    if col is None:
+        col = _EXPR_CACHE[key] = build()
+    return col
+
+
 def _banded(sigs: DataFrame, id_col: str, sig_col: str = "sig") -> DataFrame:
     """Explode a signature into NARROW (id, band, band_hash) bucket rows.
 
@@ -127,16 +142,22 @@ def _banded(sigs: DataFrame, id_col: str, sig_col: str = "sig") -> DataFrame:
     ~0.5 KB/row with the signature attached — a 20× smaller shuffle. The
     estimate join downstream re-reads the *materialized* signature table
     instead (see minhash_candidate_pairs)."""
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col(sig_col)[b * MINHASH_ROWS + r] for r in range(MINHASH_ROWS)]
-                ).alias("band_hash"),
-            )
-            for b in range(MINHASH_BANDS)
-        ]
+    bands = _cached_expr(
+        ("minhash_bands", sig_col),
+        lambda: F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        *[
+                            F.col(sig_col)[b * MINHASH_ROWS + r]
+                            for r in range(MINHASH_ROWS)
+                        ]
+                    ).alias("band_hash"),
+                )
+                for b in range(MINHASH_BANDS)
+            ]
+        ),
     )
     return sigs.select(id_col, F.explode(bands).alias("bk")).select(
         id_col,
@@ -175,9 +196,15 @@ def minhash_candidate_pairs(
     # Two selects: the shingle-hash array materializes once, then the K
     # integer-only affine folds read it. CollapseProject keeps the
     # boundary because `_base` is non-cheap and referenced K times.
+    base_expr = _cached_expr(
+        ("minhash_base", text_col), lambda: minhash_base_hashes(F.col(text_col))
+    )
+    sig_expr = _cached_expr(
+        ("minhash_sig", "_base"), lambda: minhash_from_base(F.col("_base"))
+    )
     sigs = (
-        docs.select(id_col, minhash_base_hashes(F.col(text_col)).alias("_base"))
-        .select(id_col, minhash_from_base(F.col("_base")).alias("sig"))
+        docs.select(id_col, base_expr.alias("_base"))
+        .select(id_col, sig_expr.alias("sig"))
         .localCheckpoint()
     )
     b = _banded(sigs, id_col)
@@ -197,10 +224,15 @@ def minhash_candidate_pairs(
     )
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
-    agree = F.aggregate(
-        F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
+    agree = _cached_expr(
+        ("minhash_agree",),
+        lambda: F.aggregate(
+            F.zip_with(
+                F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ),
     )
     pairs = (
         cand.join(sa, "id_a")
@@ -349,9 +381,15 @@ def simhash_near_pairs(
     docs = docs.repartition(default_parallelism(), F.col(id_col))
     # Materialize once: the 64 bit-vote folds are the expensive part and
     # the self-join below would otherwise run them for each side.
+    sh_base = _cached_expr(
+        ("simhash_base", text_col), lambda: simhash_base_hashes(F.col(text_col))
+    )
+    sh_expr = _cached_expr(
+        ("simhash", "_base"), lambda: simhash_from_base(F.col("_base"))
+    )
     sh = (
-        docs.select(F.col(id_col), simhash_base_hashes(F.col(text_col)).alias("_base"))
-        .select(F.col(id_col), simhash_from_base(F.col("_base")).alias("simhash"))
+        docs.select(F.col(id_col), sh_base.alias("_base"))
+        .select(F.col(id_col), sh_expr.alias("simhash"))
         .localCheckpoint()
     )
 
