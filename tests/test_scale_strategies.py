@@ -1,0 +1,95 @@
+"""Scale-strategy demos the 100 TB contract names explicitly: bucketed
+co-located joins (no exchange on either side) and salted skew joins
+(equal results, hot key spread over salt reducers)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_log_lakehouse_spark.functions.skew import salted_join
+from mini_log_lakehouse_spark.sources.registry import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """bucketBy co-location: writing both fact tables bucketed+sorted on
+    the join key lets the join run with ZERO shuffle — each task reads
+    matching buckets. This is the pre-partitioning story for repeated
+    100 TB fact-fact joins (pay the shuffle once at write time)."""
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    load_table(spark, sf_dir, "orders").write.mode("overwrite").bucketBy(
+        4, "o_orderkey"
+    ).sortBy("o_orderkey").saveAsTable("b_orders")
+    load_table(spark, sf_dir, "lineitem").write.mode("overwrite").bucketBy(
+        4, "l_orderkey"
+    ).sortBy("l_orderkey").saveAsTable("b_lineitem")
+
+    joined = (
+        # hint('merge') forces SMJ — at test scale the tables fall under
+        # the broadcast threshold, which would hide the property we're
+        # asserting (at 100 TB fact-fact size, SMJ is what Spark picks)
+        spark.table("b_lineitem")
+        .hint("merge")
+        .join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = _plan(joined)
+    join_part = plan.split("HashAggregate")[-1]  # below the final agg
+    assert "SortMergeJoin" in plan
+    # the join's children must be bucket scans, not exchanges
+    assert "Exchange hashpartitioning" not in join_part
+    # and it must produce the same result as the plain join
+    plain = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            load_table(spark, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must be semantics-free: same rows out, key spread in."""
+    # skewed big side: 10k rows of one hot key + a tail
+    big = spark.range(0, 10_000).select(
+        F.when(F.col("id") < 9_000, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("row_id"),
+    )
+    small = spark.createDataFrame(
+        [(1, "hot"), (9_500, "cold")], ["k", "label"]
+    )
+    salted = salted_join(big, small, "k", salt=8, salt_source="row_id")
+    plain = big.join(small, "k")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_join_spreads_hot_key(spark):
+    big = spark.range(0, 8_000).select(
+        F.lit(1).alias("k"), F.col("id").alias("row_id")
+    )
+    # the derived salt must actually use multiple values
+    salts = (
+        big.withColumn("_salt", F.pmod(F.xxhash64("row_id"), F.lit(8)).cast("int"))
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert salts == 8
+
+
+def test_salted_join_rejects_bad_salt(spark):
+    big = spark.range(1).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        salted_join(big, big, "k", salt=0)
