@@ -86,27 +86,34 @@ def init_lake(spark: SparkSession, bronze_root: str, lake_root: str):
     return lake
 
 
-def incremental_update(
-    spark: SparkSession, new_raw_path: str, bronze_root: str, lake_root: str
+def merge_batch_into_lake(
+    spark: SparkSession, batch: DataFrame, bronze_root: str, lake_root: str
 ):
-    """Incremental daily load with MERGE semantics (the lakehouse
-    showcase): append the new batch to bronze, recompute the hourly fact
-    ONLY for the dates the batch touches — the bronze re-read filters on
-    the string ``date`` partition key, so the scan is partition-pruned to
-    those days regardless of table size — and MERGE the recomputed grains
-    into the managed fct on (date, hour, endpoint). The ``prune``
-    predicate bounds the copy-on-write rewrite to touched dates, exactly
-    how a partitioned Delta MERGE bounds rewritten files.
+    """Core of the incremental MERGE load, shared by the batch and
+    streaming (foreachBatch) callers: append the parsed batch to bronze,
+    recompute the hourly fact ONLY for the dates the batch touches — the
+    bronze re-read filters on the string ``date`` partition key, so the
+    scan is partition-pruned to those days regardless of table size — and
+    MERGE the recomputed grains into the managed fct on (date, hour,
+    endpoint). The ``prune`` predicate bounds the copy-on-write rewrite
+    to touched dates, exactly how a partitioned Delta MERGE bounds
+    rewritten files.
 
     Recomputing whole touched days (not deltas) keeps non-mergeable
     measures exact — p95 cannot be combined incrementally, counts could.
+    The whole sequence is idempotent at the day level: re-running a batch
+    re-derives the same grains from bronze, so a replayed microbatch
+    cannot double-count in the fact (bronze-append duplicates are the
+    replay protocol's job — the streaming caller relies on its source
+    checkpoint for that, the batch caller on run-once orchestration).
     """
     from pyspark.sql import functions as F
 
     from mini_log_lakehouse_spark.plans.lakehouse import LakehouseTable
 
-    batch = parse_logs(spark, new_raw_path)
     touched = [r["date"] for r in batch.select("date").distinct().collect()]
+    if not touched:
+        return LakehouseTable(spark, lake_root, "fct_requests_hourly")
     write_bronze(batch, bronze_root, mode="append")
     stg = build_stg_logs(
         read_bronze(spark, bronze_root).filter(F.col("date").isin(touched))
@@ -118,3 +125,13 @@ def incremental_update(
         prune=F.col("date").cast("string").isin(touched),
     )
     return lake
+
+
+def incremental_update(
+    spark: SparkSession, new_raw_path: str, bronze_root: str, lake_root: str
+):
+    """Incremental daily load with MERGE semantics (see
+    merge_batch_into_lake)."""
+    return merge_batch_into_lake(
+        spark, parse_logs(spark, new_raw_path), bronze_root, lake_root
+    )

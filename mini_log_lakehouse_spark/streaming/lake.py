@@ -1,0 +1,78 @@
+"""Streaming lakehouse maintenance: foreachBatch MERGE of the hourly
+fact, and watermarked streaming deduplication.
+
+``foreachBatch`` is the Structured Streaming escape hatch for sinks with
+their own transactional semantics: each microbatch runs an arbitrary
+batch function exactly once per (checkpointed) batch id. Combined with
+the day-idempotent MERGE (plans/pipeline.merge_batch_into_lake), the
+managed fact stays correct across restarts: the source checkpoint
+prevents re-reading committed files, and a replayed in-flight batch
+re-derives the same day grains rather than double-counting.
+
+``stream_dedup_events`` is the streaming half of the dedup surface
+(SURVEY north star): ``dropDuplicatesWithinWatermark`` keeps per-key
+state only inside the watermark horizon — bounded state at any scale,
+unlike a global ``dropDuplicates`` on a stream, whose state grows
+forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mini_log_lakehouse_spark.session import tune
+from mini_log_lakehouse_spark.sources.logs import parse_lines
+from mini_log_lakehouse_spark.streaming.ingest import EVENTS_SCHEMA
+
+
+def stream_fct_maintenance(
+    spark: SparkSession,
+    raw_dir: str,
+    bronze_root: str,
+    lake_root: str,
+    checkpoint: str,
+) -> None:
+    """Drain new log files and MERGE each microbatch's touched days into
+    the managed fct table (availableNow = run-to-completion)."""
+    tune(spark)
+    from mini_log_lakehouse_spark.plans.pipeline import merge_batch_into_lake
+
+    lines = spark.readStream.text(raw_dir).filter(F.trim("value") != "")
+
+    def upsert(batch_lines: DataFrame, batch_id: int) -> None:
+        merge_batch_into_lake(spark, parse_lines(batch_lines), bronze_root, lake_root)
+
+    (
+        lines.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def stream_dedup_events(
+    spark: SparkSession,
+    events_dir: str,
+    key: str = "event_id",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exactly-once-per-key event stream within the watermark horizon:
+    duplicates of ``key`` arriving within ``watermark`` of each other are
+    dropped; state for keys older than the horizon is evicted. Runs to
+    completion into a memory sink and returns the deduped table."""
+    tune(spark)
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    deduped = ev.withWatermark("ts", watermark).dropDuplicatesWithinWatermark([key])
+    name = "stream_dedup_events_result"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

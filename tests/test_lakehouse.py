@@ -80,6 +80,59 @@ def test_merge_prune_keeps_untouched_rows_verbatim(spark, lake_env):
     assert lake.latest_version() == 1  # but it IS a new snapshot
 
 
+def test_streaming_fct_maintenance_equals_batch(spark, lake_env, tmp_path):
+    """foreachBatch MERGE: streaming the same raw files yields exactly the
+    batch-recomputed fact, and a second run with a new file updates it."""
+    import shutil
+
+    from mini_log_lakehouse_spark.streaming.lake import stream_fct_maintenance
+
+    _, _, batch2 = lake_env
+    raw = tmp_path / "raw_stream"
+    raw.mkdir()
+    shutil.copy(FIXTURE, raw / "a.log")
+    bronze = str(tmp_path / "bronze_stream")
+    lake_root = str(tmp_path / "lake_stream")
+    ckpt = str(tmp_path / "ckpt_stream")
+
+    stream_fct_maintenance(spark, str(raw), bronze, lake_root, ckpt)
+    from mini_log_lakehouse_spark.plans.lakehouse import LakehouseTable
+
+    lake = LakehouseTable(spark, lake_root, "fct_requests_hourly")
+    full = build_fct_requests_hourly(build_stg_logs(read_bronze(spark, bronze)))
+    assert _rows(lake.read()) == _rows(full)
+
+    shutil.copy(batch2, raw / "b.log")
+    stream_fct_maintenance(spark, str(raw), bronze, lake_root, ckpt)
+    full2 = build_fct_requests_hourly(build_stg_logs(read_bronze(spark, bronze)))
+    assert _rows(lake.read()) == _rows(full2)
+    merged = {
+        (str(r["date"]), r["hour"], r["endpoint"]): r["requests"]
+        for r in lake.read().collect()
+    }
+    assert merged[("2025-11-10", "10", "/api/v1/items")] == 3
+    assert ("2025-11-12", "09", "/metrics") in merged
+
+
+def test_stream_dedup_events(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a doubled events directory dedupes
+    back to the distinct key set (bounded state via the watermark)."""
+    import shutil
+
+    from mini_log_lakehouse_spark.streaming.lake import stream_dedup_events
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    d = tmp_path / "events_dup"
+    d.mkdir()
+    shutil.copy(src, d / "part-0.parquet")
+    shutil.copy(src, d / "part-1.parquet")  # full duplicate file
+
+    out = stream_dedup_events(spark, str(d))
+    base = spark.read.parquet(src)
+    assert out.count() == base.select("event_id").distinct().count()
+    assert out.select("event_id").distinct().count() == out.count()
+
+
 def test_compact_and_vacuum(spark, lake_env):
     bronze, lake_root, batch2 = lake_env
     lake = init_lake(spark, bronze, lake_root)
