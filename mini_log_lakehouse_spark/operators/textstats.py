@@ -101,6 +101,39 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+#: Chunking parameters: window of 50 tokens advancing by 40 (10-token
+#: overlap) — the context-window-prep shape of a training-data pipeline.
+CHUNK_TOKENS = 50
+CHUNK_STRIDE = 40
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (training-data context prep):
+    split each document into CHUNK_TOKENS-token windows every
+    CHUNK_STRIDE tokens. One posexplode over computed starts — a pure
+    map-side explode, no shuffle until the final sort; at 100 TB this is
+    a single scan producing ~len/stride rows per doc."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    n = F.array_size(toks)
+    # 1-based starts: 1, 1+S, 1+2S, ... while start <= ntok
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(CHUNK_STRIDE))
+    return (
+        d.select("doc_id", toks.alias("_toks"), F.posexplode(starts).alias("chunk_idx", "start"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.array_size(F.slice("_toks", F.col("start"), F.lit(CHUNK_TOKENS)))
+            .cast("long")
+            .alias("chunk_tokens"),
+            F.concat_ws(" ", F.slice("_toks", F.col("start"), F.lit(CHUNK_TOKENS))).alias(
+                "chunk_text"
+            ),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
 def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexicon-hit language ID: score = |tokens ∩ lexicon(lang)| per
     language, predict the argmax (alphabetical tiebreak), compare with the
@@ -183,6 +216,27 @@ ORACLES: dict[str, str] = {
         FROM documents
         ORDER BY doc_id
     """,
+    # Arithmetic starts (1 + i*STRIDE while <= ntok) mirror Spark's
+    # sequence(1, greatest(n,1), STRIDE); list_slice clamps at the tail
+    # exactly like F.slice.
+    "doc_chunks": f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+        ),
+        c AS (
+            SELECT doc_id, toks,
+                   unnest(range((greatest(len(toks), 1) - 1) // {CHUNK_STRIDE} + 1)) AS chunk_idx
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(len(list_slice(toks, 1 + chunk_idx*{CHUNK_STRIDE},
+                                   chunk_idx*{CHUNK_STRIDE} + {CHUNK_TOKENS})) AS BIGINT) AS chunk_tokens,
+               array_to_string(list_slice(toks, 1 + chunk_idx*{CHUNK_STRIDE},
+                                          chunk_idx*{CHUNK_STRIDE} + {CHUNK_TOKENS}), ' ') AS chunk_text
+        FROM c
+        ORDER BY doc_id, chunk_idx
+    """,
     # Lexicon argmax mirrored in SQL: score = |distinct tokens ∩ lexicon|
     # per language; argmax with alphabetical tiebreak via list_sort over
     # (neg_score, lang) structs — the same (-score, lang) ordering trick
@@ -223,4 +277,5 @@ QUERIES = {
     "doc_fingerprints": doc_fingerprints,
     "doc_quality_scores": doc_quality_scores,
     "doc_lang_id": doc_lang_id,
+    "doc_chunks": doc_chunks,
 }
