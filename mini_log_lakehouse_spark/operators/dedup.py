@@ -433,6 +433,101 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(d).orderBy("id_a", "id_b")
 
 
+# --- near-dup clustering (connected components) -------------------------------
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
+) -> DataFrame:
+    """Connected components over an undirected edge list by min-label
+    propagation: every node repeatedly adopts the smallest label among
+    itself and its neighbors until fixpoint. Returns (node, component)
+    with component = the minimum node id in the component.
+
+    This is the iterative-algorithm shape on Spark: a driver-side loop of
+    joins with ``localCheckpoint`` per round to truncate lineage (else
+    the plan doubles every iteration), early exit on a converged round.
+    Rounds needed = graph diameter; near-dup clusters are shallow (a dup
+    cluster's diameter is rarely > 3-4), so the loop is short. For
+    web-scale graphs you'd switch to the large-star/small-star algorithm
+    (same join primitives, O(log n) rounds)."""
+    # Materialize the edge list FIRST: nodes and the symmetric closure
+    # both re-read it, and the caller's edge plan may be expensive (here:
+    # the exact Jaccard join) — without this it would evaluate 3×.
+    edges = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint()
+    src, dst = "src", "dst"
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint()
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(
+                labels.select(F.col("node").alias("b"), F.col("label").alias("b_label")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("b_label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == nbr.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: near-dup clusters over the EXACT Jaccard pairs
+    (lossless prefix-filter join), labeled by min doc_id — the step that
+    turns pairwise dedup into keep/drop decisions."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d).select("id_a", "id_b")
+    cc = connected_components(pairs, "id_a", "id_b")
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster rollup: representative (min doc_id) + member count per
+    near-dup cluster; the drop list is every member != representative."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d).select("id_a", "id_b")
+    cc = connected_components(pairs, "id_a", "id_b")
+    return (
+        cc.groupBy(F.col("component").alias("cluster_id"))
+        .agg(
+            F.min("node").alias("representative"),
+            F.count(F.lit(1)).alias("members"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 # --- embedding cosine near-dup ------------------------------------------------
 
 COSINE_DEDUP_THRESHOLD = 0.9
@@ -478,29 +573,75 @@ ORACLES: dict[str, str] = {
                   CAST(b.embedding AS DOUBLE[])), 6) >= {COSINE_DEDUP_THRESHOLD}
         ORDER BY a.label, id_a, id_b
     """,
-    # The exact prefix-filter join provably equals the quadratic all-pairs
-    # filter, so the oracle is the (driver-scale-affordable) all-pairs
-    # form. Shingle generation mirrors char_shingles: substrings at
-    # 1..max(len-n+1, 1), so short/empty texts yield one (short) shingle.
-    "dedup_ngram_jaccard": """
-        WITH sh AS (
+}
+
+#: Shared all-pairs shingle-Jaccard CTEs (the exact prefix-filter join
+#: provably equals this quadratic form — see ngram_jaccard_pairs).
+#: Shingle generation mirrors char_shingles: substrings at
+#: 1..max(len-n+1, 1), so short/empty texts yield one (short) shingle.
+_PAIR_CTES = """
+        sh AS (
             SELECT doc_id,
                    list_distinct(list_transform(
                        generate_series(1, greatest(length(text) - 4, 1)),
                        i -> substring(text, i, 5))) AS sh
             FROM documents
+        ),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.sh, b.sh)) * 1.0
+                   / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+                  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
         )
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               ROUND(len(list_intersect(a.sh, b.sh)) * 1.0
-                     / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE len(list_intersect(a.sh, b.sh)) * 1.0
-              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+"""
+
+#: Recursive min-reachable-id closure over the pair graph — the oracle
+#: twin of connected_components' min-label propagation fixpoint.
+_COMPONENT_CTES = _PAIR_CTES + """,
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION ALL
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(node, r) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+        ),
+        comp AS (
+            SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+        )
+"""
+
+ORACLES.update(
+    {
+        "dedup_ngram_jaccard": f"""
+        WITH {_PAIR_CTES}
+        SELECT id_a, id_b, ROUND(jac, 6) AS jaccard
+        FROM pairs
         ORDER BY id_a, id_b
     """,
-    # minhash / simhash use Spark hash functions — no SQL oracle; driver
-    # records rows-only checks (deterministic run-to-run).
-}
+        "dedup_clusters": f"""
+        WITH RECURSIVE {_COMPONENT_CTES}
+        SELECT node AS doc_id, CAST(cluster_id AS BIGINT) AS cluster_id
+        FROM comp
+        ORDER BY doc_id
+    """,
+        "dedup_cluster_representatives": f"""
+        WITH RECURSIVE {_COMPONENT_CTES}
+        SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+               MIN(node) AS representative,
+               COUNT(*) AS members
+        FROM comp
+        GROUP BY 1
+        ORDER BY 1
+    """,
+        # minhash / simhash use Spark hash functions — no SQL oracle; driver
+        # records rows-only checks (deterministic run-to-run).
+    }
+)
 
 QUERIES = {
     "dedup_exact_summary": dedup_exact_summary,
@@ -508,4 +649,6 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_clusters": dedup_clusters,
+    "dedup_cluster_representatives": dedup_cluster_representatives,
 }

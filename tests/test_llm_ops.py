@@ -84,6 +84,18 @@ def test_drop_exact_duplicates(docs_with_dups):
     assert dedup.drop_exact_duplicates(docs_with_dups).count() == 5
 
 
+def test_connected_components_on_known_graph(spark):
+    # two components {1,2,3,7} (a path, diameter 3) and {10,11}; 20 isolated-by-absence
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 7), (10, 11)], ["src", "dst"]
+    )
+    cc = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(edges).collect()
+    }
+    assert cc == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+
 def test_lsh_recall_vs_exact(spark, sf_dir):
     exact = [r["vec_id"] for r in similarity.ann_cosine_topk(spark, sf_dir).collect()]
     approx = [r["vec_id"] for r in similarity.ann_lsh_topk(spark, sf_dir).collect()]
