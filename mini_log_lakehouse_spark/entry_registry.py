@@ -13,6 +13,7 @@ from mini_log_lakehouse_spark.operators import (
     extensions,
     multimodal,
     relational,
+    sampling,
     sessions,
     similarity,
     temporal,
@@ -27,6 +28,7 @@ _MODULES = (
     textstats,
     dedup,
     similarity,
+    sampling,
     sessions,
     multimodal,
     extensions,

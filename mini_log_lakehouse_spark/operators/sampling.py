@@ -1,0 +1,279 @@
+"""Training-data curation operators: deterministic train/test split,
+stratified (per-language) downsampling, fixed-budget sequence packing,
+and benchmark-contamination detection.
+
+These are the corpus-assembly steps of an LLM data pipeline that sit
+between cleaning/dedup (operators/dedup.py, textstats.py) and training:
+
+- **Split** and **sample** must be *deterministic functions of the row
+  key*, never ``rand()``: reruns, backfills, and per-partition retries
+  must land every document in the same split on every executor. Both use
+  an md5-derived uniform hash (salted per use so split and sample draws
+  are independent), which Spark and DuckDB compute identically — so the
+  oracle checks the exact same rows, not just counts.
+- **Packing** is the concat-and-chunk shape used to fill fixed context
+  windows: documents are concatenated in a deterministic order and cut
+  every PACK_BUDGET tokens; a document's pack is ``floor(exclusive
+  running token offset / budget)``. The running sum is windowed *per
+  source shard*, so at 100 TB each shard packs independently in parallel
+  — no global ordering, no single-partition window.
+- **Contamination** flags training documents sharing ≥ K distinct word
+  n-grams with a held-out benchmark set (the standard decontamination
+  step before training). Candidate generation joins on the n-gram itself
+  — the bucketed, never-all-pairs shape — after dropping n-grams too
+  common to be evidence (a stop-gram document-frequency cap, which also
+  removes the skewed hot keys from the join).
+
+Reference parity: the reference pipeline has no curation layer (it ends
+at dbt marts; dbt/models/marts/fct_requests_hourly.sql is the terminal
+transform) — this module is part of the beyond-reference LLM-pipeline
+surface the brief requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mini_log_lakehouse_spark.functions.text import token_count, ws_tokens
+from mini_log_lakehouse_spark.sources.registry import load_table
+
+#: train/val/test percentage boundaries over the 0..99 hash bucket.
+SPLIT_TRAIN_PCT = 90
+SPLIT_VAL_PCT = 95  # 90-94 val, 95-99 test
+
+#: Per-language keep-rate (percent) for the stratified sample: halve the
+#: dominant language, keep the rest — the "rebalance the corpus" shape.
+STRATA_KEEP_PCT = {"en": 50}
+STRATA_DEFAULT_PCT = 100
+
+#: Tokens per packed context window.
+PACK_BUDGET = 64
+
+#: Contamination: shared distinct word n-grams of this size (3 suits the
+#: short synthetic docs; real pipelines use 8-13-gram spans) ...
+CONTAM_NGRAM = 3
+#: ... at least this many distinct shared n-grams to flag a pair ...
+CONTAM_MIN_SHARED = 2
+#: ... ignoring n-grams appearing in more than this many documents
+#: (stop-grams: too common to be evidence, and the skewed join keys).
+CONTAM_MAX_DF = 20
+
+
+def _hash_bucket(col, salt: str, mod: int = 100):
+    """Deterministic uniform bucket in [0, mod): first 4 hex digits of
+    md5(salt || key) as an integer, mod ``mod``. Identical in DuckDB as
+    ('0x' || substr(md5(concat(salt, key)), 1, 4))::BIGINT % mod, so
+    oracles verify row membership exactly. 16 bits ≫ mod=100 keeps
+    bucket skew < 0.4%."""
+    h = F.md5(F.concat(F.lit(salt), col.cast("string")))
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % mod
+
+
+def _sql_bucket(expr: str, salt: str, mod: int = 100) -> str:
+    return f"(('0x' || substr(md5('{salt}' || CAST({expr} AS VARCHAR)), 1, 4))::BIGINT % {mod})"
+
+
+def doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by hashed doc_id;
+    returns per (split, lang) counts + token totals. Map-only bucket
+    assignment, then a tiny aggregate — at 100 TB the split column is
+    computed inline in the scan stage."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = _hash_bucket(F.col("doc_id"), "split:")
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(split.alias("split"), "lang", token_count(F.col("text")).alias("_t"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_t").cast("long").alias("total_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsample (en halved, rest kept):
+    keep rows whose salted hash bucket falls under the language's
+    keep-rate. Returns the sampled rows themselves (doc_id, lang,
+    source) so the oracle verifies exact membership. Pure filter —
+    no shuffle at all until the display sort."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = _hash_bucket(F.col("doc_id"), "strat:")
+    rate = F.lit(STRATA_DEFAULT_PCT)
+    for lang, pct in sorted(STRATA_KEEP_PCT.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
+    return (
+        d.filter(bucket < rate)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: within each source shard,
+    documents are concatenated in doc_id order and cut every
+    PACK_BUDGET tokens; pack = floor(exclusive running token offset /
+    budget). Emits per-pack document counts and fill statistics.
+
+    The window partitions by ``source``: each shard packs independently
+    (the real 100 TB layout — packing is per input shard, there is no
+    global order), so the sort is a per-partition sort, not a global
+    one, and shards parallelize across executors."""
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = token_count(F.col("text"))
+    sized = d.select("doc_id", "source", toks.alias("n_tokens"))
+    offset = F.sum("n_tokens").over(w) - F.col("n_tokens")  # exclusive prefix sum
+    packed = sized.select(
+        "source",
+        "n_tokens",
+        F.floor(offset / PACK_BUDGET).cast("long").alias("pack_id"),
+        # does this document straddle a pack boundary?
+        (
+            F.floor(offset / PACK_BUDGET)
+            != F.floor((F.sum("n_tokens").over(w) - 1) / PACK_BUDGET)
+        ).cast("int").alias("straddles"),
+    )
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("pack_tokens"),
+            F.sum("straddles").cast("long").alias("n_straddling"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+def _doc_ngrams(d: DataFrame) -> DataFrame:
+    """doc_id -> exploded distinct word CONTAM_NGRAM-grams."""
+    toks = ws_tokens(F.col("text"))
+    n = F.array_size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (CONTAM_NGRAM - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, CONTAM_NGRAM)),
+    )
+    return d.select("doc_id", F.explode(F.array_distinct(grams)).alias("ngram"))
+
+
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination check: training docs sharing ≥ CONTAM_MIN_SHARED
+    distinct CONTAM_NGRAM-grams with the held-out benchmark set
+    (doc_id % 97 == 0 stands in for the eval suite).
+
+    Plan shape at 100 TB: explode distinct n-grams (map-only), drop
+    stop-grams whose document frequency exceeds CONTAM_MAX_DF (kills
+    both false evidence and join-key skew), then join train↔benchmark
+    *on the n-gram* — candidates are generated per shared-gram bucket,
+    never all-pairs — and aggregate pair overlap. The benchmark side is
+    tiny (1/97 of docs) and broadcastable; Spark's AQE picks that up
+    from its size estimate."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = _doc_ngrams(d)
+    is_bench = F.col("doc_id") % 97 == 0
+    # stop-gram removal: document frequency over the full corpus
+    df_ok = (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= CONTAM_MAX_DF)
+        .select("ngram")
+    )
+    kept = grams.join(df_ok, "ngram")
+    train = kept.filter(~is_bench).withColumnRenamed("doc_id", "train_doc")
+    bench = kept.filter(is_bench).withColumnRenamed("doc_id", "bench_doc")
+    return (
+        train.join(bench, "ngram")
+        .groupBy("train_doc", "bench_doc")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") >= CONTAM_MIN_SHARED)
+        .orderBy("train_doc", "bench_doc")
+    )
+
+
+_TOKS = "string_split(text, ' ')"
+_NTOK = f"len({_TOKS})"
+_SPLIT_BUCKET = _sql_bucket("doc_id", "split:")
+_STRAT_BUCKET = _sql_bucket("doc_id", "strat:")
+_STRAT_RATE = "CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN {pct}" for lang, pct in sorted(STRATA_KEEP_PCT.items())
+) + f" ELSE {STRATA_DEFAULT_PCT} END"
+
+ORACLES: dict[str, str] = {
+    "doc_train_test_split": f"""
+        SELECT CASE WHEN {_SPLIT_BUCKET} < {SPLIT_TRAIN_PCT} THEN 'train'
+                    WHEN {_SPLIT_BUCKET} < {SPLIT_VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split,
+               lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM({_NTOK}) AS BIGINT) AS total_tokens
+        FROM documents
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    "doc_stratified_sample": f"""
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE {_STRAT_BUCKET} < {_STRAT_RATE}
+        ORDER BY doc_id
+    """,
+    "doc_pack_sequences": f"""
+        WITH sized AS (
+            SELECT doc_id, source, {_NTOK} AS n_tokens FROM documents
+        ), packed AS (
+            SELECT source, n_tokens,
+                   (SUM(n_tokens) OVER w - n_tokens) // {PACK_BUDGET} AS pack_id,
+                   CASE WHEN (SUM(n_tokens) OVER w - n_tokens) // {PACK_BUDGET}
+                             <> (SUM(n_tokens) OVER w - 1) // {PACK_BUDGET}
+                        THEN 1 ELSE 0 END AS straddles
+            FROM sized
+            WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT source,
+               CAST(pack_id AS BIGINT) AS pack_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+               CAST(SUM(straddles) AS BIGINT) AS n_straddling
+        FROM packed
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    "benchmark_contamination": f"""
+        WITH grams AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, greatest({_NTOK} - {CONTAM_NGRAM - 1}, 0) + 1),
+                       i -> array_to_string(list_slice({_TOKS}, i, i + {CONTAM_NGRAM - 1}), ' ')
+                   ))) AS ngram
+            FROM documents
+        ), kept AS (
+            SELECT doc_id, ngram FROM grams
+            QUALIFY COUNT(*) OVER (PARTITION BY ngram) <= {CONTAM_MAX_DF}
+        )
+        SELECT t.doc_id AS train_doc,
+               b.doc_id AS bench_doc,
+               COUNT(*) AS shared_ngrams
+        FROM kept t
+        JOIN kept b USING (ngram)
+        WHERE t.doc_id % 97 <> 0 AND b.doc_id % 97 = 0
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {CONTAM_MIN_SHARED}
+        ORDER BY 1, 2
+    """,
+}
+
+QUERIES = {
+    "doc_train_test_split": doc_train_test_split,
+    "doc_stratified_sample": doc_stratified_sample,
+    "doc_pack_sequences": doc_pack_sequences,
+    "benchmark_contamination": benchmark_contamination,
+}
