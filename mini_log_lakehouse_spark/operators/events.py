@@ -111,8 +111,11 @@ def stg_events_one_day(spark: SparkSession, sf_dir: str, day: str = DAY) -> Data
 
 
 def _dec_sum(col: F.Column) -> F.Column:
-    """Exact associative sum of a double expression (see module docstring)."""
-    return F.sum(col.cast("decimal(38,10)")).cast("double")
+    """Exact associative sum of a double expression (see module docstring).
+    decimal(19,10) elements: same 10-digit quantization as the oracle's
+    (38,10) cast, but long-backed (no per-value BigDecimal) — see
+    relational._money_sum for the measurement."""
+    return F.sum(col.cast("decimal(19,10)")).cast("double")
 
 
 def stg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
