@@ -15,6 +15,11 @@ Three tiers, per the scale plan:
    computed vectorized in numpy via mapInPandas (Arrow batches); queries
    probe only their bucket. Sub-linear candidate sets at the cost of
    recall; recall is measured against tier-1 in tests.
+4. **IVF-flat ANN** (scale path, rows-only): a coarse k-means quantizer
+   trained on a driver-held sample partitions the corpus into cells;
+   queries probe the nprobe nearest cells and rerank exactly. The
+   data-adaptive counterpart to tier 3's data-oblivious hyperplanes;
+   recall measured against tier-1 in tests.
 """
 
 from __future__ import annotations
@@ -223,6 +228,110 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- tier 4: IVF-flat ---------------------------------------------------------
+
+#: Coarse-quantizer cells and probe width. Rule of thumb at scale:
+#: ~sqrt(corpus) cells, probe 1-10% of them. 16/4 suits the 500-5k test
+#: corpora; a 100 TB corpus would use ~64k cells (trained offline the
+#: same way) with the same query path.
+IVF_N_CELLS = 16
+IVF_N_PROBE = 4
+IVF_TRAIN_SAMPLE = 256
+IVF_LLOYD_ITERS = 5
+
+
+def ivf_train_centroids(
+    sample: np.ndarray, n_cells: int = IVF_N_CELLS, iters: int = IVF_LLOYD_ITERS
+) -> np.ndarray:
+    """Train the coarse quantizer: Lloyd's k-means on a driver-held
+    sample, deterministic init (first n_cells sample rows), cosine metric
+    (all vectors unit-normalized so dot == cosine).
+
+    This mirrors how IVF indexes are built in practice: the quantizer is
+    trained on a tiny sample (FAISS default: 30-256 vectors/cell), then
+    the full corpus is *assigned* distributively — training is O(sample),
+    never O(corpus)."""
+    x = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    cent = x[:n_cells].copy()
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(n_cells):
+            members = x[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                cent[c] = m / (np.linalg.norm(m) or 1.0)
+    return cent
+
+
+def ivf_assign_cells(
+    df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Assign every vector its nearest-centroid cell id — one numpy GEMM
+    per Arrow batch (map-only, no shuffle), same shape as lsh_bucketed."""
+    schema = T.StructType(df.schema.fields + [T.StructField("cell", T.LongType())])
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(cell=np.array([], dtype="int64"))
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            yield pdf.assign(cell=(mat @ centroids.T).argmax(axis=1).astype("int64"))
+
+    return df.mapInPandas(assign, schema=schema)
+
+
+#: Trained centroids per sf_dir (the serving layer holds its index
+#: metadata; retraining the quantizer per request would be a bug, not a
+#: convenience).
+_IVF_CENTROIDS: dict[str, np.ndarray] = {}
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier 4: IVF-flat approximate top-k for the same query as
+    ann_cosine_topk — search only the IVF_N_PROBE cells nearest the
+    query (rows-only check; recall vs the exact tier is asserted in
+    tests).
+
+    100 TB shape: cell assignment is a map-only pass; the corpus is then
+    *partitioned by cell* (here: filtered — on a cluster you'd write the
+    assignment once, partitioned on ``cell``, and partition pruning makes
+    each query touch nprobe/ncells of the data); the exact rerank runs
+    over ~nprobe × corpus/ncells rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = _IVF_CENTROIDS.get(sf_dir)
+    if cent is None:
+        sample = np.array(
+            [
+                list(r["embedding"])
+                for r in e.filter(F.col("vec_id") < IVF_TRAIN_SAMPLE)
+                .select("embedding")
+                .orderBy("vec_id")
+                .collect()
+            ],
+            dtype="float64",
+        )
+        cent = _IVF_CENTROIDS[sf_dir] = ivf_train_centroids(sample)
+    cells = ivf_assign_cells(e, cent)
+    q = cells.filter(F.col("vec_id") == QUERY_VEC_ID).collect()[0]
+    qvec = np.array(q["embedding"], dtype="float64")
+    probe = np.argsort(-(qvec / np.linalg.norm(qvec)) @ cent.T)[:IVF_N_PROBE]
+    return (
+        cells.filter(F.col("cell").isin([int(c) for c in probe]))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            "vec_id",
+            F.round(
+                cosine(F.col("embedding"), F.array(*[F.lit(float(v)) for v in qvec])),
+                6,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(TOP_K)
+    )
+
+
 ORACLES: dict[str, str] = {
     "ann_cosine_topk": f"""
         SELECT e.vec_id,
@@ -261,4 +370,5 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_knn_join": ann_knn_join,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
 }

@@ -107,6 +107,40 @@ def test_lsh_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.3, f"LSH recall too low: {recall}"
 
 
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    exact = [r["vec_id"] for r in similarity.ann_cosine_topk(spark, sf_dir).collect()]
+    approx = [r["vec_id"] for r in similarity.ann_ivf_topk(spark, sf_dir).collect()]
+    assert len(approx) == similarity.TOP_K
+    # IVF probes 4 of 16 data-adaptive cells; nearest neighbors
+    # concentrate in the query's nearest cells by construction.
+    recall = len(set(approx) & set(exact)) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_ivf_centroids_deterministic_and_unit_norm(spark, sf_dir):
+    import numpy as np
+
+    from mini_log_lakehouse_spark.sources.registry import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    sample = np.array(
+        [
+            list(r["embedding"])
+            for r in e.filter(F.col("vec_id") < similarity.IVF_TRAIN_SAMPLE)
+            .orderBy("vec_id")
+            .collect()
+        ],
+        dtype="float64",
+    )
+    c1 = similarity.ivf_train_centroids(sample)
+    c2 = similarity.ivf_train_centroids(sample)
+    assert np.array_equal(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+    # every corpus vector lands in a valid cell
+    cells = similarity.ivf_assign_cells(e, c1).select("cell").distinct().collect()
+    assert all(0 <= r["cell"] < similarity.IVF_N_CELLS for r in cells)
+
+
 def test_lsh_bucket_determinism(spark, sf_dir):
     from mini_log_lakehouse_spark.sources.registry import load_table
 
