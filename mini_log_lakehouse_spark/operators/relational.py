@@ -14,9 +14,10 @@ strategy chosen for scale:
   global-ordering window (daily lag) runs over *pre-aggregated* daily
   rows, so the single-partition stage sees ~one row per day, not raw data.
 
-Determinism for the DuckDB oracle: double sums go through decimal(38,10)
-(exact, associative), rank ties are broken by unique keys, and top-K
-orderings carry a full tiebreak. See operators/events.py docstring.
+Determinism for the DuckDB oracle: double sums go through decimal
+elements quantized at (19,10) (exact, associative — see _money_sum),
+rank ties are broken by unique keys, and top-K orderings carry a full
+tiebreak. See operators/events.py docstring.
 """
 
 from __future__ import annotations

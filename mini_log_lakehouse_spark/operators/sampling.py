@@ -74,20 +74,55 @@ def _sql_bucket(expr: str, salt: str, mod: int = 100) -> str:
     return f"(('0x' || substr(md5('{salt}' || CAST({expr} AS VARCHAR)), 1, 4))::BIGINT % {mod})"
 
 
+def assign_split(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Add a deterministic ``split`` column (train/val/test) keyed on a
+    hashed row key — the library-surface form."""
+    bucket = _hash_bucket(F.col(key), "split:")
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.withColumn("split", split)
+
+
+def pack_documents(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """Per-source concat-and-chunk packing (library-surface form): one
+    row per (source, pack_id) with document counts and fill stats.
+    See doc_pack_sequences for the plan-shape discussion."""
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = token_count(F.col("text"))
+    sized = docs.select("doc_id", "source", toks.alias("n_tokens"))
+    offset = F.sum("n_tokens").over(w) - F.col("n_tokens")  # exclusive prefix sum
+    packed = sized.select(
+        "source",
+        "n_tokens",
+        F.floor(offset / budget).cast("long").alias("pack_id"),
+        (
+            F.floor(offset / budget)
+            != F.floor((F.sum("n_tokens").over(w) - 1) / budget)
+        ).cast("int").alias("straddles"),
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("pack_tokens"),
+        F.sum("straddles").cast("long").alias("n_straddling"),
+    )
+
+
 def doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/5/5 train/val/test split by hashed doc_id;
     returns per (split, lang) counts + token totals. Map-only bucket
     assignment, then a tiny aggregate — at 100 TB the split column is
     computed inline in the scan stage."""
     d = load_table(spark, sf_dir, "documents")
-    bucket = _hash_bucket(F.col("doc_id"), "split:")
-    split = (
-        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
-        .when(bucket < SPLIT_VAL_PCT, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
     return (
-        d.select(split.alias("split"), "lang", token_count(F.col("text")).alias("_t"))
+        assign_split(d)
+        .select("split", "lang", token_count(F.col("text")).alias("_t"))
         .groupBy("split", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -126,33 +161,7 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     global order), so the sort is a per-partition sort, not a global
     one, and shards parallelize across executors."""
     d = load_table(spark, sf_dir, "documents")
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    toks = token_count(F.col("text"))
-    sized = d.select("doc_id", "source", toks.alias("n_tokens"))
-    offset = F.sum("n_tokens").over(w) - F.col("n_tokens")  # exclusive prefix sum
-    packed = sized.select(
-        "source",
-        "n_tokens",
-        F.floor(offset / PACK_BUDGET).cast("long").alias("pack_id"),
-        # does this document straddle a pack boundary?
-        (
-            F.floor(offset / PACK_BUDGET)
-            != F.floor((F.sum("n_tokens").over(w) - 1) / PACK_BUDGET)
-        ).cast("int").alias("straddles"),
-    )
-    return (
-        packed.groupBy("source", "pack_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("pack_tokens"),
-            F.sum("straddles").cast("long").alias("n_straddling"),
-        )
-        .orderBy("source", "pack_id")
-    )
+    return pack_documents(d).orderBy("source", "pack_id")
 
 
 def _doc_ngrams(d: DataFrame) -> DataFrame:

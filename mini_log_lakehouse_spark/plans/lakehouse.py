@@ -148,12 +148,34 @@ class LakehouseTable:
             merged = untouched.unionByName(merged)
         return self._publish(merged)
 
-    def compact(self, target_partitions: int = 1) -> int:
-        """OPTIMIZE-style small-file compaction -> new version."""
+    def compact(
+        self, target_partitions: int = 1, cluster_by: list[str] | None = None
+    ) -> int:
+        """OPTIMIZE-style small-file compaction -> new version.
+
+        ``cluster_by``: OPTIMIZE ZORDER BY analog (SURVEY.md §4 suggests
+        ``ZORDER BY (date)``). Range-partition on the cluster keys, then
+        sort within each partition — rows with nearby key values land in
+        the same files, so min/max file stats prune reads on those keys.
+        For a single key this is exactly what Z-ordering achieves; for
+        multiple keys it is lexicographic (hierarchical) clustering,
+        which matches Delta's behavior when the leading key dominates
+        the query predicates."""
         if delta_available():  # pragma: no cover
-            self.spark.sql(f"OPTIMIZE delta.`{self.path}`")
+            if cluster_by:
+                cols = ", ".join(cluster_by)
+                self.spark.sql(f"OPTIMIZE delta.`{self.path}` ZORDER BY ({cols})")
+            else:
+                self.spark.sql(f"OPTIMIZE delta.`{self.path}`")
             return -1
-        return self._publish(self.read().coalesce(target_partitions))
+        df = self.read()
+        if cluster_by:
+            df = df.repartitionByRange(
+                max(target_partitions, 1), *cluster_by
+            ).sortWithinPartitions(*cluster_by)
+        else:
+            df = df.coalesce(target_partitions)
+        return self._publish(df)
 
     def vacuum(self, keep_last: int = 2) -> list[int]:
         """Drop snapshot directories older than the newest ``keep_last``

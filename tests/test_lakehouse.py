@@ -146,3 +146,23 @@ def test_compact_and_vacuum(spark, lake_env):
     with pytest.raises(FileNotFoundError):
         lake.read(version=0)
     assert _rows(lake.read(version=2)) == content
+
+
+def test_compact_cluster_by_orders_files(spark, lake_env):
+    bronze, lake_root, _ = lake_env
+    lake = init_lake(spark, bronze, lake_root)
+    content = _rows(lake.read())
+    lake.compact(target_partitions=2, cluster_by=["date", "hour"])
+    assert _rows(lake.read()) == content  # clustering preserves content
+    # each output file covers a disjoint, internally-sorted key range:
+    # per-file (min, max) intervals must not overlap across files
+    df = lake.read().withColumn("_file", F.element_at(F.split(F.input_file_name(), "/"), -1))
+    spans = {
+        r["_file"]: (r["lo"], r["hi"])
+        for r in df.groupBy("_file")
+        .agg(F.min("date").alias("lo"), F.max("date").alias("hi"))
+        .collect()
+    }
+    intervals = sorted(spans.values())
+    for (_, hi_prev), (lo_next, _) in zip(intervals, intervals[1:]):
+        assert hi_prev <= lo_next

@@ -1,0 +1,76 @@
+"""Property-based invariants for the curation operators (hypothesis):
+packing conserves tokens and split assignment partitions the corpus —
+for arbitrary corpora, not just the fixture tables."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from mini_log_lakehouse_spark.operators.sampling import (
+    PACK_BUDGET,
+    assign_split,
+    pack_documents,
+)
+
+# (doc_id, source, n_tokens) corpora; text is synthesized as n_tokens words.
+corpora = st.lists(
+    st.tuples(st.integers(0, 10_000), st.sampled_from(["s0", "s1", "s2"]), st.integers(1, 200)),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+_SETTINGS = settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+
+
+def _df(spark, corpus):
+    rows = [(i, s, " ".join(["w"] * n)) for i, s, n in corpus]
+    return spark.createDataFrame(rows, ["doc_id", "source", "text"])
+
+
+@given(corpus=corpora)
+@_SETTINGS
+def test_packing_conserves_tokens_and_docs(spark, corpus):
+    docs = _df(spark, corpus)
+    packs = pack_documents(docs).collect()
+    total_by_source: dict[str, int] = {}
+    docs_by_source: dict[str, int] = {}
+    for i, s, n in corpus:
+        total_by_source[s] = total_by_source.get(s, 0) + n
+        docs_by_source[s] = docs_by_source.get(s, 0) + 1
+    got_tokens: dict[str, int] = {}
+    got_docs: dict[str, int] = {}
+    for r in packs:
+        got_tokens[r["source"]] = got_tokens.get(r["source"], 0) + r["pack_tokens"]
+        got_docs[r["source"]] = got_docs.get(r["source"], 0) + r["n_docs"]
+        assert r["n_straddling"] <= r["n_docs"]
+        assert 0 <= r["pack_id"] <= total_by_source[r["source"]] // PACK_BUDGET
+    assert got_tokens == total_by_source  # packing never drops or dupes a token
+    assert got_docs == docs_by_source
+
+
+@given(corpus=corpora)
+@_SETTINGS
+def test_split_partitions_corpus_deterministically(spark, corpus):
+    docs = _df(spark, corpus)
+    s1 = {r["doc_id"]: r["split"] for r in assign_split(docs).collect()}
+    s2 = {r["doc_id"]: r["split"] for r in assign_split(docs).collect()}
+    assert s1 == s2  # rerun-stable
+    assert set(s1) == {i for i, _, _ in corpus}  # every doc, exactly once
+    assert set(s1.values()) <= {"train", "val", "test"}
+
+
+def test_split_proportions_at_sf(spark, sf_dir):
+    from mini_log_lakehouse_spark.sources.registry import load_table
+
+    d = assign_split(load_table(spark, sf_dir, "documents"))
+    counts = {r["split"]: r["n"] for r in d.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n = sum(counts.values())
+    # 90/5/5 within generous tolerance at 500 docs
+    assert counts.get("train", 0) / n > 0.8
+    assert 0 < counts.get("val", 0) / n < 0.12
+    assert 0 < counts.get("test", 0) / n < 0.12
