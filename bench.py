@@ -46,10 +46,14 @@ ITERS = int(os.environ.get("BENCH_ITERS", "5"))
 #: to show the Spark/DuckDB ratio as the per-job floor amortizes. Disable
 #: with BENCH_SCALED=0.
 SCALE_FACTOR = int(os.environ.get("BENCH_SCALED", "10"))
-ITERS_SCALED = int(os.environ.get("BENCH_ITERS_SCALED", "2"))
+ITERS_SCALED = int(os.environ.get("BENCH_ITERS_SCALED", "3"))
 
 
 def time_fn(fn, warmup: int = WARMUP, iters: int = ITERS) -> float:
+    """Median, not mean: a single GC pause / page-cache miss in a
+    low-iteration run would otherwise dominate the reported number
+    (observed: one 10s outlier in a 2-iter leg whose isolated warm
+    time is 1.4s)."""
     for _ in range(warmup):
         fn()
     times = []
@@ -57,7 +61,7 @@ def time_fn(fn, warmup: int = WARMUP, iters: int = ITERS) -> float:
         t0 = time.perf_counter()
         fn()
         times.append(time.perf_counter() - t0)
-    return statistics.mean(times)
+    return statistics.median(times)
 
 
 def bench_duckdb(sf_dir: str, names, iters: int = ITERS) -> dict[str, float]:

@@ -61,17 +61,17 @@ CONTAM_MAX_DF = 20
 
 
 def _hash_bucket(col, salt: str, mod: int = 100):
-    """Deterministic uniform bucket in [0, mod): first 4 hex digits of
+    """Deterministic uniform bucket in [0, mod): first 12 hex digits of
     md5(salt || key) as an integer, mod ``mod``. Identical in DuckDB as
-    ('0x' || substr(md5(concat(salt, key)), 1, 4))::BIGINT % mod, so
-    oracles verify row membership exactly. 16 bits ≫ mod=100 keeps
-    bucket skew < 0.4%."""
+    ('0x' || substr(md5(concat(salt, key)), 1, 12))::BIGINT % mod, so
+    oracles verify row membership exactly. 48 bits ≫ any mod used here
+    (percent buckets and 2^30 shuffle keys alike)."""
     h = F.md5(F.concat(F.lit(salt), col.cast("string")))
-    return F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % mod
+    return F.conv(F.substring(h, 1, 12), 16, 10).cast("long") % mod
 
 
 def _sql_bucket(expr: str, salt: str, mod: int = 100) -> str:
-    return f"(('0x' || substr(md5('{salt}' || CAST({expr} AS VARCHAR)), 1, 4))::BIGINT % {mod})"
+    return f"(('0x' || substr(md5('{salt}' || CAST({expr} AS VARCHAR)), 1, 12))::BIGINT % {mod})"
 
 
 def assign_split(docs: DataFrame, key: str = "doc_id") -> DataFrame:
@@ -162,6 +162,53 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     one, and shards parallelize across executors."""
     d = load_table(spark, sf_dir, "documents")
     return pack_documents(d).orderBy("source", "pack_id")
+
+
+#: Fixed sample size per source for the reservoir-style sample.
+RESERVOIR_K = 10
+
+
+def doc_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size sample (K docs) per source: rank rows
+    within each source by a salted hash of doc_id and keep the first K —
+    the reproducible analog of per-stratum reservoir sampling (same
+    sample on every run, backfill, and partial retry, unlike an actual
+    reservoir's arrival-order dependence).
+
+    Scale shape: one window per source shard (parallel across shards,
+    K ≪ shard size so the shuffle carries only rank candidates after
+    partial TopK pushdown via WindowGroupLimit in Spark 3.5+/4.x)."""
+    d = load_table(spark, sf_dir, "documents")
+    order = _hash_bucket(F.col("doc_id"), "res:", 1 << 30)
+    w = Window.partitionBy("source").orderBy(order.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "source", "lang")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= RESERVOIR_K)
+        .select("source", "rk", "doc_id", "lang")
+        .orderBy("source", "rk")
+    )
+
+
+def doc_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global training order: every epoch's document order
+    is a pure function of (salt, doc_id) — rank by salted hash. Returns
+    the first 50 positions (the head of the epoch-0 order).
+
+    At 100 TB you never materialize a total order: the same hash is the
+    *sort key within each output shard* (repartitionByRange on it gives
+    a globally shuffled sharding); the total-order rank here exists to
+    make the semantics oracle-checkable."""
+    d = load_table(spark, sf_dir, "documents")
+    order = _hash_bucket(F.col("doc_id"), "epoch0:", 1 << 30)
+    w = Window.orderBy(order.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", order.alias("shuffle_key"))
+        .withColumn("position", F.row_number().over(w).cast("long"))
+        .filter(F.col("position") <= 50)
+        .select("position", "doc_id", "shuffle_key")
+        .orderBy("position")
+    )
 
 
 def _doc_ngrams(d: DataFrame) -> DataFrame:
@@ -257,6 +304,30 @@ ORACLES: dict[str, str] = {
         GROUP BY 1, 2
         ORDER BY 1, 2
     """,
+    "doc_reservoir_per_source": f"""
+        SELECT source, rk, doc_id, lang FROM (
+            SELECT source, doc_id, lang,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY {_sql_bucket("doc_id", "res:", 1 << 30)} ASC, doc_id ASC
+                   ) AS rk
+            FROM documents
+        )
+        WHERE rk <= {RESERVOIR_K}
+        ORDER BY source, rk
+    """,
+    "doc_global_shuffle": f"""
+        SELECT position, doc_id, shuffle_key FROM (
+            SELECT doc_id,
+                   {_sql_bucket("doc_id", "epoch0:", 1 << 30)} AS shuffle_key,
+                   ROW_NUMBER() OVER (
+                       ORDER BY {_sql_bucket("doc_id", "epoch0:", 1 << 30)} ASC, doc_id ASC
+                   ) AS position
+            FROM documents
+        )
+        WHERE position <= 50
+        ORDER BY position
+    """,
     "benchmark_contamination": f"""
         WITH grams AS (
             SELECT doc_id, unnest(list_distinct(list_transform(
@@ -284,5 +355,7 @@ QUERIES = {
     "doc_train_test_split": doc_train_test_split,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_pack_sequences": doc_pack_sequences,
+    "doc_reservoir_per_source": doc_reservoir_per_source,
+    "doc_global_shuffle": doc_global_shuffle,
     "benchmark_contamination": benchmark_contamination,
 }
