@@ -20,6 +20,7 @@ from mini_log_lakehouse_spark.functions.text import (
     distinct_token_count,
     quality_score,
     token_count,
+    token_shingles,
     ws_tokens,
 )
 from mini_log_lakehouse_spark.sources.registry import load_table
@@ -134,6 +135,55 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _max_run_length(sorted_arr) -> F.Column:
+    """Longest run of equal adjacent elements in a *sorted* array ==
+    the count of the most frequent element. One O(n) fold (aggregate
+    with (prev, run, best) struct state) — no per-token explode, no
+    O(n·distinct) nested scan, so a 100k-token document costs one pass."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition signals: duplicate bigram /
+    trigram fraction and most-frequent-token share, plus the resulting
+    keep/drop flag (the standard repetition filter in training-data
+    pipelines; thresholds are the survey defaults, rational arithmetic
+    only so the oracle reproduces doubles bit-for-bit). All signals are
+    per-row array expressions — a map-only pass at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    g2 = token_shingles(F.col("text"), 2)
+    g3 = token_shingles(F.col("text"), 3)
+    dup2 = F.lit(1.0) - F.array_size(F.array_distinct(g2)) / F.array_size(g2)
+    dup3 = F.lit(1.0) - F.array_size(F.array_distinct(g3)) / F.array_size(g3)
+    top_frac = _max_run_length(F.array_sort(toks)) / F.array_size(toks)
+    out = d.select(
+        "doc_id",
+        F.array_size(toks).cast("long").alias("n_tokens"),
+        F.round(dup2, 6).alias("dup_2gram_ratio"),
+        F.round(dup3, 6).alias("dup_3gram_ratio"),
+        F.round(top_frac, 6).alias("top_token_frac"),
+    )
+    keep = (
+        (F.col("dup_2gram_ratio") < 0.9)
+        & (F.col("dup_3gram_ratio") < 0.8)
+        & (F.col("top_token_frac") < 0.3)
+    )
+    return out.select("*", keep.cast("int").alias("keep")).orderBy("doc_id")
+
+
 def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexicon-hit language ID: score = |tokens ∩ lexicon(lang)| per
     language, predict the argmax (alphabetical tiebreak), compare with the
@@ -237,6 +287,43 @@ ORACLES: dict[str, str] = {
         FROM c
         ORDER BY doc_id, chunk_idx
     """,
+    # Shingle expressions mirror functions/text.py token_shingles exactly
+    # (shortened tail grams via greatest(n-k,1) included); the
+    # most-frequent-token count is relational here (GROUP BY token) ==
+    # the Spark side's sorted-run fold, by construction.
+    "doc_repetition_stats": f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   list_transform(range(1, greatest(len(toks)-1, 1)+1),
+                                  i -> array_to_string(list_slice(toks, i, i+1), ' ')) AS g2,
+                   list_transform(range(1, greatest(len(toks)-2, 1)+1),
+                                  i -> array_to_string(list_slice(toks, i, i+2), ' ')) AS g3
+            FROM t
+        ), top AS (
+            SELECT doc_id, MAX(c) AS top_cnt FROM (
+                SELECT doc_id, tok, COUNT(*) AS c
+                FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+                GROUP BY 1, 2
+            )
+            GROUP BY 1
+        ), stats AS (
+            SELECT g.doc_id,
+                   CAST(g.n_tokens AS BIGINT) AS n_tokens,
+                   ROUND(1.0 - len(list_distinct(g.g2)) * 1.0 / len(g.g2), 6) AS dup_2gram_ratio,
+                   ROUND(1.0 - len(list_distinct(g.g3)) * 1.0 / len(g.g3), 6) AS dup_3gram_ratio,
+                   ROUND(top.top_cnt * 1.0 / g.n_tokens, 6) AS top_token_frac
+            FROM grams g JOIN top USING (doc_id)
+        )
+        SELECT *,
+               CASE WHEN dup_2gram_ratio < 0.9 AND dup_3gram_ratio < 0.8
+                         AND top_token_frac < 0.3
+                    THEN 1 ELSE 0 END AS keep
+        FROM stats
+        ORDER BY doc_id
+    """,
     # Lexicon argmax mirrored in SQL: score = |distinct tokens ∩ lexicon|
     # per language; argmax with alphabetical tiebreak via list_sort over
     # (neg_score, lang) structs — the same (-score, lang) ordering trick
@@ -278,4 +365,5 @@ QUERIES = {
     "doc_quality_scores": doc_quality_scores,
     "doc_lang_id": doc_lang_id,
     "doc_chunks": doc_chunks,
+    "doc_repetition_stats": doc_repetition_stats,
 }
