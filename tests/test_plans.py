@@ -79,3 +79,13 @@ def test_revenue_aggregates_below_join(spark, sf_dir):
     # the orderkey-grain aggregate is the distinctive marker of the
     # agg-below-join shape (its keys are the join key, not the group key)
     assert "HashAggregate(keys=[l_orderkey" in plan
+
+
+def test_reservoir_sample_uses_window_group_limit(spark, sf_dir):
+    # the per-source rank<=K filter must push a WindowGroupLimit below the
+    # full window sort (Spark 3.5+/4.x): each shard forwards only ~K
+    # candidate rows into the shuffle instead of every row.
+    from mini_log_lakehouse_spark.operators import sampling
+
+    plan = _plan(sampling.doc_reservoir_per_source(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
