@@ -15,10 +15,11 @@ Design for 100 TB:
 - **Verification is exact** on candidate pairs only (Jaccard over shingle
   sets / hamming over simhash), never all-pairs.
 
-Hash functions are Spark built-ins (xxhash64 with a seed column), so the
-whole pipeline is deterministic run-to-run — but not shared with DuckDB,
-hence these queries are rows-only checks for the driver (the exact-dedup
-summary and the cosine near-dup have true SQL oracles).
+Shingle hashing uses the cross-engine md5-prefix hash
+(functions/hashing.py) and band/block keys compare raw signature values
+(no engine-private hash anywhere), so MinHash and SimHash are exactly
+reproducible in DuckDB — every query in this module has a full
+relational oracle, including the LSH candidate generation itself.
 """
 
 from __future__ import annotations
@@ -26,6 +27,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mini_log_lakehouse_spark.functions.hashing import (
+    portable_hash48,
+    sql_portable_hash48,
+)
 from mini_log_lakehouse_spark.functions.text import char_shingles
 from mini_log_lakehouse_spark.functions.vector import cosine
 from mini_log_lakehouse_spark.sources.registry import load_table
@@ -78,17 +83,19 @@ def _affine_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
 
 
 def minhash_base_hashes(text_col, shingle_n: int = 5) -> Column:
-    """array<bigint>: xxhash64 of each distinct char shingle, reduced mod
-    2^31−1. This is the expensive part of a MinHash signature (string
-    hashing over ~|text| shingles) and MUST be materialized as a real
-    column before fanning out into the K affine folds — inlining it into
-    each of the K ``array_min(transform(...))`` elements re-hashes every
-    shingle K times, because higher-order functions defeat Catalyst's
-    common-subexpression elimination (measured: 24s → ~1s at sf0.1)."""
+    """array<bigint>: portable 48-bit md5-prefix hash of each distinct
+    char shingle, reduced mod 2^31−1 (cross-engine — the DuckDB oracle
+    recomputes identical values; see functions/hashing.py). This is the
+    expensive part of a MinHash signature (string hashing over ~|text|
+    shingles) and MUST be materialized as a real column before fanning
+    out into the K affine folds — inlining it into each of the K
+    ``array_min(transform(...))`` elements re-hashes every shingle K
+    times, because higher-order functions defeat Catalyst's common-
+    subexpression elimination (measured: 24s → ~1s at sf0.1)."""
     shingles = F.array_distinct(char_shingles(text_col, shingle_n))
     return F.transform(
         shingles,
-        lambda s: F.xxhash64(s).bitwiseAND(F.lit((1 << 62) - 1)) % F.lit(_MERSENNE31),
+        lambda s: portable_hash48(s) % F.lit(_MERSENNE31),
     )
 
 
@@ -135,25 +142,31 @@ def _cached_expr(key: tuple, build) -> Column:
 
 
 def _banded(sigs: DataFrame, id_col: str, sig_col: str = "sig") -> DataFrame:
-    """Explode a signature into NARROW (id, band, band_hash) bucket rows.
+    """Explode a signature into NARROW (id, band, band_key) bucket rows.
 
     Deliberately does NOT carry the K-long signature: band rows are what
-    shuffles through the self-join, and (id, band, hash) is ~24 B/row vs
-    ~0.5 KB/row with the signature attached — a 20× smaller shuffle. The
-    estimate join downstream re-reads the *materialized* signature table
-    instead (see minhash_candidate_pairs)."""
+    shuffles through the self-join, and (id, band, 4-long key) is
+    ~40 B/row vs ~0.5 KB/row with the signature attached — a 12× smaller
+    shuffle. The estimate join downstream re-reads the *materialized*
+    signature table instead (see minhash_candidate_pairs).
+
+    The bucket key is the band's raw ROWS_PER_BAND signature values as a
+    struct, not a hash of them: struct equality shuffles a few extra
+    bytes but makes bucketing collision-free and bit-identical to the
+    relational oracle's tuple comparison (a hashed key could pair docs
+    whose band values differ but collide)."""
     bands = _cached_expr(
         ("minhash_bands", sig_col),
         lambda: F.array(
             *[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.xxhash64(
+                    F.struct(
                         *[
-                            F.col(sig_col)[b * MINHASH_ROWS + r]
+                            F.col(sig_col)[b * MINHASH_ROWS + r].alias(f"v{r}")
                             for r in range(MINHASH_ROWS)
                         ]
-                    ).alias("band_hash"),
+                    ).alias("band_key"),
                 )
                 for b in range(MINHASH_BANDS)
             ]
@@ -162,7 +175,7 @@ def _banded(sigs: DataFrame, id_col: str, sig_col: str = "sig") -> DataFrame:
     return sigs.select(id_col, F.explode(bands).alias("bk")).select(
         id_col,
         F.col("bk.band").alias("band"),
-        F.col("bk.band_hash").alias("band_hash"),
+        F.col("bk.band_key").alias("band_key"),
     )
 
 
@@ -213,7 +226,7 @@ def minhash_candidate_pairs(
         a.join(
             bb,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
@@ -321,26 +334,57 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- SimHash ------------------------------------------------------------------
 
+#: SimHash width: 96 bits as two 48-bit words, both carved from ONE md5
+#: per shingle (functions/hashing.py) — every signature bit comes from a
+#: hash both engines can compute. 96 (not 48) because near-dup edits
+#: move ~15-25% of the bits with 5-char shingles: at 48 bits that puts
+#: single-word edits at hamming ~10, where an 8-bit block scheme has
+#: near-coin-flip recall; at 96 bits the same edit disperses over 12
+#: blocks and ≥2 clean blocks is reliable (measured: planted edits at
+#: hamming 16/96 keep 2-3 clean blocks, unrelated docs sit at ~50).
+SIMHASH_WORD_BITS = 48
+SIMHASH_WORDS = 2
+SIMHASH_BITS = SIMHASH_WORD_BITS * SIMHASH_WORDS  # 96
+SIMHASH_BLOCKS = 12
+_SIMHASH_BLOCK_BITS = SIMHASH_BITS // SIMHASH_BLOCKS  # 8
+_BLOCKS_PER_WORD = SIMHASH_BLOCKS // SIMHASH_WORDS  # 6
+#: Default near-dup budget: 25% of the bit width, same ratio as the
+#: classic 16-of-64 setting (planted single-word edits land at ~17%,
+#: unrelated docs at ~50% — see tests/test_llm_ops.py).
+SIMHASH_MAX_HAMMING = 24
+
+
 def simhash_base_hashes(text_col, shingle_n: int = 5) -> Column:
-    """array<bigint>: xxhash64 of each distinct char shingle — the
-    expensive string-hash pass of a SimHash. Materialize as a real column
-    before the 64 bit-vote folds (same CSE-defeat hazard as
-    minhash_base_hashes)."""
+    """array<string>: md5 hex of each distinct char shingle — the
+    expensive string-hash pass of a SimHash, ONE md5 per shingle (both
+    48-bit words are carved from it afterwards). Materialize as a real
+    column before the per-word conv extraction and the 96 bit-vote folds
+    (same CSE-defeat hazard as minhash_base_hashes)."""
     shingles = F.array_distinct(char_shingles(text_col, shingle_n))
-    return F.transform(shingles, lambda s: F.xxhash64(s))
+    return F.transform(shingles, lambda s: F.md5(s))
+
+
+def simhash_word_hashes(md5_col, word: int) -> Column:
+    """array<bigint>: one 48-bit word of each md5 in a *materialized*
+    md5-hex array (cheap substring+conv pass, no re-hashing)."""
+    off = 1 + word * 12
+    return F.transform(
+        md5_col, lambda h: F.conv(F.substring(h, off, 12), 16, 10).cast("long")
+    )
 
 
 def simhash_from_base(hashes_col) -> Column:
-    """64-bit SimHash from a *materialized* shingle-hash array, per-row
-    (no explode). bit j = 1 iff Σ_shingles (±1 by hash bit j) > 0;
-    computed as: for each bit, count of shingles with bit set vs total."""
+    """One 48-bit SimHash word from a *materialized* shingle-hash array,
+    per-row (no explode). bit j = 1 iff Σ_shingles (±1 by hash bit j)
+    > 0; computed as: for each bit, count of shingles with bit set vs
+    total."""
     n = F.array_size(hashes_col)
     # popcount per bit position: sum over shingles of bit j (closure
     # factory — see minhash_from_base note on lambda arity)
     def vote(j: int):
         return lambda acc, h: acc + F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("int")
 
-    bit_votes = [F.aggregate(hashes_col, F.lit(0), vote(j)) for j in range(64)]
+    bit_votes = [F.aggregate(hashes_col, F.lit(0), vote(j)) for j in range(SIMHASH_WORD_BITS)]
     out = F.lit(0).cast("long")
     for j, votes in enumerate(bit_votes):
         bit = F.when(votes * 2 > n, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
@@ -348,69 +392,86 @@ def simhash_from_base(hashes_col) -> Column:
     return out
 
 
-def simhash64(text_col, shingle_n: int = 5) -> Column:
-    """Single-Column convenience form (shingle hashing inlined 64× — use
-    simhash_base_hashes + simhash_from_base across a select boundary in
-    pipelines)."""
-    return simhash_from_base(simhash_base_hashes(text_col, shingle_n))
+def simhash96(text_col, shingle_n: int = 5) -> Column:
+    """struct<w0,w1> convenience form (shingle hashing inlined 96× — use
+    simhash_base_hashes + simhash_word_hashes + simhash_from_base across
+    select boundaries in pipelines)."""
+    base = simhash_base_hashes(text_col, shingle_n)
+    return F.struct(
+        simhash_from_base(simhash_word_hashes(base, 0)).alias("w0"),
+        simhash_from_base(simhash_word_hashes(base, 1)).alias("w1"),
+    )
 
 
 def simhash_near_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 16,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+    """Near-dup pairs by 96-bit SimHash hamming distance ≤ max_hamming.
 
     Empirically (planted near-dups in tests): single-word edits land at
-    hamming 9-14 over 5-char shingles, unrelated docs at 30+, so 16 is a
-    comfortable default.
+    hamming ~16 over 5-char shingles at 96 bits, unrelated docs at ~50,
+    so 24 (25% of the width) is a comfortable default.
 
-    Candidate generation: split the 64-bit simhash into 8 8-bit blocks
-    and key on every C(8,2)=28 block *pair* (the multi-table scheme from
-    the simhash near-dup literature). A true pair is surfaced whenever ≥2
-    blocks are untouched — for ~12 random bit flips the expected clean
-    blocks ≈ 1.8, so recall stays high where a naive 4×16 chunk split
-    (needing one fully-clean 16-bit chunk) misses. 28 small keys per doc,
-    verified exactly with bit_count(xor)."""
+    Candidate generation: split the simhash into 12 8-bit blocks and key
+    on every C(12,2)=66 block *pair* (the multi-table scheme from the
+    simhash near-dup literature). A true pair is surfaced whenever ≥2
+    blocks are untouched — guaranteed for hamming ≤ 10, and reliable
+    well past it because shingle-level edits disperse across both words
+    (measured: planted pairs keep 2-3 clean blocks at hamming 16). The
+    16-bit composite keys keep bucket cardinality high (~65k per table),
+    so buckets stay small at 100 TB — the reason NOT to chase a hard
+    recall guarantee with 4-bit blocks, whose 256-value keys would
+    collapse every table into quadratic buckets. Verified exactly with
+    bit_count(xor) per word."""
     from mini_log_lakehouse_spark.session import default_parallelism
 
-    # SimHash (64 bit-vote folds per row) is CPU-bound — see the matching
+    # SimHash (96 bit-vote folds per row) is CPU-bound — see the matching
     # note in minhash_candidate_pairs.
     docs = docs.repartition(default_parallelism(), F.col(id_col))
-    # Materialize once: the 64 bit-vote folds are the expensive part and
-    # the self-join below would otherwise run them for each side.
-    sh_base = _cached_expr(
-        ("simhash_base", text_col), lambda: simhash_base_hashes(F.col(text_col))
+    # Three materialization boundaries: md5 once per shingle, then the
+    # cheap per-word conv extraction, then the bit-vote folds read
+    # materialized longs — and the result is checkpointed because the
+    # self-join below would otherwise recompute it for each side.
+    md5_expr = _cached_expr(
+        ("simhash_md5", text_col), lambda: simhash_base_hashes(F.col(text_col))
     )
-    sh_expr = _cached_expr(
-        ("simhash", "_base"), lambda: simhash_from_base(F.col("_base"))
-    )
+    w0_expr = _cached_expr(("simhash_w0", "_m"), lambda: simhash_word_hashes(F.col("_m"), 0))
+    w1_expr = _cached_expr(("simhash_w1", "_m"), lambda: simhash_word_hashes(F.col("_m"), 1))
+    s0_expr = _cached_expr(("simhash_s0", "_b0"), lambda: simhash_from_base(F.col("_b0")))
+    s1_expr = _cached_expr(("simhash_s1", "_b1"), lambda: simhash_from_base(F.col("_b1")))
     sh = (
-        docs.select(F.col(id_col), sh_base.alias("_base"))
-        .select(F.col(id_col), sh_expr.alias("simhash"))
+        docs.select(F.col(id_col), md5_expr.alias("_m"))
+        .select(F.col(id_col), w0_expr.alias("_b0"), w1_expr.alias("_b1"))
+        .select(F.col(id_col), s0_expr.alias("sim0"), s1_expr.alias("sim1"))
         .localCheckpoint()
     )
 
     def block(i: int):
-        return F.shiftright("simhash", i * 8).bitwiseAND(F.lit(0xFF))
+        word = "sim0" if i < _BLOCKS_PER_WORD else "sim1"
+        return F.shiftright(word, (i % _BLOCKS_PER_WORD) * _SIMHASH_BLOCK_BITS).bitwiseAND(
+            F.lit(0xFF)
+        )
 
     keys = F.array(
         *[
             F.struct(
-                F.lit(i * 8 + j).alias("tbl"),
+                F.lit(i * SIMHASH_BLOCKS + j).alias("tbl"),
                 (block(i) * 256 + block(j)).alias("ckey"),
             )
-            for i in range(8)
-            for j in range(i + 1, 8)
+            for i in range(SIMHASH_BLOCKS)
+            for j in range(i + 1, SIMHASH_BLOCKS)
         ]
     )
-    banded = sh.select(id_col, "simhash", F.explode(keys).alias("ck")).select(
-        id_col, "simhash", F.col("ck.tbl").alias("tbl"), F.col("ck.ckey").alias("ckey")
+    banded = sh.select(id_col, "sim0", "sim1", F.explode(keys).alias("ck")).select(
+        id_col, "sim0", "sim1", F.col("ck.tbl").alias("tbl"), F.col("ck.ckey").alias("ckey")
     )
     a, b = banded.alias("a"), banded.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    hamming = F.bit_count(F.col("a.sim0").bitwiseXOR(F.col("b.sim0"))) + F.bit_count(
+        F.col("a.sim1").bitwiseXOR(F.col("b.sim1"))
+    )
     return (
         a.join(
             b,
@@ -638,10 +699,117 @@ ORACLES.update(
         GROUP BY 1
         ORDER BY 1
     """,
-        # minhash / simhash use Spark hash functions — no SQL oracle; driver
-        # records rows-only checks (deterministic run-to-run).
     }
 )
+
+#: Portable shingle base hashes, as DuckDB expressions over the `sh`
+#: CTE's shingle array (same substring grammar as _PAIR_CTES).
+_SQL_SHINGLES = """
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(length(text) - 4, 1)),
+                       i -> substring(text, i, 5))) AS sh
+            FROM documents
+        )
+"""
+
+_SQL_MINHASH_BASE = (
+    f"list_transform(sh, s -> {sql_portable_hash48('s')} % {_MERSENNE31})"
+)
+
+#: The K affine folds with the exact coefficients of _affine_params —
+#: the oracle *is* the Spark computation, re-stated relationally.
+_SQL_MINHASH_SIG = (
+    "["
+    + ",\n                   ".join(
+        f"list_min(list_transform(b, x -> (x * {a}::BIGINT + {b}) % {_MERSENNE31}))"
+        for a, b in _affine_params(MINHASH_K)
+    )
+    + "]"
+)
+
+#: Band agreement over the raw signature tuples (1-indexed lists): a pair
+#: is an LSH candidate iff some band's ROWS_PER_BAND values all agree —
+#: exactly the _banded struct-key join, with zero hashing in between.
+_SQL_BAND_MATCH = (
+    f"len(list_filter(generate_series(0, {MINHASH_BANDS - 1}), bnd -> "
+    + " AND ".join(
+        f"a.sig[bnd*{MINHASH_ROWS}+{r + 1}] = b.sig[bnd*{MINHASH_ROWS}+{r + 1}]"
+        for r in range(MINHASH_ROWS)
+    )
+    + ")) > 0"
+)
+
+_SQL_SIG_AGREE = (
+    f"len(list_filter(generate_series(1, {MINHASH_K}), i -> a.sig[i] = b.sig[i]))"
+)
+
+ORACLES["dedup_minhash_pairs"] = f"""
+        WITH {_SQL_SHINGLES},
+        base AS (
+            SELECT doc_id, {_SQL_MINHASH_BASE} AS b FROM sh
+        ),
+        sigs AS (
+            SELECT doc_id, {_SQL_MINHASH_SIG} AS sig FROM base
+        )
+        SELECT a.doc_id AS id_a,
+               b.doc_id AS id_b,
+               ROUND({_SQL_SIG_AGREE} / {MINHASH_K}.0, 6) AS est_jaccard
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE {_SQL_BAND_MATCH}
+          AND {_SQL_SIG_AGREE} * 2 >= {MINHASH_K}
+        ORDER BY id_a, id_b
+"""
+
+#: SimHash oracle: recompute both 48-bit vote words per doc with list
+#: folds, then all-pairs (driver scale) with the ≥2-equal-blocks
+#: candidate rule — provably the same pair set as the 66 block-pair
+#: keys (a pair shares ≥1 block-pair key ⟺ ≥2 of its 12 blocks agree).
+def _sql_simhash_word(word: int) -> str:
+    return f"""CAST(list_sum(list_transform(generate_series(0, {SIMHASH_WORD_BITS - 1}), j ->
+                       CASE WHEN 2 * len(list_filter(h{word}, x -> (x >> j) & 1 = 1)) > n
+                            THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT)"""
+
+
+_SQL_SIMHASH = f"""
+        hs AS (
+            SELECT doc_id,
+                   list_transform(sh, s -> {sql_portable_hash48('s', 0)}) AS h0,
+                   list_transform(sh, s -> {sql_portable_hash48('s', 1)}) AS h1,
+                   len(sh) AS n
+            FROM sh
+        ),
+        sims AS (
+            SELECT doc_id,
+                   {_sql_simhash_word(0)} AS s0,
+                   {_sql_simhash_word(1)} AS s1
+            FROM hs
+        )
+"""
+
+_SQL_CLEAN_BLOCKS = " + ".join(
+    f"len(list_filter(generate_series(0, {_BLOCKS_PER_WORD - 1}), i -> "
+    f"(a.s{w} >> (i * {_SIMHASH_BLOCK_BITS})) & 255 "
+    f"= (b.s{w} >> (i * {_SIMHASH_BLOCK_BITS})) & 255))"
+    for w in range(SIMHASH_WORDS)
+)
+
+_SQL_HAMMING = " + ".join(
+    f"bit_count(xor(a.s{w}, b.s{w}))" for w in range(SIMHASH_WORDS)
+)
+
+ORACLES["dedup_simhash_pairs"] = f"""
+        WITH {_SQL_SHINGLES},
+        {_SQL_SIMHASH.strip()}
+        SELECT a.doc_id AS id_a,
+               b.doc_id AS id_b,
+               CAST({_SQL_HAMMING} AS INTEGER) AS hamming
+        FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        WHERE {_SQL_CLEAN_BLOCKS} >= 2
+          AND {_SQL_HAMMING} <= {SIMHASH_MAX_HAMMING}
+        ORDER BY id_a, id_b
+"""
 
 QUERIES = {
     "dedup_exact_summary": dedup_exact_summary,
