@@ -300,6 +300,107 @@ def setop_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.subtract(s).orderBy("nationkey")
 
 
+# --- classic multi-join shapes (TPC-H Q3/Q4/Q5 analogs) ---------------------
+
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem,
+    revenue top-10 of unshipped orders.
+
+    Scale plan: lineitem collapses to orderkey grain FIRST (the ship-date
+    filter plus partial agg shrink the big side before any join), the
+    segment filter prunes customers before the orders join, and the final
+    TakeOrderedAndProject carries a full tiebreak (orderkey) so top-10 is
+    deterministic under any partitioning."""
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    per_order = l.groupBy("l_orderkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(19,10)")
+        ).alias("_rev")
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(per_order, F.col("o_orderkey") == per_order.l_orderkey)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .orderBy(F.desc("revenue"), "orderdate", "orderkey")
+        .limit(10)
+    )
+
+
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join feeding an aggregate — orders in
+    one quarter with ≥1 late-shipped lineitem, counted by priority.
+
+    The semi join never widens rows (no dedup needed afterwards) and the
+    quarter filter lands in PushedFilters on the orders scan."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return (
+        late.groupBy(F.col("o_orderpriority").alias("orderpriority"))
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("orderpriority")
+    )
+
+
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join (lineitem ⋈ orders ⋈ customer ⋈
+    supplier ⋈ nation ⋈ region) with the local-supplier condition
+    (supplier and customer share a nation), revenue by nation.
+
+    Scale plan: region+nation broadcast (tiny at any SF) and prune
+    suppliers/customers to the region BEFORE the fact joins; the only
+    shuffles are the two fact-fact joins on orderkey/custkey, and the
+    supplier join adds the nation-equality as a join-key conjunct (no
+    post-filter on a wider join)."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    c = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(n.select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(
+            s,
+            (F.col("l_suppkey") == s.s_suppkey)
+            & (F.col("c_nationkey") == s.s_nationkey),
+        )
+    )
+    return (
+        joined.groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            _money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "nation")
+    )
+
+
 # --- grouping extensions ----------------------------------------------------
 
 def orders_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -456,6 +557,49 @@ ORACLES: dict[str, str] = {
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
     """,
+    "tpch_q3_shipping_priority": """
+        SELECT o.o_orderkey AS orderkey,
+               ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) AS DOUBLE), 2) AS revenue,
+               o.o_orderdate AS orderdate,
+               o.o_orderpriority AS orderpriority
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY 1, 3, 4
+        ORDER BY revenue DESC, orderdate, orderkey
+        LIMIT 10
+    """,
+    "tpch_q4_order_priority": """
+        SELECT o_orderpriority AS orderpriority,
+               COUNT(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+          )
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    "tpch_q5_local_supplier_volume": """
+        SELECT n.n_name AS nation,
+               ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) AS DOUBLE), 2) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY 1
+        ORDER BY revenue DESC, nation
+    """,
 }
 
 QUERIES = {
@@ -474,4 +618,7 @@ QUERIES = {
     "setop_intersect_nations": setop_intersect_nations,
     "setop_except_nations": setop_except_nations,
     "orders_rollup_status_priority": orders_rollup_status_priority,
+    "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
+    "tpch_q4_order_priority": tpch_q4_order_priority,
+    "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
 }

@@ -89,3 +89,21 @@ def test_reservoir_sample_uses_window_group_limit(spark, sf_dir):
 
     plan = _plan(sampling.doc_reservoir_per_source(spark, sf_dir))
     assert "WindowGroupLimit" in plan
+
+
+def test_q3_aggregates_lineitem_below_join(spark, sf_dir):
+    # the Q3 shape must collapse lineitem to orderkey grain before any
+    # join, and plan the top-10 as TakeOrderedAndProject.
+    plan = _plan(rel_ops.tpch_q3_shipping_priority(spark, sf_dir))
+    assert "HashAggregate(keys=[l_orderkey" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q5_region_dims_broadcast_and_filter_pushed(spark, sf_dir):
+    # region/nation prune the customer side via broadcast joins, the
+    # region filter reaches the region scan, and the supplier join takes
+    # the nation-equality as a join key (no post-join filter on it).
+    plan = _plan(rel_ops.tpch_q5_local_supplier_volume(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "s_nationkey" in [l for l in plan.splitlines() if "Join" in l and "s_suppkey" in l][0]
