@@ -38,6 +38,12 @@ HEADLINE = (
     "ann_knn_join",
 )
 
+#: Oracles that are deliberately quadratic (all-pairs in SQL) — correct
+#: as a gate at sf0.01, but not a meaningful performance baseline: the
+#: Spark side is banded LSH (near-linear), the SQL restatement is O(n²)
+#: by design and would run for hours at the scaled leg.
+BASELINE_SKIP = frozenset({"dedup_minhash_pairs", "dedup_simhash_pairs"})
+
 WARMUP = 1
 ITERS = int(os.environ.get("BENCH_ITERS", "5"))
 
@@ -78,7 +84,7 @@ def bench_duckdb(sf_dir: str, names, iters: int = ITERS) -> dict[str, float]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     out = {}
     for name in names:
-        if name not in ORACLES:
+        if name not in ORACLES or name in BASELINE_SKIP:
             continue
         sql = ORACLES[name]
         out[name] = round(time_fn(lambda: con.execute(sql).fetchall(), iters=iters), 4)

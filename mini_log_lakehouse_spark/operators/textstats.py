@@ -184,6 +184,89 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("*", keep.cast("int").alias("keep")).orderBy("doc_id")
 
 
+#: PII detector patterns — metacharacter-conservative so Java regex
+#: (Spark) and RE2 (DuckDB) agree: no lookaround, no \s (engines differ
+#: on vertical tab), only literal classes / bounded quantifiers / \b.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d{1,3}[- ]?\(?\d{3}\)?[- ]?\d{3}[- ]?\d{4}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "long_id": r"\b\d{9,}\b",
+}
+PII_SENTINELS: dict[str, str] = {
+    "email": "<EMAIL>",
+    "phone": "<PHONE>",
+    "ipv4": "<IP>",
+    "long_id": "<ID>",
+}
+#: Redaction applies patterns in this order (emails before phones before
+#: IPs before bare digit runs) — the order matters because a later
+#: pattern could match inside an earlier match's text; both engines
+#: replace in the same sequence so fingerprints stay identical.
+PII_REDACTION_ORDER = ("email", "phone", "ipv4", "long_id")
+
+
+def pii_count(col, kind: str) -> F.Column:
+    """Occurrences of one PII pattern in a text column (raw text —
+    counts are independent per pattern, detector-metric style)."""
+    return F.array_size(F.regexp_extract_all(col, F.lit(PII_PATTERNS[kind]), F.lit(0)))
+
+
+def redact_pii(col) -> F.Column:
+    """Replace every PII match with its typed sentinel, in
+    PII_REDACTION_ORDER. Pure regexp_replace chain — codegen'd, map-only
+    at any scale."""
+    out = col
+    for kind in PII_REDACTION_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], PII_SENTINELS[kind])
+    return out
+
+
+def doc_pii_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII scrub signals: per-type match counts, the
+    redacted-content fingerprint (what a curation pipeline would store in
+    place of raw text), and a ``clean`` flag. One map-only scan."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    counts = {k: pii_count(t, k).cast("long") for k in PII_REDACTION_ORDER}
+    clean = (
+        sum(counts.values(), F.lit(0).cast("long")) == 0
+    )
+    return d.select(
+        "doc_id",
+        *[counts[k].alias(f"n_{k}") for k in PII_REDACTION_ORDER],
+        F.md5(redact_pii(t)).alias("redacted_fingerprint"),
+        clean.cast("int").alias("clean"),
+    ).orderBy("doc_id")
+
+
+#: Whitespace run class — explicit (no \s: Java includes \x0B, RE2 does
+#: not), shared by the Spark expression and the oracle.
+_WS_RUN = r"[ \t\n\r]+"
+
+
+def normalize_text(col) -> F.Column:
+    """Canonical text form: whitespace runs collapsed to single spaces,
+    trimmed, lowercased — the dedup-friendly normalization pass of a
+    training-data pipeline (run it before fingerprinting/shingling so
+    formatting-only variants collapse)."""
+    return F.lower(F.trim(F.regexp_replace(col, _WS_RUN, " ")))
+
+
+def doc_normalized_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-vs-normalized accounting per document: lengths on both sides
+    and the normalized fingerprint (the exact-dedup key after
+    normalization)."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("raw_len"),
+        F.length(norm).cast("long").alias("norm_len"),
+        F.md5(norm).alias("norm_fingerprint"),
+    ).orderBy("doc_id")
+
+
 def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexicon-hit language ID: score = |tokens ∩ lexicon(lang)| per
     language, predict the argmax (alphabetical tiebreak), compare with the
@@ -357,6 +440,43 @@ ORACLES: dict[str, str] = {
     )(LANG_LEXICONS),
 }
 
+#: Sequential redaction chain, innermost-first — same order as
+#: PII_REDACTION_ORDER ('g' flag: DuckDB replaces only the first match
+#: by default, Spark replaces all).
+_SQL_REDACTED = "text"
+for _kind in PII_REDACTION_ORDER:
+    _SQL_REDACTED = (
+        f"regexp_replace({_SQL_REDACTED}, '{PII_PATTERNS[_kind]}', "
+        f"'{PII_SENTINELS[_kind]}', 'g')"
+    )
+
+_SQL_PII_COUNTS = " + ".join(
+    f"len(regexp_extract_all(text, '{PII_PATTERNS[k]}'))" for k in PII_REDACTION_ORDER
+)
+
+ORACLES["doc_pii_signals"] = f"""
+        SELECT doc_id,
+               {", ".join(
+                   f"CAST(len(regexp_extract_all(text, '{PII_PATTERNS[k]}')) AS BIGINT) AS n_{k}"
+                   for k in PII_REDACTION_ORDER
+               )},
+               md5({_SQL_REDACTED}) AS redacted_fingerprint,
+               CASE WHEN {_SQL_PII_COUNTS} = 0 THEN 1 ELSE 0 END AS clean
+        FROM documents
+        ORDER BY doc_id
+"""
+
+_SQL_NORM = r"lower(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')))"
+
+ORACLES["doc_normalized_fingerprints"] = f"""
+        SELECT doc_id,
+               length(text) AS raw_len,
+               length({_SQL_NORM}) AS norm_len,
+               md5({_SQL_NORM}) AS norm_fingerprint
+        FROM documents
+        ORDER BY doc_id
+"""
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_word_histogram": doc_word_histogram,
@@ -366,4 +486,6 @@ QUERIES = {
     "doc_lang_id": doc_lang_id,
     "doc_chunks": doc_chunks,
     "doc_repetition_stats": doc_repetition_stats,
+    "doc_pii_signals": doc_pii_signals,
+    "doc_normalized_fingerprints": doc_normalized_fingerprints,
 }

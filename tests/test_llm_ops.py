@@ -186,3 +186,43 @@ def test_lang_id_on_real_text(spark):
         for r in scored.select("lang", F.array_sort(pairs)[0]["lang"].alias("pred")).collect()
     }
     assert out == {lang: lang for lang in ("en", "de", "es", "fr", "zh")}
+
+
+def test_pii_detection_and_redaction(spark):
+    rows = [
+        (0, "contact me at alice.smith+work@example.co.uk or call +1 (555) 123-4567"),
+        (1, "server at 192.168.1.100 responded, order id 1234567890"),
+        (2, "no sensitive content here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = docs.select(
+        "doc_id",
+        textstats.pii_count(F.col("text"), "email").alias("e"),
+        textstats.pii_count(F.col("text"), "phone").alias("p"),
+        textstats.pii_count(F.col("text"), "ipv4").alias("i"),
+        textstats.pii_count(F.col("text"), "long_id").alias("l"),
+        textstats.redact_pii(F.col("text")).alias("red"),
+    )
+    r = {x["doc_id"]: x for x in out.collect()}
+    assert r[0]["e"] == 1 and r[0]["p"] == 1
+    assert "<EMAIL>" in r[0]["red"] and "<PHONE>" in r[0]["red"]
+    assert "alice" not in r[0]["red"] and "555" not in r[0]["red"]
+    assert r[1]["i"] == 1 and r[1]["l"] == 1
+    assert "<IP>" in r[1]["red"] and "<ID>" in r[1]["red"]
+    assert r[2]["e"] == r[2]["p"] == r[2]["i"] == r[2]["l"] == 0
+    assert r[2]["red"] == rows[2][1]
+
+
+def test_normalize_text_collapses_formatting_variants(spark):
+    docs = spark.createDataFrame(
+        [(0, "  Hello\t\tWorld \n"), (1, "hello world"), (2, "HELLO  WORLD")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", textstats.normalize_text(F.col("text")).alias("n")
+        ).collect()
+    }
+    # all three formatting variants collapse to one canonical form
+    assert out[0] == out[1] == out[2] == "hello world"
