@@ -39,9 +39,13 @@ PORTABLE_HASH_BITS = 48
 #: md5 call (the 96-bit SimHash uses both).
 def portable_hash48(col, word: int = 0) -> Column:
     """48-bit md5-segment hash of a string column (non-negative long)."""
+    if word not in (0, 1):
+        raise ValueError(f"md5 yields 2 disjoint 12-hex-digit words, got word={word}")
     return F.conv(F.substring(F.md5(col), 1 + word * 12, 12), 16, 10).cast("long")
 
 
 def sql_portable_hash48(expr: str, word: int = 0) -> str:
     """DuckDB twin of :func:`portable_hash48` over a SQL expression."""
+    if word not in (0, 1):
+        raise ValueError(f"md5 yields 2 disjoint 12-hex-digit words, got word={word}")
     return f"(('0x' || substr(md5({expr}), {1 + word * 12}, 12))::BIGINT)"

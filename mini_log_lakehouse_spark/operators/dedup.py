@@ -9,7 +9,8 @@ Design for 100 TB:
   no shuffle, no Python; a document's MinHash/SimHash costs one codegen'd
   map pass.
 - **Candidate generation is a bucket join**: explode only the B band keys
-  (B≈16 rows per doc, not |shingles| rows), shuffle on (band, band_hash).
+  (B≈16 rows per doc, not |shingles| rows), shuffle on (band, band_key) —
+  the key being the band's raw signature tuple, not a hash of it.
   Bucket sizes are data-dependent; skewed buckets (boilerplate docs) are
   handled by AQE skew-join splitting.
 - **Verification is exact** on candidate pairs only (Jaccard over shingle
@@ -636,18 +637,23 @@ ORACLES: dict[str, str] = {
     """,
 }
 
-#: Shared all-pairs shingle-Jaccard CTEs (the exact prefix-filter join
-#: provably equals this quadratic form — see ngram_jaccard_pairs).
-#: Shingle generation mirrors char_shingles: substrings at
-#: 1..max(len-n+1, 1), so short/empty texts yield one (short) shingle.
-_PAIR_CTES = """
+#: The one SQL statement of the shingle grammar, shared by every dedup
+#: oracle (Jaccard, MinHash, SimHash): mirrors char_shingles — substrings
+#: at 1..max(len-n+1, 1), so short/empty texts yield one (short) shingle.
+_SQL_SHINGLES = """
         sh AS (
             SELECT doc_id,
                    list_distinct(list_transform(
                        generate_series(1, greatest(length(text) - 4, 1)),
                        i -> substring(text, i, 5))) AS sh
             FROM documents
-        ),
+        )
+"""
+
+#: Shared all-pairs shingle-Jaccard CTEs (the exact prefix-filter join
+#: provably equals this quadratic form — see ngram_jaccard_pairs).
+_PAIR_CTES = f"""
+        {_SQL_SHINGLES.strip()},
         pairs AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    len(list_intersect(a.sh, b.sh)) * 1.0
@@ -702,18 +708,8 @@ ORACLES.update(
     }
 )
 
-#: Portable shingle base hashes, as DuckDB expressions over the `sh`
-#: CTE's shingle array (same substring grammar as _PAIR_CTES).
-_SQL_SHINGLES = """
-        sh AS (
-            SELECT doc_id,
-                   list_distinct(list_transform(
-                       generate_series(1, greatest(length(text) - 4, 1)),
-                       i -> substring(text, i, 5))) AS sh
-            FROM documents
-        )
-"""
-
+#: Portable shingle base hashes, as DuckDB expressions over the shared
+#: `sh` CTE (_SQL_SHINGLES, defined with the Jaccard oracles above).
 _SQL_MINHASH_BASE = (
     f"list_transform(sh, s -> {sql_portable_hash48('s')} % {_MERSENNE31})"
 )

@@ -466,7 +466,7 @@ ORACLES["doc_pii_signals"] = f"""
         ORDER BY doc_id
 """
 
-_SQL_NORM = r"lower(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')))"
+_SQL_NORM = f"lower(trim(regexp_replace(text, '{_WS_RUN}', ' ', 'g')))"
 
 ORACLES["doc_normalized_fingerprints"] = f"""
         SELECT doc_id,

@@ -106,4 +106,6 @@ def test_q5_region_dims_broadcast_and_filter_pushed(spark, sf_dir):
     plan = _plan(rel_ops.tpch_q5_local_supplier_volume(spark, sf_dir))
     assert "PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)" in plan
     assert plan.count("BroadcastHashJoin") >= 2
-    assert "s_nationkey" in [l for l in plan.splitlines() if "Join" in l and "s_suppkey" in l][0]
+    supplier_joins = [l for l in plan.splitlines() if "Join" in l and "s_suppkey" in l]
+    assert supplier_joins, "no join on s_suppkey found in plan"
+    assert "s_nationkey" in supplier_joins[0]
