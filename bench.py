@@ -53,6 +53,12 @@ ITERS = int(os.environ.get("BENCH_ITERS", "5"))
 #: with BENCH_SCALED=0.
 SCALE_FACTOR = int(os.environ.get("BENCH_SCALED", "10"))
 ITERS_SCALED = int(os.environ.get("BENCH_ITERS_SCALED", "3"))
+#: The scaled leg needs 2 warmups, not 1: whole-stage-codegen JIT takes a
+#: couple of executions to reach steady state on the 10× plans (measured:
+#: 2.6 → 1.7 → 1.45 → 1.23s on the same query), and with only 3 measured
+#: iterations a half-warm first run drags the median. Both engines are
+#: timed warm — this reports steady-state throughput, the declared method.
+WARMUP_SCALED = int(os.environ.get("BENCH_WARMUP_SCALED", "2"))
 
 
 def time_fn(fn, warmup: int = WARMUP, iters: int = ITERS) -> float:
@@ -128,7 +134,12 @@ def main() -> None:
         for name in HEADLINE:
             fn = QUERIES[name]
             scaled[name] = round(
-                time_fn(lambda: fn(spark, scaled_dir).collect(), iters=ITERS_SCALED), 4
+                time_fn(
+                    lambda: fn(spark, scaled_dir).collect(),
+                    warmup=WARMUP_SCALED,
+                    iters=ITERS_SCALED,
+                ),
+                4,
             )
         payload["scaled"] = {
             "factor": SCALE_FACTOR,
