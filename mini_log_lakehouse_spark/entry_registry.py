@@ -8,6 +8,7 @@ module; this module only merges and sanity-checks the dicts.
 from __future__ import annotations
 
 from mini_log_lakehouse_spark.operators import (
+    curation,
     dedup,
     events,
     extensions,
@@ -26,6 +27,7 @@ _MODULES = (
     events,
     relational,
     textstats,
+    curation,
     dedup,
     similarity,
     sampling,

@@ -1,0 +1,127 @@
+"""End-to-end corpus curation: the composed keep/drop decision a
+training-data pipeline runs before tokenization, built entirely from the
+individual operators in this package —
+
+1. **normalize** (textstats.normalize_text): whitespace/case-canonical
+   form, so formatting-only variants collapse;
+2. **exact dedup** on the normalized fingerprint: one representative
+   (min doc_id) per distinct content — the shuffle carries a 16-byte
+   md5 per doc, the standard 100 TB dedup shape;
+3. **PII gate** (textstats.pii_count): any detector hit drops the doc
+   (a redaction-instead-of-drop pipeline would swap in redact_pii);
+4. **quality gate** (functions/text.quality_score ≥ QUALITY_MIN);
+5. **split assignment** (sampling.assign_split) for the survivors.
+
+Drop reasons are prioritized (duplicate → pii → low_quality) so each
+document lands in exactly one outcome bucket and the summary partitions
+the corpus. Every step is rational/hash arithmetic — the DuckDB oracle
+reproduces the whole pipeline exactly, threshold compares included
+(IEEE quotients of identical integer operands are identical doubles in
+both engines).
+
+Scale shape: one map pass computes fingerprint+signals, one shuffle by
+fingerprint for the dedup window, then a tiny aggregate. No joins, no
+collects; the window's partition key is the content hash, so skew equals
+duplicate-cluster size (bounded by the dedup itself).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mini_log_lakehouse_spark.functions.text import quality_score
+from mini_log_lakehouse_spark.operators.sampling import (
+    SPLIT_TRAIN_PCT,
+    SPLIT_VAL_PCT,
+    _sql_bucket,
+    assign_split,
+)
+from mini_log_lakehouse_spark.operators.textstats import (
+    PII_REDACTION_ORDER,
+    _SQL_NORM,
+    _SQL_PII_COUNTS,
+    normalize_text,
+    pii_count,
+)
+from mini_log_lakehouse_spark.sources.registry import load_table
+
+#: Minimum quality_score (unique-token ratio + saturating length, both
+#: rational — see functions/text.py) a document must reach to survive.
+QUALITY_MIN = 0.45
+
+
+def curate_documents(docs: DataFrame) -> DataFrame:
+    """Per-document curation verdict: input columns plus ``split`` and
+    ``outcome`` ∈ {kept, duplicate, pii, low_quality}. Library-surface
+    form — callers filter ``outcome = 'kept'`` for the surviving corpus."""
+    t = F.col("text")
+    fp = F.md5(normalize_text(t))
+    rep = F.min("doc_id").over(Window.partitionBy("_fp"))
+    pii_total = None
+    for kind in PII_REDACTION_ORDER:
+        c = pii_count(t, kind)
+        pii_total = c if pii_total is None else pii_total + c
+    outcome = (
+        F.when(F.col("doc_id") != rep, F.lit("duplicate"))
+        .when(F.col("_pii") > 0, F.lit("pii"))
+        .when(F.col("_q") < QUALITY_MIN, F.lit("low_quality"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        assign_split(docs)
+        .withColumn("_fp", fp)
+        .withColumn("_pii", pii_total)
+        .withColumn("_q", quality_score(t))
+        .withColumn("outcome", outcome)
+        .drop("_fp", "_pii", "_q")
+    )
+
+
+def doc_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: corpus partition by (split, outcome) with doc
+    counts — the acceptance report of the curation pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        curate_documents(d)
+        .groupBy("split", "outcome")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "outcome")
+    )
+
+
+_SQL_SPLIT = (
+    f"CASE WHEN {_sql_bucket('doc_id', 'split:')} < {SPLIT_TRAIN_PCT} THEN 'train' "
+    f"WHEN {_sql_bucket('doc_id', 'split:')} < {SPLIT_VAL_PCT} THEN 'val' "
+    f"ELSE 'test' END"
+)
+
+ORACLES: dict[str, str] = {
+    "doc_curation_summary": f"""
+        WITH verdicts AS (
+            SELECT {_SQL_SPLIT} AS split,
+                   CASE
+                     WHEN doc_id != MIN(doc_id) OVER (PARTITION BY md5({_SQL_NORM}))
+                       THEN 'duplicate'
+                     WHEN {_SQL_PII_COUNTS} > 0 THEN 'pii'
+                     -- ROUND(.., 6) mirrors quality_score exactly: the
+                     -- threshold must compare the same rounded double on
+                     -- both sides or boundary docs flip outcome
+                     WHEN ROUND(len(list_distinct(string_split(text, ' '))) * 1.0
+                          / len(string_split(text, ' ')) * 0.5
+                          + least(1.0, len(string_split(text, ' ')) / 100.0) * 0.5, 6)
+                          < {QUALITY_MIN} THEN 'low_quality'
+                     ELSE 'kept'
+                   END AS outcome
+            FROM documents
+        )
+        SELECT split, outcome, COUNT(*) AS n_docs
+        FROM verdicts
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+}
+
+QUERIES = {
+    "doc_curation_summary": doc_curation_summary,
+}

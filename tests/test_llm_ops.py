@@ -226,3 +226,23 @@ def test_normalize_text_collapses_formatting_variants(spark):
     }
     # all three formatting variants collapse to one canonical form
     assert out[0] == out[1] == out[2] == "hello world"
+
+
+def test_curation_outcomes_and_priority(spark):
+    from mini_log_lakehouse_spark.operators import curation
+
+    good = " ".join(f"w{i}" for i in range(100))
+    rows = [
+        (0, good),
+        (1, good + "  "),                      # formatting-only dup of 0
+        (2, good + " email bob@example.com"),  # PII hit
+        (3, "spam " * 50),                     # repetitive -> low quality
+        (4, good + " extra tokens here"),      # survives everything
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["outcome"] for r in curation.curate_documents(docs).collect()}
+    assert out[0] == "kept"
+    assert out[1] == "duplicate"   # normalized fingerprint equals doc 0's
+    assert out[2] == "pii"
+    assert out[3] == "low_quality"
+    assert out[4] == "kept"
