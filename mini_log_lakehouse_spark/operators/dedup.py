@@ -652,15 +652,30 @@ _SQL_SHINGLES = """
 
 #: Shared all-pairs shingle-Jaccard CTEs (the exact prefix-filter join
 #: provably equals this quadratic form — see ngram_jaccard_pairs).
+#: Two exactness-preserving speedups keep the quadratic gate affordable
+#: at sf0.01 (was ~50 s, now a fraction): (1) the length prefilter
+#: min ≥ t·max is a *necessary* condition for J ≥ t (|A∩B| ≤ min ≤
+#: J·|A∪B| ≤ J·... ⇒ any qualifying pair passes it), pruning most pairs
+#: before any list op; (2) |A∪B| = |A| + |B| − |A∩B| for distinct lists,
+#: so one list_intersect per pair replaces intersect+concat+distinct,
+#: and the intersection count is computed once in its own CTE.
 _PAIR_CTES = f"""
         {_SQL_SHINGLES.strip()},
-        pairs AS (
+        szd AS (
+            SELECT doc_id, sh, len(sh) AS sz FROM sh
+        ),
+        cand AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   len(list_intersect(a.sh, b.sh)) * 1.0
-                   / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-            WHERE len(list_intersect(a.sh, b.sh)) * 1.0
-                  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+                   len(list_intersect(a.sh, b.sh)) AS i,
+                   a.sz + b.sz AS s
+            FROM szd a JOIN szd b
+              ON a.doc_id < b.doc_id
+             AND least(a.sz, b.sz) >= 0.5 * greatest(a.sz, b.sz)
+        ),
+        pairs AS (
+            SELECT id_a, id_b, i * 1.0 / (s - i) AS jac
+            FROM cand
+            WHERE i * 1.0 / (s - i) >= 0.5
         )
 """
 
