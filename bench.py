@@ -26,7 +26,8 @@ from mini_log_lakehouse_spark.entry_registry import ORACLES, QUERIES  # noqa: E4
 from mini_log_lakehouse_spark.session import get_spark  # noqa: E402
 
 #: Headline queries: the flagship serving shape, the scan-heavy aggregate,
-#: the shuffle-heavy join, a window, text analysis, fuzzy dedup, and ANN.
+#: the shuffle-heavy join, a window, text analysis, fuzzy dedup, ANN, and
+#: the composed curation pipeline.
 HEADLINE = (
     "errors_by_type",
     "fct_events_hourly",
@@ -36,6 +37,7 @@ HEADLINE = (
     "doc_token_stats",
     "dedup_minhash_pairs",
     "ann_knn_join",
+    "doc_curation_summary",
 )
 
 #: Oracles that are deliberately quadratic (all-pairs in SQL) — correct

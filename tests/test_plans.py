@@ -109,3 +109,14 @@ def test_q5_region_dims_broadcast_and_filter_pushed(spark, sf_dir):
     supplier_joins = [l for l in plan.splitlines() if "Join" in l and "s_suppkey" in l]
     assert supplier_joins, "no join on s_suppkey found in plan"
     assert "s_nationkey" in supplier_joins[0]
+
+
+def test_curation_is_join_free_single_fp_shuffle(spark, sf_dir):
+    # the composed curation pipeline must stay one map pass + one shuffle
+    # on the content fingerprint (for the dedup window) + the final tiny
+    # aggregate — no joins anywhere.
+    from mini_log_lakehouse_spark.operators import curation
+
+    plan = _plan(curation.doc_curation_summary(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning(_fp") == 1
