@@ -10,6 +10,15 @@ iterations, averaged; reference README.md:196-215) applied per query. The
 ``baseline`` key holds DuckDB timings of the oracle SQL for the same
 queries on the same parquet — the BASELINE.md "within 2×" target is
 checked as value vs baseline, per query.
+
+Warm-cache scope: input tables are cached (SPARK_GRAFT_CACHE_TABLES),
+and the MinHash pipeline's persisted signature table additionally
+survives across iterations via Spark's canonicalized-plan cache lookup —
+warm iterations of dedup_minhash_pairs time the banding join over
+precomputed signatures, which is the production shape (signatures are
+write-once artifacts; see dedup.minhash_candidate_pairs). Its DuckDB
+baseline is skipped anyway (BASELINE_SKIP), so no ratio is claimed
+against an engine doing the hashing per run.
 """
 
 from __future__ import annotations
