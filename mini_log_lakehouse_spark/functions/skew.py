@@ -39,6 +39,18 @@ def salted_join(
     have one, it's cheaper)."""
     if salt < 1:
         raise ValueError("salt must be >= 1")
+    # The small side is exploded into `salt` replicas, so any join form
+    # that preserves unmatched SMALL rows would emit them salt times.
+    # Big-preserving forms are safe: unmatched big rows match nothing
+    # regardless of salt, and semi/anti see a replica for every salt
+    # value iff the key exists at all.
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports big-side-preserving joins only ({sorted(allowed)}); "
+            f"'{how}' would duplicate unmatched small-side rows per salt replica"
+        )
     src = (
         F.xxhash64(F.col(salt_source))
         if salt_source is not None

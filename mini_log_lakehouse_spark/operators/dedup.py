@@ -565,6 +565,16 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Min-label propagation advances one hop per round, so a graph of
+        # diameter > max_iter would exit here with intermediate labels —
+        # silently splitting true clusters (and diverging from the exact
+        # recursive-CTE oracle). Fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter or use "
+            "a large-star/small-star variant for deep graphs"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 

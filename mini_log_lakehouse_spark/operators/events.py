@@ -41,7 +41,7 @@ TOP_K = 3
 #: plans — at 100 TB a *single* cold query should prune at the scan, but
 #: a *dashboard* should serve hundreds of requests from one materialized
 #: fact; both shapes live here, switched exactly like the table cache.
-_FCT_CACHE: dict[tuple[int, str], DataFrame] = {}
+_FCT_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _serving_mode() -> bool:
@@ -49,7 +49,10 @@ def _serving_mode() -> bool:
 
 
 def _serving_fct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    # Keyed by applicationId, not id(spark): CPython reuses freed object
+    # addresses, so an id() key can alias a stopped session's entry and
+    # hand back a DataFrame bound to a dead SparkContext.
+    key = (spark.sparkContext.applicationId, sf_dir)
     df = _FCT_CACHE.get(key)
     if df is None:
         # The fact is tiny (days × hours × types, ~3k rows at any scale) —

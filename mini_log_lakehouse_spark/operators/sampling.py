@@ -212,12 +212,19 @@ def doc_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_ngrams(d: DataFrame) -> DataFrame:
-    """doc_id -> exploded distinct word CONTAM_NGRAM-grams."""
+    """doc_id -> exploded distinct word CONTAM_NGRAM-grams. Documents
+    shorter than CONTAM_NGRAM tokens yield zero grams (matching the
+    oracle's range()) — the short-doc case needs an explicit empty
+    branch because sequence(1, 0) produces the DESCENDING [1, 0] (Spark
+    defaults to step -1 when start > stop) and slice(toks, 0, n)
+    throws."""
     toks = ws_tokens(F.col("text"))
     n = F.array_size(toks)
+    starts = F.when(
+        n >= CONTAM_NGRAM, F.sequence(F.lit(1), n - (CONTAM_NGRAM - 1))
+    ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (CONTAM_NGRAM - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, CONTAM_NGRAM)),
+        starts, lambda i: F.concat_ws(" ", F.slice(toks, i, CONTAM_NGRAM))
     )
     return d.select("doc_id", F.explode(F.array_distinct(grams)).alias("ngram"))
 

@@ -48,10 +48,9 @@ def health(spark, warehouse_probe: str = "fct_requests_hourly") -> dict:
     """/health (reference serve/api.py:19-21) + 500-on-missing-warehouse
     (serve/api.py:15): probe that the fact table is resolvable in the
     session catalog (view or managed table), without running a job."""
-    if not (
-        spark.catalog.tableExists(warehouse_probe)
-        or warehouse_probe in [t.name for t in spark.catalog.listTables()]
-    ):
+    # tableExists resolves managed tables AND temp views — no need for a
+    # full catalog enumeration on a hot endpoint.
+    if not spark.catalog.tableExists(warehouse_probe):
         raise ServeError(500, f"warehouse table not found: {warehouse_probe}")
     return {"status": "ok", "table": warehouse_probe}
 

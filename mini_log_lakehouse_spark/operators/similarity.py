@@ -314,8 +314,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cent = _IVF_CENTROIDS[sf_dir] = ivf_train_centroids(sample)
     cells = ivf_assign_cells(e, cent)
-    q = cells.filter(F.col("vec_id") == QUERY_VEC_ID).collect()[0]
-    qvec = np.array(q["embedding"], dtype="float64")
+    # Fetch the query vector from the SOURCE table: reading it through
+    # `cells` would run the corpus-wide Arrow cell-assignment pass just
+    # to surface one row (the probe cells come from the centroids,
+    # driver-side — the query's own cell is never needed).
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").collect()
+    if not q:
+        raise ValueError(f"query vector vec_id={QUERY_VEC_ID} not found in embeddings")
+    qvec = np.array(q[0]["embedding"], dtype="float64")
     probe = np.argsort(-(qvec / np.linalg.norm(qvec)) @ cent.T)[:IVF_N_PROBE]
     return (
         cells.filter(F.col("cell").isin([int(c) for c in probe]))

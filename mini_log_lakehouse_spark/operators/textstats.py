@@ -111,14 +111,29 @@ CHUNK_STRIDE = 40
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (training-data context prep):
     split each document into CHUNK_TOKENS-token windows every
-    CHUNK_STRIDE tokens. One posexplode over computed starts — a pure
-    map-side explode, no shuffle until the final sort; at 100 TB this is
-    a single scan producing ~len/stride rows per doc."""
+    CHUNK_STRIDE tokens, with the LAST window right-aligned to the
+    document end. Right-aligning (instead of letting starts run past
+    n − window + 1) means every chunk is a full window (or the single
+    window of a short doc) and no chunk is wholly contained in the
+    previous one — a naive "starts while start ≤ n" rule emits a
+    contained tail chunk for ~25% of document lengths, silently
+    double-weighting document tails in the training set. One posexplode
+    over computed starts — a pure map-side explode, no shuffle until the
+    final sort; at 100 TB this is a single scan producing ~len/stride
+    rows per doc."""
     d = load_table(spark, sf_dir, "documents")
     toks = ws_tokens(F.col("text"))
     n = F.array_size(toks)
-    # 1-based starts: 1, 1+S, 1+2S, ... while start <= ntok
-    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(CHUNK_STRIDE))
+    # 1-based starts: 1, 1+S, ... up to last = max(n-T+1, 1), plus the
+    # right-aligned tail start itself (dedup'd when it falls on stride).
+    last = F.greatest(n - F.lit(CHUNK_TOKENS) + 1, F.lit(1))
+    starts = F.array_sort(
+        F.array_distinct(
+            F.concat(
+                F.sequence(F.lit(1), last, F.lit(CHUNK_STRIDE)), F.array(last)
+            )
+        )
+    )
     return (
         d.select("doc_id", toks.alias("_toks"), F.posexplode(starts).alias("chunk_idx", "start"))
         .select(
@@ -349,24 +364,32 @@ ORACLES: dict[str, str] = {
         FROM documents
         ORDER BY doc_id
     """,
-    # Arithmetic starts (1 + i*STRIDE while <= ntok) mirror Spark's
-    # sequence(1, greatest(n,1), STRIDE); list_slice clamps at the tail
-    # exactly like F.slice.
+    # Start computation mirrors the Spark side exactly: stride starts up
+    # to last = max(n-T+1, 1), plus the right-aligned tail start,
+    # dedup'd and sorted (generate_series is inclusive like F.sequence).
     "doc_chunks": f"""
         WITH t AS (
             SELECT doc_id, {_TOKS} AS toks FROM documents
         ),
-        c AS (
+        st AS (
             SELECT doc_id, toks,
-                   unnest(range((greatest(len(toks), 1) - 1) // {CHUNK_STRIDE} + 1)) AS chunk_idx
+                   list_sort(list_distinct(list_concat(
+                       generate_series(1, greatest(len(toks) - {CHUNK_TOKENS} + 1, 1), {CHUNK_STRIDE}),
+                       [greatest(len(toks) - {CHUNK_TOKENS} + 1, 1)]
+                   ))) AS starts
             FROM t
+        ),
+        c AS (
+            SELECT doc_id, toks, starts,
+                   unnest(generate_series(1, len(starts))) AS k
+            FROM st
         )
         SELECT doc_id,
-               CAST(chunk_idx AS BIGINT) AS chunk_idx,
-               CAST(len(list_slice(toks, 1 + chunk_idx*{CHUNK_STRIDE},
-                                   chunk_idx*{CHUNK_STRIDE} + {CHUNK_TOKENS})) AS BIGINT) AS chunk_tokens,
-               array_to_string(list_slice(toks, 1 + chunk_idx*{CHUNK_STRIDE},
-                                          chunk_idx*{CHUNK_STRIDE} + {CHUNK_TOKENS}), ' ') AS chunk_text
+               CAST(k - 1 AS BIGINT) AS chunk_idx,
+               CAST(len(list_slice(toks, starts[k],
+                                   starts[k] + {CHUNK_TOKENS} - 1)) AS BIGINT) AS chunk_tokens,
+               array_to_string(list_slice(toks, starts[k],
+                                          starts[k] + {CHUNK_TOKENS} - 1), ' ') AS chunk_text
         FROM c
         ORDER BY doc_id, chunk_idx
     """,

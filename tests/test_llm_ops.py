@@ -246,3 +246,40 @@ def test_curation_outcomes_and_priority(spark):
     assert out[2] == "pii"
     assert out[3] == "low_quality"
     assert out[4] == "kept"
+
+
+def test_doc_ngrams_short_docs_yield_zero_grams(spark):
+    # sequence(1, 0) in Spark is the DESCENDING [1, 0] — short docs must
+    # take the explicit empty branch instead of crashing slice(toks, 0, n)
+    from mini_log_lakehouse_spark.operators.sampling import _doc_ngrams
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "one"), (2, "two tokens"), (3, "a b c d")],
+        ["doc_id", "text"],
+    )
+    grams = _doc_ngrams(docs).collect()
+    assert {r["doc_id"] for r in grams} == {3}
+    assert len(grams) == 2  # "a b c", "b c d"
+
+
+def test_chunks_are_full_windows_with_aligned_tail(spark, sf_dir):
+    # every chunk must be a full CHUNK_TOKENS window unless the document
+    # itself is shorter (single chunk) — no partial tail chunk may exist
+    # alongside other chunks (it would be contained in the previous one)
+    from mini_log_lakehouse_spark.operators.textstats import CHUNK_TOKENS, doc_chunks
+
+    rows = doc_chunks(spark, sf_dir).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r["chunk_tokens"])
+    for doc_id, sizes in per_doc.items():
+        short = [s for s in sizes if s < CHUNK_TOKENS]
+        assert not short or len(sizes) == 1, (doc_id, sizes)
+
+
+def test_connected_components_raises_on_deep_graph(spark):
+    # a 30-node path has diameter 29 > max_iter=3: silent wrong labels
+    # must be a loud failure instead
+    edges = spark.createDataFrame([(i, i + 1) for i in range(30)], ["src", "dst"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(edges, max_iter=3)

@@ -93,3 +93,13 @@ def test_salted_join_rejects_bad_salt(spark):
     big = spark.range(1).select(F.col("id").alias("k"))
     with pytest.raises(ValueError):
         salted_join(big, big, "k", salt=0)
+
+
+def test_salted_join_rejects_small_preserving_forms(spark):
+    big = spark.createDataFrame([(1, "x")], ["k", "v"])
+    small = spark.createDataFrame([(1, "y")], ["k", "w"])
+    for how in ("right", "full", "right_outer"):
+        with pytest.raises(ValueError, match="big-side-preserving"):
+            salted_join(big, small, "k", salt=4, how=how)
+    # big-preserving forms stay accepted
+    assert salted_join(big, small, "k", salt=4, how="left").count() == 1
