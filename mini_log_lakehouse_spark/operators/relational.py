@@ -272,6 +272,57 @@ def orders_running_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_rolling_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based, not row-based): per priority, the
+    order count of the trailing 90 days at each month point. Unlike
+    rowsBetween, the frame is defined by the ORDER-BY *value* distance —
+    months with no orders simply contribute nothing, no densification
+    needed. Runs over pre-aggregated monthly rows (≤ #priorities ×
+    #months through the window sort), the same bounded-grain discipline
+    as the other global windows here; the frame key is epoch seconds
+    because Spark's rangeBetween needs a numeric ordering column."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+    ).agg(F.count(F.lit(1)).alias("orders"))
+    epoch = F.col("month").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("priority")
+        .orderBy(epoch)
+        .rangeBetween(-90 * 86400, 0)
+    )
+    return (
+        monthly.select(
+            "priority",
+            "month",
+            "orders",
+            F.sum("orders").over(w).cast("long").alias("orders_90d"),
+        )
+        .orderBy("priority", "month")
+    )
+
+
+def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing: customers into 4 balance quartiles with per-
+    quartile counts and balance totals. The tie-break on custkey makes
+    the total order unique, so bucket membership is deterministic and
+    the oracle reproduces it exactly. NTILE needs a global sort — fine
+    for a dimension table (bounded rows); for a 100 TB fact you'd use
+    approx percentiles + a range filter instead."""
+    c = load_table(spark, sf_dir, "customer")
+    q = F.ntile(4).over(Window.orderBy(F.desc("c_acctbal"), F.col("c_custkey")))
+    return (
+        c.select("c_custkey", "c_acctbal", q.alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            _money_sum(F.col("c_acctbal")).alias("total_acctbal"),
+        )
+        .orderBy("quartile")
+    )
+
+
 # --- set operations ---------------------------------------------------------
 
 def setop_union_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -557,6 +608,36 @@ ORACLES: dict[str, str] = {
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
     """,
+    "orders_rolling_quarter": """
+        WITH monthly AS (
+            SELECT o_orderpriority AS priority,
+                   CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                   COUNT(*) AS orders
+            FROM orders
+            GROUP BY 1, 2
+        )
+        SELECT priority, month, orders,
+               CAST(SUM(orders) OVER (
+                   PARTITION BY priority
+                   ORDER BY CAST(epoch(CAST(month AS TIMESTAMP)) AS BIGINT)
+                   RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS orders_90d
+        FROM monthly
+        ORDER BY priority, month
+    """,
+    "customer_balance_quartiles": """
+        WITH q AS (
+            SELECT c_custkey, c_acctbal,
+                   NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile
+            FROM customer
+        )
+        SELECT quartile,
+               COUNT(*) AS customers,
+               ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE), 2) AS total_acctbal
+        FROM q
+        GROUP BY 1
+        ORDER BY 1
+    """,
     "tpch_q3_shipping_priority": """
         SELECT o.o_orderkey AS orderkey,
                ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) AS DOUBLE), 2) AS revenue,
@@ -614,6 +695,8 @@ QUERIES = {
     "top3_customers_per_nation": top3_customers_per_nation,
     "daily_order_lag": daily_order_lag,
     "orders_running_share": orders_running_share,
+    "orders_rolling_quarter": orders_rolling_quarter,
+    "customer_balance_quartiles": customer_balance_quartiles,
     "setop_union_nations": setop_union_nations,
     "setop_intersect_nations": setop_intersect_nations,
     "setop_except_nations": setop_except_nations,
