@@ -32,13 +32,12 @@ from pyspark.sql import functions as F
 
 from mini_log_lakehouse_spark.functions.text import quality_score
 from mini_log_lakehouse_spark.operators.sampling import (
-    SPLIT_TRAIN_PCT,
-    SPLIT_VAL_PCT,
-    _sql_bucket,
+    SQL_SPLIT_CASE,
     assign_split,
 )
 from mini_log_lakehouse_spark.operators.textstats import (
     PII_REDACTION_ORDER,
+    SQL_QUALITY,
     _SQL_NORM,
     _SQL_PII_COUNTS,
     normalize_text,
@@ -90,27 +89,19 @@ def doc_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_SPLIT = (
-    f"CASE WHEN {_sql_bucket('doc_id', 'split:')} < {SPLIT_TRAIN_PCT} THEN 'train' "
-    f"WHEN {_sql_bucket('doc_id', 'split:')} < {SPLIT_VAL_PCT} THEN 'val' "
-    f"ELSE 'test' END"
-)
-
 ORACLES: dict[str, str] = {
+    # Every fragment is shared with the oracle of the operator it came
+    # from (split CASE, PII counts, normalization, rounded quality
+    # score), so a change to any individual operator's semantics cannot
+    # silently diverge from the composed pipeline's oracle.
     "doc_curation_summary": f"""
         WITH verdicts AS (
-            SELECT {_SQL_SPLIT} AS split,
+            SELECT {SQL_SPLIT_CASE} AS split,
                    CASE
                      WHEN doc_id != MIN(doc_id) OVER (PARTITION BY md5({_SQL_NORM}))
                        THEN 'duplicate'
                      WHEN {_SQL_PII_COUNTS} > 0 THEN 'pii'
-                     -- ROUND(.., 6) mirrors quality_score exactly: the
-                     -- threshold must compare the same rounded double on
-                     -- both sides or boundary docs flip outcome
-                     WHEN ROUND(len(list_distinct(string_split(text, ' '))) * 1.0
-                          / len(string_split(text, ' ')) * 0.5
-                          + least(1.0, len(string_split(text, ' ')) / 100.0) * 0.5, 6)
-                          < {QUALITY_MIN} THEN 'low_quality'
+                     WHEN {SQL_QUALITY} < {QUALITY_MIN} THEN 'low_quality'
                      ELSE 'kept'
                    END AS outcome
             FROM documents

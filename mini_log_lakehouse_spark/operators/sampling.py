@@ -266,6 +266,13 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TOKS = "string_split(text, ' ')"
 _NTOK = f"len({_TOKS})"
 _SPLIT_BUCKET = _sql_bucket("doc_id", "split:")
+#: The one SQL statement of assign_split — shared with the curation
+#: oracle so split-boundary logic cannot drift between the two.
+SQL_SPLIT_CASE = (
+    f"CASE WHEN {_SPLIT_BUCKET} < {SPLIT_TRAIN_PCT} THEN 'train' "
+    f"WHEN {_SPLIT_BUCKET} < {SPLIT_VAL_PCT} THEN 'val' "
+    f"ELSE 'test' END"
+)
 _STRAT_BUCKET = _sql_bucket("doc_id", "strat:")
 _STRAT_RATE = "CASE " + " ".join(
     f"WHEN lang = '{lang}' THEN {pct}" for lang, pct in sorted(STRATA_KEEP_PCT.items())
@@ -273,9 +280,7 @@ _STRAT_RATE = "CASE " + " ".join(
 
 ORACLES: dict[str, str] = {
     "doc_train_test_split": f"""
-        SELECT CASE WHEN {_SPLIT_BUCKET} < {SPLIT_TRAIN_PCT} THEN 'train'
-                    WHEN {_SPLIT_BUCKET} < {SPLIT_VAL_PCT} THEN 'val'
-                    ELSE 'test' END AS split,
+        SELECT {SQL_SPLIT_CASE} AS split,
                lang,
                COUNT(*) AS n_docs,
                CAST(SUM({_NTOK}) AS BIGINT) AS total_tokens

@@ -319,6 +319,14 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKS = "string_split(text, ' ')"
 
+#: The one SQL statement of functions/text.quality_score — shared by the
+#: doc_quality_scores and curation oracles so the threshold compare and
+#: the reported score can never drift apart.
+SQL_QUALITY = (
+    f"ROUND(len(list_distinct({_TOKS})) * 1.0 / len({_TOKS}) * 0.5"
+    f" + least(1.0, len({_TOKS}) / 100.0) * 0.5, 6)"
+)
+
 ORACLES: dict[str, str] = {
     "doc_token_stats": f"""
         SELECT lang,
@@ -359,8 +367,7 @@ ORACLES: dict[str, str] = {
                len({_TOKS}) AS n_tokens,
                len(list_distinct({_TOKS})) AS n_unique_tokens,
                ROUND(length(replace(text, ' ', '')) * 1.0 / len({_TOKS}), 6) AS avg_token_len,
-               ROUND(len(list_distinct({_TOKS})) * 1.0 / len({_TOKS}) * 0.5
-                     + least(1.0, len({_TOKS}) / 100.0) * 0.5, 6) AS quality
+               {SQL_QUALITY} AS quality
         FROM documents
         ORDER BY doc_id
     """,
