@@ -19,6 +19,7 @@ from mini_log_lakehouse_spark.operators import (
     similarity,
     temporal,
     textstats,
+    vocab,
 )
 from mini_log_lakehouse_spark.streaming import ingest as streaming_ingest
 from mini_log_lakehouse_spark.streaming import sessions as streaming_sessions
@@ -35,6 +36,7 @@ _MODULES = (
     multimodal,
     extensions,
     temporal,
+    vocab,
     streaming_ingest,
     streaming_sessions,
 )

@@ -1,0 +1,170 @@
+"""Tokenizer vocabulary induction: byte-pair-encoding merge learning
+(Sennrich et al. 2016's corpus-driven merge table) — the step of a
+training-data pipeline that turns corpus statistics into a tokenizer.
+
+Scale shape: the ONLY corpus-scale pass is the word-frequency aggregate
+(explode + groupBy — one shuffle over the corpus, identical to
+doc_word_histogram). Every BPE iteration then runs over the *vocabulary*
+table (distinct words + frequencies), which is orders of magnitude
+smaller than the corpus and bounded by the language, not the data size —
+at 100 TB the vocab is still ~10^6-10^7 rows. Per round:
+
+- pair counting is a codegen'd array expression + groupBy over the vocab;
+- only the single argmax pair is collected to the driver (a scalar
+  decision per round, like the k-means centroid pulls in the IVF tier);
+- the merge is applied with a vectorized Arrow pass (``mapInPandas``
+  over the vocab — Python is fine here because the data is vocab-scale
+  and the scan-left-merge is inherently sequential per word);
+- ``localCheckpoint`` truncates lineage each round (the iterative-loop
+  shape, same as dedup.connected_components).
+
+Determinism: argmax ties break by (frequency desc, pair lexicographic
+asc), so the merge table is reproducible run-to-run and matches the
+pure-Python reference implementation in the tests token-for-token. The
+driver query is rows-only for the gate (iterative algorithms are not
+SQL-expressible; the behavioral test compares against the independent
+reference instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from mini_log_lakehouse_spark.functions.text import ws_tokens
+from mini_log_lakehouse_spark.sources.registry import load_table
+
+#: Merge-table size for the driver query — small enough to keep the
+#: gate fast, large enough to exercise multi-character merges.
+BPE_N_MERGES = 12
+
+_VOCAB_SCHEMA = StructType(
+    [
+        StructField("syms", ArrayType(StringType()), False),
+        StructField("freq", LongType(), False),
+    ]
+)
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over the corpus — the one corpus-scale pass."""
+    return (
+        docs.select(F.explode(ws_tokens(F.col(text_col))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """(a, b, n) adjacent-symbol pair frequencies, weighted by word
+    frequency. Words with < 2 symbols contribute nothing — the empty
+    branch is explicit because sequence(1, 0) is descending in Spark."""
+    size = F.array_size("syms")
+    idx = F.when(size >= 2, F.sequence(F.lit(1), size - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at("syms", i).alias("a"),
+            F.element_at("syms", i + 1).alias("b"),
+        ),
+    )
+    return (
+        vocab.select(F.explode(pairs).alias("p"), "freq")
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").alias("n"))
+    )
+
+
+def _apply_merge(vocab: DataFrame, a: str, b: str) -> DataFrame:
+    """Replace every non-overlapping left-to-right (a, b) adjacency with
+    the merged symbol — vectorized Arrow pass over the vocab table."""
+
+    def merge_batches(batches):
+        for pdf in batches:
+            out = []
+            for syms in pdf["syms"]:
+                res, i = [], 0
+                n = len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                out.append(res)
+            pdf = pdf.assign(syms=out)
+            yield pdf
+
+    return vocab.mapInPandas(merge_batches, schema=_VOCAB_SCHEMA)
+
+
+def learn_bpe_merges(
+    docs: DataFrame, text_col: str = "text", n_merges: int = BPE_N_MERGES
+) -> list[tuple[str, str]]:
+    """Learn the first ``n_merges`` BPE merges from a document corpus.
+    Returns the ordered merge table [(left, right), ...]."""
+    wf = word_frequencies(docs, text_col)
+    # character split (split-on-empty-regex emits a trailing "" filtered
+    # out below)
+    chars = F.split(F.col("w"), "")
+    vocab = (
+        wf.select(
+            F.filter(chars, lambda c: c != F.lit("")).alias("syms"),
+            F.col("freq"),
+        )
+        .groupBy("syms")
+        .agg(F.sum("freq").alias("freq"))
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (
+            _pair_counts(vocab)
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        # re-group after merging: distinct words can collapse to the same
+        # symbol sequence once merges land (the reference impl does too)
+        vocab = (
+            _apply_merge(vocab, a, b)
+            .groupBy("syms")
+            .agg(F.sum("freq").alias("freq"))
+            .localCheckpoint()
+        )
+    return merges
+
+
+def doc_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: the ordered BPE merge table learned from the
+    documents corpus (rank, left symbol, right symbol, merged token)."""
+    d = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(d)
+    rows = [(i, a, b, a + b) for i, (a, b) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, ["rank", "left_sym", "right_sym", "merged"]
+    ).orderBy("rank")
+
+
+#: Iterative algorithm — no SQL oracle; the gate records rows-only and
+#: the behavioral test compares against a pure-Python reference BPE.
+ORACLES: dict[str, str] = {}
+
+QUERIES = {
+    "doc_bpe_merge_table": doc_bpe_merge_table,
+}

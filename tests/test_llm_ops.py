@@ -283,3 +283,50 @@ def test_connected_components_raises_on_deep_graph(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(30)], ["src", "dst"])
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(edges, max_iter=3)
+
+
+def _ref_bpe(word_freqs, n):
+    """Independent pure-Python BPE reference (Sennrich-style): all
+    adjacent pairs counted (overlapping), merges applied left-to-right
+    non-overlapping, ties broken by (freq desc, pair lexicographic asc)."""
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(n):
+        pairs = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = pairs.get((syms[i], syms[i + 1]), 0) + f
+        if not pairs:
+            break
+        (a, b), _n = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((a, b))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_merges_match_reference(spark):
+    from mini_log_lakehouse_spark.operators import vocab as vocab_ops
+
+    corpus = ["low low low low low lower lower", "newest newest newest newest newest newest widest widest widest"]
+    docs = spark.createDataFrame(list(enumerate(corpus)), ["doc_id", "text"])
+    word_freqs = {}
+    for line in corpus:
+        for w in line.split(" "):
+            word_freqs[w] = word_freqs.get(w, 0) + 1
+    expected = _ref_bpe(word_freqs, 6)
+    got = vocab_ops.learn_bpe_merges(docs, n_merges=6)
+    assert got == expected, (got, expected)
+    # classic toy-corpus result: suffix merges first, then 'low'
+    assert ("e", "s") == got[0] and ("es", "t") == got[1]
+    assert ("l", "o") in got and ("lo", "w") in got
