@@ -32,6 +32,7 @@ from mini_log_lakehouse_spark.functions.hashing import (
     portable_hash48,
     sql_portable_hash48,
 )
+from mini_log_lakehouse_spark import session
 from mini_log_lakehouse_spark.functions.text import char_shingles
 from mini_log_lakehouse_spark.functions.vector import cosine
 from mini_log_lakehouse_spark.sources.registry import load_table
@@ -155,7 +156,9 @@ def _persist_sigs(op: str, sigs: DataFrame) -> DataFrame:
     corpus → same canonical plan → the CacheManager entry is shared and
     must NOT be dropped; dropping it would also defeat warm-cache reuse
     across repeated invocations)."""
-    key = (op, sigs.sparkSession.sparkContext.applicationId)
+    app_id = sigs.sparkSession.sparkContext.applicationId
+    key = (app_id, op)
+    session.evict_stale(_SIG_CACHE, app_id)
     old = _SIG_CACHE.get(key)
     if old is not None and not old.sameSemantics(sigs):
         old.unpersist()

@@ -26,6 +26,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mini_log_lakehouse_spark import session
 from mini_log_lakehouse_spark.sources.registry import load_events_range, load_table
 
 #: Fixed parameters for the parameterized serving queries (events span
@@ -55,6 +56,7 @@ def _serving_fct(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _FCT_CACHE.get(key)
     if df is None:
+        session.evict_stale(_FCT_CACHE, key[0])
         # The fact is tiny (days × hours × types, ~3k rows at any scale) —
         # hold it in ONE partition so every serving re-aggregate is a
         # single task instead of a 32-way shuffle of near-empty blocks.

@@ -144,9 +144,19 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Aggregation is pushed BELOW the join twice: lineitem first collapses
     to orderkey grain (partial agg shrinks the shuffle ~4×, and the join
     then reuses that hash partitioning so only orders shuffles), then the
-    joined rows collapse to custkey grain; the customer join happens last,
-    at customer cardinality. Splitting the sum in two stages is exact
-    because the decimal accumulation is associative."""
+    joined rows collapse to custkey grain. Splitting the sum in two
+    stages is exact because the integer-cents accumulation is
+    associative (_cents_sum).
+
+    The top-K is taken on the custkey-grain revenue table BEFORE the
+    customer join: the ordering (revenue desc, custkey) is fully
+    determined there, and o_custkey → customer is a 1:1 FK (every order
+    references an existing customer), so limiting first selects the
+    same 10 rows while turning the customer join into a 10-row
+    broadcast probe. At any scale the plan is then: one
+    TakeOrderedAndProject (per-partition partial top-10, no extra
+    shuffle) + one broadcast join — the name lookup never shuffles
+    customer, which at 100 TB is itself a billion-row table."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -158,16 +168,22 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(38,0)")
         ).alias("_rev_c4")
     )
-    revenue = (
-        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
+    # shuffle_hash, explicitly: orders is a fact table — at 100 TB it can
+    # never be broadcast (locally, cache-stat misestimates tempted AQE
+    # into building a 1.5M-row hashed relation per run), and SHJ beats
+    # sort-merge here because neither side needs ordering afterwards; the
+    # per_order side already arrives hash-partitioned by the groupBy.
+    top10 = (
+        per_order.join(o.hint("shuffle_hash"), per_order.l_orderkey == o.o_orderkey)
         .groupBy("o_custkey")
         .agg(F.round(F.sum("_rev_c4").cast("double") / 1e4, 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_custkey")
+        .limit(10)
     )
     return (
-        revenue.join(c, revenue.o_custkey == c.c_custkey)
+        c.join(F.broadcast(top10), top10.o_custkey == c.c_custkey)
         .select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"), "revenue")
         .orderBy(F.desc("revenue"), "custkey")
-        .limit(10)
     )
 
 

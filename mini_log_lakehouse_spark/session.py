@@ -73,6 +73,25 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def evict_stale(cache: dict, app_id: str, unpersist: bool = True) -> None:
+    """Drop cache entries from sessions other than ``app_id``.
+
+    Session-scoped memo dicts key their entries by
+    ``(applicationId, ...)``; one session is live at a time in this
+    codebase, so on insert each cache drops entries belonging to stopped
+    sessions — a long-lived process cycling sessions otherwise
+    accumulates dead DataFrame handles forever. DataFrame-valued caches
+    also unpersist (best-effort: the owning context may already be
+    stopped, which is exactly the case being cleaned up)."""
+    for key in [k for k in cache if k[0] != app_id]:
+        value = cache.pop(key)
+        if unpersist:
+            try:
+                value.unpersist()
+            except Exception:
+                pass
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to an externally-created session (best effort).
 
