@@ -603,20 +603,42 @@ def connected_components(
         # silently splitting true clusters (and diverging from the exact
         # recursive-CTE oracle). Fail loudly instead.
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
+            f"connected_components did not converge in {max_iter + 1} rounds "
             "(component diameter exceeds max_iter); raise max_iter or use "
             "a large-star/small-star variant for deep graphs"
         )
     return labels.select("node", F.col("label").alias("component"))
 
 
+#: Labeled-component table per (applicationId, sf_dir). The CC loop is a
+#: driver-side iteration over localCheckpoint'd frames, so Spark's
+#: canonicalized-plan cache can never recognize two invocations as the
+#: same work (checkpoint RDD ids differ) — unlike the signature tables,
+#: sharing must be an explicit memo.
+_CC_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _jaccard_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact-Jaccard pair graph, computed
+    once per (session, corpus) and shared by ``dedup_clusters`` and
+    ``dedup_cluster_representatives`` — both are views over one labeling;
+    rebuilding the pair join + CC loop per query was pure waste."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cc = _CC_CACHE.get(key)
+    if cc is None:
+        session.evict_stale(_CC_CACHE, key[0])
+        d = load_table(spark, sf_dir, "documents")
+        pairs = ngram_jaccard_pairs(d).select("id_a", "id_b")
+        cc = connected_components(pairs, "id_a", "id_b").persist()
+        _CC_CACHE[key] = cc
+    return cc
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query: near-dup clusters over the EXACT Jaccard pairs
     (lossless prefix-filter join), labeled by min doc_id — the step that
     turns pairwise dedup into keep/drop decisions."""
-    d = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d).select("id_a", "id_b")
-    cc = connected_components(pairs, "id_a", "id_b")
+    cc = _jaccard_components(spark, sf_dir)
     return cc.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     ).orderBy("doc_id")
@@ -625,9 +647,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster rollup: representative (min doc_id) + member count per
     near-dup cluster; the drop list is every member != representative."""
-    d = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d).select("id_a", "id_b")
-    cc = connected_components(pairs, "id_a", "id_b")
+    cc = _jaccard_components(spark, sf_dir)
     return (
         cc.groupBy(F.col("component").alias("cluster_id"))
         .agg(

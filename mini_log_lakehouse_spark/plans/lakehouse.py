@@ -34,6 +34,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer claimed the version this commit targeted. Mirrors
+    Delta's ConcurrentAppendException contract: the loser re-reads the
+    new latest snapshot, recomputes, and retries at the next version."""
+
+
 def delta_available() -> bool:
     """True iff the delta-spark runtime is importable (it is not in this
     container; kept as the switch point for environments that have it)."""
@@ -76,8 +82,27 @@ class LakehouseTable:
     def _publish(self, df: DataFrame) -> int:
         """Write df as the next snapshot and flip the pointer (the write
         is to a fresh directory; the single-file pointer write-then-rename
-        is the atomic commit, mirroring Delta's log-entry append)."""
+        is the atomic commit, mirroring Delta's log-entry append).
+
+        Writer-writer conflicts are detected by O_EXCL creation of a
+        per-version claim file: two writers that both computed version N
+        cannot both create ``vN._claim``, so the loser fails with
+        ConcurrentWriteError instead of silently clobbering the winner's
+        directory — the same optimistic-concurrency contract as Delta's
+        log append (conflict = recompute and retry). A claim whose
+        version never published (writer crashed mid-write) permanently
+        burns that number; delete the orphaned ``._claim`` file to
+        recover, exactly like clearing a stale lock."""
         v = self.latest_version() + 1
+        os.makedirs(self.path, exist_ok=True)
+        claim = os.path.join(self.path, f"v{v}._claim")
+        try:
+            os.close(os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"{self.name}: version {v} already claimed by another writer; "
+                "re-read the latest snapshot and retry"
+            ) from None
         df.write.mode("overwrite").parquet(self._version_dir(v))
         tmp = self._pointer() + ".tmp"
         with open(tmp, "w") as fh:
@@ -119,7 +144,12 @@ class LakehouseTable:
         contain matches (e.g. ``col("date").isin(touched_dates)``); rows
         outside it are kept verbatim without joining — the fallback's
         analog of Delta's file-level pruning, and the knob that bounds the
-        rewrite at 100 TB."""
+        rewrite at 100 TB.
+
+        Source rows must be unique on ``keys`` — Delta MERGE raises
+        "multiple source rows matched" in that case, and silently keeping
+        both rows (what the naive anti-join union would do) corrupts the
+        key invariant of the table; asserted here before the rewrite."""
         if delta_available():  # pragma: no cover - no delta in container
             from delta.tables import DeltaTable
 
@@ -133,6 +163,19 @@ class LakehouseTable:
                 .execute()
             )
             return -1
+        dup = (
+            source.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"{self.name}: MERGE source has multiple rows for key "
+                f"{ {k: dup[0][k] for k in keys} } — deduplicate the source "
+                "(Delta MERGE rejects this as 'multiple source rows matched')"
+            )
         if not self.exists():
             return self._publish(source)
         target = self.read()
@@ -190,4 +233,7 @@ class LakehouseTable:
             if os.path.isdir(d):
                 shutil.rmtree(d)
                 dropped.append(v)
+            claim = os.path.join(self.path, f"v{v}._claim")
+            if os.path.isfile(claim):
+                os.remove(claim)
         return dropped

@@ -87,26 +87,38 @@ def init_lake(spark: SparkSession, bronze_root: str, lake_root: str):
 
 
 def merge_batch_into_lake(
-    spark: SparkSession, batch: DataFrame, bronze_root: str, lake_root: str
+    spark: SparkSession,
+    batch: DataFrame,
+    bronze_root: str,
+    lake_root: str,
+    batch_id: str = None,
 ):
     """Core of the incremental MERGE load, shared by the batch and
-    streaming (foreachBatch) callers: append the parsed batch to bronze,
-    recompute the hourly fact ONLY for the dates the batch touches — the
-    bronze re-read filters on the string ``date`` partition key, so the
-    scan is partition-pruned to those days regardless of table size — and
-    MERGE the recomputed grains into the managed fct on (date, hour,
-    endpoint). The ``prune`` predicate bounds the copy-on-write rewrite
-    to touched dates, exactly how a partitioned Delta MERGE bounds
-    rewritten files.
+    streaming (foreachBatch) callers: load the parsed batch into its own
+    bronze ``ingest_batch`` partition, recompute the hourly fact ONLY for
+    the dates the batch touches — the bronze re-read filters on the
+    string ``date`` partition key, so the scan is partition-pruned to
+    those days regardless of table size — and MERGE the recomputed grains
+    into the managed fct on (date, hour, endpoint). The ``prune``
+    predicate bounds the copy-on-write rewrite to touched dates, exactly
+    how a partitioned Delta MERGE bounds rewritten files.
 
     Recomputing whole touched days (not deltas) keeps non-mergeable
     measures exact — p95 cannot be combined incrementally, counts could.
-    The whole sequence is idempotent at the day level: re-running a batch
-    re-derives the same grains from bronze, so a replayed microbatch
-    cannot double-count in the fact (bronze-append duplicates are the
-    replay protocol's job — the streaming caller relies on its source
-    checkpoint for that, the batch caller on run-once orchestration).
+
+    End-to-end replay safety needs BOTH halves: the day-grain recompute
+    makes the fact merge idempotent *given correct bronze*, and the
+    deterministic ``batch_id`` makes the bronze load idempotent — a
+    replayed batch (foreachBatch is at-least-once: a batch whose bronze
+    write landed but whose pointer flip didn't will re-run) overwrites
+    its own ``ingest_batch`` partition instead of appending a duplicate,
+    so the recomputed days cannot double-count. Callers that can replay
+    must pass a stable id; ``None`` derives one from the batch's content
+    days plus a process-unique suffix — fine for run-once orchestration,
+    NOT for replayable callers.
     """
+    import uuid
+
     from pyspark.sql import functions as F
 
     from mini_log_lakehouse_spark.plans.lakehouse import LakehouseTable
@@ -114,7 +126,9 @@ def merge_batch_into_lake(
     touched = [r["date"] for r in batch.select("date").distinct().collect()]
     if not touched:
         return LakehouseTable(spark, lake_root, "fct_requests_hourly")
-    write_bronze(batch, bronze_root, mode="append")
+    if batch_id is None:
+        batch_id = f"adhoc-{uuid.uuid4().hex[:12]}"
+    write_bronze(batch, bronze_root, mode="append", batch_id=batch_id)
     stg = build_stg_logs(
         read_bronze(spark, bronze_root).filter(F.col("date").isin(touched))
     )
@@ -131,7 +145,12 @@ def incremental_update(
     spark: SparkSession, new_raw_path: str, bronze_root: str, lake_root: str
 ):
     """Incremental daily load with MERGE semantics (see
-    merge_batch_into_lake)."""
+    merge_batch_into_lake). The batch id is the source path's digest, so
+    re-running the same file load overwrites its own bronze partition —
+    idempotent even without run-once orchestration."""
+    import hashlib
+
+    batch_id = "path-" + hashlib.md5(new_raw_path.encode()).hexdigest()[:12]
     return merge_batch_into_lake(
-        spark, parse_logs(spark, new_raw_path), bronze_root, lake_root
+        spark, parse_logs(spark, new_raw_path), bronze_root, lake_root, batch_id=batch_id
     )

@@ -112,16 +112,40 @@ def parse_logs(spark: SparkSession, path: str) -> DataFrame:
     return parse_lines(read_raw_lines(spark, path))
 
 
-def write_bronze(df: DataFrame, out_root: str, mode: str = "overwrite") -> None:
-    """S3: Hive-style date-partitioned parquet sink
-    (reference etl/ingest_logs.py:63-70 writes date=<d>/ dirs one by one;
-    Spark's partitionBy does the same layout in one distributed write)."""
-    df.write.partitionBy("date").mode(mode).parquet(out_root)
+def write_bronze(
+    df: DataFrame, out_root: str, mode: str = "overwrite", batch_id: str = "full"
+) -> None:
+    """S3: Hive-style partitioned parquet sink, ``ingest_batch=<id>/
+    date=<d>/`` (reference etl/ingest_logs.py:63-70 writes date=<d>/ dirs
+    one by one; Spark's partitionBy does the same layout in one
+    distributed write).
+
+    The extra ``ingest_batch`` partition level is what makes incremental
+    loads REPLAY-IDEMPOTENT: ``mode="append"`` is implemented as a
+    *dynamic partition overwrite* scoped to the batch's own
+    (ingest_batch, date) partitions — a microbatch re-run after a
+    mid-batch failure (e.g. foreachBatch, which is at-least-once)
+    overwrites exactly the files it wrote last time instead of
+    double-appending them. Callers that can replay MUST pass a
+    deterministic ``batch_id`` (the streaming checkpoint's batch id, a
+    source-path digest, ...); a fresh id per run degrades to plain
+    append semantics. ``mode="overwrite"`` is the full rebuild: a static
+    overwrite that replaces the whole bronze root."""
+    writer = df.withColumn("ingest_batch", F.lit(str(batch_id))).write.partitionBy(
+        "ingest_batch", "date"
+    )
+    if mode == "append":
+        writer = writer.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+    else:
+        writer = writer.mode(mode)
+    writer.parquet(out_root)
 
 
 def read_bronze(spark: SparkSession, out_root: str) -> DataFrame:
-    """S4: partitioned scan; partition discovery restores the ``date`` column
-    (the reference globs date=*/ in stg_logs.sql:5).
+    """S4: partitioned scan; partition discovery restores the ``date``
+    column (the reference globs date=*/ in stg_logs.sql:5) and the
+    ``ingest_batch`` load bookkeeping level, which is dropped — it is
+    physical layout, not data.
 
     The explicit schema (a) survives an empty bronze directory — zero
     parsed rows then fails the *quality gate* with a clear message instead
@@ -129,4 +153,4 @@ def read_bronze(spark: SparkSession, out_root: str) -> DataFrame:
     inference/merging, which at 100 TB is a driver-side metadata storm.
     """
     tune(spark)
-    return spark.read.schema(BRONZE_SCHEMA).parquet(out_root)
+    return spark.read.schema(BRONZE_SCHEMA).parquet(out_root).drop("ingest_batch")

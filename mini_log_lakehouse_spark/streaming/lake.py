@@ -2,12 +2,16 @@
 fact, and watermarked streaming deduplication.
 
 ``foreachBatch`` is the Structured Streaming escape hatch for sinks with
-their own transactional semantics: each microbatch runs an arbitrary
-batch function exactly once per (checkpointed) batch id. Combined with
-the day-idempotent MERGE (plans/pipeline.merge_batch_into_lake), the
-managed fact stays correct across restarts: the source checkpoint
-prevents re-reading committed files, and a replayed in-flight batch
-re-derives the same day grains rather than double-counting.
+their own transactional semantics — but it is AT-LEAST-ONCE: the source
+checkpoint prevents re-reading committed files, yet a batch interrupted
+mid-flight (bronze write landed, checkpoint commit didn't) re-runs with
+the same batch id on restart. End-to-end correctness therefore comes
+from idempotence, not delivery guarantees: the bronze load keys each
+microbatch to an ``ingest_batch=stream-<batch_id>`` partition that a
+replay overwrites in place, and the MERGE re-derives whole day grains
+from bronze (plans/pipeline.merge_batch_into_lake) — so the managed
+fact converges to the same state no matter how many times a batch
+retries.
 
 ``stream_dedup_events`` is the streaming half of the dedup surface
 (SURVEY north star): ``dropDuplicatesWithinWatermark`` keeps per-key
@@ -41,7 +45,15 @@ def stream_fct_maintenance(
     lines = spark.readStream.text(raw_dir).filter(F.trim("value") != "")
 
     def upsert(batch_lines: DataFrame, batch_id: int) -> None:
-        merge_batch_into_lake(spark, parse_lines(batch_lines), bronze_root, lake_root)
+        # The checkpointed batch id is stable across replays of the same
+        # microbatch — it IS the idempotence key for the bronze load.
+        merge_batch_into_lake(
+            spark,
+            parse_lines(batch_lines),
+            bronze_root,
+            lake_root,
+            batch_id=f"stream-{batch_id}",
+        )
 
     (
         lines.writeStream.foreachBatch(upsert)

@@ -69,6 +69,57 @@ def test_incremental_merge_equals_full_recompute(spark, lake_env):
     assert _rows(lake.read(version=0)) == v0  # time travel
 
 
+def test_replayed_batch_does_not_double_count(spark, lake_env):
+    """foreachBatch is at-least-once: a microbatch can re-run after its
+    bronze write landed. The same batch_id must overwrite its own
+    ingest_batch partition (not append a duplicate), so bronze row counts
+    and the merged fact are unchanged by the replay."""
+    bronze, lake_root, batch2 = lake_env
+    init_lake(spark, bronze, lake_root)
+
+    lake = incremental_update(spark, batch2, bronze, lake_root)
+    bronze_rows = _rows(read_bronze(spark, bronze))
+    fct_rows = _rows(lake.read())
+
+    # replay: identical call, identical path-derived batch_id
+    lake = incremental_update(spark, batch2, bronze, lake_root)
+    assert _rows(read_bronze(spark, bronze)) == bronze_rows
+    assert _rows(lake.read()) == fct_rows
+    merged = {
+        (str(r["date"]), r["hour"], r["endpoint"]): r["requests"]
+        for r in lake.read().collect()
+    }
+    assert merged[("2025-11-10", "10", "/api/v1/items")] == 3  # not 4
+
+
+def test_concurrent_writer_claim_raises(spark, lake_env, tmp_path):
+    """Two writers computing the same next version: the second pointer
+    flip must fail loudly (ConcurrentWriteError), not clobber."""
+    import os
+
+    from mini_log_lakehouse_spark.plans.lakehouse import ConcurrentWriteError
+
+    bronze, lake_root, _ = lake_env
+    lake = init_lake(spark, bronze, lake_root)
+    # simulate a racing writer that already claimed version 1
+    open(os.path.join(lake.path, "v1._claim"), "w").close()
+    with pytest.raises(ConcurrentWriteError):
+        lake.write(lake.read())
+    # recovery: clear the stale claim, the write proceeds
+    os.remove(os.path.join(lake.path, "v1._claim"))
+    assert lake.write(lake.read()) == 1
+
+
+def test_merge_rejects_duplicate_source_keys(spark, lake_env):
+    """Delta MERGE semantics: multiple source rows for one key is an
+    error, not a silent duplicate insert."""
+    bronze, lake_root, _ = lake_env
+    lake = init_lake(spark, bronze, lake_root)
+    dup_src = lake.read().limit(1).unionAll(lake.read().limit(1))
+    with pytest.raises(ValueError, match="multiple source rows"):
+        lake.merge(dup_src, keys=["date", "hour", "endpoint"])
+
+
 def test_merge_prune_keeps_untouched_rows_verbatim(spark, lake_env):
     bronze, lake_root, _ = lake_env
     lake = init_lake(spark, bronze, lake_root)
