@@ -484,6 +484,75 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + global aggregate, zero joins.
+
+    The simplest possible 100 TB plan: every predicate (ship-date range,
+    discount band, quantity cap) reaches the parquet scan as a pushed
+    filter, the map side folds everything into one partial sum, and a
+    single row crosses the network. Comparing the double ``l_discount``
+    against 0.05/0.07 literals is engine-portable because both engines
+    compare the same IEEE doubles (the stored values ARE the literals'
+    nearest doubles)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            # price(2dp) × discount(2dp) → exact 4-decimal grid
+            _cents_sum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("lines"),
+        )
+    )
+
+
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery — lineitems of one
+    brand whose quantity is below 20% of that part's average quantity,
+    total extendedprice scaled to an average yearly figure.
+
+    The correlated subquery ``(SELECT 0.2*AVG(l_quantity) FROM lineitem
+    l2 WHERE l2.l_partkey = p_partkey)`` is decorrelated the way
+    Catalyst itself rewrites it: a per-partkey aggregate joined back on
+    the correlation key. Scale plan: the brand filter prunes ``part``
+    first and that small side broadcasts into both the threshold build
+    and the probe, so the per-part averages are computed only for the
+    filtered parts (at 100 TB the unfiltered per-part aggregate would be
+    a billion-group shuffle for rows the brand predicate then discards).
+    The quantity comparison is portable: quantities are small exact
+    integers, their double sum is order-independent, so both engines
+    compare identical doubles."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#19")
+    parts = F.broadcast(p.select("p_partkey"))
+    thresholds = (
+        l.join(parts, l.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey")
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_limit"))
+        .withColumnRenamed("l_partkey", "t_partkey")
+    )
+    return (
+        l.join(parts, l.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(thresholds), l.l_partkey == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(
+            F.round(
+                F.sum(_cents(F.col("l_extendedprice")).cast("decimal(38,0)"))
+                .cast("double")
+                / (100 * 7.0),
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
 # --- grouping extensions ----------------------------------------------------
 
 def orders_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -685,6 +754,26 @@ ORACLES: dict[str, str] = {
         ORDER BY revenue DESC, orderdate, orderkey
         LIMIT 10
     """,
+    "tpch_q6_forecast_revenue": """
+        SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,10))) AS DOUBLE), 2) AS revenue,
+               COUNT(*) AS lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "tpch_q17_small_quantity_revenue": """
+        SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#19'
+          AND l.l_quantity < (
+              SELECT 0.2 * AVG(l2.l_quantity)
+              FROM lineitem l2
+              WHERE l2.l_partkey = p.p_partkey
+          )
+    """,
     "tpch_q4_order_priority": """
         SELECT o_orderpriority AS orderpriority,
                COUNT(*) AS order_count
@@ -736,4 +825,6 @@ QUERIES = {
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
     "tpch_q4_order_priority": tpch_q4_order_priority,
     "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
+    "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
+    "tpch_q17_small_quantity_revenue": tpch_q17_small_quantity_revenue,
 }

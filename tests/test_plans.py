@@ -16,6 +16,14 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _plan_formatted(df) -> str:
+    """explain('formatted') text — unlike executedPlan().toString(), scan
+    node metadata (PushedFilters, ReadSchema) is NOT width-truncated."""
+    return df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
 @pytest.fixture(autouse=True)
 def no_table_cache(monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_CACHE_TABLES", raising=False)
@@ -109,6 +117,32 @@ def test_q5_region_dims_broadcast_and_filter_pushed(spark, sf_dir):
     supplier_joins = [l for l in plan.splitlines() if "Join" in l and "s_suppkey" in l]
     assert supplier_joins, "no join on s_suppkey found in plan"
     assert "s_nationkey" in supplier_joins[0]
+
+
+def test_q6_all_predicates_pushed_no_shuffle_rows(spark, sf_dir):
+    # Q6 is the pure scan-and-fold shape: every predicate must reach the
+    # parquet scan, there must be no join, and only the two-column
+    # projection may be read.
+    plan = _plan_formatted(rel_ops.tpch_q6_forecast_revenue(spark, sf_dir))
+    assert "Join" not in plan
+    for pushed in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert pushed in plan, f"missing pushed filter {pushed}"
+    assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate" in plan
+
+
+def test_q17_brand_filter_broadcasts_into_threshold_build(spark, sf_dir):
+    # the decorrelated scalar subquery: brand-pruned part keys broadcast
+    # into BOTH the per-part average build and the probe — the per-part
+    # aggregate must not run over unfiltered lineitem.
+    plan = _plan(rel_ops.tpch_q17_small_quantity_revenue(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "PushedFilters: [IsNotNull(p_brand), EqualTo(p_brand,Brand#19)" in plan
 
 
 def test_curation_is_join_free_single_fp_shuffle(spark, sf_dir):
