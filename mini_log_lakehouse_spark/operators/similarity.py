@@ -12,9 +12,9 @@ Three tiers, per the scale plan:
    is THE pattern: queries are small, corpus is huge, so broadcast the
    queries, not the corpus.
 3. **LSH-bucketed ANN** (scale path, rows-only): random-hyperplane signs
-   computed vectorized in numpy via mapInPandas (Arrow batches); queries
-   probe only their bucket. Sub-linear candidate sets at the cost of
-   recall; recall is measured against tier-1 in tests.
+   computed vectorized in numpy via mapInArrow (zero-copy Arrow
+   batches); queries probe only their bucket. Sub-linear candidate sets
+   at the cost of recall; recall is measured against tier-1 in tests.
 4. **IVF-flat ANN** (scale path, rows-only): a coarse k-means quantizer
    trained on a driver-held sample partitions the corpus into cells;
    queries probe the nprobe nearest cells and rerank exactly. The
@@ -202,28 +202,48 @@ def _hyperplanes(dim: int, n_planes: int = LSH_N_PLANES, seed: int = LSH_SEED) -
     return np.random.default_rng(seed).standard_normal((n_planes, dim))
 
 
+def _append_arrow_column(df: DataFrame, vec_col: str, out_col: str, compute) -> DataFrame:
+    """Shared map-only shape for vector→scalar assignment columns: stream
+    Arrow batches, flatten the list<float> embedding column zero-copy
+    into an (n × dim) matrix, append ``compute(mat)`` (an int64 ndarray)
+    as ``out_col``. ``mapInArrow`` for the same reason as
+    knn_join_vectorized — the pandas object-array/vstack path was the
+    dominant cost, not the numpy math."""
+    import pyarrow as pa
+
+    schema = T.StructType(df.schema.fields + [T.StructField(out_col, T.LongType())])
+
+    def assign(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                out = pa.array([], pa.int64())
+            else:
+                idx = batch.schema.get_field_index(vec_col)
+                mat = (
+                    batch.column(idx)
+                    .flatten()
+                    .to_numpy(zero_copy_only=False)
+                    .reshape(n, -1)
+                )
+                out = pa.array(compute(mat).astype("int64"), pa.int64())
+            yield batch.append_column(out_col, out)
+
+    return df.mapInArrow(assign, schema=schema)
+
+
 def lsh_bucketed(df: DataFrame, vec_col: str = "embedding", dim: int = 64) -> DataFrame:
     """Assign each vector a random-hyperplane sign bucket.
 
-    numpy matrix product over Arrow batches (mapInPandas) — the vectorized
-    Python path is ~100× the per-row UDF path and is how the signature
-    step would run over 100 TB (one map-only stage, no shuffle)."""
+    One numpy matrix product per Arrow batch (map-only, no shuffle) —
+    how the signature step would run over 100 TB."""
     planes = _hyperplanes(dim)
-    schema = T.StructType(
-        df.schema.fields + [T.StructField("bucket", T.LongType())]
-    )
 
-    def assign(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pdf.assign(bucket=np.array([], dtype="int64"))
-                continue
-            mat = np.vstack(pdf[vec_col].to_numpy())  # (n, dim)
-            signs = (mat @ planes.T) > 0  # (n, n_planes)
-            bucket = (signs * (1 << np.arange(planes.shape[0]))).sum(axis=1)
-            yield pdf.assign(bucket=bucket.astype("int64"))
+    def compute(mat):
+        signs = (mat @ planes.T) > 0  # (n, n_planes)
+        return (signs * (1 << np.arange(planes.shape[0]))).sum(axis=1)
 
-    return df.mapInPandas(assign, schema=schema)
+    return _append_arrow_column(df, vec_col, "bucket", compute)
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -293,18 +313,13 @@ def ivf_assign_cells(
 ) -> DataFrame:
     """Assign every vector its nearest-centroid cell id — one numpy GEMM
     per Arrow batch (map-only, no shuffle), same shape as lsh_bucketed."""
-    schema = T.StructType(df.schema.fields + [T.StructField("cell", T.LongType())])
 
-    def assign(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pdf.assign(cell=np.array([], dtype="int64"))
-                continue
-            mat = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
-            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-            yield pdf.assign(cell=(mat @ centroids.T).argmax(axis=1).astype("int64"))
+    def compute(mat):
+        mat = mat.astype("float64")
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        return (mat @ centroids.T).argmax(axis=1)
 
-    return df.mapInPandas(assign, schema=schema)
+    return _append_arrow_column(df, vec_col, "cell", compute)
 
 
 #: Trained centroids per (applicationId, sf_dir) — the serving layer
