@@ -553,6 +553,334 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: volume shipped between two trading nations, by
+    (supplier nation, customer nation, year) — the supplier's nation
+    comes through lineitem ⋈ supplier, the customer's through
+    lineitem ⋈ orders ⋈ customer, and only the two cross pairs survive.
+
+    Scale plan: the nation filter lands on BOTH dimension paths before
+    any fact join — supplier and customer are each pre-joined (broadcast)
+    to the 2-row nation slice, so the fact side only carries rows whose
+    supp/cust nation is one of the two, and the cross-pair disjunction
+    runs on two small ints. The only shuffles are the two fact-fact
+    joins; supplier is broadcast at any SF (dim), customer shuffles with
+    orders on custkey."""
+    nations = ("NATION_1", "NATION_2")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*nations))
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n.select(F.col("n_nationkey"), F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    c = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(
+            n.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation"))
+        ),
+        F.col("c_nationkey") == F.col("nk2"),
+    ).select("c_custkey", "cust_nation")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    joined = (
+        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == nations[0]) & (F.col("cust_nation") == nations[1]))
+            | ((F.col("supp_nation") == nations[1]) & (F.col("cust_nation") == nations[0]))
+        )
+    )
+    return (
+        joined.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            _cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in
+    one quarter.
+
+    Same scale discipline as top_customers_by_revenue: revenue is fully
+    aggregated to custkey grain BEFORE the customer dimension join, the
+    top-20 is a TakeOrderedAndProject on that aggregate (the ordering is
+    fully determined by (revenue, custkey)), and only then do the 20
+    surviving keys broadcast-probe the customer table — at 100 TB the
+    name/balance lookup never shuffles a billion-row dimension."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    c = load_table(spark, sf_dir, "customer")
+    top20 = (
+        l.join(o.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(
+                    _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+                    .cast("decimal(38,0)")
+                ).cast("double")
+                / 1e4,
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_custkey")
+        .limit(20)
+    )
+    return (
+        c.join(F.broadcast(top20), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "custkey")
+    )
+
+
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-share aggregate over a dimension
+    join — the % of one month's revenue that came from PROMO parts.
+
+    Scale plan: part broadcasts (dim), the month filter is pushed to the
+    lineitem scan, and the CASE collapses in the partial agg — one
+    narrow shuffle row total. Both the promo and total sums accumulate
+    exact integer cents4, so the ratio divides two exact longs and both
+    engines round the same double."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev_c4 = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast(
+        "decimal(38,0)"
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev_c4).otherwise(F.lit(0))).cast(
+                    "double"
+                )
+                / F.sum(rev_c4).cast("double"),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: suppliers whose quarterly revenue equals the
+    global maximum — an aggregate, a scalar max OVER that aggregate, and
+    an equality join back.
+
+    Scale plan: lineitem collapses to suppkey grain first (the revenue
+    "view"); the global max runs over that supplier-grain table (rows =
+    |suppliers|, not |lineitem|) as a single-row aggregate that
+    broadcasts back as a cross join; the supplier dimension joins only
+    the max rows. The max/equality comparison happens on EXACT integer
+    cents4 (a long), never on a rounded double — float equality across
+    engines would be a correctness bug; the rounded display value is
+    derived after the filter."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = l.groupBy("l_suppkey").agg(
+        F.sum(
+            _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            .cast("decimal(38,0)")
+        ).alias("_rev_c4")
+    )
+    best = rev.agg(F.max("_rev_c4").alias("_max_c4"))
+    return (
+        rev.join(F.broadcast(best), F.col("_rev_c4") == F.col("_max_c4"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("name"),
+            F.round(F.col("_rev_c4").cast("double") / 1e4, 2).alias("total_revenue"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can deliver each
+    (brand, type, size) slice, EXCLUDING a denylisted supplier set — the
+    NOT IN subquery decorrelates to a broadcast anti join.
+
+    The part/supplier relation comes from observed lineitem
+    (l_partkey, l_suppkey) pairs — this schema has no partsupp table
+    (reference has no supplier catalog either). Scale plan: the part
+    filter broadcasts into lineitem, the denylist (pattern-matched
+    suppliers) is tiny and anti-joins broadcast, and the distinct runs
+    on (brand, type, size, suppkey) AFTER both prunes."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_name").like("%7")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold
+    (GROUP BY + HAVING as a semi-join key set), with customer attribution.
+
+    Scale plan: the HAVING aggregate runs once at orderkey grain and is
+    REUSED both as the filter key set and as the total_qty source (no
+    second lineitem pass); orders joins it on the shuffle key, and the
+    customer name lookup joins at the end. Quantities are small exact
+    integers stored as doubles, so SUM and the >300 comparison are exact
+    in both engines. Top-100 carries a full (totalprice, orderkey)
+    tiebreak."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    top = (
+        o.hint("shuffle_hash")
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice"), 2).alias("totalprice"),
+            F.round(F.col("total_qty"), 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(100)
+    )
+    return (
+        c.join(F.broadcast(top), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_name").alias("name"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            "totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("totalprice"), "orderkey")
+    )
+
+
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate mixing
+    part attributes (brand, size) and lineitem attributes (quantity).
+
+    Scale plan: the brand/size UNION of the three arms is applied to
+    ``part`` BEFORE the join (Catalyst cannot always extract the
+    disjunction's common part-side implicant, so it is stated
+    explicitly) — part shrinks, broadcasts, and only then does the
+    3-arm disjunction evaluate on the joined row. The quantity bounds
+    land in the lineitem scan as a pushed min/max envelope
+    (l_quantity >= 1 AND l_quantity <= 30 covers all arms)."""
+    arms_part = (
+        (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+        | (F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+        | (F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+    )
+    p = load_table(spark, sf_dir, "part").filter(arms_part)
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(1, 30)
+    )
+    full = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+        | (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+        | (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(full)
+        .agg(
+            _cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("lines"),
+        )
+    )
+
+
+def tpch_q22_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: positive-value customers who have gone quiet —
+    above-average account balance AND no orders in the trailing window
+    (NOT EXISTS → anti join), counted per nation.
+
+    Scale plan: the global average balance is a single-row aggregate
+    broadcast back as a cross join (scalar subquery the way Catalyst
+    plans it); the anti join's right side is only the trailing window's
+    orders (date-pruned at the scan), projected to the bare custkey; the
+    final rollup groups by the small int nation key.
+
+    The above-average comparison is EXACT, not float: ``bal > sum/cnt``
+    is evaluated as ``cents(bal) * cnt > sum_cents`` on integers —
+    comparing against a double average whose last ulp depends on
+    summation order could flip boundary rows between engines."""
+    c = load_table(spark, sf_dir, "customer")
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(_cents(F.col("c_acctbal")).cast("decimal(38,0)")).alias("_sum_c"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(
+            _cents(F.col("c_acctbal")).cast("decimal(38,0)") * F.col("_cnt")
+            > F.col("_sum_c")
+        )
+        .join(
+            recent.select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _cents_sum(F.col("c_acctbal")).alias("total_acctbal"),
+        )
+        .orderBy("nationkey")
+    )
+
+
 # --- grouping extensions ----------------------------------------------------
 
 def orders_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -802,6 +1130,130 @@ ORACLES: dict[str, str] = {
         GROUP BY 1
         ORDER BY revenue DESC, nation
     """,
+    "tpch_q7_nation_volume": """
+        SELECT sn.n_name AS supp_nation,
+               cn.n_name AS cust_nation,
+               CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS l_year,
+               ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) AS DOUBLE), 2) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+            OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
+    """,
+    "tpch_q10_returned_items": """
+        SELECT c.c_custkey AS custkey,
+               c.c_name AS name,
+               ROUND(c.c_acctbal, 2) AS acctbal,
+               ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) AS DOUBLE), 2) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, custkey
+        LIMIT 20
+    """,
+    "tpch_q14_promo_revenue": """
+        SELECT ROUND(
+                 100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                       THEN CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS DECIMAL(38,0))
+                                       ELSE 0 END) AS DOUBLE)
+                       / CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE),
+                 6) AS promo_revenue_pct
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+    """,
+    "tpch_q15_top_supplier": """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS DECIMAL(38,0))) AS rev_c4
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY 1
+        )
+        SELECT s.s_suppkey AS suppkey,
+               s.s_name AS name,
+               ROUND(CAST(rev.rev_c4 AS DOUBLE) / 10000, 2) AS total_revenue
+        FROM rev
+        JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+        WHERE rev.rev_c4 = (SELECT MAX(rev_c4) FROM rev)
+        ORDER BY suppkey
+    """,
+    "tpch_q16_supplier_part_counts": """
+        SELECT p.p_brand, p.p_type, p.p_size,
+               COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand <> 'Brand#5'
+          AND p.p_type <> 'MEDIUM'
+          AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+          AND l.l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7'
+          )
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    "tpch_q18_large_orders": """
+        WITH big AS (
+            SELECT l_orderkey, SUM(l_quantity) AS total_qty
+            FROM lineitem
+            GROUP BY 1
+            HAVING SUM(l_quantity) > 300
+        )
+        SELECT c.c_name AS name,
+               c.c_custkey AS custkey,
+               o.o_orderkey AS orderkey,
+               o.o_orderdate AS orderdate,
+               ROUND(o.o_totalprice, 2) AS totalprice,
+               ROUND(big.total_qty, 2) AS total_qty
+        FROM orders o
+        JOIN big ON o.o_orderkey = big.l_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        ORDER BY totalprice DESC, orderkey
+        LIMIT 100
+    """,
+    "tpch_q19_disjunctive_revenue": """
+        SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) AS DOUBLE), 2) AS revenue,
+               COUNT(*) AS lines
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    "tpch_q22_lapsed_customers": """
+        SELECT c.c_nationkey AS nationkey,
+               COUNT(*) AS numcust,
+               ROUND(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,10))) AS DOUBLE), 2) AS total_acctbal
+        FROM customer c
+        WHERE CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS DECIMAL(38,0))
+                * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
+              > (SELECT SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS DECIMAL(38,0)))
+                 FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+          )
+        GROUP BY 1
+        ORDER BY 1
+    """,
 }
 
 QUERIES = {
@@ -827,4 +1279,12 @@ QUERIES = {
     "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
     "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
     "tpch_q17_small_quantity_revenue": tpch_q17_small_quantity_revenue,
+    "tpch_q7_nation_volume": tpch_q7_nation_volume,
+    "tpch_q10_returned_items": tpch_q10_returned_items,
+    "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
+    "tpch_q15_top_supplier": tpch_q15_top_supplier,
+    "tpch_q16_supplier_part_counts": tpch_q16_supplier_part_counts,
+    "tpch_q18_large_orders": tpch_q18_large_orders,
+    "tpch_q19_disjunctive_revenue": tpch_q19_disjunctive_revenue,
+    "tpch_q22_lapsed_customers": tpch_q22_lapsed_customers,
 }
