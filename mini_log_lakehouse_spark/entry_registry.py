@@ -22,6 +22,7 @@ from mini_log_lakehouse_spark.operators import (
     vocab,
 )
 from mini_log_lakehouse_spark.streaming import ingest as streaming_ingest
+from mini_log_lakehouse_spark.streaming import joins as streaming_joins
 from mini_log_lakehouse_spark.streaming import sessions as streaming_sessions
 
 # Ordered so the driver's first-50 correctness sample rotates across rounds:
@@ -40,6 +41,7 @@ _MODULES = (
     vocab,
     streaming_ingest,
     streaming_sessions,
+    streaming_joins,
     similarity,
     relational,
     events,

@@ -1,0 +1,114 @@
+"""Stream-stream interval join (SURVEY.md §2.9 extension): correlate
+each error event with the same user's follow-up actions within a time
+horizon — the streaming funnel/attribution shape the reference's batch
+dashboard can only approximate by re-running a day-grain join
+(reference dbt fct model; it has no streaming surface at all).
+
+Why this operator is its own class: BOTH inputs are unbounded, so the
+join must buffer state on each side, and the ONLY thing that lets Spark
+evict that state is the pair (watermark, time-range join condition) —
+the range `err_ts < act_ts <= err_ts + horizon` tells the engine an
+error row can stop waiting for matches once the action watermark passes
+`err_ts + horizon`, and vice versa. Without the range bound the state
+grows without limit; with it, state is O(events within one horizon per
+key), which at 100 TB/day is bounded by the horizon, not the history.
+
+Inner joins in append mode emit matches immediately (no watermark hold —
+that's only needed for outer sides), so the availableNow replay drains
+to exactly the batch join's result, which is what the DuckDB oracle
+restates relationally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mini_log_lakehouse_spark.streaming.ingest import read_events_stream
+
+
+def stream_error_followups(
+    spark: SparkSession,
+    sf_dir: str,
+    horizon: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Join the error stream to the same user's subsequent non-error
+    events within ``horizon``; returns the drained pair table.
+
+    Two filtered views of ONE replayed source stream — Spark treats them
+    as independent stream sides with their own watermarks and buffers;
+    the time-range conjunct in the join condition is what bounds both
+    state stores (see module docstring)."""
+    ev = read_events_stream(spark, sf_dir)
+    errs = (
+        ev.filter(F.col("event_type") == "error")
+        .select("user_id", F.col("ts").alias("err_ts"))
+        .withWatermark("err_ts", watermark)
+    )
+    acts = (
+        ev.filter(F.col("event_type") != "error")
+        .select(
+            F.col("user_id").alias("act_user"),
+            F.col("event_type").alias("followup_type"),
+            F.col("ts").alias("act_ts"),
+        )
+        .withWatermark("act_ts", watermark)
+    )
+    joined = errs.join(
+        acts,
+        (F.col("user_id") == F.col("act_user"))
+        & (F.col("act_ts") > F.col("err_ts"))
+        & (F.col("act_ts") <= F.col("err_ts") + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select("user_id", "err_ts", "followup_type", "act_ts")
+    name = "stream_error_followups_result"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def streaming_error_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: per follow-up type, how many (error → action) pairs
+    and how many distinct affected users the interval join produced.
+    The rollup over the drained pair table keeps the driver-compared
+    output small and fully deterministic; the streaming machinery under
+    it is the operator being verified (oracle: the equivalent batch
+    self-join in SQL)."""
+    pairs = stream_error_followups(spark, sf_dir)
+    return (
+        pairs.groupBy("followup_type")
+        .agg(
+            F.count(F.lit(1)).alias("pairs"),
+            F.count_distinct("user_id").alias("users"),
+        )
+        .orderBy("followup_type")
+    )
+
+
+ORACLES: dict[str, str] = {
+    "streaming_error_followups": """
+        SELECT a.event_type AS followup_type,
+               COUNT(*) AS pairs,
+               COUNT(DISTINCT e.user_id) AS users
+        FROM events e
+        JOIN events a
+          ON a.user_id = e.user_id
+         AND CAST(a.ts AS TIMESTAMP) > CAST(e.ts AS TIMESTAMP)
+         AND CAST(a.ts AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
+        WHERE e.event_type = 'error'
+          AND a.event_type <> 'error'
+        GROUP BY 1
+        ORDER BY 1
+    """,
+}
+
+QUERIES = {
+    "streaming_error_followups": streaming_error_followups,
+}
