@@ -881,6 +881,354 @@ def tpch_q22_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each part of one type, the region's suppliers
+    offering the minimum cost — a correlated-MIN subquery decorrelated
+    into an aggregate + equality join back.
+
+    This schema has no partsupp catalog, so the part↔supplier cost
+    relation is derived from observed lineitem trades:
+    cost(part, supp) = MIN(l_extendedprice / l_quantity). MIN (unlike
+    AVG) is order-independent and picks one exact double both engines
+    agree on bit-for-bit, so the later cost = min(cost) equality join is
+    safe across engines.
+
+    Scale plan: the (partkey, suppkey) cost grain is ONE shuffle of
+    lineitem; everything after runs at catalog grain — the part slice
+    and the region's supplier roster broadcast into it, the per-part min
+    re-aggregates the already-small candidate table, and the min join
+    back is a broadcast. Nothing after the first shuffle touches fact
+    data."""
+    l = load_table(spark, sf_dir, "lineitem")
+    ps = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
+    cand = ps.join(
+        F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey")
+    ).join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+    minc = cand.groupBy(F.col("p_partkey").alias("_pk")).agg(
+        F.min("cost").alias("_minc")
+    )
+    return (
+        cand.join(
+            F.broadcast(minc),
+            (F.col("p_partkey") == F.col("_pk")) & (F.col("cost") == F.col("_minc")),
+        )
+        .select(
+            F.round(F.col("s_acctbal"), 2).alias("acctbal"),
+            F.col("s_name").alias("name"),
+            F.col("n_name").alias("nation"),
+            F.col("p_partkey").alias("partkey"),
+            F.round(F.col("cost"), 2).alias("min_cost"),
+        )
+        .orderBy(F.desc("acctbal"), "nation", "name", "partkey")
+        .limit(100)
+    )
+
+
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's market for one
+    part type, by order year — a conditional-sum / total-sum ratio over
+    a 6-table join.
+
+    Scale plan: the two selective dimensions prune BEFORE the fact joins
+    — the part-type slice broadcasts into lineitem (killing most rows
+    first), the region's customers pre-join to their broadcast nation
+    slice, and the supplier nation arrives as a broadcast lookup whose
+    name only feeds the CASE. The fact-fact joins (lineitem⋈orders,
+    ⋈customer) are the only shuffles. Both sums accumulate exact integer
+    cents4, so the share divides two exact longs identically in both
+    engines."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("_snk"), F.col("n_name"))),
+            F.col("s_nationkey") == F.col("_snk"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    rev_c4 = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast(
+        "decimal(38,0)"
+    )
+    return (
+        l.join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_1", rev_c4).otherwise(
+                        F.lit(0)
+                    )
+                ).cast("double")
+                / F.sum(rev_c4).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year over a
+    name-pattern part slice. No partsupp → supply cost is modeled as
+    60% of the part's retail price, which preserves the query's shape
+    (a per-line profit expression mixing lineitem and part columns).
+
+    Scale plan: the LIKE-filtered part slice broadcasts into lineitem
+    first (the pattern is unselective on purpose — this is the
+    scan-heavy profit rollup), supplier/nation broadcast, and the only
+    fact-fact shuffle is lineitem⋈orders for the year. The signed profit
+    expression accumulates exact integer cents4 (floor(x+0.5) is
+    half-up for either sign, stated identically in the oracle), so
+    partial-agg order cannot flip a cent."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.lit(0.6) * F.col("l_quantity")
+    )
+    return (
+        l.join(
+            F.broadcast(p.select("p_partkey", "p_retailprice")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o.hint("shuffle_hash").select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(_cents_sum(amount, 4).alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose traded value through one nation's
+    suppliers exceeds a fraction of the nation's total — GROUP BY +
+    HAVING against a global scalar aggregate.
+
+    Scale plan: the nation's supplier roster broadcasts into lineitem
+    (most rows die at the scan side of the join), value aggregates to
+    partkey grain in one shuffle, and the global total re-aggregates
+    THAT small table and broadcasts back as a cross join — the fraction
+    test ``v * 10000 > total * 5`` compares exact integer cents on both
+    sides, so no engine-dependent float threshold can flip a part in or
+    out."""
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    pv = (
+        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_cents(F.col("l_extendedprice")).cast("decimal(38,0)")).alias("_v"))
+    )
+    tot = pv.agg(F.sum("_v").alias("_tot"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("_v") * 10000 > F.col("_tot") * 5)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round(F.col("_v").cast("double") / 100, 2).alias("value"),
+        )
+        .orderBy(F.desc("value"), "partkey")
+    )
+
+
+def tpch_q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: high/low-priority order counts among late
+    shipments, by line status. The schema has no shipmode or
+    commit/receipt dates, so "late" is shipped >30 days after the order
+    date (an equi-join plus a cross-table theta conjunct — the same
+    join-then-filter shape as the original's receipt/commit predicate)
+    and the grouping channel is l_linestatus.
+
+    Scale plan: the ship-year range is pushed to the lineitem scan, the
+    only shuffle is the orderkey join, the 30-day lag predicate runs on
+    the joined row (it references both sides so it cannot push below the
+    join — stated in the plan, evaluated in codegen), and the two CASE
+    counts collapse in the partial agg to 2 output rows."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("linestatus")
+    )
+
+
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of per-customer order counts —
+    a LEFT OUTER join with an extra join-condition filter (so customers
+    with zero qualifying orders survive with count 0), then a second
+    aggregation over the first's result.
+
+    Scale plan: one shuffle joins customer⋈orders on custkey, the first
+    count runs at custkey grain on that partitioning, and the histogram
+    re-aggregation shuffles only (count, 1) pairs — at 100 TB the second
+    stage's input is |customers| rows collapsing into a few dozen
+    buckets via partial agg. COUNT(o_orderkey) counts non-null matches
+    only, which is what makes the outer join's zero bucket appear in
+    both engines identically."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "4-NOT SPECIFIED"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count(F.col("o_orderkey")).alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def tpch_q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: the nested IN-subquery chain — suppliers (in one
+    region) whose shipped volume of pattern-named parts in one year
+    clears a threshold derived from another aggregate over the same
+    data. Both nested subqueries decorrelate: the part slice to a
+    broadcast semi-join, the qualifying-supplier set to a broadcast
+    semi-join key list.
+
+    Scale plan: lineitem is pruned by the pushed ship-year range AND the
+    broadcast part slice before its single aggregation to suppkey grain;
+    the global max re-aggregates that supplier-grain table and
+    broadcasts back; the final roster test is a broadcast LEFT SEMI into
+    the supplier dimension. The threshold ``qty * 3 > max`` compares
+    exactly (quantities are integral), never a float fraction."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    shipped = (
+        l.join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    mx = shipped.agg(F.max("qty").alias("_mx"))
+    keys = (
+        shipped.crossJoin(F.broadcast(mx))
+        .filter(F.col("qty") * 3 > F.col("_mx"))
+        .select("l_suppkey")
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(keys), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select(F.col("s_name").alias("name"), F.col("s_suppkey").alias("suppkey"))
+        .orderBy("name", "suppkey")
+    )
+
+
+def tpch_q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the EXISTS + NOT-EXISTS pair — blame the one
+    supplier who shipped last on finished multi-supplier orders. With no
+    receipt/commit dates, "kept the order waiting" is: the order has ≥2
+    distinct suppliers (EXISTS another supplier), and exactly ONE
+    supplier's lines reach the order's max ship date (NOT EXISTS another
+    supplier equally late) — that unique latest shipper is blamed.
+
+    Scale plan: everything fact-sized happens on the orderkey
+    partitioning and is reused — the per-order (max shipdate, supplier
+    count) aggregate, the self-join back to find max-achieving lines,
+    and the orders join are all orderkey-keyed shuffles Catalyst chains
+    without re-exchange of the aggregated side; the supplier/nation/
+    region attribution is a broadcast at the end, at blamed-order
+    grain."""
+    l = load_table(spark, sf_dir, "lineitem")
+    per_order = l.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.max("l_shipdate").alias("_m"),
+        F.count_distinct("l_suppkey").alias("_ns"),
+    )
+    maxers = (
+        l.join(
+            per_order.filter(F.col("_ns") >= 2),
+            (F.col("l_orderkey") == F.col("_ok")) & (F.col("l_shipdate") == F.col("_m")),
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    solo = (
+        maxers.groupBy("l_orderkey")
+        .agg(F.min("l_suppkey").alias("_sk"), F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") == 1)
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        solo.join(o.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("_sk") == F.col("s_suppkey"))
+        .groupBy(F.col("s_name").alias("name"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "name")
+        .limit(20)
+    )
+
+
 # --- grouping extensions ----------------------------------------------------
 
 def orders_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1237,6 +1585,158 @@ ORACLES: dict[str, str] = {
            OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
                AND l.l_quantity BETWEEN 20 AND 30)
     """,
+    "tpch_q2_min_cost_supplier": """
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey,
+                   MIN(l_extendedprice / l_quantity) AS cost
+            FROM lineitem GROUP BY 1, 2
+        ), eu AS (
+            SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'EUROPE'
+        ), cand AS (
+            SELECT p.p_partkey, eu.s_name, eu.s_acctbal, eu.n_name, ps.cost
+            FROM part p
+            JOIN ps ON p.p_partkey = ps.l_partkey
+            JOIN eu ON ps.l_suppkey = eu.s_suppkey
+            WHERE p.p_type = 'LARGE'
+        )
+        SELECT ROUND(s_acctbal, 2) AS acctbal,
+               s_name AS name,
+               n_name AS nation,
+               p_partkey AS partkey,
+               ROUND(cost, 2) AS min_cost
+        FROM cand c
+        WHERE cost = (SELECT MIN(cost) FROM cand c2 WHERE c2.p_partkey = c.p_partkey)
+        ORDER BY acctbal DESC, nation, name, partkey
+        LIMIT 100
+    """,
+    "tpch_q8_market_share": """
+        SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+               ROUND(
+                 CAST(SUM(CASE WHEN sn.n_name = 'NATION_1'
+                               THEN CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS DECIMAL(38,0))
+                               ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE),
+                 6) AS mkt_share
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN region r ON cn.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        WHERE r.r_name = 'AMERICA'
+          AND p.p_type = 'ECONOMY'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    "tpch_q9_product_profit": """
+        SELECT n.n_name AS nation,
+               CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+               ROUND(CAST(SUM(CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount) - p.p_retailprice * 0.6 * l.l_quantity) * 10000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 10000, 2) AS profit
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE p.p_name LIKE '%red%'
+        GROUP BY 1, 2
+        ORDER BY 1, 2 DESC
+    """,
+    "tpch_q11_important_parts": """
+        WITH pv AS (
+            SELECT l.l_partkey,
+                   SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS DECIMAL(38,0))) AS v
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE n.n_name = 'NATION_3'
+            GROUP BY 1
+        )
+        SELECT l_partkey AS partkey,
+               ROUND(CAST(v AS DOUBLE) / 100, 2) AS value
+        FROM pv
+        WHERE v * 10000 > (SELECT SUM(v) FROM pv) * 5
+        ORDER BY value DESC, partkey
+    """,
+    "tpch_q12_late_shipment_priority": """
+        SELECT l.l_linestatus AS linestatus,
+               SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+        FROM orders o
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    "tpch_q13_customer_distribution": """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+            FROM customer c
+            LEFT JOIN orders o
+              ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '4-NOT SPECIFIED'
+            GROUP BY 1
+        ) t
+        GROUP BY 1
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "tpch_q20_excess_stock_suppliers": """
+        WITH shipped AS (
+            SELECT l.l_suppkey, SUM(l.l_quantity) AS qty
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_name LIKE '%red%'
+              AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY 1
+        )
+        SELECT s.s_name AS name, s.s_suppkey AS suppkey
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND s.s_suppkey IN (
+              SELECT l_suppkey FROM shipped
+              WHERE qty * 3 > (SELECT MAX(qty) FROM shipped)
+          )
+        ORDER BY name, suppkey
+    """,
+    "tpch_q21_waiting_orders": """
+        WITH per_order AS (
+            SELECT l_orderkey, MAX(l_shipdate) AS m,
+                   COUNT(DISTINCT l_suppkey) AS ns
+            FROM lineitem GROUP BY 1
+        ), maxers AS (
+            SELECT DISTINCT l.l_orderkey, l.l_suppkey
+            FROM lineitem l
+            JOIN per_order p2
+              ON l.l_orderkey = p2.l_orderkey AND l.l_shipdate = p2.m
+            WHERE p2.ns >= 2
+        ), solo AS (
+            SELECT l_orderkey, MIN(l_suppkey) AS suppkey
+            FROM maxers GROUP BY 1 HAVING COUNT(*) = 1
+        )
+        SELECT s.s_name AS name, COUNT(*) AS numwait
+        FROM solo
+        JOIN orders o ON solo.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'F'
+        JOIN supplier s ON solo.suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'AFRICA'
+        GROUP BY 1
+        ORDER BY numwait DESC, name
+        LIMIT 20
+    """,
     "tpch_q22_lapsed_customers": """
         SELECT c.c_nationkey AS nationkey,
                COUNT(*) AS numcust,
@@ -1287,4 +1787,12 @@ QUERIES = {
     "tpch_q18_large_orders": tpch_q18_large_orders,
     "tpch_q19_disjunctive_revenue": tpch_q19_disjunctive_revenue,
     "tpch_q22_lapsed_customers": tpch_q22_lapsed_customers,
+    "tpch_q2_min_cost_supplier": tpch_q2_min_cost_supplier,
+    "tpch_q8_market_share": tpch_q8_market_share,
+    "tpch_q9_product_profit": tpch_q9_product_profit,
+    "tpch_q11_important_parts": tpch_q11_important_parts,
+    "tpch_q12_late_shipment_priority": tpch_q12_late_shipment_priority,
+    "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
+    "tpch_q20_excess_stock_suppliers": tpch_q20_excess_stock_suppliers,
+    "tpch_q21_waiting_orders": tpch_q21_waiting_orders,
 }

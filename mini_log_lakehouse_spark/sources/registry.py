@@ -53,10 +53,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return _TABLE_CACHE[key]
     tune(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # int64 epoch-nanos -> TimestampType at µs precision (floor), exactly
-        # DuckDB's TIMESTAMP_NS -> TIMESTAMP cast for positive epochs.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # int64 epoch-nanos -> TimestampType at µs precision (floor),
+            # exactly DuckDB's TIMESTAMP_NS -> TIMESTAMP cast for positive
+            # epochs.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # TIMESTAMP(MICROS, isAdjustedToUTC=false) infers as NTZ, which
+            # downstream epoch arithmetic/watermarks reject; the session is
+            # pinned to UTC (session.py:31) so this cast is value-preserving
+            # and matches DuckDB reading the same file as plain TIMESTAMP.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     if cache:
         # The testdata files are single-row-group parquet, so a cold scan
         # is one task no matter the cluster size; spread the cached copy
@@ -105,6 +114,14 @@ def load_events_range(
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.filter((F.col("ts") >= start_ns) & (F.col("ts") < end_ns))
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(df.dtypes).get("ts") == "timestamp_ntz":
+        # Filter on the NTZ column (the literal bound is comparable after
+        # cast) so the range still reaches PushedFilters, then normalize.
+        df = df.filter(
+            (F.col("ts") >= F.timestamp_micros(F.lit(start_ns // 1000)).cast("timestamp_ntz"))
+            & (F.col("ts") < F.timestamp_micros(F.lit(end_ns // 1000)).cast("timestamp_ntz"))
+        )
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df.filter(
         (F.col("ts") >= F.timestamp_micros(F.lit(start_ns // 1000)))
         & (F.col("ts") < F.timestamp_micros(F.lit(end_ns // 1000)))

@@ -33,16 +33,37 @@ from pyspark.sql import types as T
 from mini_log_lakehouse_spark.session import tune
 from mini_log_lakehouse_spark.sources.logs import parse_lines
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # epoch nanos in the raw parquet
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def events_stream(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Parquet file stream over the events table with ``ts`` normalized
+    to TimestampType, whichever way the driver wrote it.
+
+    The driver has shipped ``events.ts`` both as TIMESTAMP(NANOS)
+    (which Spark reads as raw int64 under
+    ``spark.sql.legacy.parquet.nanosAsLong`` — see session.py) and as
+    TIMESTAMP(MICROS) (read natively). A file stream needs an explicit
+    schema, so instead of hard-coding one era we take the schema a BATCH
+    read infers from the footer — by construction that is exactly what
+    the stream reader will produce for the same files — and then apply
+    the same ns→µs truncation the batch registry applies when the column
+    surfaces as bigint (sources/registry.py:56-59).
+    """
+    tune(spark)
+    batch = spark.read
+    stream = spark.readStream
+    if glob is not None:
+        batch = batch.option("pathGlobFilter", glob)
+        stream = stream.option("pathGlobFilter", glob)
+    raw = stream.schema(batch.parquet(path).schema).parquet(path)
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Watermarks require session-tz TIMESTAMP; the session is pinned
+        # to UTC (session.py:31) so this cast is value-preserving.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def stream_ingest_logs(
@@ -72,14 +93,8 @@ def stream_ingest_logs(
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the events table as a stream (per-file microbatches)."""
-    tune(spark)
     # file-stream sources take a directory; select just the events table
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return events_stream(spark, sf_dir, glob="events.parquet")
 
 
 def stream_hourly_fact(

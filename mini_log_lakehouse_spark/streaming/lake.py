@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from mini_log_lakehouse_spark.session import tune
 from mini_log_lakehouse_spark.sources.logs import parse_lines
-from mini_log_lakehouse_spark.streaming.ingest import EVENTS_SCHEMA
+from mini_log_lakehouse_spark.streaming.ingest import events_stream
 
 
 def stream_fct_maintenance(
@@ -75,8 +75,7 @@ def stream_dedup_events(
     dropped; state for keys older than the horizon is evicted. Runs to
     completion into a memory sink and returns the deduped table."""
     tune(spark)
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = events_stream(spark, events_dir)
     deduped = ev.withWatermark("ts", watermark).dropDuplicatesWithinWatermark([key])
     name = "stream_dedup_events_result"
     q = (
