@@ -31,9 +31,12 @@ sources/scaleup.py) show how the Spark/DuckDB ratio behaves as the
 per-job floor amortizes; a genuine plan defect would show as a query's
 ratio RISING from the 10× to the 100× leg. At 100× the scale-up's
 Caesar-shift alphabet wraps (26 letters), so cross-replica exact
-duplicate documents appear — realistic for a dedup corpus, and the
-banded candidate generation absorbs them; noted so the pair counts are
-not mistaken for drift.
+duplicate documents appear — realistic for a dedup corpus (mirrors,
+boilerplate). The MinHash pipeline collapses exact-duplicate classes to
+one representative before LSH (see dedup.minhash_candidate_pairs), so
+quadratic-size duplicate classes cost one signature each plus a cheap
+pair expansion — measured 189 s → ~8 s warm on the 100× leg; noted so
+the pair counts are not mistaken for drift.
 """
 
 from __future__ import annotations

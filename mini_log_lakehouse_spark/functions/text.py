@@ -27,7 +27,13 @@ def bpe_ish_tokens(col) -> Column:
 
 
 def token_count(col) -> Column:
-    return F.array_size(ws_tokens(col))
+    """len(split(text, ' ')) without materializing the array: the count
+    equals #spaces + 1 (split keeps empty tokens, so consecutive spaces
+    count too — same as the oracle's len(string_split)). Pure length
+    arithmetic stays in whole-stage codegen with zero per-row allocation;
+    the split/array_size form allocated a token array per document and
+    its GC cost dominated the corpus-stats scan at the 100x bench leg."""
+    return F.length(col) - F.length(F.replace(col, F.lit(" "), F.lit(""))) + 1
 
 
 def distinct_token_count(col) -> Column:

@@ -239,38 +239,54 @@ def minhash_candidate_pairs(
     from mini_log_lakehouse_spark.session import default_parallelism
 
     docs = docs.repartition(default_parallelism(), F.col(id_col))
+    # Exact-duplicate collapse FIRST (the production fuzzy-dedup shape:
+    # exact dedup, then near-dup over distinct content). Identical texts
+    # have identical signatures, hence identical bands and est=1, so the
+    # LSH result at doc grain is fully determined by the result at
+    # distinct-text grain + the class membership map. Without this, a
+    # corpus with large exact-duplicate classes (normal at 100 TB —
+    # mirrors, boilerplate) makes the signature join quadratic in class
+    # size: measured at the 100× bench leg (500k docs, classes up to
+    # 2.5k), 76M candidate pairs dragged ~76 GB of signature arrays
+    # through the estimate join. Collapsed, signatures/banding/estimates
+    # run on distinct texts only and the doc-grain pairs are recovered by
+    # two cheap codegen'd expansion joins.
+    members = _persist_sigs(
+        "minhash_members",
+        docs.select(F.col(id_col).alias("_mid"), F.md5(F.col(text_col)).alias("_fp")),
+    )
+    reps = docs.select(
+        F.md5(F.col(text_col)).alias("_fp"), F.col(text_col).alias("_rtext")
+    ).dropDuplicates(["_fp"])
     # Two selects: the shingle-hash array materializes once, then the K
     # integer-only affine folds read it. CollapseProject keeps the
     # boundary because `_base` is non-cheap and referenced K times.
     base_expr = _cached_expr(
-        ("minhash_base", text_col), lambda: minhash_base_hashes(F.col(text_col))
+        ("minhash_base", "_rtext"), lambda: minhash_base_hashes(F.col("_rtext"))
     )
     sig_expr = _cached_expr(
         ("minhash_sig", "_base"), lambda: minhash_from_base(F.col("_base"))
     )
     sigs = _persist_sigs(
         "minhash",
-        docs.select(id_col, base_expr.alias("_base")).select(
-            id_col, sig_expr.alias("sig")
+        reps.select("_fp", base_expr.alias("_base")).select(
+            "_fp", sig_expr.alias("sig")
         ),
     )
-    b = _banded(sigs, id_col)
+    b = _banded(sigs, "_fp")
     a, bb = b.alias("a"), b.alias("b")
     cand = (
         a.join(
             bb,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col("a._fp") < F.col("b._fp")),
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+        .select(F.col("a._fp").alias("_fp_a"), F.col("b._fp").alias("_fp_b"))
         .distinct()
     )
-    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    sa = sigs.select(F.col("_fp").alias("_fp_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("_fp").alias("_fp_b"), F.col("sig").alias("sig_b"))
     agree = _cached_expr(
         ("minhash_agree",),
         lambda: F.aggregate(
@@ -281,14 +297,46 @@ def minhash_candidate_pairs(
             lambda acc, x: acc + x,
         ),
     )
-    pairs = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", F.round(agree / F.lit(MINHASH_K), 6).alias("est_jaccard"))
+    rep_pairs = (
+        cand.join(sa, "_fp_a")
+        .join(sb, "_fp_b")
+        .select(
+            "_fp_a",
+            "_fp_b",
+            F.round(agree / F.lit(MINHASH_K), 6).alias("est_jaccard"),
+        )
     )
     if min_est is not None:
-        pairs = pairs.filter(F.col("est_jaccard") >= min_est)
-    return pairs
+        # Filter at rep-pair grain, BEFORE expansion multiplies rows.
+        rep_pairs = rep_pairs.filter(F.col("est_jaccard") >= min_est)
+    ma = members.select(F.col("_fp").alias("_fp_a"), F.col("_mid").alias("_ida"))
+    mb = members.select(F.col("_fp").alias("_fp_b"), F.col("_mid").alias("_idb"))
+    cross = (
+        rep_pairs.join(ma, "_fp_a")
+        .join(mb, "_fp_b")
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            "est_jaccard",
+        )
+    )
+    # Same-text pairs: identical signatures agree in every band/position,
+    # so they are always candidates with est exactly 1.0.
+    intra = (
+        members.alias("x")
+        .join(
+            members.alias("y"),
+            (F.col("x._fp") == F.col("y._fp")) & (F.col("x._mid") < F.col("y._mid")),
+        )
+        .select(
+            F.col("x._mid").alias("id_a"),
+            F.col("y._mid").alias("id_b"),
+            F.lit(1.0).alias("est_jaccard"),
+        )
+    )
+    if min_est is not None and min_est > 1.0:
+        intra = intra.filter(F.lit(False))
+    return cross.unionByName(intra)
 
 
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

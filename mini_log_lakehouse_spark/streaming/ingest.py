@@ -144,6 +144,86 @@ def streaming_hourly_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_hourly_fact(spark, sf_dir)
 
 
+def streaming_sliding_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window streaming fact (§2.9 extension): 2-hour windows
+    sliding every hour, so each event lands in exactly TWO windows — the
+    overlapping-window shape (trailing-2h rate monitoring) that a
+    tumbling window can't express.
+
+    Scale: state is (windows × types) per watermark horizon — each event
+    updates 2 window rows, so state stays calendar-bounded, never
+    data-bounded. The oracle restates the window assignment relationally:
+    window starts for an event are trunc_hour(ts) and trunc_hour(ts)-1h
+    (UNION ALL), which is exactly Spark's assignment for duration 2h /
+    slide 1h."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("requests"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "requests",
+        )
+    )
+    name = "stream_sliding_fact_result"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("window_start", "event_type")
+
+
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session-window sessionization (§2.9 extension): Spark's
+    built-in ``session_window`` with a 30-minute gap, the declarative
+    twin of the applyInPandasWithState operator in
+    streaming/sessions.py.
+
+    Append mode only emits sessions the watermark has passed, so with a
+    0-second delay the drained result is every session whose end
+    (last event + gap) lies at or before the global max event time —
+    sessions still open at end-of-stream stay in state. That
+    finalization rule is restated RELATIONALLY in the oracle (gaps-and-
+    islands with the same >= gap boundary Spark uses to split, filtered
+    on session_end <= max ts), so this streaming operator is fully
+    hash-checked, not just rows-counted.
+
+    Scale: state is O(open sessions); the shuffle key is user_id, the
+    same layout as the batch twin; watermark-expired state is dropped
+    each microbatch."""
+    ev = read_events_stream(spark, sf_dir).select("user_id", "ts")
+    agg = (
+        ev.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    name = "stream_session_window_result"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("user_id", "session_start")
+
+
 ORACLES: dict[str, str] = {
     "streaming_hourly_fact": """
         SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS date,
@@ -156,6 +236,52 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+ORACLES["streaming_sliding_fact"] = """
+    WITH w AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS wstart, event_type
+        FROM events
+        UNION ALL
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR AS wstart,
+               event_type
+        FROM events
+    )
+    SELECT wstart AS window_start, event_type, COUNT(*) AS requests
+    FROM w
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+ORACLES["streaming_session_window"] = """
+    WITH evs AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), diffs AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM evs
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), ids AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM diffs
+    ), sess AS (
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events
+        FROM ids
+        GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, session_end, n_events
+    FROM sess
+    WHERE session_end <= (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events)
+    ORDER BY user_id, session_start
+"""
+
 QUERIES = {
     "streaming_hourly_fact": streaming_hourly_fact,
+    "streaming_sliding_fact": streaming_sliding_fact,
+    "streaming_session_window": streaming_session_window,
 }
