@@ -4,12 +4,15 @@ Loads the driver's synthetic TPC-H-ish parquet tables
 (``/root/testdata/sf*/``) with schemas normalized so Spark results are
 bit-comparable with a DuckDB oracle reading the same files:
 
-- ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
-  reader rejects outright. We read it as raw int64 nanoseconds
-  (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to microseconds
-  with *integer* division (``div``) — double division would lose
-  precision above 2^53 ns (≈1970+104 days). DuckDB's
-  ``CAST(ts AS TIMESTAMP)`` truncates identically.
+- ``events.ts`` has shipped in three parquet flavors across driver
+  rounds, all normalized here to session-tz TIMESTAMP (UTC):
+  TIMESTAMP(NANOS) — Spark's reader rejects it, so it arrives as raw
+  int64 under ``spark.sql.legacy.parquet.nanosAsLong`` and is truncated
+  to µs with *integer* division (double division would lose precision
+  above 2^53 ns); TIMESTAMP(MICROS, isAdjustedToUTC=false) — inferred
+  as TIMESTAMP_NTZ, cast (value-preserving under the pinned UTC
+  session); and UTC-adjusted TIMESTAMP(MICROS) — read natively. DuckDB
+  reads every flavor as the same plain TIMESTAMP values.
 """
 
 from __future__ import annotations

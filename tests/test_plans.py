@@ -154,3 +154,60 @@ def test_curation_is_join_free_single_fp_shuffle(spark, sf_dir):
     plan = _plan(curation.doc_curation_summary(spark, sf_dir))
     assert "Join" not in plan
     assert plan.count("hashpartitioning(_fp") == 1
+
+
+def test_q1_partial_aggregation_stays_in_longs(spark, sf_dir):
+    # the split-radix money sums must keep wide-decimal arithmetic out of
+    # the per-row path: no decimal(38,...) in any partial aggregate — the
+    # recombine may only appear in the final per-group result expressions.
+    plan = _plan(rel_ops.tpch_q1_pricing_summary(spark, sf_dir))
+    partials = [l for l in plan.splitlines() if "partial_sum" in l]
+    assert partials, "no partial aggregation found"
+    for line in partials:
+        assert "decimal(38" not in line, f"wide decimal in partial agg: {line}"
+
+
+def test_q2_min_joinback_broadcasts_at_catalog_grain(spark, sf_dir):
+    # after the single (partkey, suppkey) aggregation of lineitem, the
+    # part slice, region roster, and per-part min must all broadcast —
+    # exactly one exchange may partition fact-derived data.
+    plan = _plan(rel_ops.tpch_q2_min_cost_supplier(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "HashAggregate(keys=[l_partkey" in plan
+
+
+def test_q8_part_prunes_fact_before_shuffle_joins(spark, sf_dir):
+    # the ECONOMY part slice must broadcast into lineitem (killing rows
+    # before the orders shuffle), and the region-customer membership test
+    # must plan as a semi join, not an inner join carrying columns.
+    plan = _plan(rel_ops.tpch_q8_market_share(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(p_type), EqualTo(p_type,ECONOMY)" in plan
+    assert "LeftSemi" in plan
+
+
+def test_q13_outer_join_two_level_aggregation(spark, sf_dir):
+    # customer LEFT OUTER orders with the priority filter INSIDE the join
+    # condition (pushing it below the outer join would drop zero-order
+    # customers), then custkey-grain count, then the histogram re-agg.
+    plan = _plan(rel_ops.tpch_q13_customer_distribution(spark, sf_dir))
+    assert "LeftOuter" in plan
+    assert "HashAggregate(keys=[c_custkey" in plan
+    assert "HashAggregate(keys=[c_count" in plan
+
+
+def test_q20_nested_subqueries_become_broadcast_semi(spark, sf_dir):
+    # both decorrelated IN-subqueries must reach the supplier dimension
+    # as broadcasts, the roster membership as LEFT SEMI.
+    plan = _plan(rel_ops.tpch_q20_excess_stock_suppliers(spark, sf_dir))
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+    assert "PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)" in plan
+
+
+def test_q21_fact_work_stays_on_orderkey_partitioning(spark, sf_dir):
+    # the per-order aggregate and the max-shipdate self-join must both
+    # key on l_orderkey (one partitioning reused), and the supplier/
+    # nation/region attribution must broadcast at the end.
+    plan = _plan(rel_ops.tpch_q21_waiting_orders(spark, sf_dir))
+    assert "hashpartitioning(l_orderkey" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count(distinct l_suppkey" in plan or "count(distinct l_suppkey" in plan
