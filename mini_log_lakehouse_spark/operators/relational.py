@@ -985,7 +985,13 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_name").alias("name"),
             F.col("n_name").alias("nation"),
             F.col("p_partkey").alias("partkey"),
-            F.round(F.col("cost"), 2).alias("min_cost"),
+            # FLOOR, not ROUND: cost is an arbitrary ratio (price/qty), so
+            # its double sits anywhere relative to the .005 grid — Spark's
+            # ROUND goes through the double's shortest decimal repr while
+            # DuckDB rounds the binary value, and they disagree exactly at
+            # repr boundaries (observed: 577.795 → 577.8 vs 577.79). FLOOR
+            # evaluates on the identical IEEE double in both engines.
+            (F.floor(F.col("cost") * 100) / 100).alias("min_cost"),
         )
         .orderBy(F.desc("acctbal"), "nation", "name", "partkey")
         .limit(100)
@@ -1662,7 +1668,7 @@ ORACLES: dict[str, str] = {
                s_name AS name,
                n_name AS nation,
                p_partkey AS partkey,
-               ROUND(cost, 2) AS min_cost
+               FLOOR(cost * 100) / 100 AS min_cost
         FROM cand c
         WHERE cost = (SELECT MIN(cost) FROM cand c2 WHERE c2.p_partkey = c.p_partkey)
         ORDER BY acctbal DESC, nation, name, partkey
