@@ -108,17 +108,37 @@ def _cents_total(col, decimals: int = 2) -> F.Column:
     return _split_sum(_cents(col, decimals))
 
 
-def _cents_sum(col, decimals: int = 2) -> F.Column:
-    """Exact associative money sum, emitted as a rounded DOUBLE for the
-    cross-engine hash gate.
+def _to_money2(total: F.Column, decimals: int) -> F.Column:
+    """Exact half-up quantization of an integer cents-``decimals`` total
+    (decimal(38,0)) to a 2-decimal money DOUBLE — without ever applying
+    ROUND to an arbitrary double.
 
-    The final cast-to-double + round(2) is representation only: money
-    values have ≤ `decimals` ≤ 6 real fractional digits and the double
-    error of (sum/10^decimals) is ≪ 0.005 at any magnitude below 1e12,
-    so round-at-2 lands on the same value the oracle's
-    ROUND(CAST(exact_decimal AS DOUBLE), 2) produces."""
-    scale = 10 ** decimals
-    return F.round(_cents_total(col, decimals).cast("double") / scale, 2)
+    Why not ``round(total/10^d, 2)``: when a cents4 total ends in exactly
+    ..50, the true value sits ON the half-cent boundary, and the two
+    engines then disagree — Spark's ROUND rounds the double's shortest
+    decimal repr (up) while DuckDB rounds the binary value (often down,
+    the double being a hair below the boundary). ~1% of money outputs
+    end in ..50, so with data regenerated every round this WILL
+    eventually flip a driver row (it did for q2's ratio). Here the
+    half-up happens in EXACT decimal arithmetic — floor((total + q/2)/q),
+    quotient has ≤2 fractional digits so Spark's decimal division is
+    exact — and only the final /100 touches doubles, identically in both
+    engines (the oracle restates the same floor).
+
+    q9's signed profits: floor((c + q/2)/q) is half-up toward +inf for
+    either sign, matching the _cents convention and the oracle's FLOOR."""
+    if decimals == 2:
+        # already cent-grain: /100 is the same double op in both engines
+        return total.cast("double") / 100
+    q = 10 ** (decimals - 2)
+    return F.floor((total + F.lit(q // 2)) / F.lit(q)).cast("double") / 100
+
+
+def _cents_sum(col, decimals: int = 2) -> F.Column:
+    """Exact associative money sum, emitted as a 2-decimal DOUBLE for the
+    cross-engine hash gate (see _to_money2 for why this never ROUNDs an
+    arbitrary double)."""
+    return _to_money2(_cents_total(col, decimals), decimals)
 
 
 # --- rich aggregation -------------------------------------------------------
@@ -238,9 +258,9 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_order.join(o.hint("shuffle_hash"), per_order.l_orderkey == o.o_orderkey)
         .groupBy("o_custkey")
         .agg(
-            F.round(
-                _split_combine(F.sum("_hi"), F.sum("_lo")).cast("double") / 1e4, 2
-            ).alias("revenue")
+            _to_money2(_split_combine(F.sum("_hi"), F.sum("_lo")), 4).alias(
+                "revenue"
+            )
         )
         .orderBy(F.desc("revenue"), "o_custkey")
         .limit(10)
@@ -471,7 +491,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(per_order, F.col("o_orderkey") == per_order.l_orderkey)
         .select(
             F.col("o_orderkey").alias("orderkey"),
-            F.round(F.col("_rev_c4").cast("double") / 1e4, 2).alias("revenue"),
+            _to_money2(F.col("_rev_c4"), 4).alias("revenue"),
             F.col("o_orderdate").alias("orderdate"),
             F.col("o_orderpriority").alias("orderpriority"),
         )
@@ -606,10 +626,11 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         .join(F.broadcast(thresholds), l.l_partkey == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_limit"))
         .agg(
-            F.round(
-                _cents_total(F.col("l_extendedprice")).cast("double")
-                / (100 * 7.0),
-                2,
+            # ratio display: floor of the identical double in both engines
+            # (ROUND on an arbitrary ratio diverges at repr boundaries)
+            (
+                F.floor(_cents_total(F.col("l_extendedprice")).cast("double") / 7)
+                / 100
             ).alias("avg_yearly")
         )
     )
@@ -685,12 +706,9 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_custkey")
         .agg(
-            F.round(
-                _cents_total(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
-                ).cast("double")
-                / 1e4,
-                2,
+            _to_money2(
+                _cents_total(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4),
+                4,
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), "o_custkey")
@@ -767,7 +785,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("s_suppkey").alias("suppkey"),
             F.col("s_name").alias("name"),
-            F.round(F.col("_rev_c4").cast("double") / 1e4, 2).alias("total_revenue"),
+            _to_money2(F.col("_rev_c4"), 4).alias("total_revenue"),
         )
         .orderBy("suppkey")
     )
@@ -1313,8 +1331,8 @@ ORACLES: dict[str, str] = {
         SELECT l_returnflag, l_linestatus,
                ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_qty,
                ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_base_price,
-               ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_disc_price,
-               ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_charge,
+               CAST(FLOOR(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) * 100 + 0.5) AS DOUBLE) / 100 AS sum_disc_price,
+               CAST(FLOOR(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,10))) * 100 + 0.5) AS DOUBLE) / 100 AS sum_charge,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -1345,7 +1363,7 @@ ORACLES: dict[str, str] = {
     "top_customers_by_revenue": """
         WITH revenue AS (
             SELECT o.o_custkey,
-                   ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) AS DOUBLE), 2) AS revenue
+                   CAST(FLOOR(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) * 100 + 0.5) AS DOUBLE) / 100 AS revenue
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY 1
@@ -1478,7 +1496,7 @@ ORACLES: dict[str, str] = {
     """,
     "tpch_q3_shipping_priority": """
         SELECT o.o_orderkey AS orderkey,
-               ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) AS DOUBLE), 2) AS revenue,
+               CAST(FLOOR(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) * 100 + 0.5) AS DOUBLE) / 100 AS revenue,
                o.o_orderdate AS orderdate,
                o.o_orderpriority AS orderpriority
         FROM customer c
@@ -1492,7 +1510,7 @@ ORACLES: dict[str, str] = {
         LIMIT 10
     """,
     "tpch_q6_forecast_revenue": """
-        SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,10))) AS DOUBLE), 2) AS revenue,
+        SELECT CAST(FLOOR(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,10))) * 100 + 0.5) AS DOUBLE) / 100 AS revenue,
                COUNT(*) AS lines
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -1501,7 +1519,7 @@ ORACLES: dict[str, str] = {
           AND l_quantity < 24
     """,
     "tpch_q17_small_quantity_revenue": """
-        SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+        SELECT CAST(FLOOR(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,10))) * 100 AS DOUBLE) / 7) AS DOUBLE) / 100 AS avg_yearly
         FROM lineitem l
         JOIN part p ON p.p_partkey = l.l_partkey
         WHERE p.p_brand = 'Brand#19'
@@ -1526,7 +1544,7 @@ ORACLES: dict[str, str] = {
     """,
     "tpch_q5_local_supplier_volume": """
         SELECT n.n_name AS nation,
-               ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) AS DOUBLE), 2) AS revenue
+               CAST(FLOOR(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) * 100 + 0.5) AS DOUBLE) / 100 AS revenue
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1543,7 +1561,7 @@ ORACLES: dict[str, str] = {
         SELECT sn.n_name AS supp_nation,
                cn.n_name AS cust_nation,
                CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS l_year,
-               ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) AS DOUBLE), 2) AS revenue
+               CAST(FLOOR(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) * 100 + 0.5) AS DOUBLE) / 100 AS revenue
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1561,7 +1579,7 @@ ORACLES: dict[str, str] = {
         SELECT c.c_custkey AS custkey,
                c.c_name AS name,
                ROUND(c.c_acctbal, 2) AS acctbal,
-               ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) AS DOUBLE), 2) AS revenue
+               CAST(FLOOR(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) * 100 + 0.5) AS DOUBLE) / 100 AS revenue
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1595,7 +1613,7 @@ ORACLES: dict[str, str] = {
         )
         SELECT s.s_suppkey AS suppkey,
                s.s_name AS name,
-               ROUND(CAST(rev.rev_c4 AS DOUBLE) / 10000, 2) AS total_revenue
+               CAST(FLOOR((rev.rev_c4 + 50) / 100.0) AS DOUBLE) / 100 AS total_revenue
         FROM rev
         JOIN supplier s ON rev.l_suppkey = s.s_suppkey
         WHERE rev.rev_c4 = (SELECT MAX(rev_c4) FROM rev)
@@ -1635,7 +1653,7 @@ ORACLES: dict[str, str] = {
         LIMIT 100
     """,
     "tpch_q19_disjunctive_revenue": """
-        SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) AS DOUBLE), 2) AS revenue,
+        SELECT CAST(FLOOR(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) * 100 + 0.5) AS DOUBLE) / 100 AS revenue,
                COUNT(*) AS lines
         FROM lineitem l
         JOIN part p ON l.l_partkey = p.p_partkey
@@ -1700,7 +1718,7 @@ ORACLES: dict[str, str] = {
     "tpch_q9_product_profit": """
         SELECT n.n_name AS nation,
                CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
-               ROUND(CAST(SUM(CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount) - p.p_retailprice * 0.6 * l.l_quantity) * 10000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 10000, 2) AS profit
+               CAST(FLOOR((SUM(CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount) - p.p_retailprice * 0.6 * l.l_quantity) * 10000 + 0.5) AS DECIMAL(38,0))) + 50) / 100.0) AS DOUBLE) / 100 AS profit
         FROM lineitem l
         JOIN part p ON l.l_partkey = p.p_partkey
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
