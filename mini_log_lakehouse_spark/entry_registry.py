@@ -17,6 +17,7 @@ from mini_log_lakehouse_spark.operators import (
     sampling,
     sessions,
     similarity,
+    skew,
     temporal,
     textstats,
     vocab,
@@ -43,6 +44,7 @@ _MODULES = (
     streaming_sessions,
     streaming_joins,
     similarity,
+    skew,
     relational,
     events,
     textstats,

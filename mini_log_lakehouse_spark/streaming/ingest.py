@@ -144,6 +144,48 @@ def streaming_hourly_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_hourly_fact(spark, sf_dir)
 
 
+def streaming_hourly_fact_p95(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "1 hour",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The sketch path the module docstring promises: the hourly fact's
+    p95 as ``percentile_approx`` — a mergeable KLL-style sketch, so it
+    STREAMS, unlike the exact interpolated percentile (which needs the
+    full group and exists only on the batch fact). Error is bounded by
+    1/accuracy of rank; the behavioral test pins the approx value to the
+    exact batch percentile within that tolerance. Rows-only at the
+    driver gate by design — cross-engine sketch equality is not a
+    meaningful contract."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("requests"),
+            F.percentile_approx("value", 0.95, accuracy).alias("p95_value"),
+        )
+        .select(
+            F.to_date("w.start").alias("date"),
+            F.date_format("w.start", "HH").alias("hour"),
+            "event_type",
+            "requests",
+            "p95_value",
+        )
+    )
+    name = "stream_hourly_fact_p95_result"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("date", "hour", "event_type")
+
+
 def streaming_sliding_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping-window streaming fact (§2.9 extension): 2-hour windows
     sliding every hour, so each event lands in exactly TWO windows — the
@@ -282,6 +324,7 @@ ORACLES["streaming_session_window"] = """
 
 QUERIES = {
     "streaming_hourly_fact": streaming_hourly_fact,
+    "streaming_hourly_fact_p95": streaming_hourly_fact_p95,
     "streaming_sliding_fact": streaming_sliding_fact,
     "streaming_session_window": streaming_session_window,
 }

@@ -117,3 +117,42 @@ def test_stateful_sessions_match_batch(spark, sf_dir):
     assert sorted(map(tuple, closed.collect())) == sorted(
         map(tuple, batch_closed.collect())
     )
+
+
+def test_streaming_approx_p95_within_sketch_tolerance(spark, sf_dir):
+    """percentile_approx returns an ACTUAL element whose rank is within
+    the sketch's error of ceil(0.95 n) — so the streamed value must be
+    one of the elements in that rank window (±max(1, n/accuracy),
+    widened by one for the ceil boundary), computed per group from the
+    raw events in the test."""
+    import math
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from mini_log_lakehouse_spark.sources.registry import load_table
+    from mini_log_lakehouse_spark.streaming.ingest import streaming_hourly_fact_p95
+
+    acc = 10_000
+    streamed = streaming_hourly_fact_p95(spark, sf_dir, accuracy=acc).collect()
+    assert streamed, "streamed p95 fact is empty"
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("date"),
+        F.date_format("ts", "HH").alias("hour"),
+        "event_type",
+        "value",
+    )
+    groups = defaultdict(list)
+    for r in ev.collect():
+        groups[(str(r["date"]), r["hour"], r["event_type"])].append(r["value"])
+    for r in streamed:
+        key = (str(r["date"]), r["hour"], r["event_type"])
+        vals = sorted(groups[key])
+        n = len(vals)
+        assert r["requests"] == n
+        center = math.ceil(0.95 * n)
+        slack = max(1, math.ceil(n / acc)) + 1
+        lo_i = max(0, center - slack - 1)
+        hi_i = min(n, center + slack)
+        window = vals[lo_i:hi_i]
+        assert r["p95_value"] in window, (key, r["p95_value"], window)
