@@ -131,11 +131,46 @@ class LakehouseTable:
             raise FileNotFoundError(f"{self.name}: no version {version!r}")
         return self.spark.read.parquet(self._version_dir(v))
 
+    def _evolve_schemas(
+        self, target: DataFrame, source: DataFrame, merge_schema: bool
+    ) -> None:
+        """Delta schema-enforcement parity for the fallback MERGE.
+
+        Without ``merge_schema``, a source column the target lacks is a
+        schema violation (Delta: AnalysisException unless
+        ``spark.databricks.delta.schema.autoMerge.enabled``); with it,
+        new columns join the table null-filled for existing rows and
+        source-missing columns null-fill inserted rows — both handled by
+        ``unionByName(allowMissingColumns=True)`` at the union sites.
+        A column present on BOTH sides with a different type is always
+        rejected: Delta only auto-widens a small safe set, and silently
+        casting would corrupt time travel (old versions keep their own
+        schema — readers of ``read(version=...)`` see the schema that
+        version was written with, exactly like Delta)."""
+        t_types = dict(target.dtypes)
+        s_types = dict(source.dtypes)
+        for col, s_t in s_types.items():
+            t_t = t_types.get(col)
+            if t_t is not None and t_t != s_t:
+                raise ValueError(
+                    f"{self.name}: MERGE type conflict on {col!r}: table has "
+                    f"{t_t}, source has {s_t} — cast the source explicitly "
+                    "(Delta rejects unsafe implicit type changes)"
+                )
+        new_cols = set(s_types) - set(t_types)
+        if new_cols and not merge_schema:
+            raise ValueError(
+                f"{self.name}: MERGE source adds columns {sorted(new_cols)} "
+                "not in the table schema — pass merge_schema=True to evolve "
+                "(Delta: spark.databricks.delta.schema.autoMerge.enabled)"
+            )
+
     def merge(
         self,
         source: DataFrame,
         keys: list[str],
         prune: F.Column | None = None,
+        merge_schema: bool = False,
     ) -> int:
         """MERGE INTO target USING source ON keys
         WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *.
@@ -145,6 +180,12 @@ class LakehouseTable:
         outside it are kept verbatim without joining — the fallback's
         analog of Delta's file-level pruning, and the knob that bounds the
         rewrite at 100 TB.
+
+        ``merge_schema``: allow the source to ADD columns (schema
+        evolution; see _evolve_schemas). Existing rows get nulls in the
+        new columns, the published snapshot carries the union schema, and
+        earlier versions keep theirs (time travel returns each version's
+        own schema, as Delta does).
 
         Source rows must be unique on ``keys`` — Delta MERGE raises
         "multiple source rows matched" in that case, and silently keeping
@@ -179,6 +220,7 @@ class LakehouseTable:
         if not self.exists():
             return self._publish(source)
         target = self.read()
+        self._evolve_schemas(target, source, merge_schema)
         if prune is not None:
             untouched = target.filter(~F.coalesce(prune, F.lit(False)))
             candidate = target.filter(F.coalesce(prune, F.lit(False)))
@@ -186,9 +228,9 @@ class LakehouseTable:
             untouched = None
             candidate = target
         kept = candidate.join(source.select(*keys).distinct(), keys, "left_anti")
-        merged = kept.unionByName(source)
+        merged = kept.unionByName(source, allowMissingColumns=merge_schema)
         if untouched is not None:
-            merged = untouched.unionByName(merged)
+            merged = untouched.unionByName(merged, allowMissingColumns=merge_schema)
         return self._publish(merged)
 
     def compact(

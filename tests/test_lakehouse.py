@@ -217,3 +217,41 @@ def test_compact_cluster_by_orders_files(spark, lake_env):
     intervals = sorted(spans.values())
     for (_, hi_prev), (lo_next, _) in zip(intervals, intervals[1:]):
         assert hi_prev <= lo_next
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """Delta autoMerge parity: a source adding a column is rejected in
+    strict mode, evolves the schema when asked (nulls for old rows),
+    keeps earlier versions' schemas under time travel, and always
+    rejects a type conflict."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mini_log_lakehouse_spark.plans.lakehouse import LakehouseTable
+
+    t = LakehouseTable(spark, str(tmp_path), "evolving")
+    v0 = t.write(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "val"]))
+    src = spark.createDataFrame([(2, "b2", 20), (3, "c", 30)], ["k", "val", "extra"])
+
+    with pytest.raises(ValueError, match="adds columns.*extra"):
+        t.merge(src, keys=["k"])
+
+    v1 = t.merge(src, keys=["k"], merge_schema=True)
+    rows = {r["k"]: (r["val"], r["extra"]) for r in t.read().collect()}
+    assert rows == {1: ("a", None), 2: ("b2", 20), 3: ("c", 30)}
+
+    # time travel: the pre-evolution version keeps its own schema
+    assert t.read(version=v0).columns == ["k", "val"]
+    assert set(t.read(version=v1).columns) == {"k", "val", "extra"}
+
+    # a second merge with the OLD schema must null-fill the new column
+    t.merge(spark.createDataFrame([(4, "d")], ["k", "val"]), keys=["k"],
+            merge_schema=True)
+    assert {r["k"]: r["extra"] for r in t.read().collect()}[4] is None
+
+    # type conflicts always reject, evolution flag or not
+    bad = spark.createDataFrame([(5, 99)], ["k", "val"]).withColumn(
+        "val", F.col("val").cast("long")
+    )
+    with pytest.raises(ValueError, match="type conflict on 'val'"):
+        t.merge(bad, keys=["k"], merge_schema=True)
