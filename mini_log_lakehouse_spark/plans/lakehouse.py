@@ -79,7 +79,7 @@ class LakehouseTable:
     def exists(self) -> bool:
         return self.latest_version() >= 0
 
-    def _publish(self, df: DataFrame) -> int:
+    def _publish(self, df: DataFrame, operation: str = "WRITE") -> int:
         """Write df as the next snapshot and flip the pointer (the write
         is to a fresh directory; the single-file pointer write-then-rename
         is the atomic commit, mirroring Delta's log-entry append).
@@ -104,11 +104,44 @@ class LakehouseTable:
                 "re-read the latest snapshot and retry"
             ) from None
         df.write.mode("overwrite").parquet(self._version_dir(v))
+        # commit-log entry (DESCRIBE HISTORY analog): written before the
+        # pointer flip so a published version always has its metadata.
+        import json
+        import time
+
+        meta = {
+            "version": v,
+            "operation": operation,
+            "timestamp": time.time(),
+            "schema": [f"{name}:{dtype}" for name, dtype in df.dtypes],
+        }
+        with open(os.path.join(self.path, f"v{v}._meta.json"), "w") as fh:
+            json.dump(meta, fh)
         tmp = self._pointer() + ".tmp"
         with open(tmp, "w") as fh:
             fh.write(str(v))
         os.replace(tmp, self._pointer())
         return v
+
+    def history(self) -> list[dict]:
+        """DESCRIBE HISTORY analog: one dict per live version, newest
+        first — version, operation, commit timestamp, schema. Versions
+        removed by vacuum() drop out (their snapshot is gone; history
+        follows, which is also Delta's behavior once the log is
+        VACUUMed past)."""
+        import json
+
+        out = []
+        for v in range(self.latest_version(), -1, -1):
+            meta_path = os.path.join(self.path, f"v{v}._meta.json")
+            if not os.path.isdir(self._version_dir(v)):
+                continue
+            if os.path.exists(meta_path):
+                with open(meta_path) as fh:
+                    out.append(json.load(fh))
+            else:  # version published by an older writer without a log
+                out.append({"version": v, "operation": "UNKNOWN"})
+        return out
 
     # --- public API -------------------------------------------------------
 
@@ -117,7 +150,7 @@ class LakehouseTable:
         if delta_available():  # pragma: no cover - no delta in container
             df.write.format("delta").mode("overwrite").save(self.path)
             return -1
-        return self._publish(df)
+        return self._publish(df, operation="WRITE")
 
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read; ``version`` is time travel (Delta versionAsOf)."""
@@ -218,7 +251,7 @@ class LakehouseTable:
                 "(Delta MERGE rejects this as 'multiple source rows matched')"
             )
         if not self.exists():
-            return self._publish(source)
+            return self._publish(source, operation="MERGE")
         target = self.read()
         self._evolve_schemas(target, source, merge_schema)
         if prune is not None:
@@ -231,7 +264,7 @@ class LakehouseTable:
         merged = kept.unionByName(source, allowMissingColumns=merge_schema)
         if untouched is not None:
             merged = untouched.unionByName(merged, allowMissingColumns=merge_schema)
-        return self._publish(merged)
+        return self._publish(merged, operation="MERGE")
 
     def compact(
         self, target_partitions: int = 1, cluster_by: list[str] | None = None
@@ -260,7 +293,7 @@ class LakehouseTable:
             ).sortWithinPartitions(*cluster_by)
         else:
             df = df.coalesce(target_partitions)
-        return self._publish(df)
+        return self._publish(df, operation="OPTIMIZE")
 
     def vacuum(self, keep_last: int = 2) -> list[int]:
         """Drop snapshot directories older than the newest ``keep_last``
@@ -275,7 +308,8 @@ class LakehouseTable:
             if os.path.isdir(d):
                 shutil.rmtree(d)
                 dropped.append(v)
-            claim = os.path.join(self.path, f"v{v}._claim")
-            if os.path.isfile(claim):
-                os.remove(claim)
+            for aux in (f"v{v}._claim", f"v{v}._meta.json"):
+                path = os.path.join(self.path, aux)
+                if os.path.isfile(path):
+                    os.remove(path)
         return dropped

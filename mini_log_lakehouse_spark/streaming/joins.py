@@ -92,7 +92,89 @@ def streaming_error_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join (§2.9 extension): enrich a stream with a batch
+    dimension — the third join class after stream-stream and batch-batch.
+    The static side needs no watermark and holds no state; Spark
+    re-resolves it per microbatch (which is how slowly-changing dims
+    stay fresh in production). Here the dimension is the per-user
+    lifetime event count computed in batch; the stream's error events
+    join to it and roll up error counts by user activity tier.
+
+    State at 100 TB: NONE on the join (static side is just a scan each
+    microbatch — broadcast when small); only the final rollup keeps
+    (tier) rows."""
+    from mini_log_lakehouse_spark.sources.registry import load_table
+
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("lifetime_events"))
+    )
+    totals = per_user.agg(
+        F.sum("lifetime_events").alias("_total"), F.count(F.lit(1)).alias("_users")
+    )
+    # tiers relative to the mean (±10%), compared by exact integer
+    # cross-multiplication so every scale factor populates all three and
+    # no float average can flip a boundary user between engines.
+    dim = per_user.crossJoin(F.broadcast(totals)).select(
+        F.col("user_id").alias("dim_user"),
+        F.when(
+            F.col("lifetime_events") * F.col("_users") * 10 >= F.col("_total") * 11,
+            "heavy",
+        )
+        .when(
+            F.col("lifetime_events") * F.col("_users") * 10 <= F.col("_total") * 9,
+            "light",
+        )
+        .otherwise("regular")
+        .alias("tier"),
+    )
+    errs = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "error")
+    joined = errs.join(F.broadcast(dim), F.col("user_id") == F.col("dim_user"))
+    # COUNT(DISTINCT) is not a streaming aggregate (state would be
+    # unbounded per group); both measures here are mergeable counts.
+    agg = joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("errors"),
+        F.sum(F.when(F.col("value") >= 30, 1).otherwise(0))
+        .cast("long")
+        .alias("high_value_errors"),
+    )
+    name = "stream_static_enrichment_result"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("tier")
+
+
 ORACLES: dict[str, str] = {
+    "streaming_static_enrichment": """
+        WITH per_user AS (
+            SELECT user_id, COUNT(*) AS lifetime_events
+            FROM events GROUP BY 1
+        ), totals AS (
+            SELECT SUM(lifetime_events) AS total, COUNT(*) AS users
+            FROM per_user
+        ), dim AS (
+            SELECT user_id AS dim_user,
+                   CASE WHEN lifetime_events * users * 10 >= total * 11 THEN 'heavy'
+                        WHEN lifetime_events * users * 10 <= total * 9 THEN 'light'
+                        ELSE 'regular' END AS tier
+            FROM per_user, totals
+        )
+        SELECT d.tier, COUNT(*) AS errors,
+               CAST(SUM(CASE WHEN e.value >= 30 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS high_value_errors
+        FROM events e JOIN dim d ON e.user_id = d.dim_user
+        WHERE e.event_type = 'error'
+        GROUP BY 1
+        ORDER BY 1
+    """,
     "streaming_error_followups": """
         SELECT a.event_type AS followup_type,
                COUNT(*) AS pairs,
@@ -111,4 +193,5 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "streaming_error_followups": streaming_error_followups,
+    "streaming_static_enrichment": streaming_static_enrichment,
 }

@@ -255,3 +255,22 @@ def test_merge_schema_evolution(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="type conflict on 'val'"):
         t.merge(bad, keys=["k"], merge_schema=True)
+
+
+def test_history_describes_operations(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mini_log_lakehouse_spark.plans.lakehouse import LakehouseTable
+
+    t = LakehouseTable(spark, str(tmp_path), "hist")
+    t.write(spark.createDataFrame([(1, "a")], ["k", "val"]))
+    t.merge(spark.createDataFrame([(2, "b")], ["k", "val"]), keys=["k"])
+    t.compact()
+    h = t.history()
+    assert [e["operation"] for e in h] == ["OPTIMIZE", "MERGE", "WRITE"]
+    assert [e["version"] for e in h] == [2, 1, 0]
+    assert all("k:bigint" in e["schema"][0] for e in h)
+    # vacuum drops old versions from history too
+    t.vacuum(keep_last=1)
+    h2 = t.history()
+    assert [e["version"] for e in h2] == [2]
