@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mini_log_lakehouse_spark.functions.skew import salted_join as _salted_join
 from mini_log_lakehouse_spark.sources.registry import load_table
 
 #: Default salt fan-out: enough to spread one hot key over every core of
@@ -53,14 +54,14 @@ def salted_join(
     ``left`` gets a uniform deterministic salt from its whole row hash.
     Result equals the plain join exactly — salting only changes the
     physical key layout, never the match set (every left row meets the
-    one replica of its key carrying its salt)."""
-    salt_arr = F.array(*[F.lit(i) for i in range(salts)])
-    r = right.withColumn("_salt", F.explode(salt_arr))
-    l = left.withColumn(
-        "_salt", F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(salts))
-    )
-    joined = l.join(r, [on, "_salt"], how)
-    return joined.drop("_salt")
+    one replica of its key carrying its salt).
+
+    Thin wrapper over functions/skew.salted_join (the one implementation),
+    which also enforces the contract that makes the equality claim true:
+    ``how`` must be big-side-preserving (inner/left/semi/anti — an outer
+    form would emit unmatched small-side rows once per salt replica) and
+    ``salts`` >= 1."""
+    return _salted_join(left, right, key=on, salt=salts, how=how)
 
 
 def salted_hot_key_agg(

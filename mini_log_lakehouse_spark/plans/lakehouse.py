@@ -218,7 +218,12 @@ class LakehouseTable:
         evolution; see _evolve_schemas). Existing rows get nulls in the
         new columns, the published snapshot carries the union schema, and
         earlier versions keep theirs (time travel returns each version's
-        own schema, as Delta does).
+        own schema, as Delta does). The reverse direction — a source
+        MISSING columns the table has (an old-schema writer after an
+        evolution) — follows Delta's UPDATE SET * contract: matched rows
+        keep their existing values in the columns the source doesn't
+        carry (the source only overwrites what it has), and only
+        INSERTED rows null-fill them.
 
         Source rows must be unique on ``keys`` — Delta MERGE raises
         "multiple source rows matched" in that case, and silently keeping
@@ -260,6 +265,19 @@ class LakehouseTable:
         else:
             untouched = None
             candidate = target
+        # Delta UPDATE SET * parity: columns the TABLE has but the source
+        # lacks must survive on matched rows — UPDATE SET * only assigns
+        # the columns the source carries. A bare unionByName would replace
+        # matched rows wholesale, null-stomping evolved-column values the
+        # moment an old-schema writer updates an existing key. Matched
+        # source rows pick the target-only values back up via a key join;
+        # unmatched (inserted) rows find no target row and get the
+        # documented null-fill.
+        target_only = [c for c in target.columns if c not in source.columns]
+        if target_only and merge_schema:
+            source = source.join(
+                candidate.select(*keys, *target_only), list(keys), "left"
+            )
         kept = candidate.join(source.select(*keys).distinct(), keys, "left_anti")
         merged = kept.unionByName(source, allowMissingColumns=merge_schema)
         if untouched is not None:

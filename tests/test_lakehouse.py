@@ -244,10 +244,15 @@ def test_merge_schema_evolution(spark, tmp_path):
     assert t.read(version=v0).columns == ["k", "val"]
     assert set(t.read(version=v1).columns) == {"k", "val", "extra"}
 
-    # a second merge with the OLD schema must null-fill the new column
-    t.merge(spark.createDataFrame([(4, "d")], ["k", "val"]), keys=["k"],
-            merge_schema=True)
-    assert {r["k"]: r["extra"] for r in t.read().collect()}[4] is None
+    # a second merge with the OLD schema: inserted rows null-fill the new
+    # column, but a MATCHED row keeps its evolved-column value (Delta's
+    # UPDATE SET * only assigns the columns the source carries — it must
+    # not null-stomp `extra` on key 2)
+    t.merge(spark.createDataFrame([(2, "b3"), (4, "d")], ["k", "val"]),
+            keys=["k"], merge_schema=True)
+    rows = {r["k"]: (r["val"], r["extra"]) for r in t.read().collect()}
+    assert rows[4] == ("d", None)
+    assert rows[2] == ("b3", 20), "matched row lost evolved-column value"
 
     # type conflicts always reject, evolution flag or not
     bad = spark.createDataFrame([(5, 99)], ["k", "val"]).withColumn(

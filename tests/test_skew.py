@@ -36,11 +36,25 @@ def test_salted_join_spreads_hot_key(spark):
     # before dropping _salt the hot key must occupy every salt sub-key;
     # reconstruct the salt the same way the operator does.
     l = left.withColumn(
-        "_salt", F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(8))
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(8))
     )
     n_subkeys = l.filter(F.col("k") == 0).select("_salt").distinct().count()
     assert n_subkeys == 8, f"hot key only reached {n_subkeys}/8 salt sub-keys"
     assert salted.count() == left.count()
+
+
+def test_salted_join_rejects_small_side_preserving_forms(spark):
+    """The operators-layer wrapper must enforce the shared guard: outer
+    forms would emit unmatched small-side rows once per salt replica."""
+    import pytest
+
+    left = _skewed(spark, n=100)
+    right = left.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+    for how in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError, match="big-side-preserving"):
+            salted_join(left, right, on="k", how=how)
+    with pytest.raises(ValueError, match="salt must be >= 1"):
+        salted_join(left, right, on="k", salts=0)
 
 
 def test_salted_hot_key_agg_matches_plain_agg(spark):
