@@ -161,10 +161,67 @@ def doc_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
-#: Iterative algorithm — no SQL oracle; the gate records rows-only and
-#: the behavioral test compares against a pure-Python reference BPE.
-ORACLES: dict[str, str] = {}
+def doc_bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: the FIRST BPE merge decision, which — unlike the
+    full iterative table — is closed-form: before any merge has been
+    applied every symbol is a single character, so the winning pair is
+    just the argmax over adjacent character-pair frequencies weighted by
+    word frequency. That makes this one step of the algorithm fully
+    SQL-expressible (the oracle restates it with substring arithmetic);
+    later iterations depend on the merged symbols and stay rows-only in
+    doc_bpe_merge_table."""
+    d = load_table(spark, sf_dir, "documents")
+    wf = word_frequencies(d)
+    chars = F.split(F.col("w"), "")
+    vocab = (
+        wf.select(
+            F.filter(chars, lambda c: c != F.lit("")).alias("syms"),
+            F.col("freq"),
+        )
+        .groupBy("syms")
+        .agg(F.sum("freq").alias("freq"))
+    )
+    return (
+        _pair_counts(vocab)
+        .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+        .limit(1)
+        .select(
+            F.col("a").alias("left_sym"),
+            F.col("b").alias("right_sym"),
+            F.concat("a", "b").alias("merged"),
+            F.col("n").cast("long").alias("pair_freq"),
+        )
+    )
+
+
+#: The full merge table is iterative — no SQL oracle; the gate records
+#: rows-only and the behavioral test compares against a pure-Python
+#: reference BPE. The FIRST merge is closed-form (single-character
+#: symbols) and oracle-checked: pair frequencies are counted directly
+#: over words (grouping words into a vocab first and weighting by freq
+#: sums to exactly the same counts, since the pair set depends only on
+#: the word).
+ORACLES: dict[str, str] = {
+    "doc_bpe_first_merge": """
+        WITH words AS (
+            SELECT w
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            WHERE length(w) > 0
+        ), pairs AS (
+            SELECT substring(w, CAST(i AS INTEGER), 1) AS a,
+                   substring(w, CAST(i AS INTEGER) + 1, 1) AS b
+            FROM words, UNNEST(range(1, length(w))) AS t(i)
+        )
+        SELECT a AS left_sym, b AS right_sym, a || b AS merged,
+               CAST(COUNT(*) AS BIGINT) AS pair_freq
+        FROM pairs
+        GROUP BY 1, 2, 3
+        ORDER BY pair_freq DESC, left_sym, right_sym
+        LIMIT 1
+    """,
+}
 
 QUERIES = {
     "doc_bpe_merge_table": doc_bpe_merge_table,
+    "doc_bpe_first_merge": doc_bpe_first_merge,
 }

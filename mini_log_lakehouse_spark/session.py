@@ -65,6 +65,10 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # No console progress bars: they write \r-frames that interleave
+        # with the bench harness's one-line JSON contract (the driver
+        # captures a bounded stdout tail — see bench.py).
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

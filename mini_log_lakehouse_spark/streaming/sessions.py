@@ -104,7 +104,18 @@ def stream_closed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-contract wrapper (rows-only: closed sessions of the replay)."""
+    """Driver-contract wrapper: closed sessions of the availableNow
+    replay, hash-checked against a relational restatement.
+
+    The finalization rule is deterministic, so the oracle can restate it
+    (same pattern as streaming_session_window): a session CLOSES exactly
+    when a later event of the same user arrives strictly more than the
+    gap after the session's last event — gaps-and-islands with a strict
+    ``>`` boundary (``_sessionize_group`` splits on ``t - end > gap``),
+    ``session_end`` = last event (no +gap padding, unlike
+    session_window), and each user's final island never closes (it is
+    still open in state when the replay drains), so the oracle drops the
+    max-sid island per user."""
     return stream_closed_sessions(spark, sf_dir).orderBy(
         "user_id", "session_start"
     )
@@ -113,4 +124,34 @@ def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "streaming_user_sessions": streaming_user_sessions,
 }
-ORACLES: dict[str, str] = {}
+ORACLES: dict[str, str] = {
+    "streaming_user_sessions": """
+        WITH evs AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        ), diffs AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM evs
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), ids AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM diffs
+        ), sess AS (
+            SELECT user_id, sid,
+                   MIN(ts) AS session_start,
+                   MAX(ts) AS session_end,
+                   COUNT(*) AS n_events
+            FROM ids
+            GROUP BY user_id, sid
+        )
+        SELECT user_id, session_start, session_end, n_events
+        FROM sess
+        WHERE sid < (SELECT MAX(s2.sid) FROM sess s2
+                     WHERE s2.user_id = sess.user_id)
+        ORDER BY user_id, session_start
+    """,
+}
