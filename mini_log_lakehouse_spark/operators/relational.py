@@ -25,7 +25,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mini_log_lakehouse_spark.sources.registry import load_table
+from mini_log_lakehouse_spark.sources.registry import (
+    bucketing_enabled,
+    load_table,
+    load_table_bucketed,
+)
 
 
 def _cents(col, decimals: int = 2) -> F.Column:
@@ -236,9 +240,18 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast probe. At any scale the plan is then: one
     TakeOrderedAndProject (per-partition partial top-10, no extra
     shuffle) + one broadcast join — the name lookup never shuffles
-    customer, which at 100 TB is itself a billion-row table."""
-    l = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
+    customer, which at 100 TB is itself a billion-row table.
+
+    In warm/bench mode the two fact tables come from the bucketed
+    warehouse layer (``bucketBy(N, orderkey)``, written once per corpus
+    — registry.load_table_bucketed): the orderkey-grain aggregate and
+    the fact-fact join then run with ZERO exchange, because both scans
+    already report hashpartitioning(orderkey, N). That is the standing
+    answer for repeated 100 TB fact-fact joins — the only remaining
+    shuffle in the whole plan is the tiny custkey-grain aggregate."""
+    bucketed = bucketing_enabled()
+    l = load_table_bucketed(spark, sf_dir, "lineitem", "l_orderkey")
+    o = load_table_bucketed(spark, sf_dir, "orders", "o_orderkey")
     c = load_table(spark, sf_dir, "customer")
     # Two-stage exact sum: the orderkey grain carries the (hi, lo) split
     # halves as LONGS (per-order halves are tiny, see _SPLIT), the
@@ -249,13 +262,17 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_order = l.groupBy("l_orderkey").agg(
         F.sum(hi).alias("_hi"), F.sum(lo).alias("_lo")
     )
-    # shuffle_hash, explicitly: orders is a fact table — at 100 TB it can
-    # never be broadcast (locally, cache-stat misestimates tempted AQE
-    # into building a 1.5M-row hashed relation per run), and SHJ beats
-    # sort-merge here because neither side needs ordering afterwards; the
-    # per_order side already arrives hash-partitioned by the groupBy.
+    # Join strategy: bucketed scans satisfy the join's distribution
+    # requirement as-is — hint merge so AQE's local cache-stat
+    # misestimates can't "promote" the co-located join into a 1.5M-row
+    # broadcast build. Unbucketed (cold) path: shuffle_hash, explicitly —
+    # orders is a fact table that can never be broadcast at 100 TB, and
+    # SHJ beats sort-merge because neither side needs ordering
+    # afterwards; the per_order side already arrives hash-partitioned by
+    # the groupBy.
+    o_hinted = o.hint("merge") if bucketed else o.hint("shuffle_hash")
     top10 = (
-        per_order.join(o.hint("shuffle_hash"), per_order.l_orderkey == o.o_orderkey)
+        per_order.join(o_hinted, per_order.l_orderkey == o.o_orderkey)
         .groupBy("o_custkey")
         .agg(
             _to_money2(_split_combine(F.sum("_hi"), F.sum("_lo")), 4).alias(

@@ -65,6 +65,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # Managed tables (bucketed warehouse layer, CTAS) land in /tmp by
+        # default, never in the repo working tree.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", "/tmp/mini_log_lakehouse_warehouse"
+            ),
+        )
         # No console progress bars: they write \r-frames that interleave
         # with the bench harness's one-line JSON contract (the driver
         # captures a bounded stdout tail — see bench.py).

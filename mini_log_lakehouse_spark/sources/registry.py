@@ -94,6 +94,82 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: Bucketed managed tables, keyed by (session id, sf_dir, table) — the
+#: write happens once per session per corpus; every later call reuses the
+#: catalog table.
+_BUCKETED_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def bucketing_enabled() -> bool:
+    """True when load_table_bucketed will return managed bucketed tables
+    (warm/bench mode or explicit SPARK_GRAFT_BUCKETED=1)."""
+    return (
+        os.environ.get(
+            "SPARK_GRAFT_BUCKETED", os.environ.get("SPARK_GRAFT_CACHE_TABLES", "0")
+        )
+        == "1"
+    )
+
+
+def load_table_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    key: str,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """A testdata table as a bucketed+sorted managed table on ``key`` —
+    the lakehouse pre-partitioning story for REPEATED fact-fact joins:
+    pay the shuffle once at write time, after which every join or
+    aggregation keyed on the bucket column reads co-located buckets with
+    ZERO exchange (FileSourceScan reports hashpartitioning(key, N), which
+    satisfies both HashAggregate and join distribution requirements).
+
+    At 100 TB this is how lineitem/orders live in the warehouse
+    (bucketed by orderkey); here the write is gated to warm mode
+    (SPARK_GRAFT_CACHE_TABLES=1, the bench contract, or
+    SPARK_GRAFT_BUCKETED=1 explicitly) so cold correctness paths keep
+    reading the raw parquet with visible pushdown/pruning.
+
+    Falls back to :func:`load_table` when the gate is off.
+    """
+    if not bucketing_enabled():
+        return load_table(spark, sf_dir, name)
+    ck = (id(spark), sf_dir, name)
+    got = _BUCKETED_CACHE.get(ck)
+    if got is not None:
+        return got
+    from mini_log_lakehouse_spark.session import default_parallelism
+
+    import hashlib
+
+    tune(spark)
+    n = n_buckets or default_parallelism()
+    tbl = f"bkt_{name}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{n}"
+    if not spark.catalog.tableExists(tbl):
+        # The in-memory catalog forgets tables across sessions while the
+        # warehouse directory persists; a stale location from a previous
+        # run (derived artifact — always rebuildable) must be cleared or
+        # the managed CTAS refuses with LOCATION_ALREADY_EXISTS.
+        import shutil
+
+        loc = os.path.join(
+            spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), tbl
+        )
+        shutil.rmtree(loc, ignore_errors=True)
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        (
+            df.write.mode("overwrite")
+            .bucketBy(n, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+    out = spark.table(tbl)
+    _BUCKETED_CACHE[ck] = out
+    return out
+
+
 def load_events_range(
     spark: SparkSession, sf_dir: str, start_ns: int, end_ns: int
 ) -> DataFrame:

@@ -41,6 +41,27 @@ def test_minhash_finds_planted_dups(docs_with_dups):
     assert (4, 5) not in pairs  # unrelated not paired
 
 
+def test_minhash_collapse_paths_identical(docs_with_dups):
+    """The exact-duplicate collapse is purely a performance choice: the
+    doc-grain fast path and the collapsed rep-grain path must emit
+    identical (id_a, id_b, est_jaccard) rows — even with exact duplicates
+    present, since identical texts share every band bucket and agree at
+    all K positions (est exactly 1.0) in both shapes."""
+    fast = sorted(
+        tuple(r)
+        for r in dedup.minhash_candidate_pairs(
+            docs_with_dups, collapse=False
+        ).collect()
+    )
+    full = sorted(
+        tuple(r)
+        for r in dedup.minhash_candidate_pairs(
+            docs_with_dups, collapse=True
+        ).collect()
+    )
+    assert fast == full and len(fast) > 0
+
+
 def test_ngram_jaccard_verifies_exactly(docs_with_dups):
     pairs = {
         (r["id_a"], r["id_b"]): r["jaccard"]

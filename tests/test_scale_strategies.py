@@ -60,6 +60,31 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
 
 
+def test_top_customers_bucketed_path(spark, sf_dir, monkeypatch):
+    """The production bucketed path (registry.load_table_bucketed wired
+    into top_customers_by_revenue): with lineitem/orders bucketed on
+    orderkey, the orderkey-grain aggregate AND the fact-fact join run
+    with zero exchange — the only hash exchange left in the plan is the
+    tiny custkey-grain re-aggregate. Results must equal the cold path."""
+    from mini_log_lakehouse_spark.operators.relational import (
+        top_customers_by_revenue,
+    )
+
+    plain = top_customers_by_revenue(spark, sf_dir).collect()
+
+    monkeypatch.setenv("SPARK_GRAFT_BUCKETED", "1")
+    df = top_customers_by_revenue(spark, sf_dir)
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan
+    # exactly one shuffle: the custkey-grain aggregate (broadcast
+    # exchanges for the 10-row name probe don't count)
+    assert plan.count("Exchange hashpartitioning") == 1
+    # the join subtree (below the custkey HashAggregates) is exchange-free
+    join_part = plan.split("SortMergeJoin")[-1]
+    assert "Exchange hashpartitioning" not in join_part
+    assert [tuple(r) for r in df.collect()] == [tuple(r) for r in plain]
+
+
 def test_salted_join_matches_plain_join(spark):
     """Salting must be semantics-free: same rows out, key spread in."""
     # skewed big side: 10k rows of one hot key + a tail
