@@ -17,6 +17,13 @@ format-pluggable:
   commit). MERGE/compaction write version N+1; ``read(version=...)`` is
   time travel; ``vacuum`` drops old versions.
 
+README §"Switching the lakehouse layer onto real Delta" documents the
+exact switch-on (delta-spark package + the two session confs:
+``spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension``,
+``spark.sql.catalog.spark_catalog=...DeltaCatalog``); with ``delta``
+importable every method here routes to DeltaTable APIs and the snapshot
+fallback never engages.
+
 Scale notes: MERGE's fallback plan is the standard copy-on-write shape —
 ``target LEFT ANTI JOIN source ∪ source`` — which Delta itself executes
 under the hood (rewrite files containing matches). At 100 TB you bound
