@@ -98,6 +98,8 @@ _FIRST_WINDOW = (
     # (2) oracles new this round
     "streaming_user_sessions",
     "doc_bpe_first_merge",
+    "doc_unigram_lm_scores",
+    "doc_tfidf_top_terms",
     # (3) rows-only by design — keep their no_oracle rows visible
     "doc_bpe_merge_table",
     "approx_distinct_users",

@@ -14,6 +14,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from mini_log_lakehouse_spark.functions.text import (
     BPE_ISH_PATTERN,
@@ -353,6 +354,137 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Corpus-frequency threshold for the rare-token fraction signal (a
+#: token is "rare" when its whole-corpus count is at most this).
+UNIGRAM_RARE_MAX = 2
+
+#: Per-document keyword count for the TF-IDF extraction.
+TFIDF_TOP_K = 3
+
+
+def _ratio6(p_expr: str, q_expr: str) -> F.Column:
+    """Exact half-up quantization of the rational p/q to 6 decimals,
+    never ROUNDing an arbitrary double: micro = (2·p·10⁶ + q) DIV (2·q)
+    in integer/decimal arithmetic (`DIV` truncates toward zero — exact),
+    then one double division by 10⁶. micro fits in a long (≤ ~10¹⁵ at
+    any bench leg) so the double conversion is exact, and a single IEEE
+    division is bit-identical in Spark and DuckDB. Same discipline as
+    relational._to_money2 (ROUND on a boundary double flips between
+    engines; the half-up must happen in exact arithmetic).
+
+    ``p_expr``/``q_expr`` are SQL fragments over the enclosing plan's
+    column names; p is widened to decimal(38,0) before the multiply so
+    token-mass sums at the 100× leg can't overflow a long."""
+    return (
+        F.expr(
+            f"CAST((CAST({p_expr} AS DECIMAL(38,0)) * 2000000 + {q_expr}) "
+            f"DIV (2 * ({q_expr})) AS DOUBLE)"
+        )
+        / F.lit(1e6)
+    )
+
+
+def _doc_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, token, tf): per-document term frequencies — the shared
+    first stage of the unigram-LM and TF-IDF operators. One explode +
+    one shuffle on (doc_id, token) with map-side partial aggregation;
+    the explode itself is map-only, so at 100 TB this is a single
+    corpus scan whose shuffle rows are DISTINCT doc-term pairs (already
+    collapsed by the partial agg), not raw token occurrences."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def doc_unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring of every document against a model
+    trained on the corpus itself — the classic "how typical is this
+    document" quality signal of a training-data pipeline (cf. CCNet-style
+    LM filtering), expressed with exact rational statistics instead of
+    float log-probs so the cross-engine hash gate is bit-stable:
+
+    - ``avg_corpus_freq``: mean whole-corpus frequency of the document's
+      tokens (high = stereotypical text, low = unusual/noisy).
+    - ``rare_frac``: fraction of tokens whose corpus count ≤
+      UNIGRAM_RARE_MAX (an OOV-rate analog).
+    - ``min_token_count``: the rarest token's corpus count.
+
+    Shape at 100 TB: the unigram model (``vocab``) is vocab-scale —
+    millions of rows / ~100 MB, broadcastable; here it rides the same
+    (token) shuffle as the df-join. Token mass sums use decimal(38,0)
+    (a 100× corpus overflows a long), and the two ratios are quantized
+    in exact arithmetic (_ratio6)."""
+    tf = _doc_term_freq(spark, sf_dir)
+    vocab = tf.groupBy("token").agg(F.sum("tf").alias("c"))
+    per_doc = (
+        tf.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf").cast("decimal(38,0)") * F.col("c")).alias("mass"),
+            F.sum(
+                F.when(F.col("c") <= UNIGRAM_RARE_MAX, F.col("tf")).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("rare_tokens"),
+            F.min("c").cast("long").alias("min_token_count"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        _ratio6("mass", "n_tokens").alias("avg_corpus_freq"),
+        _ratio6("rare_tokens", "n_tokens").alias("rare_frac"),
+        "min_token_count",
+    ).orderBy("doc_id")
+
+
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-TFIDF_TOP_K keyword extraction per document. idf is the
+    *linear* N/df (no log): tf·N is an exact integer and the single
+    division by df is one IEEE op, so scores — and therefore ranks —
+    are bit-identical across engines (ln() differs in the last ulp
+    between libms, which would flip ranks on near-ties). Ranking uses
+    the exact integer ``score_micro`` with an alphabetical tiebreak.
+
+    Shape at 100 TB: doc-term pairs shuffle once on token to meet the
+    vocab-scale df table (broadcastable), then once on doc_id for the
+    rank window; the rank ≤ K predicate pushes a WindowGroupLimit so
+    each task keeps K rows per doc before the final sort."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = _doc_term_freq(spark, sf_dir)
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score_micro",
+            F.expr(
+                "CAST((CAST(tf AS DECIMAL(38,0)) * n_docs * 2000000 + df) "
+                "DIV (2 * df) AS LONG)"
+            ),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score_micro"), F.asc("token"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= TFIDF_TOP_K)
+        .select(
+            "doc_id",
+            F.col("term_rank").cast("long").alias("term_rank"),
+            "token",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            (F.col("score_micro").cast("double") / F.lit(1e6)).alias("tfidf"),
+        )
+        .orderBy("doc_id", "term_rank")
+    )
+
+
 _TOKS = "string_split(text, ' ')"
 
 #: The one SQL statement of functions/text.quality_score — shared by the
@@ -543,8 +675,69 @@ ORACLES["doc_normalized_fingerprints"] = f"""
         ORDER BY doc_id
 """
 
+#: Shared CTE fragment: per-document term frequencies (mirror of
+#: _doc_term_freq).
+_SQL_TF = f"""
+    SELECT doc_id, token, COUNT(*) AS tf
+    FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+    GROUP BY 1, 2
+"""
+
+ORACLES["doc_unigram_lm_scores"] = f"""
+        WITH tf AS ({_SQL_TF}),
+        vocab AS (SELECT token, SUM(tf) AS c FROM tf GROUP BY 1),
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                   SUM(CAST(tf AS HUGEINT) * c) AS mass,
+                   CAST(SUM(CASE WHEN c <= {UNIGRAM_RARE_MAX} THEN tf ELSE 0 END) AS BIGINT)
+                       AS rare_tokens,
+                   CAST(MIN(c) AS BIGINT) AS min_token_count
+            FROM tf JOIN vocab USING (token)
+            GROUP BY 1
+        )
+        SELECT doc_id,
+               n_tokens,
+               CAST((mass * 2000000 + n_tokens) // (2 * n_tokens) AS DOUBLE) / 1000000
+                   AS avg_corpus_freq,
+               CAST((CAST(rare_tokens AS HUGEINT) * 2000000 + n_tokens) // (2 * n_tokens) AS DOUBLE) / 1000000
+                   AS rare_frac,
+               min_token_count
+        FROM per_doc
+        ORDER BY doc_id
+"""
+
+ORACLES["doc_tfidf_top_terms"] = f"""
+        WITH tf AS ({_SQL_TF}),
+        dfx AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.token, tf.tf, dfx.df,
+                   (CAST(tf.tf AS HUGEINT) * n_docs * 2000000 + df) // (2 * df)
+                       AS score_micro
+            FROM tf JOIN dfx USING (token) CROSS JOIN nd
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score_micro DESC, token) AS term_rank
+            FROM scored
+        )
+        SELECT doc_id,
+               CAST(term_rank AS BIGINT) AS term_rank,
+               token,
+               CAST(tf AS BIGINT) AS tf,
+               CAST(df AS BIGINT) AS df,
+               CAST(score_micro AS DOUBLE) / 1000000 AS tfidf
+        FROM ranked
+        WHERE term_rank <= {TFIDF_TOP_K}
+        ORDER BY doc_id, term_rank
+"""
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
+    "doc_unigram_lm_scores": doc_unigram_lm_scores,
+    "doc_tfidf_top_terms": doc_tfidf_top_terms,
     "doc_word_histogram": doc_word_histogram,
     "doc_bpe_token_counts": doc_bpe_token_counts,
     "doc_fingerprints": doc_fingerprints,

@@ -99,6 +99,18 @@ def test_reservoir_sample_uses_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan
 
 
+def test_tfidf_topk_uses_window_group_limit(spark, sf_dir):
+    # doc_tfidf_top_terms ranks doc-term pairs per doc and keeps rank<=K:
+    # the filter must push a WindowGroupLimit (each task forwards ~K rows
+    # per doc into the window sort, not the full posting list), and the
+    # corpus-size scalar must ride a broadcast, not a shuffled join.
+    from mini_log_lakehouse_spark.operators import textstats
+
+    plan = _plan(textstats.doc_tfidf_top_terms(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row n_docs scalar
+
+
 def test_q3_aggregates_lineitem_below_join(spark, sf_dir):
     # the Q3 shape must collapse lineitem to orderkey grain before any
     # join, and plan the top-10 as TakeOrderedAndProject.
