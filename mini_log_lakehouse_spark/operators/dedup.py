@@ -49,10 +49,19 @@ MINHASH_K = MINHASH_BANDS * MINHASH_ROWS
 _COLLAPSE_DUP_FRACTION = 0.02
 _COLLAPSE_MAX_CLASS = 32
 
-#: Memoized collapse decisions keyed by (applicationId, corpus plan
-#: semanticHash) — the decision aggregate runs once per corpus per
-#: session, never per invocation.
-_COLLAPSE_CACHE: dict[tuple[str, int], bool] = {}
+#: Candidate-pairing strategy cutover (see _bucket_pairs /
+#: _band_join_pairs): at ≤ this many banded keys the 40 B band rows
+#: total ≲ 13 MB — the self-join plans as a zero-shuffle broadcast over
+#: the cached signature scan, which beats paying a real exchange for the
+#: group-and-pair aggregate. Above it the join would shuffle BOTH sides
+#: and probe every singleton bucket, so group-and-pair (one narrow
+#: shuffle, singletons dropped pre-pair) wins.
+_PAIR_JOIN_MAX_KEYS = 20_000
+
+#: Memoized per-corpus decisions keyed by (applicationId, corpus plan
+#: semanticHash) → (collapse?, n_keys at pairing grain) — the decision
+#: aggregate runs once per corpus per session, never per invocation.
+_COLLAPSE_CACHE: dict[tuple[str, int], tuple[bool, int]] = {}
 
 
 # --- exact ------------------------------------------------------------------
@@ -229,6 +238,75 @@ def _banded(sigs: DataFrame, id_col: str, sig_col: str = "sig") -> DataFrame:
     )
 
 
+def _bucket_pairs(banded: DataFrame, key: str) -> DataFrame:
+    """Distinct candidate pairs (``{key}_a`` < ``{key}_b``) from band
+    buckets by **group-and-pair**, not a self-join: one shuffle of the
+    narrow band rows into (band, band_key) buckets, sort each bucket's
+    ids, and explode the ordered pairs in place.
+
+    Why this beats the band-table self-join at scale:
+
+    - the 40 B band rows shuffle ONCE (a self-join exchanges both sides
+      — twice the bytes — then sorts/probes 2× the rows);
+    - singleton buckets — the overwhelming majority under 16-band/4-row
+      LSH — die at the ``size > 1`` filter without ever reaching a join
+      probe (the self-join shuffles and probes every singleton anyway);
+    - the ``a < b`` constraint is free: ids are pre-sorted per bucket,
+      so pair (i, j>i) enumeration replaces a join predicate.
+
+    Per-bucket memory is O(bucket²) at the pair explode — the same
+    asymptotics as the pair OUTPUT itself, so no regression vs the join
+    (which also emits bucket² rows); a 100 TB deployment additionally
+    caps pathological buckets (a band key shared by >10k docs is
+    boilerplate the pipeline should drop or exact-group anyway — its
+    quadratic pair set is useless at any join strategy), which is one
+    ``array_size(_ids) <= CAP`` filter here.
+
+    The cross-bucket ``distinct`` (a pair sharing several bands) stays
+    with the caller."""
+    g = (
+        banded.groupBy("band", "band_key")
+        .agg(F.array_sort(F.collect_list(F.col(key))).alias("_ids"))
+        .filter(F.array_size("_ids") > 1)
+    )
+    return (
+        g.select(F.posexplode("_ids").alias("_i", "_ka"), "_ids")
+        .select(
+            F.col("_ka").alias(f"{key}_a"),
+            F.explode(
+                F.slice(F.col("_ids"), F.col("_i") + F.lit(2), F.array_size("_ids"))
+            ).alias(f"{key}_b"),
+        )
+    )
+
+
+def _band_join_pairs(banded: DataFrame, key: str) -> DataFrame:
+    """Candidate pairs via the band-table SELF-JOIN — the small-corpus
+    strategy. At ≤ _PAIR_JOIN_MAX_KEYS pairing keys the whole band table
+    is broadcastable, so AQE plans this as a zero-exchange broadcast
+    probe over the cached signature scan; every stage stays map-side and
+    the warm path runs no real shuffle at all. Above that size the join
+    must exchange BOTH sides and probe every singleton bucket — that
+    regime belongs to _bucket_pairs. Emits the same (a < b) pair set."""
+    a, b = banded.alias("a"), banded.alias("b")
+    return a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col(f"a.{key}") < F.col(f"b.{key}")),
+    ).select(
+        F.col(f"a.{key}").alias(f"{key}_a"), F.col(f"b.{key}").alias(f"{key}_b")
+    )
+
+
+def _pair_candidates(banded: DataFrame, key: str, small: bool) -> DataFrame:
+    """Size-adaptive candidate pairing (strategies emit identical pair
+    sets; see _band_join_pairs vs _bucket_pairs). ``small`` comes from
+    the memoized per-corpus decision aggregate; unknown sizes default to
+    the scale-safe group-and-pair."""
+    return _band_join_pairs(banded, key) if small else _bucket_pairs(banded, key)
+
+
 def minhash_candidate_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -306,12 +384,13 @@ def minhash_candidate_pairs(
             ),
         )
 
+    n_keys: int | None = None
     if collapse is None:
         app_id = docs.sparkSession.sparkContext.applicationId
         dkey = (app_id, corpus_hash)
         session.evict_stale(_COLLAPSE_CACHE, app_id, unpersist=False)
-        collapse = _COLLAPSE_CACHE.get(dkey)
-        if collapse is None:
+        decided = _COLLAPSE_CACHE.get(dkey)
+        if decided is None:
             # One aggregate over the materialized fingerprint table
             # (16 B/doc — the md5 scan is work the collapse path needs
             # anyway), run once per corpus thanks to the memo above.
@@ -321,15 +400,21 @@ def minhash_candidate_pairs(
             n_fps, n_docs, max_class = classes.agg(
                 F.count(F.lit(1)), F.sum("_c"), F.max("_c")
             ).first()
-            collapse = bool(
+            do_collapse = bool(
                 (n_docs - n_fps) > _COLLAPSE_DUP_FRACTION * n_docs
                 or max_class > _COLLAPSE_MAX_CLASS
             )
-            _COLLAPSE_CACHE[dkey] = collapse
+            # n at pairing grain: reps when collapsing, docs otherwise —
+            # this also picks the candidate-pairing strategy (see
+            # _PAIR_JOIN_MAX_KEYS).
+            decided = (do_collapse, int(n_fps if do_collapse else n_docs))
+            _COLLAPSE_CACHE[dkey] = decided
+        collapse, n_keys = decided
+    small = n_keys is not None and n_keys <= _PAIR_JOIN_MAX_KEYS
     if not collapse:
         # Memo-hit direct calls never even construct the fingerprint
         # plan — the warm path is exactly the signature pipeline.
-        return _minhash_pairs_direct(docs, id_col, text_col, min_est)
+        return _minhash_pairs_direct(docs, id_col, text_col, min_est, small)
     members = _members()
     reps = docs.select(
         F.md5(F.col(text_col)).alias("_fp"), F.col(text_col).alias("_rtext")
@@ -349,18 +434,7 @@ def minhash_candidate_pairs(
             "_fp", sig_expr.alias("sig")
         ),
     )
-    b = _banded(sigs, "_fp")
-    a, bb = b.alias("a"), b.alias("b")
-    cand = (
-        a.join(
-            bb,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a._fp") < F.col("b._fp")),
-        )
-        .select(F.col("a._fp").alias("_fp_a"), F.col("b._fp").alias("_fp_b"))
-        .distinct()
-    )
+    cand = _pair_candidates(_banded(sigs, "_fp"), "_fp", small).distinct()
     sa = sigs.select(F.col("_fp").alias("_fp_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("_fp").alias("_fp_b"), F.col("sig").alias("sig_b"))
     agree = _cached_expr(
@@ -416,13 +490,15 @@ def minhash_candidate_pairs(
 
 
 def _minhash_pairs_direct(
-    docs: DataFrame, id_col: str, text_col: str, min_est: float | None
+    docs: DataFrame, id_col: str, text_col: str, min_est: float | None,
+    small: bool = False,
 ) -> DataFrame:
-    """Near-duplicate-free fast path: signatures at doc grain, band
-    self-join on ids, estimates re-read from the materialized signature
-    table. Row-identical to the collapsed path in all cases (identical
-    texts share every band and agree at all K positions), minus the
-    dropDuplicates shuffle and the two ~identity expansion joins."""
+    """Near-duplicate-free fast path: signatures at doc grain, candidate
+    pairing per _pair_candidates, estimates re-read from the
+    materialized signature table. Row-identical to the collapsed path in
+    all cases (identical texts share every band and agree at all K
+    positions), minus the dropDuplicates shuffle and the two ~identity
+    expansion joins."""
     base_expr = _cached_expr(
         ("minhash_base", text_col), lambda: minhash_base_hashes(F.col(text_col))
     )
@@ -435,17 +511,10 @@ def _minhash_pairs_direct(
             id_col, sig_expr.alias("sig")
         ),
     )
-    b = _banded(sigs, id_col)
-    a, bb = b.alias("a"), b.alias("b")
     cand = (
-        a.join(
-            bb,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        _pair_candidates(_banded(sigs, id_col), id_col, small)
         .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            F.col(f"{id_col}_a").alias("id_a"), F.col(f"{id_col}_b").alias("id_b")
         )
         .distinct()
     )
@@ -483,9 +552,19 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (result replay, not query execution), which would make warm numbers
     meaningless. Every call builds a fresh plan; what IS reused are the
     persisted signature tables (production write-once artifacts) and the
-    memoized expression trees/collapse decision."""
+    memoized expression trees/collapse decision.
+
+    Output order: sorted within partitions only. The pair set is a
+    pipeline intermediate (input to clustering / kept-doc filtering) —
+    production writes it unsorted — and the driver's correctness gate is
+    order-insensitive (it sorts rows before hashing). A global orderBy
+    here would add a rangepartitioning exchange whose sampling pass
+    re-executes the estimate joins (measured +1.2 s warm at sf0.1 — the
+    sample job re-runs the map-side work below the range exchange)."""
     d = load_table(spark, sf_dir, "documents")
-    return minhash_candidate_pairs(d, min_est=0.5).orderBy("id_a", "id_b")
+    return minhash_candidate_pairs(d, min_est=0.5).sortWithinPartitions(
+        "id_a", "id_b"
+    )
 
 
 # --- exact n-gram Jaccard verification ---------------------------------------

@@ -39,6 +39,14 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.parquet.aggregatePushdown": "true",
     # Arrow transfer for the few pandas_udf / toPandas paths.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # ObjectHashAggregate (collect_list/collect_set) falls back to
+    # sort-based aggregation after only 128 distinct keys per task by
+    # default — built for giant groups, exactly wrong for LSH banding
+    # where millions of tiny buckets each hold a handful of ids and the
+    # fallback sorts the whole band table per task. The in-memory hash
+    # map at this threshold is bounded by (keys × avg bucket) ≈ the
+    # task's input itself, so memory risk is unchanged.
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "10000000",
 }
 
 

@@ -62,6 +62,26 @@ def test_minhash_collapse_paths_identical(docs_with_dups):
     assert fast == full and len(fast) > 0
 
 
+def test_minhash_pair_strategies_identical(docs_with_dups):
+    """The size-adaptive candidate pairing (broadcast band self-join for
+    small corpora vs one-shuffle group-and-pair for large; see
+    dedup._pair_candidates) is purely a physical choice — both
+    strategies must emit identical (id_a, id_b, est_jaccard) rows."""
+    join_path = sorted(
+        tuple(r)
+        for r in dedup._minhash_pairs_direct(
+            docs_with_dups, "doc_id", "text", None, small=True
+        ).collect()
+    )
+    bucket_path = sorted(
+        tuple(r)
+        for r in dedup._minhash_pairs_direct(
+            docs_with_dups, "doc_id", "text", None, small=False
+        ).collect()
+    )
+    assert join_path == bucket_path and len(join_path) > 0
+
+
 def test_ngram_jaccard_verifies_exactly(docs_with_dups):
     pairs = {
         (r["id_a"], r["id_b"]): r["jaccard"]
