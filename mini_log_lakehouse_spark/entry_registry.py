@@ -65,9 +65,10 @@ if _unknown:
 # The verification driver samples the FIRST 50 registry entries per round,
 # so this explicit window decides which queries get a driver-side
 # CORRECTNESS row. Priority: (1) the 18 TPC-H analogs that were registered
-# past the r3 window and have never been driver-sampled; (2) the two
-# entries whose oracles are new this round (streaming_user_sessions,
-# doc_bpe_first_merge); (3) rows-only-by-design entries, kept in the
+# past the r3 window and have never been driver-sampled; (2) entries whose
+# oracles are new this round (streaming_user_sessions, doc_bpe_first_merge,
+# and the new operators doc_unigram_lm_scores / doc_tfidf_top_terms /
+# events_heavy_hitters); (3) rows-only-by-design entries, kept in the
 # window so their `err: no_oracle` rows stay visible instead of silently
 # unsampled; (4) queries whose implementation changed this round
 # (dedup_minhash_pairs fast path, doc_token_stats silver aggregate,

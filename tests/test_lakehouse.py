@@ -279,3 +279,65 @@ def test_history_describes_operations(spark, tmp_path):
     t.vacuum(keep_last=1)
     h2 = t.history()
     assert [e["version"] for e in h2] == [2]
+
+
+def test_change_feed_keyed_updates_and_inserts(spark, tmp_path):
+    """Delta CDF parity on the fallback: keyed change_feed reports the
+    initial snapshot as inserts, MERGE-driven updates as pre/postimage
+    pairs, MERGE inserts as inserts, overwrite-dropped keys as deletes,
+    and a compaction commit as NOTHING (logical diff, like OPTIMIZE
+    producing no CDF rows)."""
+    t = LakehouseTable(spark, str(tmp_path / "lake"), "cdc")
+    rows0 = [(1, "a", 10), (2, "b", 20)]
+    df = spark.createDataFrame(rows0, "k int, s string, v int")
+    t.write(df)                                                  # v0
+    t.merge(
+        spark.createDataFrame([(2, "b", 25), (3, "c", 30)], "k int, s string, v int"),
+        keys=["k"],
+    )                                                            # v1
+    t.compact(target_partitions=1)                               # v2 (no-op feed)
+    t.write(spark.createDataFrame([(2, "b", 25), (3, "c", 30)], "k int, s string, v int"))  # v3 drops k=1
+
+    feed = t.change_feed(0, keys=["k"])
+    got = {
+        (r["_commit_version"], r["_change_type"], r["k"]): (r["s"], r["v"])
+        for r in feed.collect()
+    }
+    assert got[(0, "insert", 1)] == ("a", 10)
+    assert got[(0, "insert", 2)] == ("b", 20)
+    assert got[(1, "update_preimage", 2)] == ("b", 20)
+    assert got[(1, "update_postimage", 2)] == ("b", 25)
+    assert got[(1, "insert", 3)] == ("c", 30)
+    assert got[(3, "delete", 1)] == ("a", 10)
+    # compaction (v2) emitted nothing at all
+    assert not [k for k in got if k[0] == 2]
+    # and nothing else leaked in
+    assert len(got) == 6
+
+
+def test_change_feed_schema_evolution_and_keyless(spark, tmp_path):
+    t = LakehouseTable(spark, str(tmp_path / "lake"), "cdc2")
+    t.write(spark.createDataFrame([(1, "a")], "k int, s string"))           # v0
+    t.merge(
+        spark.createDataFrame([(1, "a", 99)], "k int, s string, extra int"),
+        keys=["k"],
+        merge_schema=True,
+    )                                                                        # v1
+    feed = t.change_feed(1, keys=["k"]).collect()
+    kinds = sorted(r["_change_type"] for r in feed)
+    assert kinds == ["update_postimage", "update_preimage"]
+    post = next(r for r in feed if r["_change_type"] == "update_postimage")
+    pre = next(r for r in feed if r["_change_type"] == "update_preimage")
+    assert post["extra"] == 99 and pre["extra"] is None  # evolved col null in preimage
+
+    # keyless mode: multiset insert/delete works on stable schemas…
+    t2 = LakehouseTable(spark, str(tmp_path / "lake"), "cdc3")
+    t2.write(spark.createDataFrame([(1,), (2,)], "k int"))
+    t2.write(spark.createDataFrame([(2,), (3,)], "k int"))
+    keyless = {
+        (r["_change_type"], r["k"]) for r in t2.change_feed(1).collect()
+    }
+    assert keyless == {("insert", 3), ("delete", 1)}
+    # …and rejects schema-evolved ranges (no row identity to align on)
+    with pytest.raises(ValueError, match="keyless"):
+        t.change_feed(1)
