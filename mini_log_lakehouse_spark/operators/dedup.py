@@ -264,8 +264,16 @@ def _bucket_pairs(banded: DataFrame, key: str) -> DataFrame:
 
     The cross-bucket ``distinct`` (a pair sharing several bands) stays
     with the caller."""
+    return _bucket_pairs_on(banded, key, ("band", "band_key"))
+
+
+def _bucket_pairs_on(
+    banded: DataFrame, key: str, bucket_cols: tuple[str, str]
+) -> DataFrame:
+    """_bucket_pairs over arbitrary bucket columns (MinHash buckets are
+    (band, band_key); SimHash tables are (tbl, ckey))."""
     g = (
-        banded.groupBy("band", "band_key")
+        banded.groupBy(*bucket_cols)
         .agg(F.array_sort(F.collect_list(F.col(key))).alias("_ids"))
         .filter(F.array_size("_ids") > 1)
     )
@@ -739,7 +747,8 @@ def simhash_near_pairs(
     # cheap per-word conv extraction, then the bit-vote folds read
     # materialized longs — and the result is cached (lazy persist, see
     # minhash_candidate_pairs on why not localCheckpoint) because the
-    # self-join below would otherwise recompute it for each side.
+    # banding explode and the two hamming-verify joins below all re-read
+    # it.
     md5_expr = _cached_expr(
         ("simhash_md5", text_col), lambda: simhash_base_hashes(F.col(text_col))
     )
@@ -770,26 +779,39 @@ def simhash_near_pairs(
             for j in range(i + 1, SIMHASH_BLOCKS)
         ]
     )
-    banded = sh.select(id_col, "sim0", "sim1", F.explode(keys).alias("ck")).select(
-        id_col, "sim0", "sim1", F.col("ck.tbl").alias("tbl"), F.col("ck.ckey").alias("ckey")
+    # Group-and-pair over NARROW (id, tbl, ckey) rows — same shape as
+    # the MinHash _bucket_pairs path: the 66-table explode shuffles once
+    # without the 16 B sim words attached, singleton buckets (the vast
+    # majority at 16-bit composite keys) die before pairing, and the
+    # hamming verify re-reads the two words from the cached signature
+    # table only for surviving distinct pairs.
+    banded = sh.select(id_col, F.explode(keys).alias("ck")).select(
+        id_col, F.col("ck.tbl").alias("tbl"), F.col("ck.ckey").alias("ckey")
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    hamming = F.bit_count(F.col("a.sim0").bitwiseXOR(F.col("b.sim0"))) + F.bit_count(
-        F.col("a.sim1").bitwiseXOR(F.col("b.sim1"))
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.ckey") == F.col("b.ckey"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+    cand = (
+        _bucket_pairs_on(banded, id_col, ("tbl", "ckey"))
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            hamming.cast("int").alias("hamming"),
+            F.col(f"{id_col}_a").alias("id_a"), F.col(f"{id_col}_b").alias("id_b")
         )
         .distinct()
+    )
+    sa = sh.select(
+        F.col(id_col).alias("id_a"),
+        F.col("sim0").alias("_a0"),
+        F.col("sim1").alias("_a1"),
+    )
+    sb = sh.select(
+        F.col(id_col).alias("id_b"),
+        F.col("sim0").alias("_b0w"),
+        F.col("sim1").alias("_b1w"),
+    )
+    hamming = F.bit_count(F.col("_a0").bitwiseXOR(F.col("_b0w"))) + F.bit_count(
+        F.col("_a1").bitwiseXOR(F.col("_b1w"))
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
 
