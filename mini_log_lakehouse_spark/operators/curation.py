@@ -7,7 +7,7 @@ individual operators in this package —
 2. **exact dedup** on the normalized fingerprint: one representative
    (min doc_id) per distinct content — the shuffle carries a 16-byte
    md5 per doc, the standard 100 TB dedup shape;
-3. **PII gate** (textstats.pii_count): any detector hit drops the doc
+3. **PII gate** (textstats.pii_any): any detector hit drops the doc
    (a redaction-instead-of-drop pipeline would swap in redact_pii);
 4. **quality gate** (functions/text.quality_score ≥ QUALITY_MIN);
 5. **split assignment** (sampling.assign_split) for the survivors.
@@ -36,12 +36,11 @@ from mini_log_lakehouse_spark.operators.sampling import (
     assign_split,
 )
 from mini_log_lakehouse_spark.operators.textstats import (
-    PII_REDACTION_ORDER,
+    PII_ANY_PATTERN,
     SQL_QUALITY,
     _SQL_NORM,
-    _SQL_PII_COUNTS,
     normalize_text,
-    pii_count,
+    pii_any,
 )
 from mini_log_lakehouse_spark.sources.registry import load_table
 
@@ -57,20 +56,19 @@ def curate_documents(docs: DataFrame) -> DataFrame:
     t = F.col("text")
     fp = F.md5(normalize_text(t))
     rep = F.min("doc_id").over(Window.partitionBy("_fp"))
-    pii_total = None
-    for kind in PII_REDACTION_ORDER:
-        c = pii_count(t, kind)
-        pii_total = c if pii_total is None else pii_total + c
     outcome = (
         F.when(F.col("doc_id") != rep, F.lit("duplicate"))
-        .when(F.col("_pii") > 0, F.lit("pii"))
+        # presence test, not counts: one short-circuiting alternation
+        # scan (textstats.pii_any) instead of four full extract_all
+        # passes — the gate only asks "any PII?"
+        .when(F.col("_pii"), F.lit("pii"))
         .when(F.col("_q") < QUALITY_MIN, F.lit("low_quality"))
         .otherwise(F.lit("kept"))
     )
     return (
         assign_split(docs)
         .withColumn("_fp", fp)
-        .withColumn("_pii", pii_total)
+        .withColumn("_pii", pii_any(t))
         .withColumn("_q", quality_score(t))
         .withColumn("outcome", outcome)
         .drop("_fp", "_pii", "_q")
@@ -91,16 +89,16 @@ def doc_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES: dict[str, str] = {
     # Every fragment is shared with the oracle of the operator it came
-    # from (split CASE, PII counts, normalization, rounded quality
-    # score), so a change to any individual operator's semantics cannot
-    # silently diverge from the composed pipeline's oracle.
+    # from (split CASE, PII alternation pattern, normalization, rounded
+    # quality score), so a change to any individual operator's semantics
+    # cannot silently diverge from the composed pipeline's oracle.
     "doc_curation_summary": f"""
         WITH verdicts AS (
             SELECT {SQL_SPLIT_CASE} AS split,
                    CASE
                      WHEN doc_id != MIN(doc_id) OVER (PARTITION BY md5({_SQL_NORM}))
                        THEN 'duplicate'
-                     WHEN {_SQL_PII_COUNTS} > 0 THEN 'pii'
+                     WHEN regexp_matches(text, '{PII_ANY_PATTERN}') THEN 'pii'
                      WHEN {SQL_QUALITY} < {QUALITY_MIN} THEN 'low_quality'
                      ELSE 'kept'
                    END AS outcome

@@ -258,6 +258,20 @@ PII_SENTINELS: dict[str, str] = {
 PII_REDACTION_ORDER = ("email", "phone", "ipv4", "long_id")
 
 
+#: Single-scan PII presence test: alternation of every detector pattern
+#: (non-capturing groups — Java regex and RE2 agree). A gate that only
+#: needs *whether* PII exists should use this, not the per-type counts:
+#: rlike/regexp_matches short-circuits at the first hit, where four
+#: regexp_extract_all calls each scan the full text and allocate match
+#: arrays (measured 0.82 s → ~0.4 s on the curation summary at sf0.1).
+PII_ANY_PATTERN = "|".join(f"(?:{PII_PATTERNS[k]})" for k in PII_REDACTION_ORDER)
+
+
+def pii_any(col) -> F.Column:
+    """True when any PII detector pattern matches (single-scan rlike)."""
+    return col.rlike(PII_ANY_PATTERN)
+
+
 def pii_count(col, kind: str) -> F.Column:
     """Occurrences of one PII pattern in a text column (raw text —
     counts are independent per pattern, detector-metric style)."""
