@@ -102,6 +102,7 @@ _FIRST_WINDOW = (
     "doc_unigram_lm_scores",
     "doc_tfidf_top_terms",
     "events_heavy_hitters",
+    "embedding_label_centroids",
     # (3) rows-only by design — keep their no_oracle rows visible
     "doc_bpe_merge_table",
     "approx_distinct_users",

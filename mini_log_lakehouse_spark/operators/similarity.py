@@ -381,7 +381,69 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Power-of-two fixed-point scale for exact float aggregation:
+#: multiplying a float by 2^20 only shifts its exponent (exact in IEEE),
+#: so floor(x·2^20 + 0.5) is the identical long in every engine, long
+#: sums are exact and associative regardless of partial-agg order, and
+#: the final single division back to double is one IEEE op. This is how
+#: a float-typed column survives a cross-engine hash gate without ROUND
+#: tie hazards.
+FIXED_POINT = 1 << 20
+
+
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding, one row per (label, dimension) — the
+    centroid primitive under IVF quantizer training / class prototypes /
+    k-means steps, computed with exact fixed-point sums (FIXED_POINT) so
+    shuffle order can never change a bit of the output.
+
+    Scale shape: posexplode is map-only; the (label, pos) aggregate
+    partial-combines each task down to ≤ labels×dim rows before the
+    shuffle, so the exchange is model-sized, not data-sized — the same
+    split as a distributed k-means update step at 100 TB."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "val"))
+    fixed = F.floor(
+        F.col("val").cast("double") * F.lit(float(FIXED_POINT)) + F.lit(0.5)
+    ).cast("long")
+    return (
+        ex.select("label", F.col("pos").cast("long").alias("pos"), fixed.alias("_f"))
+        .groupBy("label", "pos")
+        .agg(F.count(F.lit(1)).alias("n_vectors"), F.sum("_f").alias("_s"))
+        .select(
+            "label",
+            "pos",
+            "n_vectors",
+            (
+                F.col("_s").cast("double")
+                / (F.col("n_vectors") * F.lit(FIXED_POINT)).cast("double")
+            ).alias("centroid_val"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "embedding_label_centroids": f"""
+        WITH ex AS (
+            SELECT label,
+                   u.pos AS pos,
+                   CAST(FLOOR(CAST(u.val AS DOUBLE) * {FIXED_POINT} + 0.5) AS BIGINT) AS f
+            FROM (
+                SELECT label,
+                       unnest(list_transform(range(1, len(embedding) + 1),
+                              i -> {{'pos': i - 1, 'val': embedding[i]}})) AS u
+                FROM embeddings
+            )
+        )
+        SELECT label,
+               pos,
+               COUNT(*) AS n_vectors,
+               CAST(SUM(f) AS DOUBLE) / (COUNT(*) * {FIXED_POINT}) AS centroid_val
+        FROM ex
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
     "ann_cosine_topk": f"""
         SELECT e.vec_id,
                ROUND(list_cosine_similarity(
@@ -416,6 +478,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "embedding_label_centroids": embedding_label_centroids,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_knn_join": ann_knn_join,
     "ann_lsh_topk": ann_lsh_topk,
