@@ -443,8 +443,16 @@ def minhash_candidate_pairs(
         ),
     )
     cand = _pair_candidates(_banded(sigs, "_fp"), "_fp", small).distinct()
+    # Estimate-join strategy: small corpora let AQE broadcast the sig
+    # table; larger ones force SHUFFLE_HASH — the signature rows need no
+    # ordering, and the planner's static estimate of the (cand ⋈ sig_a)
+    # intermediate otherwise falls back to SortMergeJoin, paying a sort
+    # of the wide signature rows on BOTH est joins (measured at the 10×
+    # leg). At 100 TB shuffle-hash on the pair key is the right shape.
     sa = sigs.select(F.col("_fp").alias("_fp_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("_fp").alias("_fp_b"), F.col("sig").alias("sig_b"))
+    if not small:
+        sa, sb = sa.hint("shuffle_hash"), sb.hint("shuffle_hash")
     agree = _cached_expr(
         ("minhash_agree",),
         lambda: F.aggregate(
@@ -526,8 +534,13 @@ def _minhash_pairs_direct(
         )
         .distinct()
     )
+    # Same estimate-join strategy note as the collapsed path: SHJ when
+    # the sig table outgrows broadcast — never SortMergeJoin on wide
+    # signature rows.
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    if not small:
+        sa, sb = sa.hint("shuffle_hash"), sb.hint("shuffle_hash")
     agree = _cached_expr(
         ("minhash_agree",),
         lambda: F.aggregate(
