@@ -103,6 +103,7 @@ _FIRST_WINDOW = (
     "doc_tfidf_top_terms",
     "events_heavy_hitters",
     "embedding_label_centroids",
+    "lakehouse_change_feed",
     # (3) rows-only by design — keep their no_oracle rows visible
     "doc_bpe_merge_table",
     "approx_distinct_users",

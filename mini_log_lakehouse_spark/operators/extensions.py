@@ -19,6 +19,58 @@ from pyspark.sql import functions as F
 from mini_log_lakehouse_spark.sources.registry import load_table
 
 
+#: Deterministic split point for the change-feed demo: v0 aggregates
+#: events strictly before this day, the MERGE source aggregates the full
+#: range — so every event type active in both halves yields an update
+#: pair and a type first seen late yields an insert.
+CDC_CUTOFF = "2024-01-16"
+
+#: Per-(session, sf_dir) lake roots for lakehouse_change_feed — the
+#: table build is deterministic from the corpus, so one build per
+#: session is both correct and cheap.
+_CDC_LAKES: dict[tuple[str, str], str] = {}
+
+
+def lakehouse_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed, driver-verified end-to-end: build a lakehouse
+    fact (per-event-type counters) at v0 from the first half-month of
+    events, MERGE the full-range recompute as v1, and return
+    ``change_feed(1, keys=[event_type])`` — the insert /
+    update_preimage / update_postimage rows an incremental downstream
+    would consume. Both versions are deterministic functions of the
+    corpus, so the whole CDC surface (snapshot diff included) is
+    restatable relationally by the DuckDB oracle.
+
+    The ``value`` measure rides as exact integer cents
+    (floor(x·100 + 0.5), the money-sum discipline) so the update
+    detection never compares order-dependent double sums."""
+    import tempfile
+
+    from mini_log_lakehouse_spark.plans.lakehouse import LakehouseTable
+
+    def fact(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    root = _CDC_LAKES.get(key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="mlls_cdc_")
+        t = LakehouseTable(spark, root, "events_cdc")
+        t.write(fact(ev.filter(F.col("ts") < F.lit(CDC_CUTOFF))))   # v0
+        t.merge(fact(ev), keys=["event_type"])                       # v1
+        _CDC_LAKES[key] = root
+    feed = LakehouseTable(spark, root, "events_cdc").change_feed(
+        1, keys=["event_type"]
+    )
+    return feed.orderBy("event_type", "_change_type")
+
+
 #: Misra–Gries counter capacity per task. With ≤ CAPACITY distinct keys
 #: per task the sketch never decrements and the counts are EXACT (the
 #: regime at driver/test scale, which is what the oracle checks); beyond
@@ -216,6 +268,44 @@ def user_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    # The CDC semantics restated relationally: v0 = first-half fact,
+    # v1 source = full-range fact; MERGE yields updates where any
+    # measure differs, inserts for keys absent at v0 (deletes are
+    # impossible — MERGE only upserts).
+    "lakehouse_change_feed": f"""
+        WITH v0 AS (
+            SELECT event_type, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM events WHERE ts < TIMESTAMP '{CDC_CUTOFF}'
+            GROUP BY 1
+        ),
+        v1 AS (
+            SELECT event_type, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM events
+            GROUP BY 1
+        ),
+        feed AS (
+            SELECT v1.event_type, v1.n_events, v1.value_cents,
+                   'insert' AS _change_type
+            FROM v1 LEFT JOIN v0 USING (event_type)
+            WHERE v0.event_type IS NULL
+            UNION ALL
+            SELECT v0.event_type, v0.n_events, v0.value_cents, 'update_preimage'
+            FROM v0 JOIN v1 USING (event_type)
+            WHERE v0.n_events != v1.n_events
+               OR v0.value_cents IS DISTINCT FROM v1.value_cents
+            UNION ALL
+            SELECT v1.event_type, v1.n_events, v1.value_cents, 'update_postimage'
+            FROM v0 JOIN v1 USING (event_type)
+            WHERE v0.n_events != v1.n_events
+               OR v0.value_cents IS DISTINCT FROM v1.value_cents
+        )
+        SELECT event_type, n_events, value_cents, _change_type,
+               CAST(1 AS BIGINT) AS _commit_version
+        FROM feed
+        ORDER BY event_type, _change_type
+    """,
     # Exact in the ≤CAPACITY-distinct-keys regime the driver tests run
     # in (see events_heavy_hitters): the sketch provably equals the
     # exact grouped count there, so the oracle states the exact query.
@@ -313,6 +403,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "lakehouse_change_feed": lakehouse_change_feed,
     "events_heavy_hitters": events_heavy_hitters,
     "daily_distinct_users": daily_distinct_users,
     "approx_distinct_users": approx_distinct_users,
