@@ -165,7 +165,11 @@ def load_table_bucketed(
             .format("parquet")
             .saveAsTable(tbl)
         )
-    out = spark.table(tbl)
+    # Lazy persist: the InMemoryTableScan reports the bucketed
+    # FileScan's hashpartitioning(key, N), so the cached copy keeps the
+    # zero-exchange agg/join property (plan-tested) while warm
+    # iterations stop re-reading the warehouse files.
+    out = spark.table(tbl).persist()
     _BUCKETED_CACHE[ck] = out
     return out
 
