@@ -74,3 +74,58 @@ def test_split_proportions_at_sf(spark, sf_dir):
     assert counts.get("train", 0) / n > 0.8
     assert 0 < counts.get("val", 0) / n < 0.12
     assert 0 < counts.get("test", 0) / n < 0.12
+
+
+# --- LSH pairing-strategy equivalence (dedup) --------------------------------
+
+# Small corpora with deliberate duplicates/near-duplicates: words drawn
+# from a tiny alphabet so shingle collisions (shared bands) actually occur.
+_lsh_corpora = st.lists(
+    st.tuples(
+        st.integers(0, 1_000),
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=6, max_size=12),
+    ),
+    min_size=2,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(corpus=_lsh_corpora)
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_lsh_pair_strategies_match_band_definition(spark, corpus):
+    """For arbitrary corpora, BOTH candidate-pairing strategies
+    (broadcast band self-join and group-and-pair) must emit exactly the
+    pair set the LSH definition prescribes: unordered doc pairs sharing
+    at least one identical signature band. The definition is computed
+    here independently, from the signatures themselves."""
+    from mini_log_lakehouse_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in corpus], ["doc_id", "text"]
+    )
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in docs.select(
+            "doc_id", dedup.minhash_signature(F.col("text")).alias("sig")
+        ).collect()
+    }
+    R, B = dedup.MINHASH_ROWS, dedup.MINHASH_BANDS
+    expected = set()
+    ids = sorted(sigs)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            if any(
+                sigs[a][i * R : (i + 1) * R] == sigs[b][i * R : (i + 1) * R]
+                for i in range(B)
+            ):
+                expected.add((a, b))
+    for small in (True, False):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in dedup._minhash_pairs_direct(
+                docs, "doc_id", "text", None, small=small
+            ).collect()
+        }
+        assert got == expected, f"strategy small={small} diverged"
