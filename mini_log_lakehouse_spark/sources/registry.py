@@ -99,6 +99,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: catalog table.
 _BUCKETED_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
+#: On-disk source size above which a bucketed table is NOT pinned in
+#: memory (see load_table_bucketed): ~64 MB parquet ≈ a few hundred MB
+#: deserialized — comfortably inside the storage fraction without
+#: evicting other persisted artifacts.
+_BUCKETED_PERSIST_MAX_BYTES = 64 * 1024 * 1024
+
+
+def _source_bytes(sf_dir: str, name: str) -> int:
+    """Total on-disk bytes of a source table (file or directory)."""
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(p):
+        return os.path.getsize(p)
+    total = 0
+    for root, _dirs, files in os.walk(p):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
 
 def bucketing_enabled() -> bool:
     """True when load_table_bucketed will return managed bucketed tables
@@ -165,11 +183,17 @@ def load_table_bucketed(
             .format("parquet")
             .saveAsTable(tbl)
         )
-    # Lazy persist: the InMemoryTableScan reports the bucketed
-    # FileScan's hashpartitioning(key, N), so the cached copy keeps the
-    # zero-exchange agg/join property (plan-tested) while warm
-    # iterations stop re-reading the warehouse files.
-    out = spark.table(tbl).persist()
+    # Lazy persist for MODEST tables only: the InMemoryTableScan
+    # reports the bucketed FileScan's hashpartitioning(key, N), so the
+    # cached copy keeps the zero-exchange agg/join property
+    # (plan-tested) while warm iterations stop re-reading the warehouse
+    # files. Above the threshold the scan stays on the bucketed parquet
+    # — storage memory is a shared budget, and caching a leg-scale fact
+    # evicts hotter artifacts (the 100× bench leg's dedup signature
+    # cache churned measurably when the 1.3 GB lineitem was pinned).
+    out = spark.table(tbl)
+    if _source_bytes(sf_dir, name) <= _BUCKETED_PERSIST_MAX_BYTES:
+        out = out.persist()
     _BUCKETED_CACHE[ck] = out
     return out
 
