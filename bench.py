@@ -172,12 +172,17 @@ def bench_duckdb(sf_dir: str, names, iters: int = ITERS) -> dict[str, float]:
 
 
 def scaled_leg(spark, sf_dir: str, sf: float, factor: int) -> dict:
+    from mini_log_lakehouse_spark.session import release_corpus_caches
     from mini_log_lakehouse_spark.sources.scaleup import materialize_scaled
 
     scaled_dir = os.environ.get(
         f"BENCH_SCALED_DIR_{factor}", f"/tmp/mini_log_lakehouse_sfx{factor}"
     )
     materialize_scaled(spark, sf_dir, scaled_dir, factor)
+    # Each leg is a different corpus: drop the previous leg's pinned
+    # tables/signatures before warming this one (accumulated pins
+    # measurably pressure storage memory by the 100x leg).
+    release_corpus_caches(spark)
     results, cold = bench_spark(spark, scaled_dir, ITERS_SCALED, WARMUP_SCALED)
     return {
         "factor": factor,

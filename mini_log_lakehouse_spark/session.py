@@ -112,6 +112,29 @@ def evict_stale(cache: dict, app_id: str, unpersist: bool = True) -> None:
                 pass
 
 
+def release_corpus_caches(spark: SparkSession) -> None:
+    """Unpin every persisted artifact and clear the per-corpus memo
+    dicts — for callers that switch to a DIFFERENT corpus in the same
+    session (the bench's scaled legs): the previous corpus's pinned
+    tables/signatures will never be read again, and at the 100× leg the
+    accumulated pins from earlier legs measurably pressure storage
+    memory. The memo dicts must clear together with the cache — a memo
+    returning an unpersisted DataFrame would silently lose warm-mode
+    caching for the rest of the session."""
+    from mini_log_lakehouse_spark.operators import dedup, textstats
+    from mini_log_lakehouse_spark.sources import registry
+
+    for cache in (
+        registry._TABLE_CACHE,
+        registry._BUCKETED_CACHE,
+        dedup._SIG_CACHE,
+        dedup._CC_CACHE,
+        textstats._STAGED_CACHE,
+    ):
+        cache.clear()
+    spark.catalog.clearCache()
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to an externally-created session (best effort).
 
