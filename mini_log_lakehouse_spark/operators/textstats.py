@@ -388,7 +388,12 @@ def _ratio6(p_expr: str, q_expr: str) -> F.Column:
 
     ``p_expr``/``q_expr`` are SQL fragments over the enclosing plan's
     column names; p is widened to decimal(38,0) before the multiply so
-    token-mass sums at the 100× leg can't overflow a long."""
+    token-mass sums at the 100× leg can't overflow a long.
+
+    Domain precondition: p/q < ~9.2·10¹² (micro must fit the BIGINT
+    that Spark's DIV returns — property-tested at the boundary in
+    test_sampling_props). Both callers are bounded far below it:
+    avg_corpus_freq ≤ total corpus tokens, rare_frac ≤ 1."""
     return (
         F.expr(
             f"CAST((CAST({p_expr} AS DECIMAL(38,0)) * 2000000 + {q_expr}) "

@@ -129,3 +129,32 @@ def test_lsh_pair_strategies_match_band_definition(spark, corpus):
             ).collect()
         }
         assert got == expected, f"strategy small={small} diverged"
+
+
+@given(
+    # p/q stays inside _ratio6's documented domain (p/q < ~9.2e12, the
+    # BIGINT bound of Spark's DIV); q up to 1e6, p up to 1e12*q-ish.
+    pairs=st.lists(
+        st.tuples(st.integers(0, 10**12), st.integers(1, 10**6)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_ratio6_matches_fraction_ground_truth(spark, pairs):
+    """textstats._ratio6 (exact half-up micro-quantization of p/q) must
+    equal round-half-up computed in exact rational arithmetic — for
+    arbitrary magnitudes including the boundary ties that make
+    ROUND(double) engine-dependent."""
+    from fractions import Fraction
+
+    from mini_log_lakehouse_spark.operators.textstats import _ratio6
+
+    df = spark.createDataFrame(pairs, ["p", "q"])
+    got = {
+        (r["p"], r["q"]): r["r"]
+        for r in df.select("p", "q", _ratio6("p", "q").alias("r")).collect()
+    }
+    for p, q in pairs:
+        micro = (2 * Fraction(p) * 10**6 + q) // (2 * q)  # floor((p/q)*1e6 + 1/2)
+        assert got[(p, q)] == int(micro) / 1e6, (p, q)
