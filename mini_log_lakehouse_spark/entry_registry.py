@@ -12,6 +12,7 @@ from mini_log_lakehouse_spark.operators import (
     dedup,
     events,
     extensions,
+    layout,
     multimodal,
     relational,
     sampling,
@@ -45,6 +46,7 @@ _MODULES = (
     textstats,
     curation,
     dedup,
+    layout,
 )
 
 QUERIES = {}

@@ -411,33 +411,120 @@ class LakehouseTable:
         return out
 
     def compact(
-        self, target_partitions: int = 1, cluster_by: list[str] | None = None
+        self,
+        target_partitions: int = 1,
+        cluster_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> int:
         """OPTIMIZE-style small-file compaction -> new version.
 
-        ``cluster_by``: OPTIMIZE ZORDER BY analog (SURVEY.md §4 suggests
-        ``ZORDER BY (date)``). Range-partition on the cluster keys, then
-        sort within each partition — rows with nearby key values land in
-        the same files, so min/max file stats prune reads on those keys.
-        For a single key this is exactly what Z-ordering achieves; for
-        multiple keys it is lexicographic (hierarchical) clustering,
-        which matches Delta's behavior when the leading key dominates
-        the query predicates."""
+        ``cluster_by``: lexicographic (hierarchical) clustering — range-
+        partition on the keys then sort within partitions. Nearby values
+        of the LEADING key land in the same files, so min/max stats
+        prune reads on it; trailing keys only prune within a leading
+        prefix. Right when one key dominates the predicates (SURVEY.md
+        §4's ``date``).
+
+        ``zorder_by``: true multi-dimensional clustering — each key is
+        quantile-bucketed and the bucket bits interleave into a Morton
+        code (functions/zorder.py), which the rewrite range-partitions
+        and sorts on. Files then cover compact rectangles in key space:
+        min/max stats stay tight on EVERY listed key, so single-key
+        predicates on any of them (not just the leading one) skip files.
+        This is Delta's ``OPTIMIZE ZORDER BY``; pair with
+        :meth:`read_pruned` for the skipping read."""
         if delta_available():  # pragma: no cover
-            if cluster_by:
-                cols = ", ".join(cluster_by)
+            keys = zorder_by or cluster_by
+            if keys:
+                cols = ", ".join(keys)
                 self.spark.sql(f"OPTIMIZE delta.`{self.path}` ZORDER BY ({cols})")
             else:
                 self.spark.sql(f"OPTIMIZE delta.`{self.path}`")
             return -1
         df = self.read()
-        if cluster_by:
+        if zorder_by:
+            from mini_log_lakehouse_spark.functions.zorder import zorder_key
+
+            z = zorder_key(df, zorder_by)
+            df = (
+                df.withColumn("_zorder", z)
+                .repartitionByRange(max(target_partitions, 1), "_zorder")
+                .sortWithinPartitions("_zorder")
+                .drop("_zorder")
+            )
+        elif cluster_by:
             df = df.repartitionByRange(
                 max(target_partitions, 1), *cluster_by
             ).sortWithinPartitions(*cluster_by)
         else:
             df = df.coalesce(target_partitions)
         return self._publish(df, operation="OPTIMIZE")
+
+    # --- data skipping (zonemap) ------------------------------------------
+
+    def zonemap(self, version: int | None = None) -> DataFrame:
+        """Per-file min/max statistics for every atomic column of a
+        snapshot — the add-file stats Delta keeps in its transaction log
+        (parquet footers hold the same numbers; materializing them into
+        one tiny table is what makes planning O(files-metadata) instead
+        of O(open-every-footer) at 100 TB).
+
+        Write-once artifact: computed on first request (one scan of the
+        snapshot, grouped by ``_metadata.file_path`` — partial aggs
+        collapse per file) and stored as ``v{N}._zonemap`` next to the
+        snapshot; later calls read the stats table only."""
+        v = self.latest_version() if version is None else version
+        zdir = os.path.join(self.path, f"v{v}._zonemap")
+        if not os.path.isdir(zdir):
+            df = self.spark.read.parquet(self._version_dir(v))
+            atomic = [
+                c
+                for c, t in df.dtypes
+                if not t.startswith(("array", "map", "struct", "binary"))
+            ]
+            stats = df.select(
+                F.col("_metadata.file_path").alias("file"), *atomic
+            ).groupBy("file")
+            aggs = [F.count(F.lit(1)).alias("n_rows")]
+            for c in atomic:
+                aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+            stats.agg(*aggs).coalesce(1).write.mode("overwrite").parquet(zdir)
+        return self.spark.read.parquet(zdir)
+
+    def read_pruned(
+        self, predicates: dict[str, tuple], version: int | None = None
+    ) -> DataFrame:
+        """Snapshot read that consults the zonemap FIRST and opens only
+        files whose [min, max] range intersects every predicate —
+        file-level data skipping, the payoff of Z-order clustering.
+
+        ``predicates`` maps column -> (lo, hi) closed bounds (either end
+        may be None). The bounds are re-applied as ordinary filters on
+        the surviving files, so the result is exactly the filtered
+        snapshot regardless of how well the layout prunes; the zonemap
+        decides only how much data is READ. The file list is
+        driver-sized (one row per file — the same cardinality Delta's
+        planner holds when it prunes its add-file list)."""
+        v = self.latest_version() if version is None else version
+        zm = self.zonemap(v)
+        cond = F.lit(True)
+        for c, (lo, hi) in predicates.items():
+            if lo is not None:
+                cond = cond & (F.col(f"max_{c}") >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col(f"min_{c}") <= F.lit(hi))
+        files = [r.file for r in zm.filter(cond).select("file").collect()]
+        base = self.read(v)
+        if not files:
+            out = base.filter(F.lit(False))
+        else:
+            out = self.spark.read.schema(base.schema).parquet(*files)
+        for c, (lo, hi) in predicates.items():
+            if lo is not None:
+                out = out.filter(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                out = out.filter(F.col(c) <= F.lit(hi))
+        return out
 
     def vacuum(self, keep_last: int = 2) -> list[int]:
         """Drop snapshot directories older than the newest ``keep_last``
@@ -452,6 +539,9 @@ class LakehouseTable:
             if os.path.isdir(d):
                 shutil.rmtree(d)
                 dropped.append(v)
+            zdir = os.path.join(self.path, f"v{v}._zonemap")
+            if os.path.isdir(zdir):
+                shutil.rmtree(zdir)
             for aux in (f"v{v}._claim", f"v{v}._meta.json"):
                 path = os.path.join(self.path, aux)
                 if os.path.isfile(path):
