@@ -19,6 +19,7 @@ from mini_log_lakehouse_spark.operators import (
     sessions,
     similarity,
     skew,
+    spans,
     temporal,
     textstats,
     vocab,
@@ -47,6 +48,7 @@ _MODULES = (
     curation,
     dedup,
     layout,
+    spans,
 )
 
 QUERIES = {}

@@ -1,0 +1,105 @@
+"""Repeated-span curation (operators/spans.py): boilerplate n-gram
+mining oracles and the generic segment-dedup operator on multi-line
+fixtures where it does real work."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mini_log_lakehouse_spark.operators import spans
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(spans.ORACLES))
+def test_span_queries_match_oracle(spark, sf_dir, con, name):
+    got = sorted(map(tuple, spans.QUERIES[name](spark, sf_dir).collect()))
+    want = sorted(map(tuple, con.execute(spans.ORACLES[name]).fetchall()))
+    assert got == want
+
+
+BOILER = "subscribe to our newsletter"
+
+
+@pytest.fixture(scope="module")
+def lined_docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=0, text=f"alpha beta\n{BOILER}\ngamma delta"),
+            Row(doc_id=1, text=f"{BOILER}\nunique line one"),
+            Row(doc_id=2, text=f"unique line two\n{BOILER}\nepsilon"),
+            Row(doc_id=3, text="entirely original\ncontent here"),
+            Row(doc_id=4, text=BOILER),  # nothing survives
+        ]
+    )
+
+
+def test_remove_duplicated_segments_drops_all_occurrences(lined_docs):
+    out = {
+        r.doc_id: r
+        for r in spans.remove_duplicated_segments(lined_docs, min_count=2).collect()
+    }
+    assert out[0].text == "alpha beta\ngamma delta"
+    assert out[0].n_segments == 3 and out[0].n_removed == 1
+    assert out[1].text == "unique line one"
+    assert out[2].text == "unique line two\nepsilon"
+    assert out[3].text == "entirely original\ncontent here"
+    assert out[3].n_removed == 0
+    # the all-boilerplate doc stays as a row, with empty text
+    assert out[4].text == "" and out[4].n_removed == 1
+
+
+def test_remove_duplicated_segments_preserves_order_and_columns(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, lang="en", text="z last\ncommon\na first"),
+            Row(doc_id=1, lang="de", text="common"),
+        ]
+    )
+    out = {r.doc_id: r for r in spans.remove_duplicated_segments(docs).collect()}
+    # surviving segments keep original order (not sorted text order)
+    assert out[0].text == "z last\na first"
+    assert out[0].lang == "en" and out[1].lang == "de"
+
+
+def test_remove_duplicated_segments_noop_without_delimiter(spark, sf_dir):
+    from mini_log_lakehouse_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    out = spans.remove_duplicated_segments(docs)
+    joined = docs.select("doc_id", F.col("text").alias("orig")).join(
+        out.select("doc_id", "text"), "doc_id"
+    )
+    assert joined.count() == 50
+    assert joined.filter("orig != text").count() == 0  # exact pass-through
+    assert out.filter("n_removed != 0").count() == 0
+
+
+def test_min_count_threshold(lined_docs):
+    # with min_count=4 the 4x boilerplate line still goes, nothing else
+    out = spans.remove_duplicated_segments(lined_docs, min_count=4)
+    assert out.filter("n_removed > 0").count() == 4
+    out5 = spans.remove_duplicated_segments(lined_docs, min_count=5)
+    assert out5.filter("n_removed > 0").count() == 0
+
+
+def test_frequent_ngrams_nonzero_share(spark, sf_dir):
+    """The tuned (N_GRAM, MIN_DOC_FREQ) must stay non-degenerate on the
+    driver corpus: some boilerplate grams exist at sf0.01+ — at the
+    smallest smoke corpus just assert the query runs and counts are
+    consistent."""
+    rows = spans.doc_boilerplate_share(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.boilerplate_grams <= r.total_grams
