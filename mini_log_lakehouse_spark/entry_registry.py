@@ -119,28 +119,28 @@ _FIRST_WINDOW = (
     "doc_token_stats",
     "top_customers_by_revenue",
     "events_hot_bucket_join",
+    # (2b) operators new this round, never driver-sampled: temperature
+    # mixture sampling, domain capping, incremental cross-corpus dedup,
+    # unigram-LM quality gate (all oracle-checked) and the BPE corpus
+    # encoder (rows-only: iterative merge table; token-for-token local
+    # behavioral test instead)
+    "doc_lang_mixture",
+    "doc_domain_cap",
+    "dedup_incremental_batch",
+    "doc_lm_quality_gate",
+    "doc_bpe_encode",
     # (5) cross-family spread of previously-green entries
-    "orders_rollup_status_priority",
     "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
+    "orders_rollup_status_priority",
     "streaming_hourly_fact",
-    "streaming_sliding_fact",
     "streaming_session_window",
-    "streaming_error_followups",
-    "streaming_static_enrichment",
     "doc_curation_summary",
     "dedup_exact_summary",
-    "dedup_ngram_jaccard",
     "dedup_simhash_pairs",
     "dedup_clusters",
-    "dedup_cluster_representatives",
     "ann_cosine_topk",
     "ann_knn_join",
     "user_sessions",
-    "user_session_summary",
-    "scalar_function_battery",
 )
 
 _missing = [n for n in _FIRST_WINDOW if n not in QUERIES]

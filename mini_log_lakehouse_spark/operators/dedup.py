@@ -83,6 +83,54 @@ def drop_exact_duplicates(docs: DataFrame, key: str = "text") -> DataFrame:
     return docs.dropDuplicates([key])
 
 
+def incremental_dedup(
+    batch: DataFrame, index: DataFrame, fp_col: str = "fp"
+) -> DataFrame:
+    """Flag batch rows whose fingerprint already exists in the corpus
+    index: batch ⟕ distinct-index on the 16-byte fingerprint. Library
+    form of the "dedup the new crawl against everything already
+    ingested" step — the index side is the persisted fingerprint table,
+    never the corpus text."""
+    hits = index.select(fp_col).distinct().withColumn("_hit", F.lit(1))
+    return batch.join(hits, fp_col, "left").withColumn(
+        "in_index", F.coalesce(F.col("_hit"), F.lit(0)).cast("int")
+    ).drop("_hit")
+
+
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-corpus) dedup: treat docs with doc_id % 10 == 0
+    as the incoming batch and the rest as the already-ingested index;
+    flag each batch doc whose *normalized* fingerprint (whitespace
+    collapsed, trimmed, lowercased — textstats.normalize_text) appears
+    in the index, with the number of index docs sharing it.
+
+    Shape at 100 TB: the index is a persisted fingerprint table (16 B
+    per doc — built once, appended per batch), so the join shuffles
+    fingerprints only, hash-partitioned on fp; the batch side is a
+    single crawl increment, orders of magnitude smaller than the index,
+    and AQE picks a broadcast when it fits. Text never moves."""
+    from mini_log_lakehouse_spark.operators.textstats import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("fp"))
+    is_batch = F.col("doc_id") % 10 == 0
+    index_counts = (
+        docs.filter(~is_batch)
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_index_matches"))
+    )
+    return (
+        docs.filter(is_batch)
+        .join(index_counts, "fp", "left")
+        .select(
+            "doc_id",
+            (F.col("n_index_matches").isNotNull()).cast("int").alias("in_index"),
+            F.coalesce("n_index_matches", F.lit(0)).cast("long").alias("n_index_matches"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --- MinHash + LSH ----------------------------------------------------------
 
 #: Modulus of the affine hash family. MUST be ~the size of the base-hash
@@ -986,7 +1034,25 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Normalized-fingerprint SQL — must stay in lockstep with
+#: textstats.normalize_text (same whitespace class, trim, lower).
+_SQL_NORM_FP = "md5(lower(trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g'))))"
+
 ORACLES: dict[str, str] = {
+    "dedup_incremental_batch": f"""
+        WITH fps AS (
+            SELECT doc_id, {_SQL_NORM_FP} AS fp FROM documents
+        ), idx AS (
+            SELECT fp, COUNT(*) AS n FROM fps WHERE doc_id % 10 <> 0 GROUP BY 1
+        )
+        SELECT f.doc_id,
+               CAST(CASE WHEN i.fp IS NULL THEN 0 ELSE 1 END AS INTEGER)
+                   AS in_index,
+               CAST(COALESCE(i.n, 0) AS BIGINT) AS n_index_matches
+        FROM fps f LEFT JOIN idx i USING (fp)
+        WHERE f.doc_id % 10 = 0
+        ORDER BY f.doc_id
+    """,
     "dedup_exact_summary": """
         SELECT COUNT(*) AS n_docs,
                COUNT(DISTINCT text) AS n_distinct_texts,
@@ -1197,6 +1263,7 @@ ORACLES["dedup_simhash_pairs"] = f"""
 
 QUERIES = {
     "dedup_exact_summary": dedup_exact_summary,
+    "dedup_incremental_batch": dedup_incremental_batch,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash_pairs": dedup_simhash_pairs,

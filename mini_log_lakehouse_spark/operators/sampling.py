@@ -35,7 +35,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mini_log_lakehouse_spark.functions.text import token_count, ws_tokens
+from mini_log_lakehouse_spark.functions.text import (
+    quality_score,
+    token_count,
+    ws_tokens,
+)
+from mini_log_lakehouse_spark.operators.textstats import SQL_QUALITY
 from mini_log_lakehouse_spark.sources.registry import load_table
 
 #: train/val/test percentage boundaries over the 0..99 hash bucket.
@@ -263,6 +268,96 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Temperature-mixture sampling: per-language weight ∝ count^MIXTURE_ALPHA
+#: (α = 0.5 → sqrt), the multilingual rebalancing rule of mT5/XLM-R-style
+#: corpora (upweight low-resource languages relative to their raw share).
+MIXTURE_BUDGET = 200
+#: Per-source document cap for the domain-capping operator (RefinedWeb-style
+#: "no single domain dominates" rule): keep the CAP highest-quality docs.
+DOMAIN_CAP = 15
+
+
+def doc_lang_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted multilingual mixture sample: each language
+    gets a slice of MIXTURE_BUDGET proportional to sqrt(its doc count)
+    (α = 0.5 temperature sampling — low-resource languages are
+    upweighted relative to raw share), then that many documents are
+    drawn deterministically per language by salted-hash rank. Returns
+    the sampled rows themselves so the oracle verifies exact membership.
+
+    Exactness across engines: the only floating step is
+    floor(sqrt(n)·10⁶) — sqrt is IEEE correctly-rounded in both Spark
+    and DuckDB, the multiply is one IEEE op, and floor snaps to an
+    integer, so ``w_micro`` is bit-identical; everything downstream
+    (total, per-language target = BUDGET·w DIV total) is integer
+    arithmetic.
+
+    Shape at 100 TB: language weights are language-grain (dozens of
+    rows — broadcast), so the only corpus-scale work is one window per
+    language partition ranking docs by salted hash. The per-language
+    target is data-dependent, so no WindowGroupLimit pushes here; the
+    production shortcut when an *exact* budget isn't required is a
+    hash-threshold filter (keep if hash < rate·2⁴⁸ — map-only, no
+    window), which this operator intentionally trades for an exact
+    fixed budget."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    weights = counts.select(
+        "lang",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * F.lit(1e6))
+        .cast("long")
+        .alias("w_micro"),
+    )
+    total = weights.agg(F.sum("w_micro").alias("total_micro"))
+    targets = (
+        weights.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            F.expr(
+                f"CAST(({MIXTURE_BUDGET} * w_micro) DIV total_micro AS LONG)"
+            ).alias("target_docs"),
+        )
+    )
+    order = _hash_bucket(F.col("doc_id"), "mix:", 1 << 30)
+    w = Window.partitionBy("lang").orderBy(order.asc(), F.col("doc_id").asc())
+    ranked = (
+        d.select("doc_id", "lang")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+    )
+    return (
+        ranked.join(F.broadcast(targets), "lang")
+        .filter(F.col("rk") <= F.col("target_docs"))
+        .select("lang", "target_docs", "rk", "doc_id")
+        .orderBy("lang", "rk")
+    )
+
+
+def doc_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain capping: keep at most DOMAIN_CAP documents per source,
+    preferring the highest quality_score (doc_id tiebreak) — the
+    "no single domain dominates the corpus" curation rule. Returns the
+    kept rows with their per-source quality rank.
+
+    quality_score is the shared rational-arithmetic heuristic
+    (functions/text.quality_score ↔ textstats.SQL_QUALITY), already
+    hash-verified bit-identical cross-engine by doc_quality_scores, so
+    ranking on it is deterministic. The literal rank ≤ CAP predicate
+    pushes a WindowGroupLimit (each task keeps CAP rows per source
+    before the exchange), so at 100 TB the shuffle carries ~CAP rows
+    per domain, not the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    q = quality_score(F.col("text"))
+    w = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        d.select("doc_id", "source", q.alias("quality"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= DOMAIN_CAP)
+        .select("source", "rk", "doc_id", "quality")
+        .orderBy("source", "rk")
+    )
+
+
 _TOKS = "string_split(text, ' ')"
 _NTOK = f"len({_TOKS})"
 _SPLIT_BUCKET = _sql_bucket("doc_id", "split:")
@@ -279,6 +374,44 @@ _STRAT_RATE = "CASE " + " ".join(
 ) + f" ELSE {STRATA_DEFAULT_PCT} END"
 
 ORACLES: dict[str, str] = {
+    "doc_lang_mixture": f"""
+        WITH weights AS (
+            SELECT lang,
+                   CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000) AS BIGINT)
+                       AS w_micro
+            FROM documents GROUP BY 1
+        ), targets AS (
+            SELECT lang,
+                   CAST(({MIXTURE_BUDGET} * w_micro)
+                        // (SELECT SUM(w_micro) FROM weights) AS BIGINT)
+                       AS target_docs
+            FROM weights
+        ), ranked AS (
+            SELECT lang, doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY {_sql_bucket("doc_id", "mix:", 1 << 30)} ASC,
+                                doc_id ASC
+                   ) AS rk
+            FROM documents
+        )
+        SELECT r.lang, t.target_docs, CAST(r.rk AS BIGINT) AS rk, r.doc_id
+        FROM ranked r JOIN targets t USING (lang)
+        WHERE r.rk <= t.target_docs
+        ORDER BY r.lang, r.rk
+    """,
+    "doc_domain_cap": f"""
+        SELECT source, rk, doc_id, quality FROM (
+            SELECT source, doc_id, {SQL_QUALITY} AS quality,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY {SQL_QUALITY} DESC, doc_id ASC
+                   ) AS rk
+            FROM documents
+        )
+        WHERE rk <= {DOMAIN_CAP}
+        ORDER BY source, rk
+    """,
     "doc_train_test_split": f"""
         SELECT {SQL_SPLIT_CASE} AS split,
                lang,
@@ -364,6 +497,8 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "doc_lang_mixture": doc_lang_mixture,
+    "doc_domain_cap": doc_domain_cap,
     "doc_train_test_split": doc_train_test_split,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_pack_sequences": doc_pack_sequences,

@@ -504,6 +504,61 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: LM-gate threshold on a document's mean *relative* corpus frequency
+#: (Σ tf·c / (n·T), the average corpus-probability of the document's
+#: tokens): drop below LM_GATE_NUM / LM_GATE_DEN. The relative form is
+#: scale-invariant (measured ≈0.0331 median at every sf leg from 0.001
+#: to 1.0), so one constant serves every corpus size; the absolute mean
+#: frequency grows linearly with the corpus and cannot be a constant.
+LM_GATE_NUM = 331
+LM_GATE_DEN = 10_000
+
+
+def doc_lm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality gate against the corpus's own unigram LM
+    (the CCNet-shaped "drop text the LM finds unusual" filter, with the
+    LM trained on the corpus itself): a document is dropped when the
+    mean relative corpus frequency of its tokens falls below
+    LM_GATE_NUM/LM_GATE_DEN. Emits per-document verdicts with the exact
+    integer-quantized score so downstream can re-threshold.
+
+    Exactness: the score and the compare never touch floats — the gate
+    is the cross-multiplication mass·DEN < NUM·(n·T) in decimal(38,0)
+    (mass ≤ T² ≈ 1.6e24 at 100 TB; ×10⁴ still ≪ 1e38), and the reported
+    ``rel_freq_micro`` is truncating integer division, so Spark and the
+    DuckDB oracle agree bit-for-bit. Shape: same two shuffles as
+    doc_unigram_lm_scores (token-grain join + doc-grain agg); the
+    corpus-total T is a broadcast scalar."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = _doc_term_freq(spark, sf_dir)
+    vocab = tf.groupBy("token").agg(F.sum("tf").alias("c"))
+    total = tf.agg(F.sum("tf").cast("decimal(38,0)").alias("total_tokens"))
+    per_doc = (
+        tf.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf").cast("decimal(38,0)") * F.col("c")).alias("mass"),
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    q = "CAST(n_tokens AS DECIMAL(38,0)) * total_tokens"
+    gated = per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"CAST((mass * 1000000) DIV ({q}) AS LONG)").alias("rel_freq_micro"),
+        F.expr(
+            f"CASE WHEN mass * {LM_GATE_DEN} < {LM_GATE_NUM} * ({q}) "
+            "THEN 'drop' ELSE 'keep' END"
+        ).alias("verdict"),
+    )
+    return (
+        gated.join(d.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "n_tokens", "rel_freq_micro", "verdict")
+        .orderBy("doc_id")
+    )
+
+
 _TOKS = "string_split(text, ' ')"
 
 #: The one SQL statement of functions/text.quality_score — shared by the
@@ -753,8 +808,32 @@ ORACLES["doc_tfidf_top_terms"] = f"""
         ORDER BY doc_id, term_rank
 """
 
+ORACLES["doc_lm_quality_gate"] = f"""
+        WITH tf AS ({_SQL_TF}),
+        vocab AS (SELECT token, SUM(tf) AS c FROM tf GROUP BY 1),
+        total AS (SELECT CAST(SUM(tf) AS HUGEINT) AS t FROM tf),
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                   SUM(CAST(tf AS HUGEINT) * c) AS mass
+            FROM tf JOIN vocab USING (token)
+            GROUP BY 1
+        )
+        SELECT p.doc_id, d.lang, p.n_tokens,
+               CAST((mass * 1000000) // (CAST(n_tokens AS HUGEINT) * t)
+                    AS BIGINT) AS rel_freq_micro,
+               CASE WHEN mass * {LM_GATE_DEN}
+                         < {LM_GATE_NUM} * (CAST(n_tokens AS HUGEINT) * t)
+                    THEN 'drop' ELSE 'keep' END AS verdict
+        FROM per_doc p
+        CROSS JOIN total
+        JOIN documents d ON p.doc_id = d.doc_id
+        ORDER BY p.doc_id
+"""
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
+    "doc_lm_quality_gate": doc_lm_quality_gate,
     "doc_unigram_lm_scores": doc_unigram_lm_scores,
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
     "doc_word_histogram": doc_word_histogram,

@@ -85,25 +85,30 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
+def _merge_pair(syms, a: str, b: str) -> list:
+    """One left-to-right non-overlapping merge pass of the adjacency
+    (a, b) — the single-merge primitive shared by vocab learning and
+    corpus encoding (they MUST agree, or encode-time tokens diverge
+    from the learned vocabulary)."""
+    res, i = [], 0
+    n = len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            res.append(a + b)
+            i += 2
+        else:
+            res.append(syms[i])
+            i += 1
+    return res
+
+
 def _apply_merge(vocab: DataFrame, a: str, b: str) -> DataFrame:
     """Replace every non-overlapping left-to-right (a, b) adjacency with
     the merged symbol — vectorized Arrow pass over the vocab table."""
 
     def merge_batches(batches):
         for pdf in batches:
-            out = []
-            for syms in pdf["syms"]:
-                res, i = [], 0
-                n = len(syms)
-                while i < n:
-                    if i + 1 < n and syms[i] == a and syms[i + 1] == b:
-                        res.append(a + b)
-                        i += 2
-                    else:
-                        res.append(syms[i])
-                        i += 1
-                out.append(res)
-            pdf = pdf.assign(syms=out)
+            pdf = pdf.assign(syms=[_merge_pair(s, a, b) for s in pdf["syms"]])
             yield pdf
 
     return vocab.mapInPandas(merge_batches, schema=_VOCAB_SCHEMA)
@@ -194,6 +199,96 @@ def doc_bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Leading BPE tokens echoed per document by doc_bpe_encode (enough to
+#: spot-check segmentations without shipping whole token streams).
+BPE_ENCODE_HEAD = 12
+
+_ENCODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_words", LongType(), False),
+        StructField("n_bpe_tokens", LongType(), False),
+        StructField("head_tokens", StringType(), False),
+    ]
+)
+
+
+def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Encode one word with a learned merge table: character-split, then
+    apply each merge once, in learned order — the exact mirror of how
+    learn_bpe_merges transformed the vocabulary, so encoding the
+    training corpus reproduces the trained symbol sequences verbatim.
+    (This is deliberately NOT the rank-priority re-application loop of
+    some BPE encoders: re-applying an early merge to adjacencies created
+    by a later one would produce symbols the learned vocabulary never
+    contained.)"""
+    syms = list(word)
+    for a, b in merges:
+        if len(syms) < 2:
+            break
+        syms = _merge_pair(syms, a, b)
+    return syms
+
+
+def bpe_encode_documents(
+    docs: DataFrame, merges: list[tuple[str, str]], head: int = BPE_ENCODE_HEAD
+) -> DataFrame:
+    """Tokenize a document corpus with a learned merge table. Emits per
+    document the word/token counts and the first ``head`` tokens.
+
+    Scale shape: the merge table is vocab-scale and rides into the
+    Arrow-batched encoder as a closure constant (at 100 TB: a broadcast
+    of ~10⁵ pairs, a few MB) — the pass itself is map-only over the
+    corpus, no shuffle. Per-batch memoization keys on the distinct
+    words of the batch, so the Python cost is ~O(distinct words), not
+    O(tokens) — the Zipf head hits the cache."""
+
+    def encode_batches(batches):
+        cache: dict[str, list[str]] = {}
+
+        def enc(word: str) -> list[str]:
+            toks = cache.get(word)
+            if toks is None:
+                toks = cache[word] = encode_word(word, merges)
+            return toks
+
+        for pdf in batches:
+            n_words, n_toks, heads = [], [], []
+            for text in pdf["text"]:
+                words = [w for w in text.split(" ") if w]
+                toks: list[str] = []
+                for w in words:
+                    toks.extend(enc(w))
+                n_words.append(len(words))
+                n_toks.append(len(toks))
+                heads.append(" ".join(toks[:head]))
+            import pandas as pd
+
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_words": pd.Series(n_words, dtype="int64"),
+                    "n_bpe_tokens": pd.Series(n_toks, dtype="int64"),
+                    "head_tokens": heads,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        encode_batches, schema=_ENCODE_SCHEMA
+    )
+
+
+def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: learn BPE_N_MERGES merges from the corpus, then
+    tokenize the corpus with them (the "apply the tokenizer at scale"
+    step). Rows-only for the driver gate — the merge table is iterative
+    — but behaviorally pinned token-for-token against an independent
+    pure-Python BPE in the tests."""
+    d = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(d)
+    return bpe_encode_documents(d, merges).orderBy("doc_id")
+
+
 #: The full merge table is iterative — no SQL oracle; the gate records
 #: rows-only and the behavioral test compares against a pure-Python
 #: reference BPE. The FIRST merge is closed-form (single-character
@@ -224,4 +319,5 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "doc_bpe_merge_table": doc_bpe_merge_table,
     "doc_bpe_first_merge": doc_bpe_first_merge,
+    "doc_bpe_encode": doc_bpe_encode,
 }

@@ -371,3 +371,52 @@ def test_bpe_merges_match_reference(spark):
     # classic toy-corpus result: suffix merges first, then 'low'
     assert ("e", "s") == got[0] and ("es", "t") == got[1]
     assert ("l", "o") in got and ("lo", "w") in got
+
+
+def _ref_encode(word, merges):
+    """Independent encode reference: char split, each merge applied once
+    in learned order, left-to-right non-overlapping."""
+    syms = list(word)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_encode_matches_reference(spark, sf_dir):
+    """Corpus-scale encode agrees token-for-token with the pure-Python
+    reference on real testdata docs, and the emitted tokens concatenate
+    back to the original words (lossless segmentation)."""
+    from mini_log_lakehouse_spark.operators import vocab as vocab_ops
+    from mini_log_lakehouse_spark.sources.registry import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = vocab_ops.learn_bpe_merges(d, n_merges=8)
+    got = {
+        r["doc_id"]: r
+        for r in vocab_ops.bpe_encode_documents(d, merges).collect()
+    }
+    for row in d.select("doc_id", "text").collect():
+        words = [w for w in row["text"].split(" ") if w]
+        toks = []
+        for w in words:
+            seg = _ref_encode(w, merges)
+            assert "".join(seg) == w  # lossless per word
+            toks.extend(seg)
+        g = got[row["doc_id"]]
+        assert g["n_words"] == len(words)
+        assert g["n_bpe_tokens"] == len(toks)
+        assert g["head_tokens"] == " ".join(toks[: vocab_ops.BPE_ENCODE_HEAD])
+    # the merge table actually compresses: fewer BPE tokens than chars
+    total_chars = sum(
+        len(w) for r in d.select("text").collect() for w in r["text"].split(" ")
+    )
+    total_toks = sum(r["n_bpe_tokens"] for r in got.values())
+    assert 0 < total_toks < total_chars
