@@ -155,11 +155,31 @@ def learn_bpe_merges(
     return merges
 
 
+#: Memoized learned merge tables per (session, corpus, n_merges): the
+#: merge table is a pure function of the corpus, and both driver queries
+#: (doc_bpe_merge_table, doc_bpe_encode) need it — learning it twice
+#: would double the iterative vocab loop for no reason. Values are plain
+#: Python lists (no DataFrame handles), so eviction never unpersists.
+_MERGES_CACHE: dict[tuple[str, str, int], list[tuple[str, str]]] = {}
+
+
+def corpus_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_N_MERGES
+) -> list[tuple[str, str]]:
+    from mini_log_lakehouse_spark.session import evict_stale
+
+    key = (spark.sparkContext.applicationId, sf_dir, n_merges)
+    evict_stale(_MERGES_CACHE, key[0], unpersist=False)
+    if key not in _MERGES_CACHE:
+        d = load_table(spark, sf_dir, "documents")
+        _MERGES_CACHE[key] = learn_bpe_merges(d, n_merges=n_merges)
+    return _MERGES_CACHE[key]
+
+
 def doc_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query: the ordered BPE merge table learned from the
     documents corpus (rank, left symbol, right symbol, merged token)."""
-    d = load_table(spark, sf_dir, "documents")
-    merges = learn_bpe_merges(d)
+    merges = corpus_merges(spark, sf_dir)
     rows = [(i, a, b, a + b) for i, (a, b) in enumerate(merges)]
     return spark.createDataFrame(
         rows, ["rank", "left_sym", "right_sym", "merged"]
@@ -285,7 +305,7 @@ def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     — but behaviorally pinned token-for-token against an independent
     pure-Python BPE in the tests."""
     d = load_table(spark, sf_dir, "documents")
-    merges = learn_bpe_merges(d)
+    merges = corpus_merges(spark, sf_dir)
     return bpe_encode_documents(d, merges).orderBy("doc_id")
 
 
