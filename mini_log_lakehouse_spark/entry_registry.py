@@ -129,6 +129,8 @@ _FIRST_WINDOW = (
     "dedup_incremental_batch",
     "doc_lm_quality_gate",
     "doc_bpe_encode",
+    "embedding_random_projection",
+    "events_cms_user_counts",
     # (5) cross-family spread of previously-green entries
     "tpch_q1_pricing_summary",
     "orders_rollup_status_priority",
@@ -138,9 +140,7 @@ _FIRST_WINDOW = (
     "dedup_exact_summary",
     "dedup_simhash_pairs",
     "dedup_clusters",
-    "ann_cosine_topk",
     "ann_knn_join",
-    "user_sessions",
 )
 
 _missing = [n for n in _FIRST_WINDOW if n not in QUERIES]

@@ -143,6 +143,71 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Count-min sketch geometry: DEPTH independent hash rows × WIDTH
+#: counters. Width 32 against ~150 distinct users forces visible
+#: collisions at test scale (the point: the estimate is an upper bound,
+#: not exact); at 100 TB you'd size WIDTH = ⌈e/ε⌉ for target error ε·N
+#: and DEPTH = ⌈ln 1/δ⌉ — the sketch stays a few KB regardless of data.
+CMS_DEPTH = 4
+CMS_WIDTH = 32
+
+
+def events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-frequency estimation by **count-min sketch** (Cormode &
+    Muthukrishnan 2005): CMS_DEPTH salted md5 hash rows × CMS_WIDTH
+    counters, estimate = min over rows of the hashed counter — always
+    ≥ the true count. Reports estimate vs exact per user so the
+    overcount is visible (and the ≥ invariant is oracle-checked, since
+    both engines derive identical md5 buckets).
+
+    Scale shape: the sketch build is a map-only explode to DEPTH
+    narrow (row, col) increments + a groupBy whose partial aggregation
+    collapses each task to ≤ DEPTH×WIDTH cells before the exchange —
+    the counters ARE the mergeable summary, merged by addition exactly
+    as per-executor sketches would be. The built sketch (128 rows) then
+    broadcasts to answer every point query without touching the corpus
+    again. Complements the Misra–Gries sketch (events_heavy_hitters:
+    top-K identity) — CMS answers arbitrary point queries."""
+    from mini_log_lakehouse_spark.operators.sampling import _hash_bucket
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    rc = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    _hash_bucket(F.col("user_id"), f"cms{r}:", CMS_WIDTH).alias(
+                        "col"
+                    ),
+                )
+                for r in range(CMS_DEPTH)
+            ]
+        )
+    )
+    cells = (
+        ev.select(rc.alias("rc"))
+        .select("rc.r", "rc.col")
+        .groupBy("r", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    probes = exact.select("user_id", "exact_count", rc.alias("rc")).select(
+        "user_id", "exact_count", "rc.r", "rc.col"
+    )
+    return (
+        probes.join(F.broadcast(cells), ["r", "col"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
+        .select(
+            "user_id",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count")).alias("overcount"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def daily_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct aggregation per group (COUNT(DISTINCT ...))."""
     ev = load_table(spark, sf_dir, "events")
@@ -267,7 +332,40 @@ def user_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cms_bucket_sql(r: int) -> str:
+    from mini_log_lakehouse_spark.operators.sampling import _sql_bucket
+
+    return _sql_bucket("user_id", f"cms{r}:", CMS_WIDTH)
+
+
+_CMS_INCR = " UNION ALL ".join(
+    f"SELECT {r} AS r, {_cms_bucket_sql(r)} AS col "
+    "FROM events WHERE user_id IS NOT NULL"
+    for r in range(CMS_DEPTH)
+)
+_CMS_PROBES = " UNION ALL ".join(
+    f"SELECT user_id, exact_count, {r} AS r, {_cms_bucket_sql(r)} AS col FROM exact"
+    for r in range(CMS_DEPTH)
+)
+
 ORACLES: dict[str, str] = {
+    "events_cms_user_counts": f"""
+        WITH cells AS (
+            SELECT r, col, COUNT(*) AS cnt
+            FROM ({_CMS_INCR})
+            GROUP BY 1, 2
+        ), exact AS (
+            SELECT user_id, COUNT(*) AS exact_count
+            FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        ), probes AS ({_CMS_PROBES})
+        SELECT p.user_id,
+               p.exact_count,
+               MIN(c.cnt) AS cms_estimate,
+               MIN(c.cnt) - p.exact_count AS overcount
+        FROM probes p JOIN cells c ON p.r = c.r AND p.col = c.col
+        GROUP BY 1, 2
+        ORDER BY 1
+    """,
     # The CDC semantics restated relationally: v0 = first-half fact,
     # v1 source = full-range fact; MERGE yields updates where any
     # measure differs, inserts for keys absent at v0 (deletes are
@@ -403,6 +501,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "events_cms_user_counts": events_cms_user_counts,
     "lakehouse_change_feed": lakehouse_change_feed,
     "events_heavy_hitters": events_heavy_hitters,
     "daily_distinct_users": daily_distinct_users,

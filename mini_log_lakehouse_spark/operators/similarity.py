@@ -423,7 +423,119 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Output dimensionality of the Johnson–Lindenstrauss random projection.
+RP_DIM = 16
+
+
+def _rp_signs(dim_in: int, dim_out: int) -> "np.ndarray":
+    """Deterministic ±1 projection matrix from md5 parity — the same
+    bit both engines can derive (('0x' || substr(md5('rp:i:j'), 1,
+    12))::BIGINT % 2), so the oracle rebuilds the identical matrix
+    relationally. A ±1 (Achlioptas) matrix satisfies the JL lemma like
+    a Gaussian one, and makes the projection of fixed-point integers an
+    exact int64 GEMM."""
+    import hashlib
+
+    s = np.empty((dim_in, dim_out), dtype=np.int64)
+    for i in range(dim_in):
+        for j in range(dim_out):
+            h = int(hashlib.md5(f"rp:{i}:{j}".encode()).hexdigest()[:12], 16)
+            s[i, j] = 1 if h % 2 == 0 else -1
+    return s
+
+
+def random_project(
+    vectors: DataFrame,
+    dim_out: int = RP_DIM,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction: project each
+    vector onto RP_DIM deterministic ±1 hyperplanes. Emits one row per
+    (id, output dimension) with the exact projected value.
+
+    Exactness: components are fixed-point-quantized (FIXED_POINT shift
+    — exact in IEEE), the GEMM is int64 × ±1 (exact, order-free), and
+    the single division back to double is one IEEE op, so the DuckDB
+    oracle — which rebuilds the sign matrix from md5 parity and sums
+    relationally — matches bit-for-bit. Scale shape: map-only Arrow
+    GEMM, no shuffle; the matrix is a closure constant (at real scale a
+    broadcast of dim_in×dim_out bytes). Downstream consumers rerank in
+    the reduced space and refine against the full vectors — the
+    standard two-stage ANN memory/recall trade."""
+    import pyarrow as pa
+
+    first = vectors.select(F.size(vec_col).alias("d")).first()
+    dim_in = int(first["d"]) if first else 0
+    signs = _rp_signs(dim_in, dim_out)
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("pos", T.LongType()),
+            T.StructField("proj_val", T.DoubleType()),
+        ]
+    )
+
+    def project(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(batch.schema.get_field_index(id_col)).to_numpy(
+                zero_copy_only=False
+            )
+            mat = (
+                batch.column(batch.schema.get_field_index(vec_col))
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(n, dim_in)
+                .astype(np.float64)
+            )
+            fixed = np.floor(mat * float(FIXED_POINT) + 0.5).astype(np.int64)
+            proj = fixed @ signs  # (n, dim_out) exact int64
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(ids.astype(np.int64), dim_out), pa.int64()),
+                    pa.array(np.tile(np.arange(dim_out, dtype=np.int64), n), pa.int64()),
+                    pa.array(
+                        proj.astype(np.float64).reshape(-1) / float(FIXED_POINT),
+                        pa.float64(),
+                    ),
+                ],
+                names=[id_col, "pos", "proj_val"],
+            )
+
+    return vectors.select(id_col, vec_col).mapInArrow(project, schema=out_schema)
+
+
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: JL-project the embeddings table to RP_DIM dims."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return random_project(e).orderBy("vec_id", "pos")
+
+
 ORACLES: dict[str, str] = {
+    "embedding_random_projection": f"""
+        WITH ex AS (
+            SELECT vec_id,
+                   u.pos AS i,
+                   CAST(FLOOR(CAST(u.val AS DOUBLE) * {FIXED_POINT} + 0.5) AS BIGINT) AS f
+            FROM (
+                SELECT vec_id,
+                       unnest(list_transform(range(1, len(embedding) + 1),
+                              i -> {{'pos': i - 1, 'val': embedding[i]}})) AS u
+                FROM embeddings
+            )
+        )
+        SELECT vec_id,
+               CAST(j AS BIGINT) AS pos,
+               CAST(SUM(CASE WHEN ('0x' || substr(md5('rp:' || i || ':' || j), 1, 12))::BIGINT % 2 = 0
+                             THEN f ELSE -f END) AS DOUBLE) / {FIXED_POINT} AS proj_val
+        FROM ex, UNNEST(range(0, {RP_DIM})) AS t(j)
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
     "embedding_label_centroids": f"""
         WITH ex AS (
             SELECT label,
@@ -478,6 +590,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "embedding_random_projection": embedding_random_projection,
     "embedding_label_centroids": embedding_label_centroids,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_knn_join": ann_knn_join,

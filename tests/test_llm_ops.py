@@ -373,6 +373,47 @@ def test_bpe_merges_match_reference(spark):
     assert ("l", "o") in got and ("lo", "w") in got
 
 
+def test_random_projection_preserves_distances(spark, sf_dir):
+    """JL property on real embeddings: the per-dimension-normalized
+    projected squared distance approximates the original squared
+    distance (E[||P(u-v)||²/k] = ||u-v||²for ±1 projections). With
+    k=16 the concentration is loose per pair, so assert the MEDIAN
+    ratio over many pairs lands near 1 — a distributional check that
+    would catch any sign-matrix / scaling bug outright."""
+    import numpy as np
+
+    from mini_log_lakehouse_spark.operators import similarity
+    from mini_log_lakehouse_spark.sources.registry import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    orig = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in e.limit(40).collect()
+    }
+    proj_rows = similarity.random_project(e.limit(40)).collect()
+    proj = {}
+    for r in proj_rows:
+        proj.setdefault(r["vec_id"], {})[r["pos"]] = r["proj_val"]
+    k = similarity.RP_DIM
+    pvec = {
+        i: np.array([d[j] for j in range(k)], dtype=np.float64)
+        for i, d in proj.items()
+    }
+    ids = sorted(orig)
+    ratios = []
+    for a in range(0, len(ids), 2):
+        u, v = ids[a], ids[(a + 7) % len(ids)]
+        if u == v:
+            continue
+        d_orig = float(np.sum((orig[u] - orig[v]) ** 2))
+        d_proj = float(np.sum((pvec[u] - pvec[v]) ** 2)) / k
+        if d_orig > 0:
+            ratios.append(d_proj / d_orig)
+    assert ratios, "no comparable pairs"
+    med = float(np.median(ratios))
+    assert 0.5 < med < 2.0, (med, sorted(ratios)[:3], sorted(ratios)[-3:])
+
+
 def _ref_encode(word, merges):
     """Independent encode reference: char split, each merge applied once
     in learned order, left-to-right non-overlapping."""
