@@ -24,6 +24,7 @@ from mini_log_lakehouse_spark.operators import (
     textstats,
     vocab,
 )
+from mini_log_lakehouse_spark.sources import jsonl as sources_jsonl
 from mini_log_lakehouse_spark.streaming import ingest as streaming_ingest
 from mini_log_lakehouse_spark.streaming import joins as streaming_joins
 from mini_log_lakehouse_spark.streaming import sessions as streaming_sessions
@@ -42,6 +43,7 @@ _MODULES = (
     streaming_joins,
     similarity,
     skew,
+    sources_jsonl,
     relational,
     events,
     textstats,
@@ -131,6 +133,7 @@ _FIRST_WINDOW = (
     "doc_bpe_encode",
     "embedding_random_projection",
     "events_cms_user_counts",
+    "documents_jsonl_roundtrip",
     # (5) cross-family spread of previously-green entries
     "tpch_q1_pricing_summary",
     "orders_rollup_status_priority",
@@ -139,7 +142,6 @@ _FIRST_WINDOW = (
     "doc_curation_summary",
     "dedup_exact_summary",
     "dedup_simhash_pairs",
-    "dedup_clusters",
     "ann_knn_join",
 )
 
