@@ -414,6 +414,28 @@ def test_random_projection_preserves_distances(spark, sf_dir):
     assert 0.5 < med < 2.0, (med, sorted(ratios)[:3], sorted(ratios)[-3:])
 
 
+def test_rp_topk_recall_vs_exact(spark, sf_dir):
+    """Two-stage JL retrieval recovers most of the exact top-k (and
+    every similarity it reports is an exact cosine, so reported scores
+    for common ids must match the exact tier bit-for-bit)."""
+    from mini_log_lakehouse_spark.operators import similarity
+
+    exact = {
+        r["vec_id"]: r["cos_sim"]
+        for r in similarity.ann_cosine_topk(spark, sf_dir).collect()
+    }
+    approx = {
+        r["vec_id"]: r["cos_sim"]
+        for r in similarity.ann_rp_topk(spark, sf_dir).collect()
+    }
+    assert len(approx) == similarity.TOP_K
+    hits = set(exact) & set(approx)
+    recall = len(hits) / len(exact)
+    assert recall >= 0.6, (recall, sorted(exact), sorted(approx))
+    for vid in hits:
+        assert exact[vid] == approx[vid]
+
+
 def _ref_encode(word, merges):
     """Independent encode reference: char split, each merge applied once
     in learned order, left-to-right non-overlapping."""
