@@ -12,6 +12,7 @@ from mini_log_lakehouse_spark.operators import (
     dedup,
     events,
     extensions,
+    funnels,
     layout,
     multimodal,
     relational,
@@ -41,6 +42,7 @@ _MODULES = (
     streaming_ingest,
     streaming_sessions,
     streaming_joins,
+    funnels,
     similarity,
     skew,
     sources_jsonl,
@@ -134,14 +136,14 @@ _FIRST_WINDOW = (
     "embedding_random_projection",
     "events_cms_user_counts",
     "documents_jsonl_roundtrip",
+    "events_funnel",
+    "events_retention_cohorts",
     # (5) cross-family spread of previously-green entries
     "tpch_q1_pricing_summary",
     "orders_rollup_status_priority",
     "streaming_hourly_fact",
     "streaming_session_window",
     "doc_curation_summary",
-    "dedup_exact_summary",
-    "dedup_simhash_pairs",
     "ann_knn_join",
 )
 

@@ -1,0 +1,147 @@
+"""Product-analytics operators over the events log: conversion funnels
+and retention cohorts — the two canonical "what do users do over time"
+queries of a log lakehouse (the reference's domain, one level up from
+its hourly-rollup marts; reference dbt/models/marts/fct_requests_hourly.sql
+stops at per-hour counts).
+
+Both are single-shuffle shapes at 100 TB:
+
+- The **funnel** reduces the corpus to one row per (user, step) — min
+  event time per step — with map-side partial aggregation, then decides
+  step ordering per user on that tiny per-user frame. The corpus is
+  touched once; everything after the first aggregate is user-grain.
+- **Retention** derives each user's cohort day (min day) and joins it
+  back to the user's activity days. Both sides are the same
+  (user, day)-grain aggregate, so the join is user-grain × user-grain,
+  orders of magnitude below event grain; Spark's AQE broadcasts the
+  cohort side when it fits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mini_log_lakehouse_spark.sources.registry import load_table
+
+#: Ordered funnel steps (event_type values of the testdata domain).
+FUNNEL_STEPS = ("signup", "click", "purchase")
+
+
+def funnel_counts(events: DataFrame, steps: tuple[str, ...]) -> DataFrame:
+    """Ordered-funnel conversion: a user reaches step k if their first
+    occurrence of every step ≤ k happened in strictly increasing time
+    order (the standard strict-ordering funnel definition). Returns one
+    row per step with the count of users who reached it."""
+    firsts = (
+        events.filter(F.col("event_type").isin(*steps))
+        .groupBy("user_id")
+        .pivot("event_type", list(steps))
+        .agg(F.min("ts"))
+    )
+    reached_prev = F.lit(True)
+    out_cols = []
+    for i, step in enumerate(steps):
+        cond = F.col(step).isNotNull()
+        if i > 0:
+            cond = cond & (F.col(step) > F.col(steps[i - 1])) & reached_prev
+        reached_prev = cond
+        out_cols.append(cond.cast("long").alias(f"_r{i}"))
+    per_user = firsts.select(*out_cols)
+    agg = per_user.agg(
+        *[F.sum(f"_r{i}").alias(f"_s{i}") for i in range(len(steps))]
+    )
+    rows = [
+        F.struct(
+            F.lit(i + 1).cast("long").alias("step_order"),
+            F.lit(step).alias("step"),
+            F.col(f"_s{i}").cast("long").alias("users_reached"),
+        )
+        for i, step in enumerate(steps)
+    ]
+    return (
+        agg.select(F.explode(F.array(*rows)).alias("s"))
+        .select("s.step_order", "s.step", "s.users_reached")
+        .orderBy("step_order")
+    )
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: the signup → click → purchase strict-order funnel."""
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_counts(ev, FUNNEL_STEPS)
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: users grouped by cohort day (their
+    first-ever event day); for each (cohort_day, day_offset) the number
+    of cohort users active that day. Offset 0 equals the cohort size by
+    construction (oracle checks the whole triangle)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    user_days = (
+        ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    )
+    cohorts = user_days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        user_days.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+_DAY = "CAST(CAST(ts AS TIMESTAMP) AS DATE)"
+
+ORACLES: dict[str, str] = {
+    "events_funnel": f"""
+        WITH firsts AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END) AS t_signup,
+                   MIN(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+                   MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+            FROM events
+            WHERE event_type IN ('signup', 'click', 'purchase')
+            GROUP BY 1
+        ), reached AS (
+            SELECT
+                CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END AS r0,
+                CASE WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
+                          AND t_click > t_signup THEN 1 ELSE 0 END AS r1,
+                CASE WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
+                          AND t_click > t_signup AND t_purchase IS NOT NULL
+                          AND t_purchase > t_click THEN 1 ELSE 0 END AS r2
+            FROM firsts
+        )
+        SELECT step_order, step, users_reached FROM (
+            SELECT CAST(1 AS BIGINT) AS step_order, 'signup' AS step,
+                   CAST(SUM(r0) AS BIGINT) AS users_reached FROM reached
+            UNION ALL
+            SELECT 2, 'click', CAST(SUM(r1) AS BIGINT) FROM reached
+            UNION ALL
+            SELECT 3, 'purchase', CAST(SUM(r2) AS BIGINT) FROM reached
+        )
+        ORDER BY step_order
+    """,
+    "events_retention_cohorts": f"""
+        WITH user_days AS (
+            SELECT DISTINCT user_id, {_DAY} AS day
+            FROM events WHERE user_id IS NOT NULL
+        ), cohorts AS (
+            SELECT user_id, MIN(day) AS cohort_day FROM user_days GROUP BY 1
+        )
+        SELECT c.cohort_day,
+               CAST(u.day - c.cohort_day AS BIGINT) AS day_offset,
+               COUNT(DISTINCT u.user_id) AS active_users
+        FROM user_days u JOIN cohorts c USING (user_id)
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+}
+
+QUERIES = {
+    "events_funnel": events_funnel,
+    "events_retention_cohorts": events_retention_cohorts,
+}
