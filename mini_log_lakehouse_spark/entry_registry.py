@@ -138,9 +138,9 @@ _FIRST_WINDOW = (
     "documents_jsonl_roundtrip",
     "events_funnel",
     "events_retention_cohorts",
+    "embedding_int8_quantize",
     # (5) cross-family spread of previously-green entries
     "tpch_q1_pricing_summary",
-    "orders_rollup_status_priority",
     "streaming_hourly_fact",
     "streaming_session_window",
     "doc_curation_summary",

@@ -562,6 +562,40 @@ def random_project_wide(
     return vectors.mapInArrow(project, schema=schema)
 
 
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embeddings table — the
+    storage/serving compression standard for vector indexes (4× smaller
+    than float32, 8× smaller than the float64 compute form): per vector,
+    scale = max |component| and q = floor(v·127/scale + 0.5) ∈
+    [-127, 127]. Emits one row per (vec_id, pos) with the quantized
+    value and the per-vector scale.
+
+    Exactness: the scale is an order-free max (bit-identical in any
+    engine), and the quantizer is the floor(x + 0.5) discipline — never
+    ROUND, whose half-way tie rule differs between engines — over a
+    fixed IEEE op sequence, so the oracle matches exactly. Shape: the
+    scale is computed by a higher-order fold on the array — the whole
+    operator is a single map-only pass, no shuffle, no window; at
+    100 TB it pipelines with whatever scan feeds it."""
+    e = load_table(spark, sf_dir, "embeddings")
+    arr = F.col("embedding").cast("array<double>")
+    amax = F.aggregate(arr, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x)))
+    ex = e.select(
+        "vec_id", amax.alias("scale"), F.posexplode(arr).alias("pos", "val")
+    )
+    q = (
+        F.when(F.col("scale") == 0.0, F.lit(0))
+        .otherwise(F.floor(F.col("val") * 127 / F.col("scale") + 0.5))
+        .cast("long")
+    )
+    return ex.select(
+        "vec_id",
+        F.col("pos").cast("long").alias("pos"),
+        q.alias("q_int8"),
+        "scale",
+    ).orderBy("vec_id", "pos")
+
+
 #: Reduced dimensionality and candidate width of the coarse pass —
 #: sized from a measured recall curve on this corpus (the honest way to
 #: size any two-stage retriever): the synthetic embeddings are near-
@@ -614,6 +648,27 @@ def ann_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "embedding_int8_quantize": """
+        WITH ex AS (
+            SELECT vec_id, u.pos AS pos, CAST(u.val AS DOUBLE) AS val
+            FROM (
+                SELECT vec_id,
+                       unnest(list_transform(range(1, len(embedding) + 1),
+                              i -> {'pos': i - 1, 'val': embedding[i]})) AS u
+                FROM embeddings
+            )
+        ), scales AS (
+            SELECT vec_id, MAX(ABS(val)) AS scale FROM ex GROUP BY 1
+        )
+        SELECT e.vec_id,
+               CAST(e.pos AS BIGINT) AS pos,
+               CAST(CASE WHEN s.scale = 0 THEN 0
+                         ELSE FLOOR(e.val * 127 / s.scale + 0.5) END AS BIGINT)
+                   AS q_int8,
+               s.scale
+        FROM ex e JOIN scales s USING (vec_id)
+        ORDER BY 1, 2
+    """,
     "embedding_random_projection": f"""
         WITH ex AS (
             SELECT vec_id,
@@ -689,6 +744,7 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "embedding_random_projection": embedding_random_projection,
+    "embedding_int8_quantize": embedding_int8_quantize,
     "ann_rp_topk": ann_rp_topk,
     "embedding_label_centroids": embedding_label_centroids,
     "ann_cosine_topk": ann_cosine_topk,

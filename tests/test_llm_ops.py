@@ -414,6 +414,36 @@ def test_random_projection_preserves_distances(spark, sf_dir):
     assert 0.5 < med < 2.0, (med, sorted(ratios)[:3], sorted(ratios)[-3:])
 
 
+def test_int8_quantize_reconstruction_error_bounded(spark, sf_dir):
+    """Dequantized values reconstruct each component within half a
+    quantization step (scale/254), and the range never leaves int8."""
+    from collections import defaultdict
+
+    from mini_log_lakehouse_spark.operators import similarity
+    from mini_log_lakehouse_spark.sources.registry import load_table
+
+    orig = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, sf_dir, "embeddings").limit(50).collect()
+    }
+    rows = similarity.embedding_int8_quantize(spark, sf_dir).collect()
+    per_vec = defaultdict(dict)
+    for r in rows:
+        if r["vec_id"] in orig:
+            per_vec[r["vec_id"]][r["pos"]] = (r["q_int8"], r["scale"])
+    assert per_vec
+    for vid, comps in per_vec.items():
+        vec = orig[vid]
+        assert len(comps) == len(vec)
+        for pos, (q, scale) in comps.items():
+            assert -127 <= q <= 127
+            if scale == 0:
+                assert q == 0
+                continue
+            recon = q * scale / 127
+            assert abs(recon - float(vec[pos])) <= scale / 254 + 1e-12
+
+
 def test_rp_topk_recall_vs_exact(spark, sf_dir):
     """Two-stage JL retrieval recovers most of the exact top-k (and
     every similarity it reports is an exact cosine, so reported scores
