@@ -128,3 +128,42 @@ def test_salted_join_rejects_small_preserving_forms(spark):
             salted_join(big, small, "k", salt=4, how=how)
     # big-preserving forms stay accepted
     assert salted_join(big, small, "k", salt=4, how="left").count() == 1
+
+
+def test_domain_cap_pushes_window_group_limit(spark, sf_dir):
+    """doc_domain_cap's literal rank <= CAP predicate must push a
+    WindowGroupLimit below the exchange, so each task keeps at most CAP
+    rows per source before any shuffle."""
+    from mini_log_lakehouse_spark.operators import sampling
+
+    plan = _plan(sampling.doc_domain_cap(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_cms_probe_join_broadcasts_the_sketch(spark, sf_dir):
+    """The CMS point-query probe joins against the DEPTH*WIDTH-row
+    sketch; that side must broadcast — shuffling the keys against a
+    128-row table would be a scale bug."""
+    from mini_log_lakehouse_spark.operators import extensions
+
+    plan = _plan(extensions.events_cms_user_counts(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_int8_quantize_is_map_only(spark, sf_dir):
+    """embedding_int8_quantize must not shuffle: the per-vector scale is
+    an array fold, not an aggregate. Only the presentation sort may add
+    a range exchange."""
+    from mini_log_lakehouse_spark.operators import similarity
+
+    plan = _plan(similarity.embedding_int8_quantize(spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_lang_mixture_broadcasts_targets(spark, sf_dir):
+    """Per-language targets are language-grain (a handful of rows) and
+    must broadcast into the corpus-side rank filter."""
+    from mini_log_lakehouse_spark.operators import sampling
+
+    plan = _plan(sampling.doc_lang_mixture(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
