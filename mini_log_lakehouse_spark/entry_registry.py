@@ -139,11 +139,11 @@ _FIRST_WINDOW = (
     "events_funnel",
     "events_retention_cohorts",
     "embedding_int8_quantize",
+    "orders_window_battery",
+    "user_hourly_gapfilled",
     # (5) cross-family spread of previously-green entries
     "tpch_q1_pricing_summary",
-    "streaming_hourly_fact",
     "streaming_session_window",
-    "doc_curation_summary",
     "ann_knn_join",
 )
 

@@ -332,6 +332,83 @@ def user_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function battery on one per-priority value ranking:
+    rank/dense_rank, the distribution functions (percent_rank,
+    cume_dist — both exact rationals of rank and partition size, so one
+    IEEE division lands the identical double in both engines), NTILE,
+    and the frame-value functions first/nth/last over the full-frame
+    window. Top-5 rows per priority via the literal rank predicate
+    (WindowGroupLimit pushes it below the exchange — same discipline as
+    top3_customers_per_nation)."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ranked = o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.rank().over(w).cast("long").alias("rk"),
+        F.dense_rank().over(w).cast("long").alias("drk"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.first("o_orderkey").over(wf).cast("long").alias("top_key"),
+        F.nth_value("o_orderkey", 3).over(wf).cast("long").alias("third_key"),
+        F.last("o_orderkey").over(wf).cast("long").alias("bottom_key"),
+    )
+    return (
+        ranked.filter(F.col("rk") <= 5)
+        .orderBy("o_orderpriority", "rk")
+    )
+
+
+def user_hourly_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-spine gap filling (the warehouse "dense calendar" op): an
+    hourly spine spanning the corpus's [min, max] event hours, left-
+    joined with one user's hourly activity, absent hours zero-filled
+    and flagged. The probe user is the corpus's MIN(user_id) — a
+    deterministic pick whose ~57 active hours against a ~720-slot spine
+    make the gaps real.
+
+    Shape at 100 TB: the spine is generated (sequence + explode from a
+    1-row bound aggregate — rows = hours, thousands, never data-sized);
+    the activity side is an already-aggregated (hour, count) table, so
+    the join is spine × hour-grain, both tiny relative to the corpus.
+    Gap filling never touches event grain."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+        F.min("user_id").alias("probe_user"),
+    )
+    spine = bounds.select(
+        "probe_user",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    activity = (
+        ev.join(F.broadcast(bounds.select("probe_user")),
+                ev.user_id == F.col("probe_user"))
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        spine.join(activity, "hour", "left")
+        .select(
+            "hour",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+            F.col("n").isNull().cast("int").alias("is_gap"),
+        )
+        .orderBy("hour")
+    )
+
+
 def _cms_bucket_sql(r: int) -> str:
     from mini_log_lakehouse_spark.operators.sampling import _sql_bucket
 
@@ -349,6 +426,53 @@ _CMS_PROBES = " UNION ALL ".join(
 )
 
 ORACLES: dict[str, str] = {
+    "orders_window_battery": """
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               rk, drk, pct_rank, cume_dist, quartile,
+               top_key, third_key, bottom_key
+        FROM (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   CAST(RANK() OVER w AS BIGINT) AS rk,
+                   CAST(DENSE_RANK() OVER w AS BIGINT) AS drk,
+                   PERCENT_RANK() OVER w AS pct_rank,
+                   CUME_DIST() OVER w AS cume_dist,
+                   CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+                   CAST(FIRST_VALUE(o_orderkey) OVER wf AS BIGINT) AS top_key,
+                   CAST(NTH_VALUE(o_orderkey, 3) OVER wf AS BIGINT) AS third_key,
+                   CAST(LAST_VALUE(o_orderkey) OVER wf AS BIGINT) AS bottom_key
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice DESC, o_orderkey ASC),
+                   wf AS (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice DESC, o_orderkey ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND UNBOUNDED FOLLOWING)
+        )
+        WHERE rk <= 5
+        ORDER BY o_orderpriority, rk
+    """,
+    "user_hourly_gapfilled": """
+        WITH bounds AS (
+            SELECT date_trunc('hour', MIN(CAST(ts AS TIMESTAMP))) AS h0,
+                   date_trunc('hour', MAX(CAST(ts AS TIMESTAMP))) AS h1,
+                   MIN(user_id) AS probe_user
+            FROM events
+        ), spine AS (
+            SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+            FROM bounds
+        ), activity AS (
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+                   COUNT(*) AS n
+            FROM events
+            WHERE user_id = (SELECT probe_user FROM bounds)
+            GROUP BY 1
+        )
+        SELECT s.hour,
+               CAST(COALESCE(a.n, 0) AS BIGINT) AS n_events,
+               CAST(CASE WHEN a.n IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_gap
+        FROM spine s LEFT JOIN activity a USING (hour)
+        ORDER BY s.hour
+    """,
     "events_cms_user_counts": f"""
         WITH cells AS (
             SELECT r, col, COUNT(*) AS cnt
@@ -502,6 +626,8 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "events_cms_user_counts": events_cms_user_counts,
+    "orders_window_battery": orders_window_battery,
+    "user_hourly_gapfilled": user_hourly_gapfilled,
     "lakehouse_change_feed": lakehouse_change_feed,
     "events_heavy_hitters": events_heavy_hitters,
     "daily_distinct_users": daily_distinct_users,

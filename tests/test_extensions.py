@@ -62,3 +62,26 @@ def test_cms_is_an_upper_bound_and_sketch_mass_conserved(spark, sf_dir):
         assert r["exact_count"] == truth[r["user_id"]]
         assert r["cms_estimate"] >= r["exact_count"]
         assert r["overcount"] == r["cms_estimate"] - r["exact_count"]
+
+
+def test_gapfilled_spine_is_dense_and_mass_conserving(spark, sf_dir):
+    """The hourly spine must be contiguous (every consecutive pair one
+    hour apart), zero-filled hours flagged, and the filled counts must
+    sum to the probe user's true event total (no rows lost or invented
+    by the join)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+    from mini_log_lakehouse_spark.sources.registry import load_table
+
+    rows = extensions.user_hourly_gapfilled(spark, sf_dir).collect()
+    hours = [r["hour"] for r in rows]
+    assert all(
+        b - a == datetime.timedelta(hours=1) for a, b in zip(hours, hours[1:])
+    )
+    assert any(r["is_gap"] == 1 for r in rows), "expected real gaps"
+    assert all((r["n_events"] == 0) == (r["is_gap"] == 1) for r in rows)
+    ev = load_table(spark, sf_dir, "events")
+    probe = ev.agg(F.min("user_id")).collect()[0][0]
+    total = ev.filter(F.col("user_id") == probe).count()
+    assert sum(r["n_events"] for r in rows) == total
