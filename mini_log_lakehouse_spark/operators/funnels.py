@@ -48,8 +48,14 @@ def funnel_counts(events: DataFrame, steps: tuple[str, ...]) -> DataFrame:
         reached_prev = cond
         out_cols.append(cond.cast("long").alias(f"_r{i}"))
     per_user = firsts.select(*out_cols)
+    # coalesce: a corpus with zero funnel events aggregates an EMPTY
+    # per-user frame, where SUM is NULL — the funnel must report 0
+    # (caught by the hypothesis brute-force property test)
     agg = per_user.agg(
-        *[F.sum(f"_r{i}").alias(f"_s{i}") for i in range(len(steps))]
+        *[
+            F.coalesce(F.sum(f"_r{i}"), F.lit(0)).alias(f"_s{i}")
+            for i in range(len(steps))
+        ]
     )
     rows = [
         F.struct(
@@ -117,11 +123,12 @@ ORACLES: dict[str, str] = {
         )
         SELECT step_order, step, users_reached FROM (
             SELECT CAST(1 AS BIGINT) AS step_order, 'signup' AS step,
-                   CAST(SUM(r0) AS BIGINT) AS users_reached FROM reached
+                   CAST(COALESCE(SUM(r0), 0) AS BIGINT) AS users_reached
+            FROM reached
             UNION ALL
-            SELECT 2, 'click', CAST(SUM(r1) AS BIGINT) FROM reached
+            SELECT 2, 'click', CAST(COALESCE(SUM(r1), 0) AS BIGINT) FROM reached
             UNION ALL
-            SELECT 3, 'purchase', CAST(SUM(r2) AS BIGINT) FROM reached
+            SELECT 3, 'purchase', CAST(COALESCE(SUM(r2), 0) AS BIGINT) FROM reached
         )
         ORDER BY step_order
     """,

@@ -158,3 +158,102 @@ def test_ratio6_matches_fraction_ground_truth(spark, pairs):
     for p, q in pairs:
         micro = (2 * Fraction(p) * 10**6 + q) // (2 * q)  # floor((p/q)*1e6 + 1/2)
         assert got[(p, q)] == int(micro) / 1e6, (p, q)
+
+
+# --- BPE encode (vocab.py) ---------------------------------------------------
+
+words = st.text(alphabet="abcd", min_size=0, max_size=24)
+merge_tables = st.lists(
+    st.tuples(
+        st.text(alphabet="abcd", min_size=1, max_size=3),
+        st.text(alphabet="abcd", min_size=1, max_size=3),
+    ),
+    max_size=8,
+)
+
+
+@given(word=words, merges=merge_tables)
+@settings(max_examples=200, deadline=None)
+def test_encode_word_is_lossless_for_any_merge_table(word, merges):
+    """Pure property (no Spark): whatever the merge table, encoding
+    concatenates back to the word, and no token is empty."""
+    from mini_log_lakehouse_spark.operators.vocab import encode_word
+
+    toks = encode_word(word, merges)
+    assert "".join(toks) == word
+    assert all(toks), toks
+
+
+@given(word=words, merges=merge_tables)
+@settings(max_examples=200, deadline=None)
+def test_merge_pair_pass_is_left_to_right_non_overlapping(word, merges):
+    """After applying merge (a, b), the output may not contain the
+    adjacent pair (a, b) anywhere EXCEPT where the right element was
+    itself produced by this same pass (aab -> [ab? no: a, ab] keeps
+    (a, ab), not (a, b)) — i.e. scanning the output must find no
+    adjacent (a, b) with both sides untouched originals."""
+    from mini_log_lakehouse_spark.operators.vocab import _merge_pair
+
+    syms = list(word)
+    for a, b in merges:
+        out = _merge_pair(syms, a, b)
+        assert "".join(out) == "".join(syms)
+        merged = a + b
+        for x, y in zip(out, out[1:]):
+            # a remaining adjacent (a, b) is only legal if one side is a
+            # freshly merged token (equal to a+b but longer than a or b)
+            if x == a and y == b:
+                assert a == merged or b == merged
+        syms = out
+
+
+# --- funnel (funnels.py) -----------------------------------------------------
+
+event_logs = st.lists(
+    st.tuples(
+        st.integers(1, 6),             # user
+        st.integers(0, 40),            # minute
+        st.sampled_from(["signup", "click", "purchase", "view"]),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(log=event_logs)
+@settings(
+    max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+def test_funnel_matches_bruteforce(spark, log):
+    import datetime
+
+    from mini_log_lakehouse_spark.operators.funnels import (
+        FUNNEL_STEPS,
+        funnel_counts,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (u, base + datetime.timedelta(minutes=m), t) for u, m, t in log
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {
+        r["step"]: r["users_reached"]
+        for r in funnel_counts(ev, FUNNEL_STEPS).collect()
+    }
+    # brute force: first ts per (user, step), strict ordering
+    firsts: dict[tuple[int, str], datetime.datetime] = {}
+    for u, ts, t in rows:
+        k = (u, t)
+        if k not in firsts or ts < firsts[k]:
+            firsts[k] = ts
+    expect = dict.fromkeys(FUNNEL_STEPS, 0)
+    for u in {u for u, _, _ in rows}:
+        prev = None
+        for step in FUNNEL_STEPS:
+            t = firsts.get((u, step))
+            if t is None or (prev is not None and t <= prev):
+                break
+            expect[step] += 1
+            prev = t
+    assert got == expect, (got, expect)
