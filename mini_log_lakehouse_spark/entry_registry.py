@@ -141,9 +141,9 @@ _FIRST_WINDOW = (
     "embedding_int8_quantize",
     "orders_window_battery",
     "user_hourly_gapfilled",
+    "events_daily_trend",
     # (5) cross-family spread of previously-green entries
     "tpch_q1_pricing_summary",
-    "streaming_session_window",
     "ann_knn_join",
 )
 

@@ -99,6 +99,55 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type activity trend: the least-squares slope of daily
+    event counts over the day index — the "is this error type growing"
+    primitive of log analytics, computed as EXACT integer statistics.
+    OLS over integer (x=day offset, y=count) needs only the sums
+    n, Σx, Σy, Σxy, Σx², so slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is a
+    ratio of exact integers; it is reported micro-quantized by
+    truncating integer division (no float path anywhere, so the oracle
+    matches bit-for-bit). A negative-count day cannot exist, and a
+    type seen on < 2 distinct days has a zero denominator — reported
+    as NULL slope (no trend is honest, not 0).
+
+    Shape at 100 TB: one event-grain aggregate to (type, day) counts —
+    map-side partial — then type-grain sums; the regression itself
+    never sees event grain."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    first_day = daily.agg(F.min("day").alias("d0"))
+    xy = (
+        daily.crossJoin(F.broadcast(first_day))
+        .select(
+            "event_type",
+            F.datediff("day", "d0").cast("long").alias("x"),
+            F.col("y").cast("long").alias("y"),
+        )
+    )
+    sums = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return sums.select(
+        "event_type",
+        F.col("n").cast("long").alias("active_days"),
+        F.col("sy").cast("long").alias("total_events"),
+        F.when(den != 0, F.expr(
+            "CAST((CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * 1000000 "
+            "DIV (CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx) AS LONG)"
+        )).alias("slope_micro"),
+    ).orderBy("event_type")
+
+
 _DAY = "CAST(CAST(ts AS TIMESTAMP) AS DATE)"
 
 ORACLES: dict[str, str] = {
@@ -132,6 +181,36 @@ ORACLES: dict[str, str] = {
         )
         ORDER BY step_order
     """,
+    # Integer division: Spark DIV and DuckDB // both truncate toward
+    # zero (verified on negative operands), so a negative slope
+    # quantizes identically.
+    "events_daily_trend": f"""
+        WITH daily AS (
+            SELECT event_type, {_DAY} AS day, COUNT(*) AS y
+            FROM events GROUP BY 1, 2
+        ), xy AS (
+            SELECT event_type,
+                   CAST(day - (SELECT MIN(day) FROM daily) AS BIGINT) AS x,
+                   CAST(y AS BIGINT) AS y
+            FROM daily
+        ), sums AS (
+            SELECT event_type,
+                   COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * y) AS sxy, SUM(x * x) AS sxx
+            FROM xy GROUP BY 1
+        )
+        SELECT event_type,
+               CAST(n AS BIGINT) AS active_days,
+               CAST(sy AS BIGINT) AS total_events,
+               CASE WHEN n * sxx - sx * sx <> 0 THEN
+                   CAST((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+                        * 1000000
+                        // (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+                        AS BIGINT)
+               END AS slope_micro
+        FROM sums
+        ORDER BY 1
+    """,
     "events_retention_cohorts": f"""
         WITH user_days AS (
             SELECT DISTINCT user_id, {_DAY} AS day
@@ -151,4 +230,5 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "events_funnel": events_funnel,
     "events_retention_cohorts": events_retention_cohorts,
+    "events_daily_trend": events_daily_trend,
 }

@@ -59,3 +59,34 @@ def test_retention_offset_zero_equals_cohort_size(spark, sf_dir):
     for r in rows:
         assert 0 <= r["active_users"] <= sizes[r["cohort_day"]]
         assert r["day_offset"] >= 0
+
+
+def test_daily_trend_slope_matches_numpy(spark, sf_dir):
+    """slope_micro is the micro-truncation of numpy's lstsq slope on
+    the same (day offset, count) points."""
+    import numpy as np
+
+    rows = funnels.events_daily_trend(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .count()
+        .collect()
+    )
+    d0 = min(r["day"] for r in daily)
+    pts = {}
+    for r in daily:
+        pts.setdefault(r["event_type"], []).append(
+            ((r["day"] - d0).days, r["count"])
+        )
+    for r in rows:
+        xs, ys = zip(*pts[r["event_type"]])
+        assert r["active_days"] == len(xs)
+        assert r["total_events"] == sum(ys)
+        if len(set(xs)) < 2:
+            assert r["slope_micro"] is None
+            continue
+        slope = np.polyfit(np.array(xs, dtype=float), np.array(ys, dtype=float), 1)[0]
+        # micro-truncation of an exact rational vs float lstsq: within 1 micro
+        assert abs(r["slope_micro"] - int(slope * 1e6)) <= 1, (
+            r["event_type"], r["slope_micro"], slope)
