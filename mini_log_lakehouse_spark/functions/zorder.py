@@ -58,9 +58,12 @@ def quantile_boundaries(
     numeric = df.select(
         *[_as_numeric(df, c).alias(c) for c in cols]
     )
+    # one multi-column approxQuantile call: all per-column sketches are
+    # collected in a single scan (a per-column loop would re-read the
+    # snapshot once per Z-order key)
+    all_bs = numeric.stat.approxQuantile(list(cols), probs, 0.001)
     out: dict[str, list[float]] = {}
-    for c in cols:
-        bs = numeric.stat.approxQuantile(c, probs, 0.001)
+    for c, bs in zip(cols, all_bs):
         # Deduplicate plateaus (heavy hitters produce repeated cut
         # points); the search tree only needs the distinct ascents.
         dedup: list[float] = []

@@ -87,14 +87,25 @@ def incremental_dedup(
     batch: DataFrame, index: DataFrame, fp_col: str = "fp"
 ) -> DataFrame:
     """Flag batch rows whose fingerprint already exists in the corpus
-    index: batch ⟕ distinct-index on the 16-byte fingerprint. Library
-    form of the "dedup the new crawl against everything already
-    ingested" step — the index side is the persisted fingerprint table,
-    never the corpus text."""
-    hits = index.select(fp_col).distinct().withColumn("_hit", F.lit(1))
-    return batch.join(hits, fp_col, "left").withColumn(
-        "in_index", F.coalesce(F.col("_hit"), F.lit(0)).cast("int")
-    ).drop("_hit")
+    index: batch ⟕ index-counts on the 16-byte fingerprint, appending
+    ``in_index`` (0/1) and ``n_index_matches``. Library form of the
+    "dedup the new crawl against everything already ingested" step —
+    the index side is the persisted fingerprint table, never the corpus
+    text — and the single implementation under dedup_incremental_batch
+    (driver-oracle-checked)."""
+    counts = index.groupBy(fp_col).agg(
+        F.count(F.lit(1)).alias("n_index_matches")
+    )
+    return (
+        batch.join(counts, fp_col, "left")
+        .withColumn(
+            "in_index", F.col("n_index_matches").isNotNull().cast("int")
+        )
+        .withColumn(
+            "n_index_matches",
+            F.coalesce("n_index_matches", F.lit(0)).cast("long"),
+        )
+    )
 
 
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -114,19 +125,9 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     docs = d.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("fp"))
     is_batch = F.col("doc_id") % 10 == 0
-    index_counts = (
-        docs.filter(~is_batch)
-        .groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("n_index_matches"))
-    )
     return (
-        docs.filter(is_batch)
-        .join(index_counts, "fp", "left")
-        .select(
-            "doc_id",
-            (F.col("n_index_matches").isNotNull()).cast("int").alias("in_index"),
-            F.coalesce("n_index_matches", F.lit(0)).cast("long").alias("n_index_matches"),
-        )
+        incremental_dedup(docs.filter(is_batch), docs.filter(~is_batch))
+        .select("doc_id", "in_index", "n_index_matches")
         .orderBy("doc_id")
     )
 
@@ -447,12 +448,15 @@ def minhash_candidate_pairs(
         session.evict_stale(_COLLAPSE_CACHE, app_id, unpersist=False)
         decided = _COLLAPSE_CACHE.get(dkey)
         if decided is None:
-            # One aggregate over the materialized fingerprint table
-            # (16 B/doc — the md5 scan is work the collapse path needs
-            # anyway), run once per corpus thanks to the memo above.
-            # Deterministic for a given corpus, so plan choice never
-            # changes results across runs.
-            classes = _members().groupBy("_fp").agg(F.count(F.lit(1)).alias("_c"))
+            # One aggregate over the UNPERSISTED fingerprint plan (the
+            # memo guarantees it runs once per corpus): persisting here
+            # would pin a 16 B/doc table that the no-collapse path never
+            # reads again — the accumulated-pin pressure SCALING.md
+            # documents elsewhere. When the collapse does engage,
+            # _members() below re-runs the cheap md5 scan once and
+            # persists the copy that IS re-read.
+            fps = docs.select(F.md5(F.col(text_col)).alias("_fp"))
+            classes = fps.groupBy("_fp").agg(F.count(F.lit(1)).alias("_c"))
             n_fps, n_docs, max_class = classes.agg(
                 F.count(F.lit(1)), F.sum("_c"), F.max("_c")
             ).first()

@@ -38,8 +38,21 @@ N_FILES = 16
 _ZROOT = os.environ.get("SPARK_GRAFT_ZORDER_DIR", "/tmp/mini_log_lakehouse_zorder")
 
 #: (app_id, sf_dir) -> LakehouseTable handle for the clustered copy;
-#: the on-disk artifact is write-once per corpus and survives sessions.
+#: the on-disk artifact is write-once per corpus CONTENT and survives
+#: sessions (see _corpus_fingerprint).
 _ZCACHE: dict[tuple[str, str], LakehouseTable] = {}
+
+
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """Identity of the source data, not just its path: the on-disk
+    clustered artifact outlives sessions, so keying it by path alone
+    would silently serve a STALE snapshot if the corpus at that path is
+    ever regenerated. (name, size, mtime_ns) of the source parquet is
+    the cheap content proxy — any rewrite changes it."""
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    raw = f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}"
+    return hashlib.md5(raw.encode()).hexdigest()[:12]
 
 
 def zordered_events(spark: SparkSession, sf_dir: str) -> LakehouseTable:
@@ -55,7 +68,7 @@ def zordered_events(spark: SparkSession, sf_dir: str) -> LakehouseTable:
     if got is not None:
         return got
     _session.evict_stale(_ZCACHE, app_id, unpersist=False)
-    root = os.path.join(_ZROOT, hashlib.md5(sf_dir.encode()).hexdigest()[:8])
+    root = os.path.join(_ZROOT, _corpus_fingerprint(sf_dir))
     tbl = LakehouseTable(spark, root, "events_z")
     if not tbl.exists():
         tbl.write(load_table(spark, sf_dir, "events"))

@@ -622,9 +622,14 @@ def ann_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieval."""
     e = load_table(spark, sf_dir, "embeddings")
     proj = random_project_wide(e, dim_out=RP_SEARCH_DIM)
-    q = proj.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("qvec"), F.col("proj").alias("qproj")
-    )
+    # project ONLY the query row for the broadcast side: a vec_id filter
+    # cannot push through the corpus-wide mapInArrow, so filtering the
+    # projected corpus would run the full GEMM a second time to extract
+    # one row; the sign matrix is deterministic, so projecting the
+    # pre-filtered row yields the identical vector
+    q = random_project_wide(
+        e.filter(F.col("vec_id") == QUERY_VEC_ID), dim_out=RP_SEARCH_DIM
+    ).select(F.col("embedding").alias("qvec"), F.col("proj").alias("qproj"))
     coarse = (
         proj.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != QUERY_VEC_ID)

@@ -31,6 +31,8 @@ Scale shapes:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -125,9 +127,13 @@ def remove_duplicated_segments(
     unique segment — unless the whole doc repeats, which is exact
     dedup's grain)."""
     other_cols = [c for c in docs.columns if c != text_col]
+    # F.split takes a Java REGEX; the advertised contract is a literal
+    # delimiter, so escape it (an unescaped '.' or '|' would shatter
+    # every document into 1-char segments)
+    lit_delim = re.escape(delim)
     segs = docs.select(
         *other_cols,
-        F.posexplode(F.split(F.col(text_col), delim)).alias("_pos", "_seg"),
+        F.posexplode(F.split(F.col(text_col), lit_delim)).alias("_pos", "_seg"),
     )
     occ = F.count(F.lit(1)).over(Window.partitionBy(F.md5(F.col("_seg"))))
     kept = segs.withColumn("_occ", occ)

@@ -330,7 +330,9 @@ class LakehouseTable:
                 f"{starting_version}{end})"
             )
         end = self.latest_version() if ending_version is None else ending_version
-        if starting_version < 0 or end > self.latest_version():
+        # an empty/inverted range (including latest_version() == -1 for a
+        # table with no commits) must fail loudly, not IndexError below
+        if starting_version < 0 or end > self.latest_version() or starting_version > end:
             raise FileNotFoundError(
                 f"{self.name}: change_feed range [{starting_version}, {end}] "
                 f"outside published versions [0, {self.latest_version()}]"
@@ -360,7 +362,10 @@ class LakehouseTable:
                 c, p = cur.alias("c"), prev.alias("p")
                 cond = None
                 for k in keys:
-                    eq = F.col(f"c.{k}") == F.col(f"p.{k}")
+                    # null-safe: a NULL key present unchanged in both
+                    # versions must MATCH (plain == would report it as a
+                    # spurious insert+delete pair every version)
+                    eq = F.col(f"c.{k}").eqNullSafe(F.col(f"p.{k}"))
                     cond = eq if cond is None else cond & eq
                 frames.append(tag(c.join(p, cond, "left_anti"), "insert", v))
                 frames.append(tag(p.join(c, cond, "left_anti"), "delete", v))

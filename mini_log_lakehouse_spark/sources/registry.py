@@ -179,7 +179,12 @@ def load_table_bucketed(
             spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), tbl
         )
         shutil.rmtree(loc, ignore_errors=True)
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        # build from the NORMALIZED frame, never the raw parquet: the
+        # events table ships in three ts flavors (nanos-as-long / NTZ /
+        # UTC) that load_table reconciles — a bucketed copy built from
+        # the raw file would persist the raw type and diverge from what
+        # every other consumer sees
+        df = load_table(spark, sf_dir, name)
         (
             df.write.mode("overwrite")
             .bucketBy(n, key)

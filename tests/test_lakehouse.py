@@ -341,3 +341,32 @@ def test_change_feed_schema_evolution_and_keyless(spark, tmp_path):
     # …and rejects schema-evolved ranges (no row identity to align on)
     with pytest.raises(ValueError, match="keyless"):
         t.change_feed(1)
+
+
+def test_change_feed_rejects_empty_or_inverted_range(spark, tmp_path):
+    """An inverted range, and any range on a table with no commits,
+    must raise the same clear range error — not IndexError."""
+    t = LakehouseTable(spark, str(tmp_path / "lake"), "cdc3")
+    with pytest.raises(FileNotFoundError, match="outside published"):
+        t.change_feed(0)  # no commits at all
+    t.write(spark.createDataFrame([(1, "a")], "k int, s string"))
+    with pytest.raises(FileNotFoundError, match="outside published"):
+        t.change_feed(1, ending_version=0)
+
+
+def test_change_feed_null_key_row_is_not_churned(spark, tmp_path):
+    """A NULL-keyed row identical in consecutive versions must emit
+    NOTHING (null-safe key join); changing its value must emit the
+    pre/postimage pair."""
+    t = LakehouseTable(spark, str(tmp_path / "lake"), "cdc4")
+    t.write(spark.createDataFrame([(None, "x", 1), (1, "a", 10)], "k int, s string, v int"))  # v0
+    t.write(spark.createDataFrame([(None, "x", 1), (1, "a", 11)], "k int, s string, v int"))  # v1: only k=1 changes
+    t.write(spark.createDataFrame([(None, "x", 2), (1, "a", 11)], "k int, s string, v int"))  # v2: NULL row changes
+    feed = t.change_feed(1, keys=["k"]).collect()
+    by_version = {}
+    for r in feed:
+        by_version.setdefault(r["_commit_version"], []).append(r)
+    v1 = {(r["_change_type"], r["k"]) for r in by_version[1]}
+    assert v1 == {("update_preimage", 1), ("update_postimage", 1)}
+    v2 = {(r["_change_type"], r["k"], r["v"]) for r in by_version[2]}
+    assert v2 == {("update_preimage", None, 1), ("update_postimage", None, 2)}

@@ -103,3 +103,22 @@ def test_frequent_ngrams_nonzero_share(spark, sf_dir):
     assert rows
     for r in rows:
         assert 0 <= r.boilerplate_grams <= r.total_grams
+
+
+def test_segment_dedup_delim_is_literal_not_regex(spark):
+    """A regex-metachar delimiter ('.') must split on the literal dot —
+    not on the any-char regex, which would shatter every document."""
+    from mini_log_lakehouse_spark.operators.spans import remove_duplicated_segments
+
+    docs = spark.createDataFrame(
+        [(1, "keep me.shared part"), (2, "other text.shared part")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicated_segments(docs, delim=".", min_count=2).collect()
+    }
+    assert out[1]["n_segments"] == 2
+    assert out[1]["n_removed"] == 1
+    assert out[1]["text"] == "keep me"
+    assert out[2]["text"] == "other text"
