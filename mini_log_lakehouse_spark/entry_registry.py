@@ -142,8 +142,8 @@ _FIRST_WINDOW = (
     "orders_window_battery",
     "user_hourly_gapfilled",
     "events_daily_trend",
-    # (5) cross-family spread of previously-green entries
-    "tpch_q1_pricing_summary",
+    "props_variant_stats",
+    # (5) cross-family anchor (also bench-measured every round)
     "ann_knn_join",
 )
 

@@ -247,6 +247,34 @@ def props_k_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path via Spark 4 VARIANT: ``props`` is parsed
+    ONCE into the shredded binary encoding (parse_json), then fields
+    are extracted with try_variant_get — the modern replacement for
+    repeated get_json_object string re-parsing (one parse per row
+    instead of one per extraction, and the binary form pushes into
+    columnar readers when stored). Per event_type: events, rows with a
+    ``k`` field, and exact integer stats of ``k``.
+
+    try_variant_get returns NULL for missing paths/type mismatches —
+    the tolerant-extraction contract the reference's regex parser
+    establishes for malformed rows (ingest_logs.py:34-43)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").cast("long").alias("n_with_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def value_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 + decimal-exact double sums: per-type value statistics."""
     return (
@@ -409,6 +437,17 @@ ORACLES: dict[str, str] = {
         GROUP BY 1
         ORDER BY k
     """,
+    "props_variant_stats": """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               CAST(COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS n_with_k,
+               CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS min_k,
+               CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS max_k,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+        FROM events
+        GROUP BY 1
+        ORDER BY event_type
+    """,
     "value_stats_by_type": """
         SELECT event_type,
                ROUND(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6) AS sum_value,
@@ -431,5 +470,6 @@ QUERIES = {
     "hourly_trend": hourly_trend,
     "dim_event_type": dim_event_type,
     "props_k_histogram": props_k_histogram,
+    "props_variant_stats": props_variant_stats,
     "value_stats_by_type": value_stats_by_type,
 }
