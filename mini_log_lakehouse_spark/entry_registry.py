@@ -113,7 +113,9 @@ _FIRST_WINDOW = (
     "embedding_label_centroids",
     "lakehouse_change_feed",
     # (3) rows-only by design — keep their no_oracle rows visible
-    "doc_bpe_merge_table",
+    # (doc_bpe_merge_table rotated out in favor of doc_sparse_search:
+    # it collected rows-only driver rows in r1-r3 and its closed-form
+    # first iteration is oracle-checked via doc_bpe_first_merge)
     "approx_distinct_users",
     "streaming_hourly_fact_p95",
     "ann_lsh_topk",
@@ -143,6 +145,7 @@ _FIRST_WINDOW = (
     "user_hourly_gapfilled",
     "events_daily_trend",
     "props_variant_stats",
+    "doc_sparse_search",
     # (5) cross-family anchor (also bench-measured every round)
     "ann_knn_join",
 )

@@ -559,6 +559,72 @@ def doc_lm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Sparse-search query document and result depth.
+SPARSE_QUERY_DOC = 0
+SPARSE_TOP_K = 10
+
+
+def doc_sparse_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical retrieval via the inverted-index join — the
+    BM25-family query shape: score every document against a query
+    document by the sum over SHARED tokens of tf_q · tf_d · idf², with
+    the linear idf (N/df) of doc_tfidf_top_terms so the score is an
+    exact rational (engines agree bit-for-bit; log-idf would rank
+    identically but hash-differ in the last ulp).
+
+    The plan IS an inverted index at 100 TB: doc-term postings join
+    the (tiny, broadcast) query term list ON THE TOKEN — only documents
+    sharing a query term are ever scored; no pairwise document loop
+    exists anywhere. Scoring aggregates the posting join, top-K is a
+    TakeOrderedAndProject. Exactness: idf is quantized ONCE per token
+    (idf_milli = N·10³ DIV df, truncating), then the score
+    Σ tf_d·tf_q·idf_milli² is pure decimal(38,0) integer arithmetic."""
+    tf = _doc_term_freq(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # idf_milli: one exact integer quantization per token (same
+    # truncating-DIV discipline as everywhere else)
+    idf = df_.crossJoin(F.broadcast(n_docs)).select(
+        "token",
+        F.expr("CAST((CAST(n_docs AS DECIMAL(38,0)) * 1000) DIV df AS LONG)").alias(
+            "idf_milli"
+        ),
+    )
+    posting = tf.join(idf, "token")
+    query = (
+        posting.filter(F.col("doc_id") == SPARSE_QUERY_DOC)
+        .select(
+            F.col("token"),
+            F.col("tf").alias("tf_q"),
+            F.col("idf_milli").alias("idf_q"),
+        )
+    )
+    scored = (
+        posting.filter(F.col("doc_id") != SPARSE_QUERY_DOC)
+        .join(F.broadcast(query), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("tf").cast("decimal(38,0)")
+                * F.col("tf_q")
+                * F.col("idf_milli")
+                * F.col("idf_milli")
+            ).alias("_score"),
+            F.count(F.lit(1)).cast("long").alias("shared_terms"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "shared_terms",
+            F.expr("CAST(_score DIV 1000 AS LONG)").alias("score_milli"),
+        )
+        .orderBy(F.desc("score_milli"), F.asc("doc_id"))
+        .limit(SPARSE_TOP_K)
+    )
+
+
 _TOKS = "string_split(text, ' ')"
 
 #: The one SQL statement of functions/text.quality_score — shared by the
@@ -831,8 +897,36 @@ ORACLES["doc_lm_quality_gate"] = f"""
         ORDER BY p.doc_id
 """
 
+ORACLES["doc_sparse_search"] = f"""
+        WITH tf AS ({_SQL_TF}),
+        dfs AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        idf AS (
+            SELECT token,
+                   CAST((CAST((SELECT COUNT(*) FROM documents) AS HUGEINT) * 1000)
+                        // df AS BIGINT) AS idf_milli
+            FROM dfs
+        ), posting AS (
+            SELECT tf.doc_id, tf.token, tf.tf, idf.idf_milli
+            FROM tf JOIN idf USING (token)
+        ), query AS (
+            SELECT token, tf AS tf_q FROM posting
+            WHERE doc_id = {SPARSE_QUERY_DOC}
+        )
+        SELECT p.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS shared_terms,
+               CAST(SUM(CAST(p.tf AS HUGEINT) * q.tf_q
+                        * p.idf_milli * p.idf_milli) // 1000 AS BIGINT)
+                   AS score_milli
+        FROM posting p JOIN query q USING (token)
+        WHERE p.doc_id <> {SPARSE_QUERY_DOC}
+        GROUP BY 1
+        ORDER BY score_milli DESC, doc_id ASC
+        LIMIT {SPARSE_TOP_K}
+"""
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
+    "doc_sparse_search": doc_sparse_search,
     "doc_lm_quality_gate": doc_lm_quality_gate,
     "doc_unigram_lm_scores": doc_unigram_lm_scores,
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
