@@ -562,6 +562,144 @@ def random_project_wide(
     return vectors.mapInArrow(project, schema=schema)
 
 
+#: Full-corpus k-means: clusters and Lloyd iterations for the driver
+#: query. (Distinct from the IVF coarse quantizer, which trains on a
+#: driver-held SAMPLE — this is the distributed full-data loop.)
+KMEANS_K = 8
+KMEANS_ITERS = 5
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Distributed Lloyd's k-means with deterministic everything:
+
+    - **init**: the k lowest-id vectors (reproducible, no RNG);
+    - **assignment**: per-Arrow-batch numpy distance argmin (map-only;
+      ties break to the lowest cluster index);
+    - **update**: per-(cluster, dimension) means via the FIXED_POINT
+      exact-sum discipline — shuffle order can never wiggle a centroid
+      bit, so runs are bit-reproducible end to end;
+    - **objective**: inertia accumulated as fixed-point longs (exact,
+      order-free), recorded per iteration.
+
+    Scale split (the distributed-ML shape): each iteration is one
+    map-only assignment pass + one model-sized aggregate (k×dim rows);
+    only the k×dim centroid table ever reaches the driver — corpus
+    rows never do. Returns (assigned DataFrame, centroids ndarray,
+    inertia_micro history list)."""
+    base = vectors.select(id_col, vec_col)
+    init_rows = base.orderBy(id_col).limit(k).select(vec_col).collect()
+    cents = np.array([list(r[0]) for r in init_rows], dtype=np.float64)
+    inertia_hist: list[int] = []
+    assigned = None
+    for _ in range(iters):
+        c_now = cents.copy()
+
+        def assign_fn(mat, _c=c_now):
+            d = ((mat[:, None, :].astype(np.float64) - _c[None, :, :]) ** 2).sum(
+                axis=2
+            )
+            return d.argmin(axis=1)
+
+        assigned = _append_arrow_column(base, vec_col, "cluster", assign_fn)
+
+        def dist_fn(mat, _c=c_now):
+            d = ((mat[:, None, :].astype(np.float64) - _c[None, :, :]) ** 2).sum(
+                axis=2
+            ).min(axis=1)
+            return np.floor(d * float(FIXED_POINT) + 0.5).astype(np.int64)
+
+        with_dist = _append_arrow_column(
+            assigned, vec_col, "dist_fixed", dist_fn
+        )
+        # one aggregate: per-(cluster, pos) exact component sums AND the
+        # global inertia ride the same shuffled pass
+        arr = F.col(vec_col).cast("array<double>")
+        ex = with_dist.select(
+            "cluster",
+            "dist_fixed",
+            F.posexplode(arr).alias("pos", "val"),
+        )
+        fixed = F.floor(
+            F.col("val") * F.lit(float(FIXED_POINT)) + F.lit(0.5)
+        ).cast("long")
+        stats = (
+            ex.groupBy("cluster", "pos")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(fixed).alias("s"),
+                F.sum("dist_fixed").alias("d"),
+            )
+            .collect()
+        )
+        dim = cents.shape[1]
+        new_cents = cents.copy()  # empty clusters keep their centroid
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, dim), dtype=np.int64)
+        inertia = 0
+        for r in stats:
+            sums[r["cluster"], r["pos"]] = r["s"]
+            counts[r["cluster"]] = r["n"]
+            if r["pos"] == 0:
+                inertia += r["d"]
+        for c in range(k):
+            if counts[c] > 0:
+                new_cents[c] = sums[c].astype(np.float64) / (
+                    float(counts[c]) * float(FIXED_POINT)
+                )
+        inertia_hist.append(int(inertia))
+        cents = new_cents
+    return assigned, cents, inertia_hist
+
+
+def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: full-corpus k-means cluster sizes + exact
+    fixed-point inertia per cluster after KMEANS_ITERS Lloyd
+    iterations. Rows-only for the gate (iterative); determinism,
+    nearest-centroid consistency, and monotone objective are pinned in
+    tests."""
+    e = load_table(spark, sf_dir, "embeddings")
+    _, cents, _ = kmeans_fit(e)
+
+    # report assignment AND distance against the FINAL centroids (the
+    # last in-loop assignment predates the last update)
+    def assign_fn(mat, _c=cents):
+        d = ((mat[:, None, :].astype(np.float64) - _c[None, :, :]) ** 2).sum(axis=2)
+        return d.argmin(axis=1)
+
+    def dist_fn(mat, _c=cents):
+        d = ((mat[:, None, :].astype(np.float64) - _c[None, :, :]) ** 2).sum(
+            axis=2
+        ).min(axis=1)
+        return np.floor(d * float(FIXED_POINT) + 0.5).astype(np.int64)
+
+    base = e.select("vec_id", "embedding")
+    final = _append_arrow_column(
+        _append_arrow_column(base, "embedding", "cluster", assign_fn),
+        "embedding",
+        "dist_fixed",
+        dist_fn,
+    )
+    return (
+        final.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum("dist_fixed").cast("long").alias("inertia_fixed"),
+        )
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            "n_vectors",
+            "inertia_fixed",
+        )
+        .orderBy("cluster")
+    )
+
+
 def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embeddings table — the
     storage/serving compression standard for vector indexes (4× smaller
@@ -750,6 +888,7 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "embedding_random_projection": embedding_random_projection,
     "embedding_int8_quantize": embedding_int8_quantize,
+    "embedding_kmeans_clusters": embedding_kmeans_clusters,
     "ann_rp_topk": ann_rp_topk,
     "embedding_label_centroids": embedding_label_centroids,
     "ann_cosine_topk": ann_cosine_topk,
