@@ -167,3 +167,20 @@ def test_lang_mixture_broadcasts_targets(spark, sf_dir):
 
     plan = _plan(sampling.doc_lang_mixture(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bucketed_events_keeps_normalized_timestamp(spark, sf_dir, monkeypatch):
+    """The bucketed warehouse copy must be built from the NORMALIZED
+    frame: events.ts ships as nanos-int64/NTZ in some testdata flavors
+    and must come back as a session-tz timestamp, exactly like every
+    load_table consumer sees."""
+    from mini_log_lakehouse_spark.sources.registry import (
+        load_table,
+        load_table_bucketed,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_BUCKETED", "1")
+    bucketed = load_table_bucketed(spark, sf_dir, "events", "user_id")
+    plain = load_table(spark, sf_dir, "events")
+    assert dict(bucketed.dtypes)["ts"] == dict(plain.dtypes)["ts"] == "timestamp"
+    assert bucketed.count() == plain.count()
