@@ -29,6 +29,7 @@ from mini_log_lakehouse_spark.sources import jsonl as sources_jsonl
 from mini_log_lakehouse_spark.streaming import ingest as streaming_ingest
 from mini_log_lakehouse_spark.streaming import joins as streaming_joins
 from mini_log_lakehouse_spark.streaming import sessions as streaming_sessions
+from mini_log_lakehouse_spark.streaming import state_v2 as streaming_state_v2
 
 # Module merge order (names within a module keep that module's order);
 # the driver-facing ordering is then overridden by _FIRST_WINDOW below.
@@ -41,6 +42,7 @@ _MODULES = (
     vocab,
     streaming_ingest,
     streaming_sessions,
+    streaming_state_v2,
     streaming_joins,
     funnels,
     similarity,
@@ -117,7 +119,9 @@ _FIRST_WINDOW = (
     # it collected rows-only driver rows in r1-r3 and its closed-form
     # first iteration is oracle-checked via doc_bpe_first_merge)
     "approx_distinct_users",
-    "streaming_hourly_fact_p95",
+    # streaming_hourly_fact_p95 rotated out (rows-only; had its r3 row)
+    # for the oracle-checked state-v2 counters:
+    "streaming_user_totals",
     "ann_lsh_topk",
     "ann_ivf_topk",
     # (4) implementation touched this round

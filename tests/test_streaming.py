@@ -156,3 +156,49 @@ def test_streaming_approx_p95_within_sketch_tolerance(spark, sf_dir):
         hi_i = min(n, center + slack)
         window = vals[lo_i:hi_i]
         assert r["p95_value"] in window, (key, r["p95_value"], window)
+
+
+def test_user_totals_accumulate_across_microbatches(spark, sf_dir, tmp_path):
+    """Split the events into two parquet files and replay one file per
+    microbatch: the processor must emit CUMULATIVE per-user rows (batch
+    2's row includes batch 1's counts), and the final row per user must
+    equal the plain batch aggregate."""
+    from mini_log_lakehouse_spark.streaming.state_v2 import stream_user_totals
+
+    full = load_table(spark, sf_dir, "events")
+    src_dir = tmp_path / "two_files"
+    full.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src_dir / "a"), mode="overwrite"
+    )
+    full.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src_dir / "b"), mode="overwrite"
+    )
+    stream = (
+        spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir) + "/*/")
+    )
+    got = stream_user_totals(spark, sf_dir, source=stream).collect()
+    # per user: possibly two rows (one per batch containing their events)
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for r in got:
+        per_user[r["user_id"]].append(r)
+    truth = {
+        r["user_id"]: (r["n"], r["e"])
+        for r in full.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias("e"),
+        )
+        .collect()
+    }
+    assert set(per_user) == set(truth)
+    for uid, rows in per_user.items():
+        rows.sort(key=lambda r: r["n_events"])
+        # cumulative: strictly increasing event counts across batches
+        counts = [r["n_events"] for r in rows]
+        assert counts == sorted(counts)
+        assert rows[-1]["n_events"] == truth[uid][0]
+        assert rows[-1]["n_errors"] == truth[uid][1]
