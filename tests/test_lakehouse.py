@@ -370,3 +370,39 @@ def test_change_feed_null_key_row_is_not_churned(spark, tmp_path):
     assert v1 == {("update_preimage", 1), ("update_postimage", 1)}
     v2 = {(r["_change_type"], r["k"], r["v"]) for r in by_version[2]}
     assert v2 == {("update_preimage", None, 1), ("update_postimage", None, 2)}
+
+
+def test_change_feed_maintains_downstream_aggregate(spark, tmp_path):
+    """Consume the keyed change feed the way an incremental downstream
+    does — +postimage/insert, -preimage/delete — and check the
+    maintained per-status count-and-sum equals a direct recompute of
+    the latest version. This is the contract that makes the feed useful:
+    the logical diff must be EXACTLY invertible into state updates."""
+    t = LakehouseTable(spark, str(tmp_path / "lake"), "cdc5")
+    t.write(spark.createDataFrame(
+        [(1, "open", 10), (2, "open", 20), (3, "done", 30)],
+        "k int, status string, v int"))                                   # v0
+    t.merge(spark.createDataFrame(
+        [(2, "done", 25), (4, "open", 40)], "k int, status string, v int"),
+        keys=["k"])                                                       # v1
+    t.write(spark.createDataFrame(
+        [(1, "open", 11), (3, "done", 30), (4, "open", 40)],
+        "k int, status string, v int"))                                   # v2 drops k=2, updates k=1
+
+    feed = t.change_feed(0, keys=["k"]).collect()
+    state: dict[str, list[int]] = {}
+    for r in sorted(feed, key=lambda r: r["_commit_version"]):
+        sign = {"insert": 1, "update_postimage": 1,
+                "delete": -1, "update_preimage": -1}[r["_change_type"]]
+        acc = state.setdefault(r["status"], [0, 0])
+        acc[0] += sign
+        acc[1] += sign * r["v"]
+    state = {k: v for k, v in state.items() if v != [0, 0]}
+    direct = {
+        r["status"]: [r["n"], r["s"]]
+        for r in t.read()
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert state == direct, (state, direct)

