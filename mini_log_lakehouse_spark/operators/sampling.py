@@ -216,6 +216,33 @@ def doc_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def write_training_shards(
+    docs: DataFrame, path: str, n_shards: int, salt: str = "epoch0:"
+) -> None:
+    """The pipeline's OUTPUT stage: write the corpus as ``n_shards``
+    globally-shuffled training shards. Shard assignment and intra-shard
+    order are both pure functions of (salt, doc_id) — the deterministic
+    epoch-order contract of doc_global_shuffle, materialized: a reader
+    streaming shard 0..N-1 sequentially sees exactly the salted-hash
+    global order, yet no global sort ever runs.
+
+    Scale shape: repartitionByRange on the hash key (one range
+    shuffle — sampled boundaries, the same machinery as any sorted
+    write) + sortWithinPartitions; each shard writes independently.
+    Rerunning with the same salt reproduces byte-identical shard
+    membership — the property backfills and resumable training loops
+    need."""
+    key = _hash_bucket(F.col("doc_id"), salt, 1 << 30)
+    (
+        docs.withColumn("_shuffle_key", key)
+        .repartitionByRange(n_shards, "_shuffle_key", "doc_id")
+        .sortWithinPartitions("_shuffle_key", "doc_id")
+        .drop("_shuffle_key")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def _doc_ngrams(d: DataFrame) -> DataFrame:
     """doc_id -> exploded distinct word CONTAM_NGRAM-grams. Documents
     shorter than CONTAM_NGRAM tokens yield zero grams (matching the
