@@ -256,11 +256,13 @@ def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     columnar readers when stored). Per event_type: events, rows with a
     ``k`` field, and exact integer stats of ``k``.
 
+    try_parse_json returns NULL for malformed documents and
     try_variant_get returns NULL for missing paths/type mismatches —
-    the tolerant-extraction contract the reference's regex parser
-    establishes for malformed rows (ingest_logs.py:34-43)."""
+    together the tolerant-extraction contract the reference's regex
+    parser establishes for malformed rows (ingest_logs.py:34-43): a
+    dirty row yields NULL stats, never a failed query."""
     ev = load_table(spark, sf_dir, "events")
-    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "int")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")

@@ -220,25 +220,31 @@ def write_training_shards(
     docs: DataFrame, path: str, n_shards: int, salt: str = "epoch0:"
 ) -> None:
     """The pipeline's OUTPUT stage: write the corpus as ``n_shards``
-    globally-shuffled training shards. Shard assignment and intra-shard
-    order are both pure functions of (salt, doc_id) — the deterministic
-    epoch-order contract of doc_global_shuffle, materialized: a reader
-    streaming shard 0..N-1 sequentially sees exactly the salted-hash
-    global order, yet no global sort ever runs.
+    globally-shuffled training shards (Hive dirs ``_shard=0..N-1``).
+    Shard assignment and intra-shard order are both PURE functions of
+    (salt, doc_id): shard = hash-key DIV ceil(2³⁰/N) — fixed arithmetic
+    range-splitting, deliberately NOT repartitionByRange, whose sampled
+    boundaries depend on the run's reservoir sample and input layout
+    and would move boundary documents between shards across reruns.
+    Reading dirs 0..N-1 sequentially yields exactly the salted-hash
+    global order of doc_global_shuffle, yet no global sort ever runs.
 
-    Scale shape: repartitionByRange on the hash key (one range
-    shuffle — sampled boundaries, the same machinery as any sorted
-    write) + sortWithinPartitions; each shard writes independently.
-    Rerunning with the same salt reproduces byte-identical shard
-    membership — the property backfills and resumable training loops
-    need."""
+    Scale shape: one hash shuffle clustering each shard into one task
+    (so each ``_shard=`` dir gets one sorted file), per-shard
+    independent writes. Rerunning with the same salt reproduces
+    identical shard membership and order — the property backfills and
+    resumable training loops need. Shard sizes are balanced by the
+    uniformity of the md5 hash, not by sampling."""
     key = _hash_bucket(F.col("doc_id"), salt, 1 << 30)
+    width = -((1 << 30) // -n_shards)  # ceil; max shard id = n_shards-1
     (
         docs.withColumn("_shuffle_key", key)
-        .repartitionByRange(n_shards, "_shuffle_key", "doc_id")
-        .sortWithinPartitions("_shuffle_key", "doc_id")
+        .withColumn("_shard", F.expr(f"_shuffle_key DIV {width}"))
+        .repartition(n_shards, "_shard")
+        .sortWithinPartitions("_shard", "_shuffle_key", "doc_id")
         .drop("_shuffle_key")
         .write.mode("overwrite")
+        .partitionBy("_shard")
         .parquet(path)
     )
 

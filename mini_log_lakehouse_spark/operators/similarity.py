@@ -569,6 +569,62 @@ KMEANS_K = 8
 KMEANS_ITERS = 5
 
 
+def _sq_dists(mat: "np.ndarray", cents: "np.ndarray") -> "np.ndarray":
+    """(n, k) squared L2 distances — THE distance definition every
+    k-means stage shares (in-loop assignment, inertia, final report);
+    one body so the metric can never silently diverge between them."""
+    return ((mat[:, None, :].astype(np.float64) - cents[None, :, :]) ** 2).sum(
+        axis=2
+    )
+
+
+def kmeans_assign(
+    vectors: DataFrame,
+    cents: "np.ndarray",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append ``cluster`` (distance argmin, ties to the lowest index)
+    and ``dist_fixed`` (FIXED_POINT-quantized min squared distance) in
+    ONE Arrow pass — the distance tensor is the dominant cost of a
+    k-means sweep, so it is computed once and both outputs read it."""
+    import pyarrow as pa
+
+    schema = T.StructType(
+        vectors.schema.fields
+        + [
+            T.StructField("cluster", T.LongType()),
+            T.StructField("dist_fixed", T.LongType()),
+        ]
+    )
+
+    def run(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                cl = pa.array([], pa.int64())
+                df_ = pa.array([], pa.int64())
+            else:
+                mat = (
+                    batch.column(batch.schema.get_field_index(vec_col))
+                    .flatten()
+                    .to_numpy(zero_copy_only=False)
+                    .reshape(n, -1)
+                )
+                d = _sq_dists(mat, cents)
+                cl = pa.array(d.argmin(axis=1).astype(np.int64), pa.int64())
+                df_ = pa.array(
+                    np.floor(d.min(axis=1) * float(FIXED_POINT) + 0.5).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                )
+            yield batch.append_column("cluster", cl).append_column(
+                "dist_fixed", df_
+            )
+
+    return vectors.mapInArrow(run, schema=schema)
+
+
 def kmeans_fit(
     vectors: DataFrame,
     k: int = KMEANS_K,
@@ -588,65 +644,40 @@ def kmeans_fit(
       order-free), recorded per iteration.
 
     Scale split (the distributed-ML shape): each iteration is one
-    map-only assignment pass + one model-sized aggregate (k×dim rows);
-    only the k×dim centroid table ever reaches the driver — corpus
-    rows never do. Returns (assigned DataFrame, centroids ndarray,
-    inertia_micro history list)."""
+    map-only assignment pass + one model-sized aggregate (k×dim rows
+    for the centroid sums, k rows for the inertia); only the k×dim
+    centroid table ever reaches the driver — corpus rows never do.
+    Returns (assigned DataFrame, centroids ndarray, fixed-point inertia
+    history list)."""
     base = vectors.select(id_col, vec_col)
     init_rows = base.orderBy(id_col).limit(k).select(vec_col).collect()
     cents = np.array([list(r[0]) for r in init_rows], dtype=np.float64)
     inertia_hist: list[int] = []
     assigned = None
     for _ in range(iters):
-        c_now = cents.copy()
-
-        def assign_fn(mat, _c=c_now):
-            d = ((mat[:, None, :].astype(np.float64) - _c[None, :, :]) ** 2).sum(
-                axis=2
-            )
-            return d.argmin(axis=1)
-
-        assigned = _append_arrow_column(base, vec_col, "cluster", assign_fn)
-
-        def dist_fn(mat, _c=c_now):
-            d = ((mat[:, None, :].astype(np.float64) - _c[None, :, :]) ** 2).sum(
-                axis=2
-            ).min(axis=1)
-            return np.floor(d * float(FIXED_POINT) + 0.5).astype(np.int64)
-
-        with_dist = _append_arrow_column(
-            assigned, vec_col, "dist_fixed", dist_fn
+        assigned = kmeans_assign(base, cents, vec_col)
+        # cluster-grain inertia (k rows) rides a separate tiny aggregate
+        # so the dim-wide explode below doesn't replicate dist_fixed
+        inertia = (
+            assigned.agg(F.sum("dist_fixed").alias("d")).first()["d"] or 0
         )
-        # one aggregate: per-(cluster, pos) exact component sums AND the
-        # global inertia ride the same shuffled pass
         arr = F.col(vec_col).cast("array<double>")
-        ex = with_dist.select(
-            "cluster",
-            "dist_fixed",
-            F.posexplode(arr).alias("pos", "val"),
-        )
+        ex = assigned.select("cluster", F.posexplode(arr).alias("pos", "val"))
         fixed = F.floor(
             F.col("val") * F.lit(float(FIXED_POINT)) + F.lit(0.5)
         ).cast("long")
         stats = (
             ex.groupBy("cluster", "pos")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(fixed).alias("s"),
-                F.sum("dist_fixed").alias("d"),
-            )
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(fixed).alias("s"))
             .collect()
         )
         dim = cents.shape[1]
         new_cents = cents.copy()  # empty clusters keep their centroid
         counts = np.zeros(k, dtype=np.int64)
         sums = np.zeros((k, dim), dtype=np.int64)
-        inertia = 0
         for r in stats:
             sums[r["cluster"], r["pos"]] = r["s"]
             counts[r["cluster"]] = r["n"]
-            if r["pos"] == 0:
-                inertia += r["d"]
         for c in range(k):
             if counts[c] > 0:
                 new_cents[c] = sums[c].astype(np.float64) / (
@@ -662,29 +693,11 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-point inertia per cluster after KMEANS_ITERS Lloyd
     iterations. Rows-only for the gate (iterative); determinism,
     nearest-centroid consistency, and monotone objective are pinned in
-    tests."""
+    tests. Reported against the FINAL centroids (the last in-loop
+    assignment predates the last update)."""
     e = load_table(spark, sf_dir, "embeddings")
     _, cents, _ = kmeans_fit(e)
-
-    # report assignment AND distance against the FINAL centroids (the
-    # last in-loop assignment predates the last update)
-    def assign_fn(mat, _c=cents):
-        d = ((mat[:, None, :].astype(np.float64) - _c[None, :, :]) ** 2).sum(axis=2)
-        return d.argmin(axis=1)
-
-    def dist_fn(mat, _c=cents):
-        d = ((mat[:, None, :].astype(np.float64) - _c[None, :, :]) ** 2).sum(
-            axis=2
-        ).min(axis=1)
-        return np.floor(d * float(FIXED_POINT) + 0.5).astype(np.int64)
-
-    base = e.select("vec_id", "embedding")
-    final = _append_arrow_column(
-        _append_arrow_column(base, "embedding", "cluster", assign_fn),
-        "embedding",
-        "dist_fixed",
-        dist_fn,
-    )
+    final = kmeans_assign(e.select("vec_id", "embedding"), cents)
     return (
         final.groupBy("cluster")
         .agg(

@@ -592,13 +592,8 @@ def doc_sparse_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     posting = tf.join(idf, "token")
-    query = (
-        posting.filter(F.col("doc_id") == SPARSE_QUERY_DOC)
-        .select(
-            F.col("token"),
-            F.col("tf").alias("tf_q"),
-            F.col("idf_milli").alias("idf_q"),
-        )
+    query = posting.filter(F.col("doc_id") == SPARSE_QUERY_DOC).select(
+        "token", F.col("tf").alias("tf_q")
     )
     scored = (
         posting.filter(F.col("doc_id") != SPARSE_QUERY_DOC)

@@ -134,6 +134,10 @@ def stream_user_totals(
     ev = (
         source if source is not None else read_events_stream(spark, sf_dir)
     ).select("user_id", "event_type", "ts")
+    # nulls are excluded at the SOURCE: a (None,) group key would reach
+    # the fold and crash the int64 emit — the query must skip the rows,
+    # not die on them (same input-side filter as events_cms_user_counts)
+    ev = ev.filter(F.col("user_id").isNotNull())
     grouped = ev.groupBy("user_id")
     if state_v2_available():  # pragma: no cover - no protobuf in container
         out = grouped.transformWithStateInPandas(
@@ -169,11 +173,7 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     state. The single-file replay makes the emitted rows the per-user
     totals, so the oracle is a plain aggregate; multi-batch
     accumulation is covered by the two-file replay test."""
-    return (
-        stream_user_totals(spark, sf_dir)
-        .filter(F.col("user_id").isNotNull())
-        .orderBy("user_id")
-    )
+    return stream_user_totals(spark, sf_dir).orderBy("user_id")
 
 
 QUERIES = {

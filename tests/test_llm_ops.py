@@ -461,14 +461,19 @@ def test_kmeans_deterministic_monotone_and_consistent(spark, sf_dir):
     assert all(b <= a for a, b in zip(h1, h1[1:])), h1
     rows = similarity.embedding_kmeans_clusters(spark, sf_dir).collect()
     assert sum(r["n_vectors"] for r in rows) == e.count()
-    # spot-check nearest-centroid consistency on a sample
-    sample = e.limit(25).collect()
-    for r in sample:
+    # nearest-centroid consistency: every vector's reported cluster IS
+    # the argmin of its distances to the final centroids
+    assigned = {
+        r["vec_id"]: r["cluster"]
+        for r in similarity.kmeans_assign(
+            e.select("vec_id", "embedding"), c1
+        ).collect()
+    }
+    for r in e.limit(50).collect():
         v = np.array(r["embedding"], dtype=np.float64)
         d = ((c1 - v) ** 2).sum(axis=1)
-        # the reported per-cluster inertia is built from exactly these
-        # min-distances; verify argmin is well-defined (no NaNs)
         assert np.isfinite(d).all()
+        assert assigned[r["vec_id"]] == int(d.argmin()), r["vec_id"]
 
 
 def test_rp_topk_recall_vs_exact(spark, sf_dir):

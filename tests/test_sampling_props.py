@@ -327,16 +327,20 @@ def test_training_shards_cover_corpus_and_are_deterministic(spark, tmp_path):
     assert {r["doc_id"] for r in back.collect()} == {
         r["doc_id"] for r in docs.collect()
     }
-    # global order: reading files in shard order yields ascending hash
+    # global order: reading shard dirs 0..N-1 yields the salted order
     import os
 
-    files1 = sorted(
-        f for f in os.listdir(p1) if f.startswith("part-") and f.endswith(".parquet")
-    )
-    assert len(files1) == 4
+    def shard_dirs(p):
+        return sorted(
+            (d for d in os.listdir(p) if d.startswith("_shard=")),
+            key=lambda d: int(d.split("=")[1]),
+        )
+
+    dirs1 = shard_dirs(p1)
+    assert [int(d.split("=")[1]) for d in dirs1] == [0, 1, 2, 3]
     order = []
-    for f in files1:
-        rows = spark.read.parquet(os.path.join(p1, f)).collect()
+    for d in dirs1:
+        rows = spark.read.parquet(os.path.join(p1, d)).collect()
         order.extend(r["doc_id"] for r in rows)
     expected = [
         r["doc_id"]
@@ -347,13 +351,8 @@ def test_training_shards_cover_corpus_and_are_deterministic(spark, tmp_path):
         .collect()
     ]
     assert order == expected
-    # determinism across rewrites: match shards by INDEX (part file
-    # names embed a per-write UUID)
-    files2 = sorted(
-        f for f in os.listdir(p2) if f.startswith("part-") and f.endswith(".parquet")
-    )
-    for f1, f2 in zip(files1, files2):
-        assert f1.split("-")[1] == f2.split("-")[1]  # same shard index
-        a = [r["doc_id"] for r in spark.read.parquet(os.path.join(p1, f1)).collect()]
-        b = [r["doc_id"] for r in spark.read.parquet(os.path.join(p2, f2)).collect()]
+    # determinism across rewrites: same membership and order per shard
+    for d in dirs1:
+        a = [r["doc_id"] for r in spark.read.parquet(os.path.join(p1, d)).collect()]
+        b = [r["doc_id"] for r in spark.read.parquet(os.path.join(p2, d)).collect()]
         assert a == b
