@@ -124,11 +124,14 @@ _FIRST_WINDOW = (
     "streaming_user_totals",
     "ann_lsh_topk",
     "ann_ivf_topk",
-    # (4) implementation touched this round
+    # (4) implementation touched this round (top_customers_by_revenue
+    # rotated out: green r1/r2, bench-measured every round, and its
+    # round-4 change is warm-mode-only — the driver's cold correctness
+    # path is unchanged)
     "dedup_minhash_pairs",
     "doc_token_stats",
-    "top_customers_by_revenue",
     "events_hot_bucket_join",
+    "events_column_profile",
     # (2b) operators new this round, never driver-sampled: temperature
     # mixture sampling, domain capping, incremental cross-corpus dedup,
     # unigram-LM quality gate (all oracle-checked) and the BPE corpus

@@ -332,6 +332,61 @@ def user_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Columns profiled by events_column_profile; the integer ones also get
+#: min/max (other types' extrema are left NULL — cross-engine string
+#: formatting of doubles/timestamps is not canonical, and a profiler
+#: must never invent a lossy canonical form just to fill a cell).
+PROFILE_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+PROFILE_INT_COLS = ("event_id", "user_id")
+
+
+def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (the dbt-docs / Great-Expectations "describe"
+    shape): per column — row count, non-null count, exact distinct
+    count, and min/max for the integer columns. ONE aggregate pass
+    computes every column's stats, then a generated explode unpivots
+    the single row into per-column rows.
+
+    Scale note: the exact multi-column COUNT(DISTINCT) plans as an
+    Expand (one replicated stream per distinct column) — acceptable for
+    a profiling job you run per ingest batch; a continuous profiler
+    swaps in approx_count_distinct and the Expand disappears. That
+    trade is the HLL dial documented at approx_distinct_users."""
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"_nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"_nd_{c}"))
+    for c in PROFILE_INT_COLS:
+        aggs.append(F.min(c).cast("long").alias(f"_min_{c}"))
+        aggs.append(F.max(c).cast("long").alias(f"_max_{c}"))
+    one = ev.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col("_rows").cast("long").alias("n_rows"),
+            F.col(f"_nn_{c}").cast("long").alias("n_nonnull"),
+            F.col(f"_nd_{c}").cast("long").alias("n_distinct"),
+            (
+                F.col(f"_min_{c}")
+                if c in PROFILE_INT_COLS
+                else F.lit(None).cast("long")
+            ).alias("min_long"),
+            (
+                F.col(f"_max_{c}")
+                if c in PROFILE_INT_COLS
+                else F.lit(None).cast("long")
+            ).alias("max_long"),
+        )
+        for c in PROFILE_COLS
+    ]
+    return (
+        one.select(F.explode(F.array(*rows)).alias("s"))
+        .select("s.*")
+        .orderBy("column_name")
+    )
+
+
 def orders_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function battery on one per-priority value ranking:
     rank/dense_rank, the distribution functions (percent_rank,
@@ -425,7 +480,19 @@ _CMS_PROBES = " UNION ALL ".join(
     for r in range(CMS_DEPTH)
 )
 
+_PROFILE_SQL = " UNION ALL ".join(
+    f"""SELECT '{c}' AS column_name,
+               COUNT(*) AS n_rows,
+               CAST(COUNT({c}) AS BIGINT) AS n_nonnull,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               {f"CAST(MIN({c}) AS BIGINT)" if c in PROFILE_INT_COLS else "CAST(NULL AS BIGINT)"} AS min_long,
+               {f"CAST(MAX({c}) AS BIGINT)" if c in PROFILE_INT_COLS else "CAST(NULL AS BIGINT)"} AS max_long
+        FROM events"""
+    for c in PROFILE_COLS
+)
+
 ORACLES: dict[str, str] = {
+    "events_column_profile": f"SELECT * FROM ({_PROFILE_SQL}) ORDER BY column_name",
     "orders_window_battery": """
         SELECT o_orderpriority, o_orderkey, o_totalprice,
                rk, drk, pct_rank, cume_dist, quartile,
@@ -626,6 +693,7 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "events_cms_user_counts": events_cms_user_counts,
+    "events_column_profile": events_column_profile,
     "orders_window_battery": orders_window_battery,
     "user_hourly_gapfilled": user_hourly_gapfilled,
     "lakehouse_change_feed": lakehouse_change_feed,
