@@ -130,8 +130,9 @@ _FIRST_WINDOW = (
     # path is unchanged)
     "dedup_minhash_pairs",
     "doc_token_stats",
-    "events_hot_bucket_join",
     "events_column_profile",
+    # (events_hot_bucket_join rotated out: green r3, unchanged since)
+    "part_fuzzy_name_pairs",
     # (2b) operators new this round, never driver-sampled: temperature
     # mixture sampling, domain capping, incremental cross-corpus dedup,
     # unigram-LM quality gate (all oracle-checked) and the BPE corpus

@@ -108,6 +108,55 @@ def incremental_dedup(
     )
 
 
+#: Record-linkage edit-distance threshold.
+FUZZY_LEV_MAX = 4
+
+
+def fuzzy_name_pairs(
+    names: DataFrame,
+    name_col: str,
+    block_expr,
+    max_lev: int = FUZZY_LEV_MAX,
+) -> DataFrame:
+    """Entity resolution / record linkage by blocked edit distance:
+    candidate pairs come from equality on a cheap blocking key (never
+    all-pairs), then exact levenshtein ≤ ``max_lev`` verifies. The
+    blocked-then-verify split is the same architecture as every fuzzy
+    dedup tier in this module — blocking recall is the design dial
+    (a production linker ORs several blocking keys: first token,
+    soundex, char-ngram LSH)."""
+    blocked = names.select(
+        F.col(name_col).alias("_name"), block_expr.alias("_blk")
+    ).distinct()
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk"))
+            & (F.col("a._name") < F.col("b._name")),
+        )
+        .select(
+            F.col("a._name").alias("name_a"),
+            F.col("b._name").alias("name_b"),
+            F.levenshtein("a._name", "b._name").cast("long").alias("lev"),
+        )
+        .filter(F.col("lev") <= max_lev)
+    )
+
+
+def part_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: near-identical part names (blocked on the first
+    word, verified by levenshtein ≤ FUZZY_LEV_MAX). Matching runs at
+    DISTINCT-name grain — the scale discipline for linkage over a fact
+    table is to resolve the value dictionary (thousands of distinct
+    names), never the rows (billions), then join the verdicts back."""
+    p = load_table(spark, sf_dir, "part")
+    pairs = fuzzy_name_pairs(
+        p.select("p_name"), "p_name", F.split(F.col("p_name"), " ").getItem(0)
+    )
+    return pairs.orderBy("name_a", "name_b")
+
+
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental (cross-corpus) dedup: treat docs with doc_id % 10 == 0
     as the incoming batch and the rest as the already-ingested index;
@@ -1043,6 +1092,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_NORM_FP = "md5(lower(trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g'))))"
 
 ORACLES: dict[str, str] = {
+    "part_fuzzy_name_pairs": f"""
+        WITH names AS (SELECT DISTINCT p_name FROM part),
+        blocked AS (
+            SELECT p_name, split_part(p_name, ' ', 1) AS blk FROM names
+        )
+        SELECT a.p_name AS name_a,
+               b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev
+        FROM blocked a
+        JOIN blocked b ON a.blk = b.blk AND a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_LEV_MAX}
+        ORDER BY 1, 2
+    """,
     "dedup_incremental_batch": f"""
         WITH fps AS (
             SELECT doc_id, {_SQL_NORM_FP} AS fp FROM documents
@@ -1268,6 +1330,7 @@ ORACLES["dedup_simhash_pairs"] = f"""
 QUERIES = {
     "dedup_exact_summary": dedup_exact_summary,
     "dedup_incremental_batch": dedup_incremental_batch,
+    "part_fuzzy_name_pairs": part_fuzzy_name_pairs,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash_pairs": dedup_simhash_pairs,
