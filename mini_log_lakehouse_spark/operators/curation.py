@@ -87,7 +87,78 @@ def doc_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: a χ²-style statistic per source
+    comparing its language mix against the whole corpus — the "did this
+    crawl source change character" alarm of a continuously-ingesting
+    pipeline.
+
+    Exactness: the statistic is DEFINED as the sum of per-(source,
+    lang) micro-quantized terms — term = ⌊(o·N − n_s·c_l)²·10⁶ /
+    (N·n_s·c_l)⌋, i.e. (observed − expected)²/expected with expected =
+    n_s·c_l/N, cross-multiplied so every operation is decimal(38,0)
+    integer arithmetic (quantize-then-sum is the deterministic
+    composition; sum-then-quantize would need unbounded rationals).
+    Languages a source has zero docs in still contribute (o = 0 →
+    term = n_s·c_l·10⁶/N DIV …), so sparse sources read high — as a
+    drift alarm should.
+
+    Shape at 100 TB: one corpus scan to (source, lang) counts
+    (partial-agg'd), then everything is stratum-grain; the corpus
+    totals broadcast. Domain: the squared cross-product stays inside
+    decimal(38,0) for corpora to ~10⁷ docs; a larger corpus first
+    right-shifts the counts by a common power of two (the statistic is
+    scale-free), which the monitor would do before quantizing."""
+    d = load_table(spark, sf_dir, "documents")
+    sl = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("o"))
+    langs = sl.groupBy("lang").agg(F.sum("o").alias("c_l"))
+    sources = sl.groupBy("source").agg(F.sum("o").alias("n_s"))
+    total = sl.agg(F.sum("o").cast("decimal(38,0)").alias("n_total"))
+    # dense (source × lang) grid: zero-observed cells still contribute
+    grid = (
+        sources.crossJoin(F.broadcast(langs))
+        .join(sl, ["source", "lang"], "left")
+        .withColumn("o", F.coalesce("o", F.lit(0)))
+        .crossJoin(F.broadcast(total))
+    )
+    term = F.expr(
+        "CAST(((CAST(o AS DECIMAL(38,0)) * n_total - CAST(n_s AS DECIMAL(38,0)) * c_l)"
+        " * (CAST(o AS DECIMAL(38,0)) * n_total - CAST(n_s AS DECIMAL(38,0)) * c_l)"
+        " * 1000000)"
+        " DIV (n_total * CAST(n_s AS DECIMAL(38,0)) * c_l) AS LONG)"
+    )
+    return (
+        grid.select("source", F.col("n_s").cast("long").alias("n_docs"), term.alias("_t"))
+        .groupBy("source", "n_docs")
+        .agg(F.sum("_t").cast("long").alias("chi2_micro"))
+        .orderBy("source")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "source_lang_drift": """
+        WITH sl AS (
+            SELECT source, lang, COUNT(*) AS o FROM documents GROUP BY 1, 2
+        ), langs AS (SELECT lang, SUM(o) AS c_l FROM sl GROUP BY 1),
+        sources AS (SELECT source, SUM(o) AS n_s FROM sl GROUP BY 1),
+        total AS (SELECT CAST(SUM(o) AS HUGEINT) AS n_total FROM sl),
+        grid AS (
+            SELECT s.source, l.lang, s.n_s, l.c_l, COALESCE(x.o, 0) AS o
+            FROM sources s CROSS JOIN langs l
+            LEFT JOIN sl x ON x.source = s.source AND x.lang = l.lang
+        )
+        SELECT g.source,
+               CAST(g.n_s AS BIGINT) AS n_docs,
+               CAST(SUM(
+                   ((CAST(g.o AS HUGEINT) * t.n_total - CAST(g.n_s AS HUGEINT) * g.c_l)
+                    * (CAST(g.o AS HUGEINT) * t.n_total - CAST(g.n_s AS HUGEINT) * g.c_l)
+                    * 1000000)
+                   // (t.n_total * CAST(g.n_s AS HUGEINT) * g.c_l)
+               ) AS BIGINT) AS chi2_micro
+        FROM grid g CROSS JOIN total t
+        GROUP BY 1, 2
+        ORDER BY 1
+    """,
     # Every fragment is shared with the oracle of the operator it came
     # from (split CASE, PII alternation pattern, normalization, rounded
     # quality score), so a change to any individual operator's semantics
@@ -113,4 +184,5 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "doc_curation_summary": doc_curation_summary,
+    "source_lang_drift": source_lang_drift,
 }
