@@ -99,6 +99,62 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session funnel: how many SESSIONS (gaps-and-islands, the
+    user_sessions definition — boundaries computed over ALL events)
+    contain signup → click → purchase in strict time order. The
+    composition of the two analytics primitives this module and
+    operators/sessions.py provide — and the more honest conversion
+    metric than the lifetime funnel, since cross-session ordering says
+    little about a flow.
+
+    Shape: the session-id prefix sum is the one event-grain window
+    (same as user_sessions); everything after is session-grain."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    from pyspark.sql.window import Window as W
+
+    from mini_log_lakehouse_spark.operators.sessions import SESSION_GAP_MINUTES
+
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    new_s = F.when(gap.isNull() | (gap > SESSION_GAP_MINUTES * 60), 1).otherwise(0)
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = ev.withColumn("_sid", F.sum(new_s).over(run))
+    firsts = (
+        sess.filter(F.col("event_type").isin(*FUNNEL_STEPS))
+        .groupBy("user_id", "_sid")
+        .pivot("event_type", list(FUNNEL_STEPS))
+        .agg(F.min("ts"))
+    )
+    reached_prev = F.lit(True)
+    out_cols = []
+    for i, step in enumerate(FUNNEL_STEPS):
+        cond = F.col(step).isNotNull()
+        if i > 0:
+            cond = cond & (F.col(step) > F.col(FUNNEL_STEPS[i - 1])) & reached_prev
+        reached_prev = cond
+        out_cols.append(cond.cast("long").alias(f"_r{i}"))
+    agg = firsts.select(*out_cols).agg(
+        *[
+            F.coalesce(F.sum(f"_r{i}"), F.lit(0)).alias(f"_s{i}")
+            for i in range(len(FUNNEL_STEPS))
+        ]
+    )
+    rows = [
+        F.struct(
+            F.lit(i + 1).cast("long").alias("step_order"),
+            F.lit(step).alias("step"),
+            F.col(f"_s{i}").cast("long").alias("sessions_reached"),
+        )
+        for i, step in enumerate(FUNNEL_STEPS)
+    ]
+    return (
+        agg.select(F.explode(F.array(*rows)).alias("s"))
+        .select("s.step_order", "s.step", "s.sessions_reached")
+        .orderBy("step_order")
+    )
+
+
 def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type activity trend: the least-squares slope of daily
     event counts over the day index — the "is this error type growing"
@@ -181,6 +237,51 @@ ORACLES: dict[str, str] = {
         )
         ORDER BY step_order
     """,
+    "session_funnel": """
+        WITH evs AS (
+            SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE user_id IS NOT NULL
+        ), diffs AS (
+            SELECT user_id, event_type, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM evs
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), ids AS (
+            SELECT user_id, event_type, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM diffs
+        ), firsts AS (
+            SELECT user_id, sid,
+                   MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+                   MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+            FROM ids
+            WHERE event_type IN ('signup', 'click', 'purchase')
+            GROUP BY 1, 2
+        ), reached AS (
+            SELECT
+                CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END AS r0,
+                CASE WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
+                          AND t_click > t_signup THEN 1 ELSE 0 END AS r1,
+                CASE WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
+                          AND t_click > t_signup AND t_purchase IS NOT NULL
+                          AND t_purchase > t_click THEN 1 ELSE 0 END AS r2
+            FROM firsts
+        )
+        SELECT step_order, step, sessions_reached FROM (
+            SELECT CAST(1 AS BIGINT) AS step_order, 'signup' AS step,
+                   CAST(COALESCE(SUM(r0), 0) AS BIGINT) AS sessions_reached
+            FROM reached
+            UNION ALL
+            SELECT 2, 'click', CAST(COALESCE(SUM(r1), 0) AS BIGINT) FROM reached
+            UNION ALL
+            SELECT 3, 'purchase', CAST(COALESCE(SUM(r2), 0) AS BIGINT) FROM reached
+        )
+        ORDER BY step_order
+    """,
     # Integer division: Spark DIV and DuckDB // both truncate toward
     # zero (verified on negative operands), so a negative slope
     # quantizes identically.
@@ -230,5 +331,6 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "events_funnel": events_funnel,
     "events_retention_cohorts": events_retention_cohorts,
+    "session_funnel": session_funnel,
     "events_daily_trend": events_daily_trend,
 }
