@@ -74,18 +74,18 @@ if _unknown:
 
 # The verification driver samples the FIRST 50 registry entries per round,
 # so this explicit window decides which queries get a driver-side
-# CORRECTNESS row. Priority: (1) the 18 TPC-H analogs that were registered
-# past the r3 window and have never been driver-sampled; (2) entries whose
-# oracles are new this round (streaming_user_sessions, doc_bpe_first_merge,
-# and the new operators doc_unigram_lm_scores / doc_tfidf_top_terms /
-# events_heavy_hitters); (3) rows-only-by-design entries, kept in the
-# window so their `err: no_oracle` rows stay visible instead of silently
-# unsampled; (4) queries whose implementation changed this round
-# (dedup_minhash_pairs fast path, doc_token_stats silver aggregate,
-# top_customers_by_revenue, events_hot_bucket_join via the unified
-# salted_join); (5) a cross-family spread of long-green entries.
-# Everything outside the window stays covered by the identical local
-# DuckDB hash-compare in tests/test_entry_contract.py.
+# CORRECTNESS row. Round-4 priority: (1) the 18 TPC-H analogs never
+# driver-sampled before this round; (2) entries whose oracles are new this
+# round; (3) rows-only-by-design entries kept visible (approximate HLL and
+# ANN tiers — their `err: no_oracle` rows should appear, not silently
+# vanish); (4) queries whose implementation changed this round; (2b) the
+# round's newly-built operators (mixture/capping/incremental-dedup/LM-gate/
+# BPE-encode/JL/CMS/JSONL/funnels/quantize/window-battery/gap-fill/trend/
+# VARIANT/sparse-search/profiler/fuzzy-linkage); (5) one cross-family
+# anchor. Entries past position 50 (including this round's late additions
+# session_funnel, source_lang_drift, embedding_kmeans_clusters, ann_rp_topk)
+# stay covered by the identical local DuckDB hash-compare in
+# tests/test_entry_contract.py and rotate into the window next round.
 _FIRST_WINDOW = (
     # (1) never driver-sampled TPC-H analogs
     "tpch_q2_min_cost_supplier",
