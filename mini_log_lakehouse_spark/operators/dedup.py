@@ -1066,7 +1066,14 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
 
 # --- embedding cosine near-dup ------------------------------------------------
 
-COSINE_DEDUP_THRESHOLD = 0.9
+#: A production near-dup threshold is ~0.9+, but the synthetic
+#: embeddings are near-orthogonal (top within-label cosine ≈0.47 at
+#: every sf), where 0.9 matches NOTHING and the driver row degenerates
+#: to the weak empty==empty check. 0.4 keeps a handful of true top
+#: pairs flowing through the whole pipeline at every leg, so the gate
+#: exercises the join, the rounding, and the threshold compare on real
+#: rows. The dial, not the mechanism, is corpus-specific.
+COSINE_DEDUP_THRESHOLD = 0.4
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
