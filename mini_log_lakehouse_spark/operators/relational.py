@@ -311,6 +311,24 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join against a FILTERED build side (NOT EXISTS with a
+    correlated predicate): customers who never placed a 1-URGENT order.
+    The unfiltered anti-join twin (customers_without_orders) is empty on
+    this data — correct, and kept as the empty-result probe — so this
+    variant is the one that proves the anti-join emits the RIGHT rows,
+    not just no wrong ones."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
 def nation_customer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-outer join preserving empty nations; COUNT(col) null semantics."""
     n = load_table(spark, sf_dir, "nation")
@@ -482,6 +500,27 @@ def setop_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.subtract(s).orderBy("nationkey")
+
+
+def setop_except_all_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference): customer nation keys minus
+    supplier nation keys BY MULTIPLICITY — each key survives
+    max(0, customers − suppliers) times, summarized per key. The bag
+    semantics EXCEPT DISTINCT cannot express (and the nonempty
+    complement of setop_except_nations, whose distinct form is empty on
+    this data — every nation has both)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return (
+        c.exceptAll(s)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("surplus"))
+        .orderBy("nationkey")
+    )
 
 
 # --- classic multi-join shapes (TPC-H Q3/Q4/Q5 analogs) ---------------------
@@ -1401,6 +1440,14 @@ ORACLES: dict[str, str] = {
         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         ORDER BY c_custkey
     """,
+    "customers_without_urgent_orders": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+        )
+        ORDER BY c_custkey
+    """,
     "nation_customer_counts": """
         SELECT n.n_name, COUNT(c.c_custkey) AS customers
         FROM nation n
@@ -1472,6 +1519,15 @@ ORACLES: dict[str, str] = {
         EXCEPT
         SELECT s_nationkey FROM supplier
         ORDER BY nationkey
+    """,
+    "setop_except_all_nation_keys": """
+        SELECT nationkey, COUNT(*) AS surplus FROM (
+            SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT ALL
+            SELECT s_nationkey FROM supplier
+        )
+        GROUP BY 1
+        ORDER BY 1
     """,
     "orders_rollup_status_priority": """
         SELECT o_orderstatus, o_orderpriority,
@@ -1859,6 +1915,7 @@ QUERIES = {
     "top_customers_by_revenue": top_customers_by_revenue,
     "customers_with_orders": customers_with_orders,
     "customers_without_orders": customers_without_orders,
+    "customers_without_urgent_orders": customers_without_urgent_orders,
     "nation_customer_counts": nation_customer_counts,
     "orders_with_prompt_lines": orders_with_prompt_lines,
     "top3_customers_per_nation": top3_customers_per_nation,
@@ -1869,6 +1926,7 @@ QUERIES = {
     "setop_union_nations": setop_union_nations,
     "setop_intersect_nations": setop_intersect_nations,
     "setop_except_nations": setop_except_nations,
+    "setop_except_all_nation_keys": setop_except_all_nation_keys,
     "orders_rollup_status_priority": orders_rollup_status_priority,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
     "tpch_q4_order_priority": tpch_q4_order_priority,
