@@ -545,3 +545,50 @@ def test_bpe_encode_matches_reference(spark, sf_dir):
     )
     total_toks = sum(r["n_bpe_tokens"] for r in got.values())
     assert 0 < total_toks < total_chars
+
+
+def test_fuzzy_pairs_complete_within_blocks(spark):
+    """fuzzy_name_pairs must emit EVERY within-block pair at or under
+    the threshold (blocking bounds recall, verification must not lose
+    candidates), no cross-block pairs, and exact levenshtein values."""
+    from pyspark.sql import functions as F
+
+    from mini_log_lakehouse_spark.operators.dedup import fuzzy_name_pairs
+
+    names = [
+        "red widget", "red wadget", "red gizmo",
+        "blue bolt", "blue boat", "blue bolts",
+        "green ring",
+    ]
+    df = spark.createDataFrame([(n,) for n in names], ["name"])
+    got = {
+        (r["name_a"], r["name_b"]): r["lev"]
+        for r in fuzzy_name_pairs(
+            df, "name", F.split(F.col("name"), " ").getItem(0), max_lev=2
+        ).collect()
+    }
+
+    def lev(a, b):
+        import numpy as np
+
+        d = np.zeros((len(a) + 1, len(b) + 1), dtype=int)
+        d[:, 0] = range(len(a) + 1)
+        d[0, :] = range(len(b) + 1)
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                d[i, j] = min(
+                    d[i - 1, j] + 1,
+                    d[i, j - 1] + 1,
+                    d[i - 1, j - 1] + (a[i - 1] != b[j - 1]),
+                )
+        return int(d[len(a), len(b)])
+
+    expected = {}
+    for i, a in enumerate(sorted(names)):
+        for b in sorted(names)[i + 1 :]:
+            if a.split(" ")[0] == b.split(" ")[0] and lev(a, b) <= 2:
+                expected[(a, b)] = lev(a, b)
+    assert got == expected, (got, expected)
+    assert ("red wadget", "red widget") in got  # substitution
+    assert ("blue bolt", "blue bolts") in got   # insertion
+    assert not any(a.split()[0] != b.split()[0] for a, b in got)
