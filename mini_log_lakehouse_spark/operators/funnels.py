@@ -204,6 +204,54 @@ def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+#: Anomaly threshold in σ, squared (|deviation| > ANOM_SIGMA·σ flags).
+ANOM_SIGMA_SQ = 4
+
+
+def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily anomaly detection per event type — the "which days spiked"
+    monitor completing the trend (events_daily_trend) and drift
+    (source_lang_drift) trio — with the z-score test done ENTIRELY in
+    integers so the oracle is exact: with D days, per-type total T and
+    daily count c, the scaled deviation dev = c·D − T satisfies
+    |dev| > kσ·D  ⟺  dev²·D > k²·Σdev² (σ² = Σdev²/D — population
+    variance of the scaled counts), so the flag is one integer
+    cross-multiplication; no sqrt, no float, no engine can disagree.
+
+    Shape: event grain collapses to (type, day) counts in the first
+    aggregate; the variance terms are type-grain. Emits only the
+    flagged (type, day) rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_type = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("d_days"),
+        F.sum("c").alias("t_total"),
+    )
+    dev = F.col("c") * F.col("d_days") - F.col("t_total")
+    with_dev = daily.join(per_type, "event_type").withColumn(
+        "dev", dev.cast("long")
+    )
+    ss = with_dev.groupBy("event_type").agg(
+        F.sum(F.col("dev") * F.col("dev")).alias("sum_dev_sq")
+    )
+    return (
+        with_dev.join(ss, "event_type")
+        .filter(
+            F.col("dev") * F.col("dev") * F.col("d_days")
+            > F.lit(ANOM_SIGMA_SQ) * F.col("sum_dev_sq")
+        )
+        .select(
+            "event_type",
+            "day",
+            F.col("c").cast("long").alias("n_events"),
+            "dev",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
 _DAY = "CAST(CAST(ts AS TIMESTAMP) AS DATE)"
 
 ORACLES: dict[str, str] = {
@@ -236,6 +284,28 @@ ORACLES: dict[str, str] = {
             SELECT 3, 'purchase', CAST(COALESCE(SUM(r2), 0) AS BIGINT) FROM reached
         )
         ORDER BY step_order
+    """,
+    "events_daily_anomalies": f"""
+        WITH daily AS (
+            SELECT event_type, {_DAY} AS day, COUNT(*) AS c
+            FROM events GROUP BY 1, 2
+        ), per_type AS (
+            SELECT event_type, COUNT(*) AS d_days, SUM(c) AS t_total
+            FROM daily GROUP BY 1
+        ), devs AS (
+            SELECT d.event_type, d.day, d.c, p.d_days,
+                   CAST(d.c * p.d_days - p.t_total AS BIGINT) AS dev
+            FROM daily d JOIN per_type p USING (event_type)
+        ), ss AS (
+            SELECT event_type, SUM(dev * dev) AS sum_dev_sq
+            FROM devs GROUP BY 1
+        )
+        SELECT v.event_type, v.day,
+               CAST(v.c AS BIGINT) AS n_events,
+               v.dev
+        FROM devs v JOIN ss USING (event_type)
+        WHERE v.dev * v.dev * v.d_days > {ANOM_SIGMA_SQ} * ss.sum_dev_sq
+        ORDER BY 1, 2
     """,
     "session_funnel": """
         WITH evs AS (
@@ -333,4 +403,5 @@ QUERIES = {
     "events_retention_cohorts": events_retention_cohorts,
     "session_funnel": session_funnel,
     "events_daily_trend": events_daily_trend,
+    "events_daily_anomalies": events_daily_anomalies,
 }
