@@ -1,6 +1,7 @@
-"""Similarity search over the ``embeddings`` table (array<float>, dim 64).
+"""Similarity search and embedding ops over the ``embeddings`` table
+(array<float>, dim 64).
 
-Three tiers, per the scale plan:
+Search tiers, per the scale plan (plus the embedding toolbox below):
 
 1. **Brute-force cosine top-k** (baseline, oracle-checked): broadcast the
    query vector(s), one map pass computes similarities with built-in
@@ -20,6 +21,13 @@ Three tiers, per the scale plan:
    queries probe the nprobe nearest cells and rerank exactly. The
    data-adaptive counterpart to tier 3's data-oblivious hyperplanes;
    recall measured against tier-1 in tests.
+5. **Two-stage reduced-space ANN** (scale path, rows-only): coarse scan
+   in a JL-projected space sized from a measured recall curve, exact
+   rerank of the candidate set only.
+
+Embedding toolbox: JL random projection (exact fixed-point GEMM,
+oracle-checked), per-label centroids, symmetric int8 quantization, and
+distributed Lloyd's k-means (bit-reproducible fixed-point updates).
 """
 
 from __future__ import annotations
