@@ -71,6 +71,36 @@ def doc_frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty scoring in corpus order: per document, how many of its
+    distinct n-grams appear here FIRST (no lower doc_id contains them)
+    — the "is this document new information or a remix" curation
+    signal; a streaming ingest computes the same thing against the
+    accumulated gram index (cf. dedup.incremental_dedup at gram grain).
+
+    Shape: first-occurrence attribution is one min-aggregate over the
+    distinct (gram, doc_id) pairs — gram-grain, the same shuffle the
+    boilerplate queries already pay; counts stay integers (consumers
+    divide, same discipline as doc_boilerplate_share)."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(token_shingles(F.col("text"), N_GRAM)).alias("gram"),
+    ).distinct()
+    first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first_seen, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("distinct_grams"),
+            F.sum(
+                (F.col("doc_id") == F.col("first_doc")).cast("long")
+            ).alias("novel_grams"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def doc_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source boilerplate exposure: of all n-gram positions in a
     source's documents, how many are corpus-frequent grams. Counts stay
@@ -180,6 +210,20 @@ ORACLES: dict[str, str] = {
         ORDER BY n_docs DESC, gram
         LIMIT {TOP_N}
     """,
+    "doc_ngram_novelty": f"""
+        WITH grams AS (
+            SELECT DISTINCT doc_id, gram FROM ({_SQL_GRAMS})
+        ), first_seen AS (
+            SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY 1
+        )
+        SELECT g.doc_id,
+               COUNT(*) AS distinct_grams,
+               CAST(SUM(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                    AS BIGINT) AS novel_grams
+        FROM grams g JOIN first_seen f USING (gram)
+        GROUP BY 1
+        ORDER BY 1
+    """,
     "doc_boilerplate_share": f"""
         WITH grams AS ({_SQL_GRAMS}),
         frequent AS (
@@ -199,5 +243,6 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "doc_frequent_ngrams": doc_frequent_ngrams,
+    "doc_ngram_novelty": doc_ngram_novelty,
     "doc_boilerplate_share": doc_boilerplate_share,
 }
