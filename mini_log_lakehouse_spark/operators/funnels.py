@@ -204,6 +204,31 @@ def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over each user's event
+    sequence: (event_type → next event_type) frequencies, the
+    sufficient statistic for sequence models over the log (next-action
+    prediction, anomaly-flow detection). Ordering is (ts, event_id) so
+    simultaneous events have a deterministic successor; each user's
+    final event has no successor and is excluded.
+
+    Shape at 100 TB: one window pass per user partition (lead, no
+    frame state beyond a row) feeding a 25-row aggregate — the
+    transition matrix is |types|², never data-sized."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("event_type").over(w)
+    return (
+        ev.select("user_id", "event_type", nxt.alias("next_type"))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("transitions"))
+        .orderBy("event_type", "next_type")
+    )
+
+
 #: Anomaly threshold in σ, squared (|deviation| > ANOM_SIGMA·σ flags).
 ANOM_SIGMA_SQ = 4
 
@@ -284,6 +309,20 @@ ORACLES: dict[str, str] = {
             SELECT 3, 'purchase', CAST(COALESCE(SUM(r2), 0) AS BIGINT) FROM reached
         )
         ORDER BY step_order
+    """,
+    "event_transition_counts": """
+        SELECT event_type, next_type, COUNT(*) AS transitions FROM (
+            SELECT event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ) AS next_type
+            FROM events
+            WHERE user_id IS NOT NULL
+        )
+        WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+        ORDER BY 1, 2
     """,
     "events_daily_anomalies": f"""
         WITH daily AS (
@@ -404,4 +443,5 @@ QUERIES = {
     "session_funnel": session_funnel,
     "events_daily_trend": events_daily_trend,
     "events_daily_anomalies": events_daily_anomalies,
+    "event_transition_counts": event_transition_counts,
 }
