@@ -300,6 +300,25 @@ def events_hour_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_hour_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the wide crosstab of events_hour_pivot back to
+    tidy (event_type, hour_bucket, n) rows via DataFrame.unpivot — the
+    round trip proves PIVOT/UNPIVOT are inverses up to the declared
+    value domain. Map-only over the (tiny) wide table; the cost is the
+    pivot that produced it."""
+    wide = events_hour_pivot(spark, sf_dir)
+    buckets = [f"h{b:02d}" for b in (0, 4, 8, 12, 16, 20)]
+    return (
+        wide.unpivot(
+            ids=["event_type"],
+            values=buckets,
+            variableColumnName="hour_bucket",
+            valueColumnName="n",
+        )
+        .orderBy("event_type", "hour_bucket")
+    )
+
+
 def grouping_sets_status_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (neither pure ROLLUP nor CUBE): totals by
     (status), by (priority), and grand total — one pass, three grains."""
@@ -629,6 +648,25 @@ ORACLES: dict[str, str] = {
         GROUP BY 1
         ORDER BY 1
     """,
+    "events_hour_unpivot": """
+        WITH b AS (
+            SELECT event_type,
+                   CAST(FLOOR(CAST(strftime(CAST(ts AS TIMESTAMP), '%H') AS INT) / 4) * 4 AS INT) AS h
+            FROM events
+        ), counts AS (
+            SELECT event_type, h, COUNT(*) AS n FROM b GROUP BY 1, 2
+        ), grid AS (
+            SELECT t.event_type, v.h
+            FROM (SELECT DISTINCT event_type FROM events) t
+            CROSS JOIN (VALUES (0), (4), (8), (12), (16), (20)) v(h)
+        )
+        SELECT g.event_type,
+               'h' || lpad(CAST(g.h AS VARCHAR), 2, '0') AS hour_bucket,
+               CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        FROM grid g
+        LEFT JOIN counts c ON c.event_type = g.event_type AND c.h = g.h
+        ORDER BY 1, 2
+    """,
     "events_hour_pivot": """
         WITH b AS (
             SELECT event_type,
@@ -694,6 +732,7 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "events_cms_user_counts": events_cms_user_counts,
     "events_column_profile": events_column_profile,
+    "events_hour_unpivot": events_hour_unpivot,
     "orders_window_battery": orders_window_battery,
     "user_hourly_gapfilled": user_hourly_gapfilled,
     "lakehouse_change_feed": lakehouse_change_feed,
