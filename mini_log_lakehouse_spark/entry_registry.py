@@ -163,6 +163,12 @@ if _missing:
     raise ValueError(f"_FIRST_WINDOW names unknown queries: {_missing}")
 if len(set(_FIRST_WINDOW)) != len(_FIRST_WINDOW):
     raise ValueError("_FIRST_WINDOW has duplicates")
+# the driver samples EXACTLY the first 50 — an unbalanced rotation that
+# silently pushes the tail past position 50 must fail at import time
+if len(_FIRST_WINDOW) != 50:
+    raise ValueError(
+        f"_FIRST_WINDOW must hold exactly 50 names, has {len(_FIRST_WINDOW)}"
+    )
 
 QUERIES = {n: QUERIES[n] for n in _FIRST_WINDOW} | {
     n: f for n, f in QUERIES.items() if n not in set(_FIRST_WINDOW)

@@ -307,11 +307,12 @@ def events_hour_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     value domain. Map-only over the (tiny) wide table; the cost is the
     pivot that produced it."""
     wide = events_hour_pivot(spark, sf_dir)
-    buckets = [f"h{b:02d}" for b in (0, 4, 8, 12, 16, 20)]
+    # values=None melts every non-id column — the bucket domain stays
+    # defined ONCE, in the pivot
     return (
         wide.unpivot(
             ids=["event_type"],
-            values=buckets,
+            values=None,
             variableColumnName="hour_bucket",
             valueColumnName="n",
         )
@@ -499,11 +500,18 @@ _CMS_PROBES = " UNION ALL ".join(
     for r in range(CMS_DEPTH)
 )
 
+def _profile_expr(c: str) -> str:
+    # ts needs the defensive CAST every events oracle uses: a
+    # TIMESTAMP(NANOS) flavor would otherwise count ns-distinct values
+    # while Spark counts the µs-normalized ones
+    return f"CAST({c} AS TIMESTAMP)" if c == "ts" else c
+
+
 _PROFILE_SQL = " UNION ALL ".join(
     f"""SELECT '{c}' AS column_name,
                COUNT(*) AS n_rows,
-               CAST(COUNT({c}) AS BIGINT) AS n_nonnull,
-               COUNT(DISTINCT {c}) AS n_distinct,
+               CAST(COUNT({_profile_expr(c)}) AS BIGINT) AS n_nonnull,
+               COUNT(DISTINCT {_profile_expr(c)}) AS n_distinct,
                {f"CAST(MIN({c}) AS BIGINT)" if c in PROFILE_INT_COLS else "CAST(NULL AS BIGINT)"} AS min_long,
                {f"CAST(MAX({c}) AS BIGINT)" if c in PROFILE_INT_COLS else "CAST(NULL AS BIGINT)"} AS max_long
         FROM events"""

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mini_log_lakehouse_spark.operators.sessions import sql_session_ids_cte
 from mini_log_lakehouse_spark.sources.registry import load_table
 
 #: Ordered funnel steps (event_type values of the testdata domain).
@@ -109,20 +110,15 @@ def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     little about a flow.
 
     Shape: the session-id prefix sum is the one event-grain window
-    (same as user_sessions); everything after is session-grain."""
+    (same as user_sessions — literally: with_session_ids IS the shared
+    definition); everything after is session-grain."""
+    from mini_log_lakehouse_spark.operators.sessions import with_session_ids
+
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    from pyspark.sql.window import Window as W
-
-    from mini_log_lakehouse_spark.operators.sessions import SESSION_GAP_MINUTES
-
-    w = W.partitionBy("user_id").orderBy("ts")
-    gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
-    new_s = F.when(gap.isNull() | (gap > SESSION_GAP_MINUTES * 60), 1).otherwise(0)
-    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-    sess = ev.withColumn("_sid", F.sum(new_s).over(run))
+    sess = with_session_ids(ev.select("user_id", "event_type", "ts"))
     firsts = (
         sess.filter(F.col("event_type").isin(*FUNNEL_STEPS))
-        .groupBy("user_id", "_sid")
+        .groupBy("user_id", "session_id")
         .pivot("event_type", list(FUNNEL_STEPS))
         .agg(F.min("ts"))
     )
@@ -258,13 +254,18 @@ def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_dev = daily.join(per_type, "event_type").withColumn(
         "dev", dev.cast("long")
     )
+    # squared terms in decimal(38,0): dev ~ c·D fits a long, but dev²
+    # and Σdev² wrap int64 silently at the operator's own claimed scale
+    # (1e7 events/day over a year → Σdev² ~ 3e20 > 2⁶³); the oracle's
+    # SUM promotes to HUGEINT, so the Spark side must widen too
+    dev_sq = F.col("dev").cast("decimal(38,0)") * F.col("dev")
     ss = with_dev.groupBy("event_type").agg(
-        F.sum(F.col("dev") * F.col("dev")).alias("sum_dev_sq")
+        F.sum(dev_sq).alias("sum_dev_sq")
     )
     return (
         with_dev.join(ss, "event_type")
         .filter(
-            F.col("dev") * F.col("dev") * F.col("d_days")
+            dev_sq * F.col("d_days")
             > F.lit(ANOM_SIGMA_SQ) * F.col("sum_dev_sq")
         )
         .select(
@@ -346,24 +347,13 @@ ORACLES: dict[str, str] = {
         WHERE v.dev * v.dev * v.d_days > {ANOM_SIGMA_SQ} * ss.sum_dev_sq
         ORDER BY 1, 2
     """,
-    "session_funnel": """
-        WITH evs AS (
-            SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
-            FROM events WHERE user_id IS NOT NULL
-        ), diffs AS (
-            SELECT user_id, event_type, ts,
-                   CASE WHEN lag(ts) OVER w IS NULL
-                             OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
-                        THEN 1 ELSE 0 END AS new_s
-            FROM evs
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-        ), ids AS (
-            SELECT user_id, event_type, ts,
-                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS sid
-            FROM diffs
-        ), firsts AS (
-            SELECT user_id, sid,
+    # the session-id CTEs are the SHARED fragment from operators.sessions
+    # (one SQL definition, in lockstep with with_session_ids and
+    # parameterized by SESSION_GAP_MINUTES — no second copy to drift)
+    "session_funnel": f"""
+        WITH {sql_session_ids_cte(extra_cols=", event_type", where="user_id IS NOT NULL")}
+        , firsts AS (
+            SELECT user_id, session_id AS sid,
                    MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
                    MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
                    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase

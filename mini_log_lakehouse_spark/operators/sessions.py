@@ -21,6 +21,37 @@ from mini_log_lakehouse_spark.sources.registry import load_table
 SESSION_GAP_MINUTES = 30
 
 
+def with_session_ids(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = SESSION_GAP_MINUTES,
+) -> DataFrame:
+    """THE gaps-and-islands session-id definition, shared by every
+    consumer (sessionize, funnels.session_funnel; the streaming twin
+    folds the same rule in µs): events plus a per-user ``session_id``.
+
+    The gap compares MICROSECOND epochs (unix_micros), exactly matching
+    the oracle's timestamp-interval comparison and the streaming
+    sessionizer's µs state. (An earlier form compared second-truncated
+    casts, which agrees with the exact rule only while no per-user gap
+    lands inside the 1-second truncation window around the boundary —
+    true of current testdata, but a regenerated corpus could flip it.)"""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(
+        F.lag(F.col(ts_col)).over(w)
+    )
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > gap_minutes * 60 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(user_col).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return events.withColumn("__new", new_session).withColumn(
+        "session_id", F.sum("__new").over(run).cast("long")
+    ).drop("__new")
+
+
 def sessionize(
     events: DataFrame,
     user_col: str = "user_id",
@@ -28,17 +59,7 @@ def sessionize(
     gap_minutes: int = SESSION_GAP_MINUTES,
 ) -> DataFrame:
     """Per-session rows: (user, session_id, start, end, n_events)."""
-    w = Window.partitionBy(user_col).orderBy(ts_col)
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col)).over(w).cast("long")
-    new_session = F.when(
-        gap.isNull() | (gap > gap_minutes * 60), F.lit(1)
-    ).otherwise(F.lit(0))
-    run = Window.partitionBy(user_col).orderBy(ts_col).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    with_ids = events.withColumn("__new", new_session).withColumn(
-        "session_id", F.sum("__new").over(run).cast("long")
-    )
+    with_ids = with_session_ids(events, user_col, ts_col, gap_minutes)
     return (
         with_ids.groupBy(user_col, "session_id")
         .agg(
@@ -70,12 +91,21 @@ def user_session_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SESSIONS_SQL = f"""
-    WITH e AS (
-        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+def sql_session_ids_cte(extra_cols: str = "", where: str = "TRUE") -> str:
+    """The session-id rule as reusable SQL CTEs (``e``→``flagged``→
+    ``ids``), in lockstep with with_session_ids — every oracle that
+    needs session boundaries interpolates THIS, so the gap rule exists
+    in exactly two places (one Spark, one SQL), both parameterized by
+    SESSION_GAP_MINUTES. ``extra_cols`` carries additional event
+    columns through (e.g. ``, event_type``); ``where`` pre-filters the
+    event rows (session boundaries are computed AFTER the filter)."""
+    return f"""
+    e AS (
+        SELECT user_id{extra_cols}, CAST(ts AS TIMESTAMP) AS ts FROM events
+        WHERE {where}
     ),
     flagged AS (
-        SELECT user_id, ts,
+        SELECT user_id{extra_cols}, ts,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MINUTES} MINUTE
                     THEN 1 ELSE 0 END AS new_s
@@ -83,13 +113,17 @@ _SESSIONS_SQL = f"""
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ),
     ids AS (
-        SELECT user_id, ts,
+        SELECT user_id{extra_cols}, ts,
                CAST(SUM(new_s) OVER (
                    PARTITION BY user_id ORDER BY ts
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS BIGINT) AS session_id
         FROM flagged
-    )
+    )"""
+
+
+_SESSIONS_SQL = f"""
+    WITH {sql_session_ids_cte()}
     SELECT user_id, session_id,
            MIN(ts) AS session_start,
            MAX(ts) AS session_end,
