@@ -149,6 +149,17 @@ def bench_spark(spark, sf_dir: str, iters: int, warmup: int):
     return results, cold
 
 
+#: DuckDB gets the SAME steady-state discipline as Spark at every leg:
+#: 2 warm-ups (page cache + its own plan cache) and median of >=5 timed
+#: iterations. Round-3/4 artifacts showed sub-second baselines swinging
+#: up to 16x between rounds (errors_by_type sf10: 0.350s vs 0.022s) when
+#: the scaled legs timed DuckDB with 1 warmup / 3 iters while Spark got
+#: 2 / 3 — the ratio columns oscillated for baseline reasons, not Spark
+#: reasons.
+BASELINE_WARMUP = 2
+BASELINE_MIN_ITERS = 5
+
+
 def bench_duckdb(sf_dir: str, names, iters: int = ITERS) -> dict[str, float]:
     import duckdb
 
@@ -166,9 +177,29 @@ def bench_duckdb(sf_dir: str, names, iters: int = ITERS) -> dict[str, float]:
         if name not in ORACLES or name in BASELINE_SKIP:
             continue
         sql = ORACLES[name]
-        out[name] = round(time_fn(lambda: con.execute(sql).fetchall(), iters=iters), 4)
+        out[name] = round(
+            time_fn(
+                lambda: con.execute(sql).fetchall(),
+                warmup=BASELINE_WARMUP,
+                iters=max(BASELINE_MIN_ITERS, iters),
+            ),
+            4,
+        )
     con.close()
     return out
+
+
+def _with_ratios(leg: dict) -> dict:
+    """Attach per-query spark/duckdb ratios + the total ratio over the
+    baseline-covered subset, so the 2x check is direct in the artifact."""
+    qs, base = leg["queries"], leg["baseline"]
+    leg["ratios"] = {
+        n: round(qs[n] / base[n], 2) for n in qs if base.get(n)
+    }
+    covered = [n for n in qs if base.get(n)]
+    bt = sum(base[n] for n in covered)
+    leg["ratio_total"] = round(sum(qs[n] for n in covered) / bt, 2) if bt else None
+    return leg
 
 
 def scaled_leg(spark, sf_dir: str, sf: float, factor: int) -> dict:
@@ -184,24 +215,33 @@ def scaled_leg(spark, sf_dir: str, sf: float, factor: int) -> dict:
     # measurably pressure storage memory by the 100x leg).
     release_corpus_caches(spark)
     results, cold = bench_spark(spark, scaled_dir, ITERS_SCALED, WARMUP_SCALED)
-    return {
-        "factor": factor,
-        "sf": round(sf * factor, 4),
-        "value": round(sum(results.values()), 4),
-        "queries": results,
-        "queries_cold": cold,
-        "baseline": bench_duckdb(scaled_dir, HEADLINE, iters=ITERS_SCALED),
-        "iters": ITERS_SCALED,
-    }
+    return _with_ratios(
+        {
+            "factor": factor,
+            "sf": round(sf * factor, 4),
+            "value": round(sum(results.values()), 4),
+            "queries": results,
+            "queries_cold": cold,
+            "baseline": bench_duckdb(scaled_dir, HEADLINE, iters=ITERS_SCALED),
+            "iters": ITERS_SCALED,
+        }
+    )
 
 
-def _compact(full: dict) -> dict:
+def _compact(full: dict, keep_ratios: bool = False) -> dict:
     """2-decimal summary of a leg payload with per-query baselines folded
-    to a total — the printed line must fit the driver's stdout tail."""
+    to a total — the printed line must fit the driver's ~2000-char stdout
+    tail (exceeding it cuts the FRONT of the JSON line and breaks
+    parsing). Per-query ratios ride the compact line only for the leg the
+    2x bar is judged on (the largest); every leg keeps ratio_total, and
+    BENCH_DETAIL.json holds everything."""
     out = {}
     for k, v in full.items():
         if k == "baseline":
             out["baseline_total"] = round(sum(v.values()), 2)
+        elif k == "ratios":
+            if keep_ratios:
+                out[k] = v
         elif k in ("queries", "queries_cold"):
             out[k] = {q: round(t, 2) for q, t in v.items()}
         elif k == "value":
@@ -221,16 +261,18 @@ def main() -> None:
 
     results, cold = bench_spark(spark, sf_dir, ITERS, WARMUP)
 
-    payload = {
-        "metric": "headline_query_median_total",
-        "value": round(sum(results.values()), 4),
-        "unit": "sec",
-        "queries": results,
-        "queries_cold": cold,
-        "sf": sf,
-        "baseline": bench_duckdb(sf_dir, HEADLINE),
-        "iters": ITERS,
-    }
+    payload = _with_ratios(
+        {
+            "metric": "headline_query_median_total",
+            "value": round(sum(results.values()), 4),
+            "unit": "sec",
+            "queries": results,
+            "queries_cold": cold,
+            "sf": sf,
+            "baseline": bench_duckdb(sf_dir, HEADLINE),
+            "iters": ITERS,
+        }
+    )
 
     if SCALE_FACTOR > 1:
         payload["scaled"] = scaled_leg(spark, sf_dir, sf, SCALE_FACTOR)
@@ -244,9 +286,9 @@ def main() -> None:
         json.dump(payload, fh, indent=1)
 
     compact = _compact(payload)
-    for leg in ("scaled", "scaled_100"):
-        if leg in compact:
-            compact[leg] = _compact(compact[leg])
+    legs = [leg for leg in ("scaled", "scaled_100") if leg in compact]
+    for leg in legs:
+        compact[leg] = _compact(compact[leg], keep_ratios=(leg == legs[-1]))
     compact["detail"] = "BENCH_DETAIL.json"
     print(json.dumps(compact, separators=(",", ":")))
     spark.stop()

@@ -74,88 +74,82 @@ if _unknown:
 
 # The verification driver samples the FIRST 50 registry entries per round,
 # so this explicit window decides which queries get a driver-side
-# CORRECTNESS row. Round-4 priority: (1) the 18 TPC-H analogs never
-# driver-sampled before this round; (2) entries whose oracles are new this
-# round; (3) rows-only-by-design entries kept visible (approximate HLL and
-# ANN tiers — their `err: no_oracle` rows should appear, not silently
-# vanish); (4) queries whose implementation changed this round; (2b) the
-# round's newly-built operators (mixture/capping/incremental-dedup/LM-gate/
-# BPE-encode/JL/CMS/JSONL/funnels/quantize/window-battery/gap-fill/trend/
-# VARIANT/sparse-search/profiler/fuzzy-linkage); (5) one cross-family
-# anchor. Entries past position 50 (including this round's late additions
-# session_funnel, source_lang_drift, embedding_kmeans_clusters, ann_rp_topk)
-# stay covered by the identical local DuckDB hash-compare in
-# tests/test_entry_contract.py and rotate into the window next round.
+# CORRECTNESS row. Round-5 priority (VERDICT r4 asks 1+3): (1) the 13
+# entries never driver-sampled in r1-r4 — they landed past position 50
+# last round; with these, every registry entry has been sampled at least
+# once; (2) the round-4 red row, re-verified after the oracle type fix
+# (values matched; DuckDB HUGEINT vs Spark int64 tripped the hash);
+# (3) entries whose oracle or implementation changed this round —
+# embedding_kmeans_clusters and streaming_hourly_fact_p95 moved from
+# rows-only to hash-checked (integer-lattice kmeans restated as unrolled
+# CTEs; p95's exact-sketch rank restated as an order statistic),
+# props_variant_stats gained tolerant-JSON oracle semantics,
+# dedup_embedding_cosine's threshold became an explicit call-site dial;
+# (4) operators NEW this round; (5) rows-only-by-design entries kept
+# visible (their `err: no_oracle` rows should appear, not silently
+# vanish); (6) cross-family anchors (bench-measured every round);
+# (7) backfill from the multi-round-green pool. Everything past position
+# 50 stays covered by the identical local DuckDB hash-compare in
+# tests/test_entry_contract.py.
 _FIRST_WINDOW = (
-    # (1) never driver-sampled TPC-H analogs
-    "tpch_q2_min_cost_supplier",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
+    # (1) never driver-sampled before this round
+    "session_funnel",
+    "events_daily_anomalies",
+    "event_transition_counts",
+    "events_hour_unpivot",
+    "customers_without_urgent_orders",
+    "setop_except_all_nation_keys",
+    "source_lang_drift",
+    "events_zorder_pruned",
+    "doc_frequent_ngrams",
+    "doc_ngram_novelty",
+    "doc_boilerplate_share",
+    "embedding_kmeans_clusters",
+    "ann_rp_topk",
+    # (2) round-4 red row, oracle type fixed
+    "tpch_q12_late_shipment_priority",
+    # (3) oracle/implementation changed this round
+    "streaming_hourly_fact_p95",
+    "props_variant_stats",
+    "dedup_embedding_cosine",
+    "doc_token_stats",
+    # (4) operators new this round (names swap in as each lands; until
+    # then these slots hold extra multi-round-green backfill)
+    "user_state_scd2",
+    "user_cooccurrence_triangles",
+    "events_bigram_lm_scores",
     "tpch_q10_returned_items",
     "tpch_q11_important_parts",
-    "tpch_q12_late_shipment_priority",
-    "tpch_q13_customer_distribution",
     "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
     "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_quantity_revenue",
     "tpch_q18_large_orders",
     "tpch_q19_disjunctive_revenue",
-    "tpch_q20_excess_stock_suppliers",
-    "tpch_q21_waiting_orders",
     "tpch_q22_lapsed_customers",
-    # (2) oracles new this round
-    "streaming_user_sessions",
-    "doc_bpe_first_merge",
-    "doc_unigram_lm_scores",
-    "doc_tfidf_top_terms",
-    "events_heavy_hitters",
-    "embedding_label_centroids",
-    "lakehouse_change_feed",
-    # (3) rows-only by design — keep their no_oracle rows visible
-    # (doc_bpe_merge_table rotated out in favor of doc_sparse_search:
-    # it collected rows-only driver rows in r1-r3 and its closed-form
-    # first iteration is oracle-checked via doc_bpe_first_merge)
-    "approx_distinct_users",
-    # streaming_hourly_fact_p95 rotated out (rows-only; had its r3 row)
-    # for the oracle-checked state-v2 counters:
-    "streaming_user_totals",
+    # (5) rows-only by design — keep the no_oracle rows visible
     "ann_lsh_topk",
     "ann_ivf_topk",
-    # (4) implementation touched this round (top_customers_by_revenue
-    # rotated out: green r1/r2, bench-measured every round, and its
-    # round-4 change is warm-mode-only — the driver's cold correctness
-    # path is unchanged)
-    "dedup_minhash_pairs",
-    "doc_token_stats",
-    "events_column_profile",
-    # (events_hot_bucket_join rotated out: green r3, unchanged since)
-    "part_fuzzy_name_pairs",
-    # (2b) operators new this round, never driver-sampled: temperature
-    # mixture sampling, domain capping, incremental cross-corpus dedup,
-    # unigram-LM quality gate (all oracle-checked) and the BPE corpus
-    # encoder (rows-only: iterative merge table; token-for-token local
-    # behavioral test instead)
-    "doc_lang_mixture",
-    "doc_domain_cap",
-    "dedup_incremental_batch",
-    "doc_lm_quality_gate",
     "doc_bpe_encode",
+    # (6) cross-family anchors (bench-measured every round)
+    "ann_knn_join",
+    "dedup_minhash_pairs",
+    # (7) backfill: multi-round-green pool, rotated for freshness
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q20_excess_stock_suppliers",
+    "tpch_q21_waiting_orders",
+    "streaming_user_sessions",
+    "streaming_user_totals",
+    "dedup_incremental_batch",
+    "doc_lang_mixture",
+    "doc_lm_quality_gate",
+    "doc_sparse_search",
     "embedding_random_projection",
     "events_cms_user_counts",
-    "documents_jsonl_roundtrip",
     "events_funnel",
-    "events_retention_cohorts",
-    "embedding_int8_quantize",
     "orders_window_battery",
-    "user_hourly_gapfilled",
-    "events_daily_trend",
-    "props_variant_stats",
-    "doc_sparse_search",
-    # (5) cross-family anchor (also bench-measured every round)
-    "ann_knn_join",
 )
 
 _missing = [n for n in _FIRST_WINDOW if n not in QUERIES]

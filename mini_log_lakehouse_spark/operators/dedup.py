@@ -1066,22 +1066,28 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
 
 # --- embedding cosine near-dup ------------------------------------------------
 
-#: A production near-dup threshold is ~0.9+, but the synthetic
-#: embeddings are near-orthogonal (top within-label cosine ≈0.47 at
-#: every sf), where 0.9 matches NOTHING and the driver row degenerates
-#: to the weak empty==empty check. 0.4 keeps a handful of true top
-#: pairs flowing through the whole pipeline at every leg, so the gate
-#: exercises the join, the rounding, and the threshold compare on real
-#: rows. The dial, not the mechanism, is corpus-specific.
-COSINE_DEDUP_THRESHOLD = 0.4
+#: Library default: the production near-dup bar. Callers tune per
+#: corpus via the ``threshold`` parameter — benchmark dials must never
+#: leak into library semantics.
+COSINE_DEDUP_THRESHOLD = 0.9
+
+#: Driver-query dial ONLY: the synthetic embeddings are near-orthogonal
+#: (top within-label cosine ≈0.47 at every sf), where the production
+#: 0.9 matches NOTHING and the driver row degenerates to the weak
+#: empty==empty check. 0.4 keeps a handful of true top pairs flowing
+#: through the whole pipeline at every leg, so the gate exercises the
+#: join, the rounding, and the threshold compare on real rows. Passed
+#: explicitly at the call site below; the library default stays 0.9.
+_GATE_COSINE_THRESHOLD = 0.4
 
 
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_cosine_pairs(
+    e: DataFrame, threshold: float = COSINE_DEDUP_THRESHOLD
+) -> DataFrame:
     """Blocked exact near-dup: pairs within the same ``label`` block with
     cosine ≥ threshold. Blocking bounds the quadratic term to block sizes
     (at scale, blocks come from LSH/IVF assignment — see
     operators/similarity.py); within-block compare is exact."""
-    e = load_table(spark, sf_dir, "embeddings")
     a = e.select(F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("emb_a"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("label"), F.col("embedding").alias("emb_b"))
     sim = cosine(F.col("emb_a"), F.col("emb_b"))
@@ -1089,9 +1095,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, ["label"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("label", "id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= COSINE_DEDUP_THRESHOLD)
+        .filter(F.col("cos_sim") >= threshold)
         .orderBy("label", "id_a", "id_b")
     )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: cosine near-dup pairs at the corpus-specific gate
+    dial (see _GATE_COSINE_THRESHOLD); the library default is 0.9."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(e, threshold=_GATE_COSINE_THRESHOLD)
 
 
 #: Normalized-fingerprint SQL — must stay in lockstep with
@@ -1144,7 +1157,7 @@ ORACLES: dict[str, str] = {
           ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE ROUND(list_cosine_similarity(
                   CAST(a.embedding AS DOUBLE[]),
-                  CAST(b.embedding AS DOUBLE[])), 6) >= {COSINE_DEDUP_THRESHOLD}
+                  CAST(b.embedding AS DOUBLE[])), 6) >= {_GATE_COSINE_THRESHOLD}
         ORDER BY a.label, id_a, id_b
     """,
 }

@@ -440,13 +440,24 @@ ORACLES: dict[str, str] = {
         ORDER BY k
     """,
     "props_variant_stats": """
+        -- tolerant-extraction parity with Spark's try_parse_json /
+        -- try_variant_get: malformed JSON or a non-integer k must yield
+        -- NULL, never an error, so the json_valid guard + TRY_CAST
+        -- mirror the advertised NULL semantics on dirty corpora
+        WITH kv AS (
+            SELECT event_type,
+                   CASE WHEN json_valid(props)
+                        THEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
+                   END AS k
+            FROM events
+        )
         SELECT event_type,
                COUNT(*) AS n_events,
-               CAST(COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS n_with_k,
-               CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS min_k,
-               CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS max_k,
-               CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
-        FROM events
+               CAST(COUNT(k) AS BIGINT) AS n_with_k,
+               CAST(MIN(k) AS BIGINT) AS min_k,
+               CAST(MAX(k) AS BIGINT) AS max_k,
+               CAST(SUM(k) AS BIGINT) AS sum_k
+        FROM kv
         GROUP BY 1
         ORDER BY event_type
     """,

@@ -278,6 +278,158 @@ def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type-2 build from the event log: treat
+    each user's event_type as their current state and emit one
+    validity-interval row per state CHANGE — (state, valid_from,
+    valid_to, version, is_current), the lakehouse dimension-history
+    shape (Kimball SCD2; Delta MERGE pipelines build exactly this
+    table). Consecutive repeats of the same state collapse into one
+    interval; ordering is (ts, event_id) so simultaneous events have a
+    deterministic succession.
+
+    Shape at 100 TB: two window passes over the SAME (user_id ×
+    (ts, event_id)) sort — Catalyst reuses the one shuffle+sort for
+    lag, lead and row_number; output is change-grain, far below event
+    grain."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("_prev", F.lag("event_type").over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("event_type")))
+    )
+    return (
+        changes.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.row_number().over(w).cast("long").alias("version"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .orderBy("user_id", "version")
+    )
+
+
+#: Users co-occurring in at least this many distinct (date, hour)
+#: buckets form an edge of the co-occurrence graph. At 100 TB the
+#: threshold is the sparsifier: it bounds edges per bucket and keeps
+#: the triangle join linear in wedges, the same role it plays here.
+COOC_MIN_SHARED = 3
+
+
+def user_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user triangle counts over the user co-occurrence graph — the
+    canonical distributed-graph benchmark (community density / bot-ring
+    detection on interaction logs), expressed as pure joins:
+
+    1. bucket-join: users sharing ≥ COOC_MIN_SHARED distinct
+       (date, hour) activity buckets become an undirected edge, stored
+       once as u < v (the orientation that kills double counting);
+    2. wedge-close: edges ⋈ edges on the middle vertex enumerates
+       ordered wedges a<b<c, and a semi-join-shaped third edge match
+       closes them into triangles;
+    3. each triangle credits all three vertices.
+
+    Shape at 100 TB: the bucket self-join is quadratic ONLY within a
+    bucket (the threshold and bucket granularity bound it); the
+    triangle join is edges×avg-degree wedges — the standard
+    node-ordered triangle enumeration that never materializes the
+    unordered 6× duplication."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    ub = ev.select(
+        "user_id", F.to_date("ts").alias("d"), F.hour("ts").alias("h")
+    ).distinct()
+    a, b = ub.alias("a"), ub.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= COOC_MIN_SHARED)
+        .select("u", "v")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("va"),
+            F.col("e1.v").alias("vb"),
+            F.col("e2.v").alias("vc"),
+        )
+    )
+    verts = (
+        tri.select(F.col("va").alias("user_id"))
+        .unionAll(tri.select(F.col("vb").alias("user_id")))
+        .unionAll(tri.select(F.col("vc").alias("user_id")))
+    )
+    return (
+        verts.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        .orderBy("user_id")
+    )
+
+
+def events_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram (first-order Markov) LM scoring of each user's event
+    sequence against the corpus transition model — the sequence twin of
+    textstats.doc_unigram_lm_scores ("how typical is this user's
+    behavior"), with the same float-free discipline: the only division
+    is the exact half-up _ratio6 quantization.
+
+    Shape at 100 TB: transitions come from one window pass; the corpus
+    model is |types|² rows (here 25) — always broadcastable — so the
+    scoring join is map-only, and the per-user aggregate is the single
+    real shuffle."""
+    from pyspark.sql.window import Window as W
+
+    from mini_log_lakehouse_spark.operators.textstats import _ratio6
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+    )
+    corpus = tr.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_user = (
+        tr.join(F.broadcast(corpus), ["event_type", "next_type"])
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_transitions"),
+            F.sum(F.col("c").cast("decimal(38,0)")).alias("mass"),
+            F.min("c").cast("long").alias("min_transition_count"),
+            F.countDistinct("event_type", "next_type")
+            .cast("long")
+            .alias("n_distinct_transitions"),
+        )
+    )
+    return per_user.select(
+        "user_id",
+        "n_transitions",
+        _ratio6("mass", "n_transitions").alias("avg_transition_freq"),
+        "min_transition_count",
+        "n_distinct_transitions",
+    ).orderBy("user_id")
+
+
 _DAY = "CAST(CAST(ts AS TIMESTAMP) AS DATE)"
 
 ORACLES: dict[str, str] = {
@@ -427,6 +579,87 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+ORACLES["user_state_scd2"] = """
+    WITH e AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+        FROM events WHERE user_id IS NOT NULL
+    ), ch AS (
+        SELECT user_id, event_type, ts, event_id FROM (
+            SELECT user_id, event_type, ts, event_id,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+            FROM e
+        ) WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id,
+           event_type AS state,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS BIGINT) AS version,
+           (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+               AS is_current
+    FROM ch
+    ORDER BY user_id, version
+"""
+
+ORACLES["user_cooccurrence_triangles"] = f"""
+    WITH ub AS (
+        SELECT DISTINCT user_id,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+               EXTRACT(HOUR FROM CAST(ts AS TIMESTAMP)) AS h
+        FROM events WHERE user_id IS NOT NULL
+    ), edges AS (
+        SELECT a.user_id AS u, b.user_id AS v
+        FROM ub a JOIN ub b ON a.d = b.d AND a.h = b.h AND a.user_id < b.user_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {COOC_MIN_SHARED}
+    ), tri AS (
+        SELECT e1.u AS va, e1.v AS vb, e2.v AS vc
+        FROM edges e1
+        JOIN edges e2 ON e1.v = e2.u
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), verts AS (
+        SELECT va AS user_id FROM tri
+        UNION ALL SELECT vb FROM tri
+        UNION ALL SELECT vc FROM tri
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM verts GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["events_bigram_lm_scores"] = """
+    WITH e AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+        FROM events WHERE user_id IS NOT NULL
+    ), tr AS (
+        SELECT user_id, event_type, next_type FROM (
+            SELECT user_id, event_type,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS next_type
+            FROM e
+        ) WHERE next_type IS NOT NULL
+    ), corpus AS (
+        SELECT event_type, next_type, COUNT(*) AS c FROM tr GROUP BY 1, 2
+    ), pu AS (
+        SELECT t.user_id,
+               COUNT(*) AS n_transitions,
+               SUM(c.c) AS mass,
+               MIN(c.c) AS min_c,
+               COUNT(DISTINCT t.event_type || '->' || t.next_type) AS n_distinct
+        FROM tr t JOIN corpus c USING (event_type, next_type)
+        GROUP BY 1
+    )
+    SELECT user_id,
+           CAST(n_transitions AS BIGINT) AS n_transitions,
+           CAST((CAST(mass AS HUGEINT) * 2000000 + n_transitions)
+                // (2 * n_transitions) AS DOUBLE) / 1000000 AS avg_transition_freq,
+           CAST(min_c AS BIGINT) AS min_transition_count,
+           CAST(n_distinct AS BIGINT) AS n_distinct_transitions
+    FROM pu
+    ORDER BY user_id
+"""
+
 QUERIES = {
     "events_funnel": events_funnel,
     "events_retention_cohorts": events_retention_cohorts,
@@ -434,4 +667,7 @@ QUERIES = {
     "events_daily_trend": events_daily_trend,
     "events_daily_anomalies": events_daily_anomalies,
     "event_transition_counts": event_transition_counts,
+    "user_state_scd2": user_state_scd2,
+    "user_cooccurrence_triangles": user_cooccurrence_triangles,
+    "events_bigram_lm_scores": events_bigram_lm_scores,
 }

@@ -577,13 +577,27 @@ KMEANS_K = 8
 KMEANS_ITERS = 5
 
 
-def _sq_dists(mat: "np.ndarray", cents: "np.ndarray") -> "np.ndarray":
-    """(n, k) squared L2 distances — THE distance definition every
-    k-means stage shares (in-loop assignment, inertia, final report);
-    one body so the metric can never silently diverge between them."""
-    return ((mat[:, None, :].astype(np.float64) - cents[None, :, :]) ** 2).sum(
-        axis=2
+def _quantize_mat(mat: "np.ndarray") -> "np.ndarray":
+    """Float matrix -> FIXED_POINT q-space int64 (floor(v*FP + 0.5)),
+    the same quantization the SQL oracle applies — so both engines walk
+    the identical integer lattice."""
+    return np.floor(mat.astype(np.float64) * float(FIXED_POINT) + 0.5).astype(
+        np.int64
     )
+
+
+def _sq_dists(qmat: "np.ndarray", cents: "np.ndarray") -> "np.ndarray":
+    """(n, k) EXACT squared L2 distances between int64 q-space vectors
+    — THE distance definition every k-means stage shares (in-loop
+    assignment, inertia, final report); one body so the metric can
+    never silently diverge between them. Pure int64 (||q||^2 - 2 q.c +
+    ||c||^2): no float rounding, so DuckDB can reproduce every distance
+    bit-for-bit. Magnitude bound: d * (2 * FP * max|v|)^2 per entry —
+    ~1e14 for unit-scale dim-64 embeddings, far inside int64."""
+    qq = (qmat * qmat).sum(axis=1)
+    cc = (cents * cents).sum(axis=1)
+    qc = qmat @ cents.T
+    return qq[:, None] - 2 * qc + cc[None, :]
 
 
 def kmeans_assign(
@@ -592,9 +606,10 @@ def kmeans_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Append ``cluster`` (distance argmin, ties to the lowest index)
-    and ``dist_fixed`` (FIXED_POINT-quantized min squared distance) in
-    ONE Arrow pass — the distance tensor is the dominant cost of a
-    k-means sweep, so it is computed once and both outputs read it."""
+    and ``dist_fixed`` (EXACT int64 squared distance in q-space) in ONE
+    Arrow pass — the distance tensor is the dominant cost of a k-means
+    sweep, so it is computed once and both outputs read it. ``cents``
+    must be int64 q-space centroids (see ``_quantize_mat``)."""
     import pyarrow as pa
 
     schema = T.StructType(
@@ -618,14 +633,9 @@ def kmeans_assign(
                     .to_numpy(zero_copy_only=False)
                     .reshape(n, -1)
                 )
-                d = _sq_dists(mat, cents)
+                d = _sq_dists(_quantize_mat(mat), cents)
                 cl = pa.array(d.argmin(axis=1).astype(np.int64), pa.int64())
-                df_ = pa.array(
-                    np.floor(d.min(axis=1) * float(FIXED_POINT) + 0.5).astype(
-                        np.int64
-                    ),
-                    pa.int64(),
-                )
+                df_ = pa.array(d.min(axis=1).astype(np.int64), pa.int64())
             yield batch.append_column("cluster", cl).append_column(
                 "dist_fixed", df_
             )
@@ -640,69 +650,159 @@ def kmeans_fit(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ):
-    """Distributed Lloyd's k-means with deterministic everything:
+    """Distributed INTEGER-LATTICE Lloyd's k-means, deterministic and
+    exact end to end — every quantity (vectors, centroids, distances,
+    inertia) lives on the FIXED_POINT int64 lattice:
 
-    - **init**: the k lowest-id vectors (reproducible, no RNG);
-    - **assignment**: per-Arrow-batch numpy distance argmin (map-only;
-      ties break to the lowest cluster index);
-    - **update**: per-(cluster, dimension) means via the FIXED_POINT
-      exact-sum discipline — shuffle order can never wiggle a centroid
-      bit, so runs are bit-reproducible end to end;
-    - **objective**: inertia accumulated as fixed-point longs (exact,
-      order-free), recorded per iteration.
+    - **init**: the k lowest-id vectors, quantized (reproducible, no
+      RNG);
+    - **assignment**: per-Arrow-batch int64 distance argmin (map-only;
+      ties break to the lowest cluster index) — exact, no float;
+    - **update**: new centroid = componentwise round-half-up of the
+      cluster mean back onto the lattice, floor((2·S + n) / (2·n)) in
+      pure integer arithmetic. The rounded mean is the OPTIMAL lattice
+      point (the objective is separable quadratic), and the previous
+      centroid is also a lattice point, so Lloyd monotonicity is
+      preserved;
+    - **objective**: inertia accumulated as exact int64 sums,
+      recorded per iteration.
 
-    Scale split (the distributed-ML shape): each iteration is one
-    map-only assignment pass + one model-sized aggregate (k×dim rows
-    for the centroid sums, k rows for the inertia); only the k×dim
-    centroid table ever reaches the driver — corpus rows never do.
-    Returns (assigned DataFrame, centroids ndarray, fixed-point inertia
-    history list)."""
+    Because no step involves a float operation whose rounding an
+    engine could disagree on, the ENTIRE fit is restatable as unrolled
+    SQL — ``kmeans_oracle_sql()`` generates the DuckDB equivalent and
+    the driver hash-checks the final clustering.
+
+    Scale split (the distributed-ML shape): each iteration is ONE
+    corpus pass — a map-only assignment fused with a single
+    model-sized aggregate (k×dim rows carrying centroid sums AND the
+    inertia, the latter counted only at pos==0 so the dim-wide explode
+    doesn't replicate it); only the k×dim model ever reaches the
+    driver — corpus rows never do.
+    Returns (assigned DataFrame, int64 q-space centroids ndarray,
+    exact inertia history list)."""
     base = vectors.select(id_col, vec_col)
     init_rows = base.orderBy(id_col).limit(k).select(vec_col).collect()
-    cents = np.array([list(r[0]) for r in init_rows], dtype=np.float64)
+    cents = _quantize_mat(np.array([list(r[0]) for r in init_rows], dtype=np.float64))
     inertia_hist: list[int] = []
     assigned = None
     for _ in range(iters):
         assigned = kmeans_assign(base, cents, vec_col)
-        # cluster-grain inertia (k rows) rides a separate tiny aggregate
-        # so the dim-wide explode below doesn't replicate dist_fixed
-        inertia = (
-            assigned.agg(F.sum("dist_fixed").alias("d")).first()["d"] or 0
-        )
         arr = F.col(vec_col).cast("array<double>")
-        ex = assigned.select("cluster", F.posexplode(arr).alias("pos", "val"))
+        ex = assigned.select(
+            "cluster",
+            "dist_fixed",
+            F.posexplode(arr).alias("pos", "val"),
+        )
         fixed = F.floor(
             F.col("val") * F.lit(float(FIXED_POINT)) + F.lit(0.5)
         ).cast("long")
+        dist_once = F.when(F.col("pos") == 0, F.col("dist_fixed")).otherwise(
+            F.lit(0)
+        )
         stats = (
             ex.groupBy("cluster", "pos")
-            .agg(F.count(F.lit(1)).alias("n"), F.sum(fixed).alias("s"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(fixed).alias("s"),
+                F.sum(dist_once).alias("d"),
+            )
             .collect()
         )
+        inertia = sum(int(r["d"]) for r in stats)
         dim = cents.shape[1]
         new_cents = cents.copy()  # empty clusters keep their centroid
-        counts = np.zeros(k, dtype=np.int64)
-        sums = np.zeros((k, dim), dtype=np.int64)
         for r in stats:
-            sums[r["cluster"], r["pos"]] = r["s"]
-            counts[r["cluster"]] = r["n"]
-        for c in range(k):
-            if counts[c] > 0:
-                new_cents[c] = sums[c].astype(np.float64) / (
-                    float(counts[c]) * float(FIXED_POINT)
-                )
+            c, pos = r["cluster"], r["pos"]
+            s, n = int(r["s"]), int(r["n"])
+            # round-half-up(s / n) on the lattice; Python // floors,
+            # matching the oracle's (a - pmod(a, b)) // b idiom exactly
+            new_cents[c, pos] = (2 * s + n) // (2 * n)
         inertia_hist.append(int(inertia))
         cents = new_cents
     return assigned, cents, inertia_hist
 
 
+def kmeans_oracle_sql(
+    k: int = KMEANS_K, iters: int = KMEANS_ITERS, fp: int = FIXED_POINT
+) -> str:
+    """Generate the unrolled DuckDB restatement of the full
+    integer-lattice k-means fit + final per-cluster report: quantize ->
+    (assign -> update) × iters -> final assign -> group. Every
+    arithmetic step is integer-exact in both engines, so the hash gate
+    can check an ITERATIVE ML fit end to end. fdiv(a, b) below is
+    floor division built from truncating ops: (a - ((a%b)+b)%b) // b."""
+    sql = [
+        f"""
+        WITH q AS (
+            SELECT vec_id, u.pos AS pos,
+                   CAST(FLOOR(CAST(u.val AS DOUBLE) * {fp} + 0.5) AS BIGINT) AS qv
+            FROM (
+                SELECT vec_id,
+                       unnest(list_transform(range(1, len(embedding) + 1),
+                              i -> {{'pos': i - 1, 'val': embedding[i]}})) AS u
+                FROM embeddings
+            )
+        ), c0 AS (
+            SELECT r.cluster, q.pos, q.qv AS cv
+            FROM (
+                SELECT vec_id,
+                       CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster
+                FROM embeddings ORDER BY vec_id LIMIT {k}
+            ) r JOIN q ON q.vec_id = r.vec_id
+        )"""
+    ]
+    for i in range(1, iters + 2):
+        # assignment i runs against centroids c{i-1}
+        sql.append(f"""
+        , a{i} AS (
+            SELECT q.vec_id, c.cluster,
+                   CAST(SUM((q.qv - c.cv) * (q.qv - c.cv)) AS BIGINT) AS dist
+            FROM q JOIN c{i - 1} c ON q.pos = c.pos
+            GROUP BY 1, 2
+        ), s{i} AS (
+            SELECT vec_id, cluster, dist FROM (
+                SELECT vec_id, cluster, dist,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cluster) AS rn
+                FROM a{i}
+            ) WHERE rn = 1
+        )""")
+        if i > iters:
+            break  # iteration iters+1 is the final assignment: no update
+        sql.append(f"""
+        , u{i} AS (
+            SELECT s.cluster, q.pos,
+                   2 * CAST(SUM(q.qv) AS BIGINT) + COUNT(*) AS a,
+                   2 * COUNT(*) AS b
+            FROM s{i} s JOIN q ON q.vec_id = s.vec_id
+            GROUP BY 1, 2
+        ), c{i} AS (
+            SELECT p.cluster, p.pos,
+                   CAST(COALESCE(
+                       (u.a - ((u.a % u.b) + u.b) % u.b) // u.b,
+                       p.cv) AS BIGINT) AS cv
+            FROM c{i - 1} p
+            LEFT JOIN u{i} u ON u.cluster = p.cluster AND u.pos = p.pos
+        )""")
+    sql.append(f"""
+        SELECT CAST(cluster AS BIGINT) AS cluster,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(SUM(dist) AS BIGINT) AS inertia_fixed
+        FROM s{iters + 1}
+        GROUP BY 1
+        ORDER BY 1""")
+    return "".join(sql)
+
+
 def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver query: full-corpus k-means cluster sizes + exact
-    fixed-point inertia per cluster after KMEANS_ITERS Lloyd
-    iterations. Rows-only for the gate (iterative); determinism,
-    nearest-centroid consistency, and monotone objective are pinned in
-    tests. Reported against the FINAL centroids (the last in-loop
-    assignment predates the last update)."""
+    """Driver query: full-corpus k-means cluster sizes + exact int64
+    inertia per cluster after KMEANS_ITERS integer-lattice Lloyd
+    iterations, reported against the FINAL centroids (the last in-loop
+    assignment predates the last update). Hash-checked end to end: the
+    fit is float-free, so ``kmeans_oracle_sql()`` restates the whole
+    iterative algorithm as unrolled DuckDB CTEs. Determinism,
+    nearest-centroid consistency, and monotone objective are
+    additionally pinned in tests."""
     e = load_table(spark, sf_dir, "embeddings")
     _, cents, _ = kmeans_fit(e)
     final = kmeans_assign(e.select("vec_id", "embedding"), cents)
@@ -904,6 +1004,7 @@ ORACLES: dict[str, str] = {
         WHERE rank <= {KNN_K}
         ORDER BY query_id, rank
     """,
+    "embedding_kmeans_clusters": kmeans_oracle_sql(),
 }
 
 QUERIES = {

@@ -130,6 +130,7 @@ def release_corpus_caches(spark: SparkSession) -> None:
         dedup._SIG_CACHE,
         dedup._CC_CACHE,
         textstats._STAGED_CACHE,
+        textstats._DOC_FCT_CACHE,
         vocab._MERGES_CACHE,
     ):
         cache.clear()

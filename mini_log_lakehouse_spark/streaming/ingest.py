@@ -155,9 +155,12 @@ def streaming_hourly_fact_p95(
     STREAMS, unlike the exact interpolated percentile (which needs the
     full group and exists only on the batch fact). Error is bounded by
     1/accuracy of rank; the behavioral test pins the approx value to the
-    exact batch percentile within that tolerance. Rows-only at the
-    driver gate by design — cross-engine sketch equality is not a
-    meaningful contract."""
+    exact batch percentile within that tolerance. Hash-checked at the
+    gate: while every group holds fewer rows than `accuracy`, the GK
+    sketch is exact and returns the value at rank ceil(0.95*n), which
+    the oracle restates as a window order statistic (see ORACLES note);
+    beyond that group size the entry would fall back to the sketch's
+    error-bound contract (rows-only)."""
     ev = read_events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", watermark)
@@ -277,6 +280,45 @@ ORACLES: dict[str, str] = {
         GROUP BY 1, 2, 3
     """,
 }
+
+# percentile_approx's GK sketch is EXACT while a group holds fewer rows
+# than `accuracy` (rank error bound eps*n < 1): it returns the sorted
+# group's value at rank ceil(0.95 * n) — verified empirically across
+# group sizes, and the rank expression is the same IEEE double product +
+# CEIL in both engines, so they agree bit-for-bit. Valid while max group
+# size <= accuracy (10_000; gate groups are ~20 rows at sf0.01) — which
+# converts the last rows-only streaming entry into a hash-checked one.
+ORACLES["streaming_hourly_fact_p95"] = """
+    WITH pe AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS date,
+               strftime(CAST(ts AS TIMESTAMP), '%H') AS hour,
+               event_type,
+               value
+        FROM events
+    ), counts AS (
+        SELECT date, hour, event_type, COUNT(*) AS requests
+        FROM pe GROUP BY 1, 2, 3
+    ), ranked AS (
+        -- rank among NON-NULL values only (the sketch ignores nulls,
+        -- while requests counts every row)
+        SELECT date, hour, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY date, hour, event_type
+                                  ORDER BY value) AS rk,
+               COUNT(*) OVER (PARTITION BY date, hour, event_type) AS n
+        FROM pe WHERE value IS NOT NULL
+    ), p95 AS (
+        SELECT date, hour, event_type,
+               MAX(CASE WHEN rk = CAST(CEIL(0.95 * n) AS BIGINT)
+                        THEN value END) AS p95_value
+        FROM ranked
+        GROUP BY 1, 2, 3
+    )
+    SELECT c.date, c.hour, c.event_type,
+           CAST(c.requests AS BIGINT) AS requests,
+           p.p95_value
+    FROM counts c LEFT JOIN p95 p USING (date, hour, event_type)
+    ORDER BY 1, 2, 3
+"""
 
 ORACLES["streaming_sliding_fact"] = """
     WITH w AS (

@@ -65,9 +65,14 @@ def state_v2_available() -> bool:
 
 
 def _fold_batch(pdf: pd.DataFrame, n_events: int, n_errors: int, last_us: int):
+    if len(pdf) == 0:  # empty chunk: max() would be NaN -> int() raises
+        return n_events, n_errors, last_us
     n_events += len(pdf)
     n_errors += int((pdf["event_type"] == "error").sum())
-    batch_max = int(pdf["ts"].astype("int64").max()) // 1000  # ns -> µs
+    # normalize to µs via an explicit unit cast — Arrow can hand pandas a
+    # µs-resolution datetime64, where a blind astype('int64') // 1000
+    # would shift last_ts by 1000×
+    batch_max = int(pdf["ts"].astype("datetime64[us]").astype("int64").max())
     return n_events, n_errors, max(last_us, batch_max)
 
 

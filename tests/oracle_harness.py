@@ -26,9 +26,35 @@ def run_oracle(sql: str, sf_dir: str):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
         cur = con.execute(sql)
         cols = [d[0] for d in cur.description]
-        return cols, cur.fetchall()
+        # Materialize through Arrow, not fetchall(): DuckDB's Python client
+        # returns HUGEINT (bare SUM(int) output) as a plain Python int, which
+        # would sail past the DECIMAL trap in _norm() — but the driver's gate
+        # compares Arrow types, where HUGEINT surfaces as decimal128(38,0) and
+        # hash-mismatches a Spark int64 even when values are identical
+        # (observed: tpch_q12, CORRECTNESS_r04). Catch it here instead.
+        tbl = cur.fetch_arrow_table()
+        _assert_arrow_types_hashable(tbl.schema, sql)
+        rows = [tuple(r) for r in zip(*(c.to_pylist() for c in tbl.columns))]
+        if not tbl.columns:
+            rows = []
+        return cols, rows
     finally:
         con.close()
+
+
+def _assert_arrow_types_hashable(schema, sql: str) -> None:
+    import pyarrow.types as pat
+
+    for field in schema:
+        t = field.type
+        if pat.is_decimal(t):
+            raise AssertionError(
+                f"oracle column {field.name!r} materializes as Arrow {t} "
+                "(DuckDB DECIMAL/HUGEINT); the driver's hash gate is "
+                "type-sensitive and Spark emits int64/double — wrap the "
+                "aggregate in CAST(.. AS BIGINT) or CAST(.. AS DOUBLE). "
+                f"SQL head: {sql.strip()[:120]!r}"
+            )
 
 
 def _norm(v):

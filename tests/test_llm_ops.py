@@ -458,11 +458,12 @@ def test_kmeans_deterministic_monotone_and_consistent(spark, sf_dir):
     _, c1, h1 = similarity.kmeans_fit(e)
     _, c2, h2 = similarity.kmeans_fit(e)
     assert (c1 == c2).all() and h1 == h2
+    assert c1.dtype == np.int64  # centroids live on the integer lattice
     assert all(b <= a for a, b in zip(h1, h1[1:])), h1
     rows = similarity.embedding_kmeans_clusters(spark, sf_dir).collect()
     assert sum(r["n_vectors"] for r in rows) == e.count()
     # nearest-centroid consistency: every vector's reported cluster IS
-    # the argmin of its distances to the final centroids
+    # the argmin of its q-space distances to the final centroids
     assigned = {
         r["vec_id"]: r["cluster"]
         for r in similarity.kmeans_assign(
@@ -471,8 +472,8 @@ def test_kmeans_deterministic_monotone_and_consistent(spark, sf_dir):
     }
     for r in e.limit(50).collect():
         v = np.array(r["embedding"], dtype=np.float64)
-        d = ((c1 - v) ** 2).sum(axis=1)
-        assert np.isfinite(d).all()
+        q = similarity._quantize_mat(v[None, :])[0]
+        d = ((c1 - q) ** 2).sum(axis=1)
         assert assigned[r["vec_id"]] == int(d.argmin()), r["vec_id"]
 
 

@@ -194,11 +194,30 @@ def test_user_totals_accumulate_across_microbatches(spark, sf_dir, tmp_path):
         )
         .collect()
     }
+    # per-user contribution of each input file, to pin the cumulative
+    # property against an INDEPENDENT ordering (sorting by n_events and
+    # then asserting counts == sorted(counts) would be tautological)
+    per_file = {
+        (r["user_id"], r["half"]): r["n"]
+        for r in full.withColumn("half", (F.col("event_id") % 2).cast("int"))
+        .groupBy("user_id", "half")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
     assert set(per_user) == set(truth)
+    both = 0
     for uid, rows in per_user.items():
-        rows.sort(key=lambda r: r["n_events"])
-        # cumulative: strictly increasing event counts across batches
+        halves = [h for h in (0, 1) if (uid, h) in per_file]
+        # one emitted row per microbatch that contained this user
+        assert len(rows) == len(halves), uid
+        rows.sort(key=lambda r: r["last_ts"])  # independent key
         counts = [r["n_events"] for r in rows]
-        assert counts == sorted(counts)
-        assert rows[-1]["n_events"] == truth[uid][0]
+        assert counts[-1] == truth[uid][0]
         assert rows[-1]["n_errors"] == truth[uid][1]
+        if len(rows) == 2:
+            both += 1
+            # cumulative across microbatches: the first emission is
+            # exactly one file's contribution, strictly below the total
+            assert counts[0] in {per_file[(uid, h)] for h in halves}
+            assert counts[0] < counts[1]
+    assert both > 0  # the split must actually exercise two-batch users
