@@ -315,10 +315,72 @@ def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Users co-occurring in at least this many distinct (date, hour)
-#: buckets form an edge of the co-occurrence graph. At 100 TB the
-#: threshold is the sparsifier: it bounds edges per bucket and keeps
-#: the triangle join linear in wedges, the same role it plays here.
+#: buckets form an edge of the co-occurrence graph. The threshold
+#: sparsifies the OUTPUT (edges entering the triangle join); the pair
+#: join itself is bounded by COOC_BUCKET_CAP below.
 COOC_MIN_SHARED = 3
+
+#: Hard cap on distinct users per (date, hour) bucket: buckets larger
+#: than this are DROPPED before the pair self-join, so the join input
+#: is at most CAP² pairs per bucket no matter how hot an hour gets
+#: (one 10⁶-user hour at 100 TB would otherwise be 10¹² pairs in a
+#: single bucket). Dropping (not sampling) keeps the operator
+#: deterministic and oracle-exact; the recall cost is explicit: edges
+#: supported ONLY by over-cap buckets are lost, i.e. the graph treats
+#: stadium-crowd hours as carrying no pairwise signal — the same
+#: judgment dedup.py applies when it drops oversized LSH buckets. At
+#: the test scales the largest bucket is 166 users (sf0.1), so 256
+#: changes nothing there; the cap exists for the hot tail.
+COOC_BUCKET_CAP = 256
+
+
+def cooccurrence_edges_from(
+    ev: DataFrame,
+    bucket_cap: int = COOC_BUCKET_CAP,
+    min_shared: int = COOC_MIN_SHARED,
+) -> DataFrame:
+    """Undirected user co-occurrence edges (u < v, stored once) from an
+    events frame: users sharing ≥ ``min_shared`` distinct (date, hour)
+    activity buckets, counting only buckets with ≤ ``bucket_cap``
+    distinct users. Shared by the triangle counter and PageRank below.
+
+    Shape at 100 TB: bucket sizes are a tiny aggregate (days × 24
+    rows), broadcast back as an eligibility filter; the pair self-join
+    then sees at most bucket_cap² pairs per bucket by construction."""
+    ev = ev.filter(F.col("user_id").isNotNull())
+    ub = ev.select(
+        "user_id", F.to_date("ts").alias("d"), F.hour("ts").alias("h")
+    ).distinct()
+    ok_buckets = (
+        ub.groupBy("d", "h")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .filter(F.col("n_users") <= bucket_cap)
+        .select("d", "h")
+    )
+    ub = ub.join(F.broadcast(ok_buckets), ["d", "h"])
+    a, b = ub.alias("a"), ub.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+        .select("u", "v")
+    )
+
+
+def cooccurrence_edges(
+    spark: SparkSession, sf_dir: str, bucket_cap: int = COOC_BUCKET_CAP
+) -> DataFrame:
+    """Loader wrapper over cooccurrence_edges_from for the testdata
+    events table."""
+    return cooccurrence_edges_from(
+        load_table(spark, sf_dir, "events"), bucket_cap=bucket_cap
+    )
 
 
 def user_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -329,33 +391,19 @@ def user_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     1. bucket-join: users sharing ≥ COOC_MIN_SHARED distinct
        (date, hour) activity buckets become an undirected edge, stored
        once as u < v (the orientation that kills double counting);
+       buckets hotter than COOC_BUCKET_CAP are dropped BEFORE pairing,
+       so the join input — not just the edge output — is bounded;
     2. wedge-close: edges ⋈ edges on the middle vertex enumerates
        ordered wedges a<b<c, and a semi-join-shaped third edge match
        closes them into triangles;
     3. each triangle credits all three vertices.
 
-    Shape at 100 TB: the bucket self-join is quadratic ONLY within a
-    bucket (the threshold and bucket granularity bound it); the
-    triangle join is edges×avg-degree wedges — the standard
-    node-ordered triangle enumeration that never materializes the
-    unordered 6× duplication."""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    ub = ev.select(
-        "user_id", F.to_date("ts").alias("d"), F.hour("ts").alias("h")
-    ).distinct()
-    a, b = ub.alias("a"), ub.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.d") == F.col("b.d"))
-            & (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .groupBy(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .filter(F.col("shared") >= COOC_MIN_SHARED)
-        .select("u", "v")
-    )
+    Shape at 100 TB: pairs per bucket ≤ COOC_BUCKET_CAP² by
+    construction (the cap bounds the JOIN; COOC_MIN_SHARED bounds the
+    edges the triangle stage sees); the triangle join is
+    edges×avg-degree wedges — the standard node-ordered triangle
+    enumeration that never materializes the unordered 6× duplication."""
+    edges = cooccurrence_edges(spark, sf_dir)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.v") == F.col("e2.u"))
@@ -379,6 +427,93 @@ def user_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
         .orderBy("user_id")
     )
+
+
+#: PageRank fixed-point lattice and damping (17/20 = 0.85 exactly —
+#: the rational form keeps every update in int64 arithmetic).
+PR_SCALE = 10**12
+PR_DAMP_NUM, PR_DAMP_DEN = 17, 20
+PR_ITERS = 5
+
+
+def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """Damped PageRank over an undirected edge list (u < v once),
+    entirely on an integer lattice so the ENTIRE iterative fit is
+    hash-checkable cross-engine (the k-means recipe applied to graphs):
+
+    - ranks live on the PR_SCALE lattice; r0 = PR_SCALE DIV N;
+    - contribution along an edge = r(u) DIV deg(u) (truncating — both
+      engines agree, all quantities positive);
+    - update r'(v) = (3·PR_SCALE) DIV (20·N)
+      + (17 · Σ contribs) DIV 20  — damping 0.85 as the exact rational
+      17/20, teleport (1-d)/N likewise.
+
+    Truncation leaks O(deg) lattice ulps of mass per step instead of
+    conserving it exactly — on a 10⁻¹² lattice that is noise for
+    ranking purposes, and determinism is what buys the oracle.
+
+    Shape at 100 TB: the canonical rank-iteration loop — per iteration
+    one edge⋈rank shuffle on src plus one groupBy(dst); the degree
+    table rides pre-joined on the edge list (computed once), ranks are
+    node-scale and localCheckpoint'd so lineage stays flat. Only the
+    scalar N ever reaches the driver.
+
+    Overflow bound: Σ contribs ≤ total mass ≈ PR_SCALE, so the widest
+    intermediate 17·Σ ≈ 1.7e13 ≪ int64."""
+    und = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
+    und_deg = und.join(deg, "src").localCheckpoint()
+    n = deg.count()
+    if n == 0:
+        return deg.select(
+            F.col("src").alias("user_id"),
+            F.col("deg").cast("long").alias("degree"),
+            F.lit(0).cast("long").alias("rank_fixed"),
+        )
+    teleport = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // (PR_DAMP_DEN * n)
+    ranks = deg.select(
+        F.col("src").alias("user_id"), F.lit(PR_SCALE // n).alias("r")
+    ).localCheckpoint()
+    for _ in range(iters):
+        contribs = (
+            und_deg.join(ranks, und_deg.src == ranks.user_id)
+            .select("dst", F.expr("r DIV deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            ranks.select("user_id")
+            .join(contribs, ranks.user_id == contribs.dst, "left")
+            .select(
+                "user_id",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * coalesce(s, 0)) DIV {PR_DAMP_DEN}"
+                    )
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        ranks.join(deg, ranks.user_id == deg.src)
+        .select(
+            "user_id",
+            F.col("deg").cast("long").alias("degree"),
+            F.col("r").cast("long").alias("rank_fixed"),
+        )
+    )
+
+
+def user_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: PR_ITERS damped PageRank iterations over the
+    co-occurrence graph (same capped edge build as the triangle
+    counter). Hash-checked end to end — the fit is integer-exact, so
+    the oracle restates all five iterations as unrolled DuckDB CTEs."""
+    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint()
+    return pagerank(edges).orderBy("user_id")
 
 
 def events_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -603,18 +738,29 @@ ORACLES["user_state_scd2"] = """
     ORDER BY user_id, version
 """
 
-ORACLES["user_cooccurrence_triangles"] = f"""
-    WITH ub AS (
+# Shared edge-build CTE fragment — one SQL definition of the
+# co-occurrence graph (bucket cap + shared-bucket threshold), in
+# lockstep with cooccurrence_edges; triangle and PageRank oracles both
+# start from it.
+_SQL_COOC_EDGES = f"""ub0 AS (
         SELECT DISTINCT user_id,
                CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
                EXTRACT(HOUR FROM CAST(ts AS TIMESTAMP)) AS h
         FROM events WHERE user_id IS NOT NULL
+    ), ok AS (
+        SELECT d, h FROM ub0 GROUP BY 1, 2
+        HAVING COUNT(*) <= {COOC_BUCKET_CAP}
+    ), ub AS (
+        SELECT user_id, d, h FROM ub0 JOIN ok USING (d, h)
     ), edges AS (
         SELECT a.user_id AS u, b.user_id AS v
         FROM ub a JOIN ub b ON a.d = b.d AND a.h = b.h AND a.user_id < b.user_id
         GROUP BY 1, 2
         HAVING COUNT(*) >= {COOC_MIN_SHARED}
-    ), tri AS (
+    )"""
+
+ORACLES["user_cooccurrence_triangles"] = f"""
+    WITH {_SQL_COOC_EDGES}, tri AS (
         SELECT e1.u AS va, e1.v AS vb, e2.v AS vc
         FROM edges e1
         JOIN edges e2 ON e1.v = e2.u
@@ -627,6 +773,55 @@ ORACLES["user_cooccurrence_triangles"] = f"""
     SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
     FROM verts GROUP BY 1 ORDER BY 1
 """
+
+def pagerank_oracle_sql(iters: int = PR_ITERS) -> str:
+    """Unrolled DuckDB restatement of the full integer-lattice PageRank
+    fit (the kmeans_oracle_sql recipe applied to graphs): edge build →
+    degrees → r0 → (contribute → damp) × iters. Every step is positive
+    int64 arithmetic with truncating division (DuckDB ``//`` == Spark
+    ``DIV`` — both truncate toward zero), so the hash gate can check the
+    ITERATIVE fit end to end."""
+    tele_num = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE
+    sql = [
+        f"""
+    WITH {_SQL_COOC_EDGES}, und AS (
+        SELECT u AS src, v AS dst FROM edges
+        UNION ALL
+        SELECT v AS src, u AS dst FROM edges
+    ), deg AS (
+        SELECT src, COUNT(*) AS deg FROM und GROUP BY 1
+    ), nn AS (
+        SELECT COUNT(*) AS n FROM deg
+    ), r0 AS (
+        SELECT d.src AS user_id, {PR_SCALE} // nn.n AS r FROM deg d, nn
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        sql.append(f"""
+    , c{i} AS (
+        SELECT u.dst AS user_id, SUM(r.r // d.deg) AS s
+        FROM und u
+        JOIN r{i - 1} r ON r.user_id = u.src
+        JOIN deg d ON d.src = u.src
+        GROUP BY 1
+    ), r{i} AS (
+        SELECT d.src AS user_id,
+               {tele_num} // ({PR_DAMP_DEN} * nn.n)
+                   + ({PR_DAMP_NUM} * COALESCE(c.s, 0)) // {PR_DAMP_DEN} AS r
+        FROM deg d
+        CROSS JOIN nn
+        LEFT JOIN c{i} c ON c.user_id = d.src
+    )""")
+    sql.append(f"""
+    SELECT r.user_id,
+           CAST(d.deg AS BIGINT) AS degree,
+           CAST(r.r AS BIGINT) AS rank_fixed
+    FROM r{iters} r JOIN deg d ON d.src = r.user_id
+    ORDER BY 1""")
+    return "".join(sql)
+
+
+ORACLES["user_pagerank"] = pagerank_oracle_sql()
 
 ORACLES["events_bigram_lm_scores"] = """
     WITH e AS (
@@ -669,5 +864,6 @@ QUERIES = {
     "event_transition_counts": event_transition_counts,
     "user_state_scd2": user_state_scd2,
     "user_cooccurrence_triangles": user_cooccurrence_triangles,
+    "user_pagerank": user_pagerank,
     "events_bigram_lm_scores": events_bigram_lm_scores,
 }

@@ -90,3 +90,58 @@ def test_daily_trend_slope_matches_numpy(spark, sf_dir):
         # micro-truncation of an exact rational vs float lstsq: within 1 micro
         assert abs(r["slope_micro"] - int(slope * 1e6)) <= 1, (
             r["event_type"], r["slope_micro"], slope)
+
+
+def _cooc_events(spark):
+    """Synthetic events: users 1-4 co-occur in 3 small buckets; users
+    11-21 (11 users) co-occur in 3 hot buckets of 11 users each."""
+    rows = []
+    eid = 0
+    for h in range(3):
+        for u in range(1, 5):
+            rows.append((u, datetime.datetime(2024, 1, 1, h, 0), eid))
+            eid += 1
+        for u in range(11, 22):
+            rows.append((u, datetime.datetime(2024, 1, 2, h, 0), eid))
+            eid += 1
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+
+
+def test_cooccurrence_bucket_cap_drops_hot_buckets(spark):
+    """The pair self-join never sees a bucket above the cap: with
+    cap=10 the 11-user hot buckets are dropped (no edges among users
+    11-21), while the 4-user buckets still yield all C(4,2)=6 edges.
+    An uncapped run keeps both edge sets — pinning that the cap, not
+    the shared-bucket threshold, is what removed them."""
+    ev = _cooc_events(spark)
+    capped = funnels.cooccurrence_edges_from(ev, bucket_cap=10).collect()
+    assert sorted((r["u"], r["v"]) for r in capped) == [
+        (u, v) for u in range(1, 5) for v in range(u + 1, 5)
+    ]
+    uncapped = {(r["u"], r["v"]) for r in funnels.cooccurrence_edges_from(
+        ev, bucket_cap=100).collect()}
+    assert len(uncapped) == 6 + 55  # + C(11,2) hot-bucket edges
+
+
+def test_pagerank_star_graph_properties(spark):
+    """Star K1,4: center outranks leaves, leaves tie by symmetry, every
+    rank holds at least the teleport mass, and total mass stays within
+    the documented truncation leak of PR_SCALE."""
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "u long, v long"
+    )
+    rows = {r["user_id"]: r for r in funnels.pagerank(edges).collect()}
+    assert set(rows) == {0, 1, 2, 3, 4}
+    assert rows[0]["degree"] == 4 and rows[1]["degree"] == 1
+    leaf_ranks = {rows[i]["rank_fixed"] for i in range(1, 5)}
+    assert len(leaf_ranks) == 1  # symmetric leaves tie exactly
+    assert rows[0]["rank_fixed"] > rows[1]["rank_fixed"]
+    teleport = 3 * funnels.PR_SCALE // (20 * 5)
+    assert all(r["rank_fixed"] >= teleport for r in rows.values())
+    total = sum(r["rank_fixed"] for r in rows.values())
+    assert abs(total - funnels.PR_SCALE) < funnels.PR_SCALE // 100
+
+
+def test_pagerank_empty_graph(spark):
+    edges = spark.createDataFrame([], "u long, v long")
+    assert funnels.pagerank(edges).collect() == []
