@@ -178,12 +178,105 @@ def corpus_merges(
 
 def doc_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query: the ordered BPE merge table learned from the
-    documents corpus (rank, left symbol, right symbol, merged token)."""
+    documents corpus (rank, left symbol, right symbol, merged token).
+    Hash-checked end to end: merge learning is discrete and exact (pair
+    counts → argmax with a total tie order → greedy merge), so
+    ``bpe_oracle_sql()`` restates the whole iterative induction as
+    unrolled DuckDB CTEs — the kmeans_oracle_sql recipe applied to a
+    tokenizer fit."""
     merges = corpus_merges(spark, sf_dir)
     rows = [(i, a, b, a + b) for i, (a, b) in enumerate(merges)]
     return spark.createDataFrame(
         rows, ["rank", "left_sym", "right_sym", "merged"]
     ).orderBy("rank")
+
+
+def bpe_oracle_sql(n_merges: int = BPE_N_MERGES) -> str:
+    """Unrolled DuckDB restatement of the full BPE merge induction.
+
+    State between iterations is the vocabulary in long form —
+    v{i}(wid, pos, sym, freq), one row per symbol of each distinct
+    word (wid = the word itself; collapsing merged-equal words like
+    the Spark loop does is unnecessary for parity, because the pair
+    multiset of a word depends only on its symbol sequence, so
+    frequency-weighted pair counts agree either way). Per iteration:
+
+    - p{i}: adjacent-pair counts via lead() — matches _pair_counts;
+    - m{i}: the argmax merge, tie order (n DESC, a ASC, b ASC) — the
+      exact ORDER BY of learn_bpe_merges;
+    - the greedy non-overlapping left-to-right merge of _merge_pair,
+      which SQL can express because overlap only happens in runs of
+      candidates (requires a = b): within each maximal run of
+      consecutive candidate positions, greedy picks exactly the
+      even offsets. h/r compute the runs + parity, s marks the
+      consumed right neighbor of every picked position, v{i} drops
+      consumed rows, renames picked symbols to a||b, and renumbers.
+
+    CTEs are MATERIALIZED: v{i-1} is referenced twice per iteration
+    (pair counting and merging), and inlining would double the plan
+    per unrolled level."""
+    sql = [
+        """
+    WITH wf AS MATERIALIZED (
+        SELECT w, COUNT(*) AS freq FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ) WHERE length(w) > 0 GROUP BY 1
+    ), v0 AS MATERIALIZED (
+        SELECT w AS wid, CAST(i AS BIGINT) - 1 AS pos,
+               substring(w, CAST(i AS INTEGER), 1) AS sym, freq
+        FROM wf, UNNEST(range(1, length(w) + 1)) AS t(i)
+    )"""
+    ]
+    for i in range(1, n_merges + 1):
+        sql.append(f"""
+    , p{i} AS MATERIALIZED (
+        SELECT sym AS a, nxt AS b, SUM(freq) AS n FROM (
+            SELECT sym, freq,
+                   lead(sym) OVER (PARTITION BY wid ORDER BY pos) AS nxt
+            FROM v{i - 1}
+        ) WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ), m{i} AS MATERIALIZED (
+        SELECT a, b FROM p{i} ORDER BY n DESC, a ASC, b ASC LIMIT 1
+    ), g{i} AS (
+        SELECT v.wid, v.pos, v.sym, v.freq,
+               CASE WHEN v.sym = m.a
+                         AND lead(v.sym) OVER (PARTITION BY v.wid
+                                               ORDER BY v.pos) = m.b
+                    THEN 1 ELSE 0 END AS cand
+        FROM v{i - 1} v CROSS JOIN m{i} m
+    ), h{i} AS (
+        SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY wid, cand
+                                           ORDER BY pos) AS grp
+        FROM g{i}
+    ), r{i} AS (
+        SELECT wid, pos, sym, freq, cand,
+               CASE WHEN cand = 1
+                         AND (pos - MIN(pos) OVER (PARTITION BY wid, cand, grp))
+                             % 2 = 0
+                    THEN 1 ELSE 0 END AS picked
+        FROM h{i}
+    ), s{i} AS (
+        SELECT *, COALESCE(LAG(picked) OVER (PARTITION BY wid ORDER BY pos),
+                           0) AS consumed
+        FROM r{i}
+    ), v{i} AS MATERIALIZED (
+        SELECT s.wid,
+               ROW_NUMBER() OVER (PARTITION BY s.wid ORDER BY s.pos) - 1 AS pos,
+               CASE WHEN s.picked = 1 THEN s.sym || m.b ELSE s.sym END AS sym,
+               s.freq
+        FROM s{i} s CROSS JOIN m{i} m
+        WHERE s.consumed = 0
+    )""")
+    unions = "\n        UNION ALL ".join(
+        f"SELECT CAST({i - 1} AS BIGINT) AS rank, a AS left_sym, b AS right_sym,"
+        f" a || b AS merged FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    sql.append(f"""
+    SELECT * FROM (
+        {unions}
+    ) ORDER BY rank""")
+    return "".join(sql)
 
 
 def doc_bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -309,14 +402,16 @@ def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_documents(d, merges).orderBy("doc_id")
 
 
-#: The full merge table is iterative — no SQL oracle; the gate records
-#: rows-only and the behavioral test compares against a pure-Python
-#: reference BPE. The FIRST merge is closed-form (single-character
-#: symbols) and oracle-checked: pair frequencies are counted directly
-#: over words (grouping words into a vocab first and weighting by freq
-#: sums to exactly the same counts, since the pair set depends only on
-#: the word).
+#: doc_bpe_encode stays rows-only (the encoder's per-word memoized
+#: Python loop has no SQL restatement), but its merge table is now
+#: oracle-checked via bpe_oracle_sql, and the behavioral test compares
+#: the encoder against a pure-Python reference BPE. The FIRST merge is
+#: additionally closed-form (single-character symbols): pair
+#: frequencies are counted directly over words (grouping words into a
+#: vocab first and weighting by freq sums to exactly the same counts,
+#: since the pair set depends only on the word).
 ORACLES: dict[str, str] = {
+    "doc_bpe_merge_table": bpe_oracle_sql(),
     "doc_bpe_first_merge": """
         WITH words AS (
             SELECT w

@@ -593,3 +593,34 @@ def test_fuzzy_pairs_complete_within_blocks(spark):
     assert ("red wadget", "red widget") in got  # substitution
     assert ("blue bolt", "blue bolts") in got   # insertion
     assert not any(a.split()[0] != b.split()[0] for a, b in got)
+
+
+def test_bpe_oracle_sql_handles_candidate_runs(spark):
+    """The unrolled SQL oracle's greedy-parity trick (within a run of
+    consecutive candidates, pick even offsets) must reproduce the
+    left-to-right non-overlapping merge on run-heavy words — 'aaaa'
+    merging (a,a) is exactly the overlap case the parity handles.
+    Checks SQL oracle == pure-Python reference == Spark learner."""
+    import duckdb
+    import pandas as pd
+
+    from mini_log_lakehouse_spark.operators import vocab as vocab_ops
+
+    corpus = ["aaaa aaa aa baaab aaaa", "aaaa caac aabaa aaa aaaa b"]
+    word_freqs = {}
+    for line in corpus:
+        for w in line.split(" "):
+            word_freqs[w] = word_freqs.get(w, 0) + 1
+    expected = _ref_bpe(word_freqs, 6)
+    assert expected[0] == ("a", "a")  # the run case is actually exercised
+    assert any(a == b for a, b in expected[1:])  # and again on merged syms
+
+    docs = spark.createDataFrame(list(enumerate(corpus)), ["doc_id", "text"])
+    assert vocab_ops.learn_bpe_merges(docs, n_merges=6) == expected
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"text": corpus}))
+    got = con.execute(vocab_ops.bpe_oracle_sql(6)).fetchall()
+    assert [(a, b) for _, a, b, _ in got] == expected
+    assert [r[0] for r in got] == list(range(6))
+    assert [r[3] for r in got] == [a + b for a, b in expected]
