@@ -1107,6 +1107,60 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs(e, threshold=_GATE_COSINE_THRESHOLD)
 
 
+# --- SemDeDup: semantic (cluster-blocked) near-dup -------------------------
+
+
+def semantic_dedup_pairs(
+    e: DataFrame,
+    cents,
+    threshold: float = COSINE_DEDUP_THRESHOLD,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup (Abbas et al. 2023's recipe:
+    k-means cluster, then prune near-duplicates within each cluster):
+    identical to embedding_cosine_pairs except the blocking key is the
+    CORPUS-DRIVEN cluster assignment instead of a pre-existing label —
+    the shape that works when no curated label column exists. ``cents``
+    are int64 q-space centroids from similarity.kmeans_fit.
+
+    Shape at 100 TB: assignment is the map-only mapInArrow pass; the
+    pair join is quadratic only within a cluster (k bounds the blocks
+    exactly as labels do — size the fit's k so clusters stay
+    pair-joinable, the same dial SemDeDup itself exposes)."""
+    from mini_log_lakehouse_spark.operators.similarity import kmeans_assign
+
+    assigned = kmeans_assign(e.select("vec_id", "embedding"), cents).select(
+        F.col("cluster"), F.col("vec_id"), F.col("embedding")
+    )
+    a = assigned.select(
+        "cluster", F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a")
+    )
+    b = assigned.select(
+        "cluster", F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b")
+    )
+    sim = cosine(F.col("emb_a"), F.col("emb_b"))
+    return (
+        a.join(b, ["cluster"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("cluster", "id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .orderBy("cluster", "id_a", "id_b")
+    )
+
+
+def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: SemDeDup over the embeddings table — full k-means
+    fit (similarity.kmeans_fit, integer-lattice, KMEANS_ITERS
+    iterations) as the blocking stage, exact within-cluster cosine as
+    the prune stage, at the corpus-specific gate dial. Hash-checked end
+    to end: both stages are exact, so the oracle composes the unrolled
+    k-means CTEs with the same pair join."""
+    from mini_log_lakehouse_spark.operators.similarity import kmeans_fit
+
+    e = load_table(spark, sf_dir, "embeddings")
+    _, cents, _ = kmeans_fit(e)
+    return semantic_dedup_pairs(e, cents, threshold=_GATE_COSINE_THRESHOLD)
+
+
 #: Normalized-fingerprint SQL — must stay in lockstep with
 #: textstats.normalize_text (same whitespace class, trim, lower).
 _SQL_NORM_FP = "md5(lower(trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g'))))"
@@ -1347,8 +1401,40 @@ ORACLES["dedup_simhash_pairs"] = f"""
         ORDER BY id_a, id_b
 """
 
+def _semantic_pairs_oracle_sql() -> str:
+    """SemDeDup oracle: the unrolled integer-lattice k-means CTEs
+    (imported from similarity — ONE definition of the fit) composed
+    with the same within-block cosine pair join the label-blocked
+    oracle uses, blocking on the fitted cluster instead."""
+    from mini_log_lakehouse_spark.operators.similarity import (
+        kmeans_assign_cte_sql,
+    )
+
+    prefix, final = kmeans_assign_cte_sql()
+    return f"""{prefix}
+    , emb AS (
+        SELECT e.vec_id, e.embedding, s.cluster
+        FROM embeddings e JOIN {final} s USING (vec_id)
+    )
+    SELECT CAST(a.cluster AS BIGINT) AS cluster,
+           a.vec_id AS id_a,
+           b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(
+               CAST(a.embedding AS DOUBLE[]),
+               CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+    FROM emb a
+    JOIN emb b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(
+              CAST(a.embedding AS DOUBLE[]),
+              CAST(b.embedding AS DOUBLE[])), 6) >= {_GATE_COSINE_THRESHOLD}
+    ORDER BY 1, 2, 3"""
+
+
+ORACLES["dedup_semantic_pairs"] = _semantic_pairs_oracle_sql()
+
 QUERIES = {
     "dedup_exact_summary": dedup_exact_summary,
+    "dedup_semantic_pairs": dedup_semantic_pairs,
     "dedup_incremental_batch": dedup_incremental_batch,
     "part_fuzzy_name_pairs": part_fuzzy_name_pairs,
     "dedup_minhash_pairs": dedup_minhash_pairs,

@@ -722,15 +722,15 @@ def kmeans_fit(
     return assigned, cents, inertia_hist
 
 
-def kmeans_oracle_sql(
+def kmeans_assign_cte_sql(
     k: int = KMEANS_K, iters: int = KMEANS_ITERS, fp: int = FIXED_POINT
-) -> str:
-    """Generate the unrolled DuckDB restatement of the full
-    integer-lattice k-means fit + final per-cluster report: quantize ->
-    (assign -> update) × iters -> final assign -> group. Every
-    arithmetic step is integer-exact in both engines, so the hash gate
-    can check an ITERATIVE ML fit end to end. fdiv(a, b) below is
-    floor division built from truncating ops: (a - ((a%b)+b)%b) // b."""
+) -> tuple[str, str]:
+    """The unrolled k-means CTE chain (quantize -> (assign -> update) ×
+    iters -> final assign), WITHOUT the final report SELECT — returns
+    (sql_starting_with_WITH, final_assignment_cte_name) so downstream
+    oracles (the per-cluster report, SemDeDup's cluster blocking) can
+    compose the exact fit. fdiv(a, b) below is floor division built
+    from truncating ops: (a - ((a%b)+b)%b) // b."""
     sql = [
         f"""
         WITH q AS (
@@ -768,7 +768,7 @@ def kmeans_oracle_sql(
             ) WHERE rn = 1
         )""")
         if i > iters:
-            break  # iteration iters+1 is the final assignment: no update
+            return "".join(sql), f"s{i}"
         sql.append(f"""
         , u{i} AS (
             SELECT s.cluster, q.pos,
@@ -784,14 +784,24 @@ def kmeans_oracle_sql(
             FROM c{i - 1} p
             LEFT JOIN u{i} u ON u.cluster = p.cluster AND u.pos = p.pos
         )""")
-    sql.append(f"""
+    raise AssertionError("unreachable: loop always returns at i == iters + 1")
+
+
+def kmeans_oracle_sql(
+    k: int = KMEANS_K, iters: int = KMEANS_ITERS, fp: int = FIXED_POINT
+) -> str:
+    """Unrolled DuckDB restatement of the full integer-lattice k-means
+    fit + final per-cluster report. Every arithmetic step is
+    integer-exact in both engines, so the hash gate can check an
+    ITERATIVE ML fit end to end."""
+    prefix, final = kmeans_assign_cte_sql(k, iters, fp)
+    return f"""{prefix}
         SELECT CAST(cluster AS BIGINT) AS cluster,
                CAST(COUNT(*) AS BIGINT) AS n_vectors,
                CAST(SUM(dist) AS BIGINT) AS inertia_fixed
-        FROM s{iters + 1}
+        FROM {final}
         GROUP BY 1
-        ORDER BY 1""")
-    return "".join(sql)
+        ORDER BY 1"""
 
 
 def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -624,3 +624,48 @@ def test_bpe_oracle_sql_handles_candidate_runs(spark):
     assert [(a, b) for _, a, b, _ in got] == expected
     assert [r[0] for r in got] == list(range(6))
     assert [r[3] for r in got] == [a + b for a, b in expected]
+
+
+def test_semdedup_cluster_blocking_agrees_with_label_blocking(spark):
+    """SemDeDup sanity: on a corpus with well-separated groups and
+    planted near-identical duplicates, cluster-blocked dedup (k-means
+    assignment as the blocking key) finds exactly the same planted
+    pairs as label-blocked dedup — the blocking key changes, the
+    physics doesn't."""
+    from mini_log_lakehouse_spark.operators import similarity as sim_ops
+
+    import random
+
+    rng = random.Random(7)
+    groups = {0: [1.0, 0.0, 0.0, 0.0], 1: [0.0, 1.0, 0.0, 0.0], 2: [0.0, 0.0, 1.0, 0.0]}
+    rows = []
+    # ids 0-2 seed one vector per group (kmeans init = lowest-k ids)
+    for g, base in groups.items():
+        rows.append((g, f"g{g}", [v + rng.uniform(-0.05, 0.05) for v in base]))
+    vid = 10
+    planted = []
+    for g, base in groups.items():
+        for _ in range(4):
+            rows.append((vid, f"g{g}", [v + rng.uniform(-0.05, 0.05) for v in base]))
+            vid += 1
+        # planted duplicate pair: two near-identical members of group g
+        dup = [v + rng.uniform(-0.02, 0.02) for v in base]
+        rows.append((vid, f"g{g}", dup))
+        rows.append((vid + 1, f"g{g}", [x + 1e-4 for x in dup]))
+        planted.append((vid, vid + 1))
+        vid += 2
+    e = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    thr = 0.999
+    by_label = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_cosine_pairs(e, threshold=thr).collect()
+    }
+    _, cents, _ = sim_ops.kmeans_fit(e, k=3, iters=3)
+    by_cluster = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.semantic_dedup_pairs(e, cents, threshold=thr).collect()
+    }
+    assert set(planted) <= by_label
+    assert by_label == by_cluster
