@@ -441,9 +441,14 @@ ORACLES: dict[str, str] = {
     """,
     "props_variant_stats": """
         -- tolerant-extraction parity with Spark's try_parse_json /
-        -- try_variant_get: malformed JSON or a non-integer k must yield
-        -- NULL, never an error, so the json_valid guard + TRY_CAST
-        -- mirror the advertised NULL semantics on dirty corpora
+        -- try_variant_get: malformed JSON or a non-numeric k yields
+        -- NULL, never an error (json_valid guard + TRY_CAST). Parity
+        -- holds because this corpus only ever has integer k: on a
+        -- dirty corpus the engines' cast rules diverge (k=3.5 or
+        -- k=true -> Spark variant-casts to 3/1, DuckDB TRY_CAST(..AS
+        -- INT) from the extracted string -> NULL), so porting this
+        -- oracle to a new corpus requires mirroring Spark's numeric/
+        -- boolean coercion explicitly
         WITH kv AS (
             SELECT event_type,
                    CASE WHEN json_valid(props)

@@ -156,11 +156,15 @@ def streaming_hourly_fact_p95(
     full group and exists only on the batch fact). Error is bounded by
     1/accuracy of rank; the behavioral test pins the approx value to the
     exact batch percentile within that tolerance. Hash-checked at the
-    gate: while every group holds fewer rows than `accuracy`, the GK
-    sketch is exact and returns the value at rank ceil(0.95*n), which
-    the oracle restates as a window order statistic (see ORACLES note);
-    beyond that group size the entry would fall back to the sketch's
-    error-bound contract (rows-only)."""
+    gate: while every group stays in the sketch's delta==0 regime
+    (count < accuracy/2 — compression starts once
+    floor(2·relativeError·count) >= 1, NOT at count == accuracy), the
+    GK sketch is exact and returns the value at rank ceil(0.95*n),
+    which the oracle restates as a window order statistic (see ORACLES
+    note). A runtime guard below asserts the regime actually holds, so
+    a larger-sf run fails loudly with instructions instead of silently
+    red-flagging a correct sketch; beyond that size the entry must
+    fall back to the sketch's error-bound contract (rows-only)."""
     ev = read_events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", watermark)
@@ -186,7 +190,21 @@ def streaming_hourly_fact_p95(
         .start()
     )
     q.awaitTermination()
-    return spark.table(name).orderBy("date", "hour", "event_type")
+    out = spark.table(name)
+    # exactness-regime guard (see docstring): the oracle is only valid
+    # while every group's sketch kept all samples (delta == 0, i.e.
+    # count < accuracy/2). The table is an in-memory sink, so this max
+    # is a tiny local aggregate, not a corpus re-scan.
+    max_group = out.agg(F.max("requests")).collect()[0][0] or 0
+    if max_group >= accuracy // 2:
+        raise AssertionError(
+            f"streaming_hourly_fact_p95: a group holds {max_group} rows, "
+            f">= accuracy/2 ({accuracy // 2}) — the GK sketch is no longer "
+            "guaranteed exact, so the order-statistic oracle may "
+            "legitimately disagree. Raise `accuracy` or demote this entry "
+            "to rows-only before trusting the hash gate at this scale."
+        )
+    return out.orderBy("date", "hour", "event_type")
 
 
 def streaming_sliding_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -281,13 +299,15 @@ ORACLES: dict[str, str] = {
     """,
 }
 
-# percentile_approx's GK sketch is EXACT while a group holds fewer rows
-# than `accuracy` (rank error bound eps*n < 1): it returns the sorted
-# group's value at rank ceil(0.95 * n) — verified empirically across
-# group sizes, and the rank expression is the same IEEE double product +
-# CEIL in both engines, so they agree bit-for-bit. Valid while max group
-# size <= accuracy (10_000; gate groups are ~20 rows at sf0.01) — which
-# converts the last rows-only streaming entry into a hash-checked one.
+# percentile_approx's GK sketch is EXACT in its delta==0 regime: while
+# a group holds fewer than accuracy/2 rows (QuantileSummaries starts
+# assigning nonzero sample deltas once floor(2*relativeError*count)
+# >= 1, i.e. at ~accuracy/2 — NOT at count == accuracy), it returns the
+# sorted group's value at rank ceil(0.95 * n) — verified empirically,
+# and the rank expression is the same IEEE double product + CEIL in
+# both engines, so they agree bit-for-bit. Gate groups are ~20 rows at
+# sf0.01, far inside the regime; streaming_hourly_fact_p95 asserts the
+# precondition at runtime rather than assuming it.
 ORACLES["streaming_hourly_fact_p95"] = """
     WITH pe AS (
         SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS date,

@@ -71,8 +71,12 @@ def _fold_batch(pdf: pd.DataFrame, n_events: int, n_errors: int, last_us: int):
     n_errors += int((pdf["event_type"] == "error").sum())
     # normalize to µs via an explicit unit cast — Arrow can hand pandas a
     # µs-resolution datetime64, where a blind astype('int64') // 1000
-    # would shift last_ts by 1000×
-    batch_max = int(pdf["ts"].astype("datetime64[us]").astype("int64").max())
+    # would shift last_ts by 1000×. The cast runs on the numpy array,
+    # not the Series: pandas 1.x raises on non-ns Series astype while
+    # numpy converts any datetime64 unit, so this stays portable.
+    batch_max = int(
+        pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64").max()
+    )
     return n_events, n_errors, max(last_us, batch_max)
 
 
