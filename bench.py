@@ -92,7 +92,10 @@ ITERS = int(os.environ.get("BENCH_ITERS", "5"))
 #: set with fewer iters. Disable with BENCH_SCALED=0 / BENCH_SCALED_100=0.
 SCALE_FACTOR = int(os.environ.get("BENCH_SCALED", "10"))
 SCALE_FACTOR_100 = int(os.environ.get("BENCH_SCALED_100", "100"))
-ITERS_SCALED = int(os.environ.get("BENCH_ITERS_SCALED", "3"))
+#: 5 timed iterations at the scaled legs (was 3): the sub-second rows
+#: (top3, errors_by_type) wobbled 2-3.6x across rounds at 3 iters —
+#: the median of 5 plus the isolation re-runs below pins them.
+ITERS_SCALED = int(os.environ.get("BENCH_ITERS_SCALED", "5"))
 #: The scaled legs need 2 warmups, not 1: whole-stage-codegen JIT takes a
 #: couple of executions to reach steady state on the bigger plans
 #: (measured: 2.6 → 1.7 → 1.45 → 1.23s on the same query), and with only
@@ -202,6 +205,54 @@ def _with_ratios(leg: dict) -> dict:
     return leg
 
 
+#: Isolation re-runs at the LARGEST leg: each of these queries gets a
+#: dedicated back-to-back block (ISO_ITERS medians for both engines,
+#: nothing interleaved) appended to the leg as ``isolation`` — the
+#: committed version of the "clean run" numbers that previously lived
+#: only in SCALING.md prose. The named set is the rows whose in-suite
+#: medians have historically been floor/noise-dominated (sub-second
+#: absolutes) plus doc_curation_summary (its in-suite 100x warm time
+#: doubled between rounds; the isolated number pins which measurement
+#: is the outlier). Any row whose in-suite ratio exceeds the 2x bar is
+#: added automatically so a new regression always ships with its
+#: isolation evidence.
+ISO_ALWAYS = (
+    "tpch_q1_pricing_summary",
+    "top3_customers_per_nation",
+    "errors_by_type",
+    "doc_curation_summary",
+)
+ISO_ITERS = int(os.environ.get("BENCH_ITERS_ISO", "7"))
+
+
+def isolation_runs(spark, con_dir: str, names, leg: dict) -> dict:
+    """Back-to-back isolated medians for ``names``: Spark and DuckDB
+    each timed alone over ISO_ITERS iterations (caches already warm
+    from the suite), with the in-suite numbers echoed for side-by-side
+    comparison in the artifact."""
+    out = {}
+    duck = bench_duckdb(con_dir, names, iters=ISO_ITERS)
+    for name in names:
+        fn = QUERIES[name]
+        s = round(
+            time_fn(
+                lambda: fn(spark, con_dir).collect(), warmup=1, iters=ISO_ITERS
+            ),
+            4,
+        )
+        d = duck.get(name)
+        out[name] = {
+            "spark_isolated": s,
+            "duck_isolated": d,
+            "ratio_isolated": round(s / d, 2) if d else None,
+            "spark_in_suite": leg["queries"].get(name),
+            "duck_in_suite": leg["baseline"].get(name),
+            "ratio_in_suite": leg["ratios"].get(name),
+            "iters": ISO_ITERS,
+        }
+    return out
+
+
 def scaled_leg(spark, sf_dir: str, sf: float, factor: int) -> dict:
     from mini_log_lakehouse_spark.session import release_corpus_caches
     from mini_log_lakehouse_spark.sources.scaleup import materialize_scaled
@@ -215,7 +266,7 @@ def scaled_leg(spark, sf_dir: str, sf: float, factor: int) -> dict:
     # measurably pressure storage memory by the 100x leg).
     release_corpus_caches(spark)
     results, cold = bench_spark(spark, scaled_dir, ITERS_SCALED, WARMUP_SCALED)
-    return _with_ratios(
+    leg = _with_ratios(
         {
             "factor": factor,
             "sf": round(sf * factor, 4),
@@ -226,6 +277,14 @@ def scaled_leg(spark, sf_dir: str, sf: float, factor: int) -> dict:
             "iters": ITERS_SCALED,
         }
     )
+    if factor == max(SCALE_FACTOR, SCALE_FACTOR_100):
+        iso_names = [n for n in HEADLINE if n in ISO_ALWAYS] + [
+            n
+            for n, r in leg["ratios"].items()
+            if r > 2.0 and n not in ISO_ALWAYS
+        ]
+        leg["isolation"] = isolation_runs(spark, scaled_dir, iso_names, leg)
+    return leg
 
 
 def _compact(full: dict, keep_ratios: bool = False) -> dict:
@@ -237,7 +296,14 @@ def _compact(full: dict, keep_ratios: bool = False) -> dict:
     BENCH_DETAIL.json holds everything."""
     out = {}
     for k, v in full.items():
-        if k == "baseline":
+        if k == "isolation":
+            # full isolation blocks live in BENCH_DETAIL.json; the
+            # compact line carries only the isolated ratios (the number
+            # the 2x judgment should read for floor/noise-flagged rows)
+            out["iso_ratios"] = {
+                q: d["ratio_isolated"] for q, d in v.items()
+            }
+        elif k == "baseline":
             out["baseline_total"] = round(sum(v.values()), 2)
         elif k == "ratios":
             if keep_ratios:

@@ -74,82 +74,75 @@ if _unknown:
 
 # The verification driver samples the FIRST 50 registry entries per round,
 # so this explicit window decides which queries get a driver-side
-# CORRECTNESS row. Round-5 priority (VERDICT r4 asks 1+3): (1) the 13
-# entries never driver-sampled in r1-r4 — they landed past position 50
-# last round; with these, every registry entry has been sampled at least
-# once; (2) the round-4 red row, re-verified after the oracle type fix
-# (values matched; DuckDB HUGEINT vs Spark int64 tripped the hash);
-# (3) entries whose oracle or implementation changed this round —
-# embedding_kmeans_clusters and streaming_hourly_fact_p95 moved from
-# rows-only to hash-checked (integer-lattice kmeans restated as unrolled
-# CTEs; p95's exact-sketch rank restated as an order statistic),
-# props_variant_stats gained tolerant-JSON oracle semantics,
-# dedup_embedding_cosine's threshold became an explicit call-site dial;
-# (4) operators NEW this round; (5) rows-only-by-design entries kept
-# visible (their `err: no_oracle` rows should appear, not silently
-# vanish); (6) cross-family anchors (bench-measured every round);
-# (7) backfill from the multi-round-green pool. Everything past position
+# CORRECTNESS row. Round-6 priority (VERDICT r5 ask 7): (1) entries NEW
+# or with a changed implementation/oracle this round — the two new
+# operators (PageRank, SemDeDup), the newly-oracled BPE merge table, the
+# bucket-capped co-occurrence graph, the refactor-touched kmeans oracle,
+# and the guard-gaining p95 entry; (2) EVERY entry whose latest green
+# driver row predates r3 (29 entries — after this round no green
+# evidence is older than two rounds); (3) rows-only-by-design entries
+# kept visible (their `err: no_oracle` rows should appear, not silently
+# vanish); (4) cross-family anchors (bench-measured every round);
+# (5) backfill from the r3-green pool, favoring the bench headline rows
+# being re-pinned this round (tpch_q1, top3). Everything past position
 # 50 stays covered by the identical local DuckDB hash-compare in
 # tests/test_entry_contract.py.
 _FIRST_WINDOW = (
-    # (1) never driver-sampled before this round
-    "session_funnel",
-    "events_daily_anomalies",
-    "event_transition_counts",
-    "events_hour_unpivot",
-    "customers_without_urgent_orders",
-    "setop_except_all_nation_keys",
-    "source_lang_drift",
-    "events_zorder_pruned",
-    "doc_frequent_ngrams",
-    "doc_ngram_novelty",
-    "doc_boilerplate_share",
-    "embedding_kmeans_clusters",
-    "ann_rp_topk",
-    # (2) round-4 red row, oracle type fixed
-    "tpch_q12_late_shipment_priority",
-    # (3) oracle/implementation changed this round
-    "streaming_hourly_fact_p95",
-    "props_variant_stats",
-    "dedup_embedding_cosine",
-    "doc_token_stats",
-    # (4) operators new this round (names swap in as each lands; until
-    # then these slots hold extra multi-round-green backfill)
-    "user_state_scd2",
+    # (1) new or changed this round
+    "user_pagerank",
+    "user_clustering_coefficient",
+    "user_communities",
+    "dedup_semantic_pairs",
+    "doc_bpe_merge_table",
     "user_cooccurrence_triangles",
-    "events_bigram_lm_scores",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
-    "tpch_q14_promo_revenue",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q22_lapsed_customers",
-    # (5) rows-only by design — keep the no_oracle rows visible
+    "embedding_kmeans_clusters",
+    "streaming_hourly_fact_p95",
+    # (2) latest green row is r1/r2 — refresh all 29
+    "available_days",
+    "dedup_cluster_representatives",
+    "dedup_clusters",
+    "dedup_exact_summary",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "dim_event_type",
+    "doc_bpe_token_counts",
+    "doc_chunks",
+    "doc_curation_summary",
+    "doc_fingerprints",
+    "doc_lang_id",
+    "doc_normalized_fingerprints",
+    "doc_pii_signals",
+    "doc_quality_scores",
+    "doc_repetition_stats",
+    "doc_word_histogram",
+    "errors_by_type",
+    "fct_events_hourly",
+    "hourly_trend",
+    "kpi_totals",
+    "orders_rollup_status_priority",
+    "props_k_histogram",
+    "stg_events",
+    "top_event_types",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "value_stats_by_type",
+    # (3) rows-only by design — keep the no_oracle rows visible
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_rp_topk",
+    "approx_distinct_users",
     "doc_bpe_encode",
-    # (6) cross-family anchors (bench-measured every round)
+    # (4) cross-family anchors (bench-measured every round)
     "ann_knn_join",
     "dedup_minhash_pairs",
-    # (7) backfill: multi-round-green pool, rotated for freshness
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_profit",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q20_excess_stock_suppliers",
-    "tpch_q21_waiting_orders",
-    "streaming_user_sessions",
-    "streaming_user_totals",
-    "dedup_incremental_batch",
-    "doc_lang_mixture",
-    "doc_lm_quality_gate",
-    "doc_sparse_search",
-    "embedding_random_projection",
-    "events_cms_user_counts",
-    "events_funnel",
-    "orders_window_battery",
+    # (5) backfill from the r3-green pool (bench rows first)
+    "tpch_q1_pricing_summary",
+    "top3_customers_per_nation",
+    "top_customers_by_revenue",
+    "streaming_hourly_fact",
+    "multimodal_byte_features",
+    "asof_error_attribution",
 )
 
 _missing = [n for n in _FIRST_WINDOW if n not in QUERIES]

@@ -403,7 +403,13 @@ def user_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges the triangle stage sees); the triangle join is
     edges×avg-degree wedges — the standard node-ordered triangle
     enumeration that never materializes the unordered 6× duplication."""
-    edges = cooccurrence_edges(spark, sf_dir)
+    return triangle_counts(cooccurrence_edges(spark, sf_dir)).orderBy("user_id")
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle counts over an undirected (u < v once) edge
+    list — the node-ordered wedge-close enumeration (see
+    user_cooccurrence_triangles for the shape discussion)."""
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.v") == F.col("e2.u"))
@@ -422,10 +428,8 @@ def user_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("vb").alias("user_id")))
         .unionAll(tri.select(F.col("vc").alias("user_id")))
     )
-    return (
-        verts.groupBy("user_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
-        .orderBy("user_id")
+    return verts.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
 
 
@@ -514,6 +518,104 @@ def user_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle restates all five iterations as unrolled DuckDB CTEs."""
     edges = cooccurrence_edges(spark, sf_dir).localCheckpoint()
     return pagerank(edges).orderBy("user_id")
+
+
+def user_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per user over the co-occurrence
+    graph: lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) — "how clique-like is
+    this user's neighborhood", the standard community-density /
+    bot-ring score built from the two primitives above (triangle
+    counts + degrees). deg < 2 ⇒ lcc = 0 by convention.
+
+    Exactness: the only division is the half-up _ratio6 quantization
+    of an integer rational. Shape at 100 TB: both inputs are
+    node-grain aggregates of the same bounded edge list; the compose
+    join is node-grain × node-grain."""
+    from mini_log_lakehouse_spark.operators.textstats import _ratio6
+
+    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint()
+    und = edges.select(F.col("u").alias("user_id")).unionAll(
+        edges.select(F.col("v").alias("user_id"))
+    )
+    deg = und.groupBy("user_id").agg(F.count(F.lit(1)).alias("deg"))
+    tri = triangle_counts(edges)
+    both = deg.join(tri, "user_id", "left").select(
+        "user_id",
+        F.col("deg").cast("long").alias("degree"),
+        F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+    )
+    lcc = F.when(
+        F.col("degree") >= 2,
+        _ratio6("2 * n_triangles", "degree * (degree - 1)"),
+    ).otherwise(F.lit(0.0))
+    return both.select(
+        "user_id", "degree", "n_triangles", lcc.alias("lcc")
+    ).orderBy("user_id")
+
+
+#: Synchronous label-propagation iterations. Fixed (not
+#: run-to-convergence) so the fit is restatable as unrolled SQL; LPA
+#: on short-diameter social graphs is near-converged in a few rounds.
+LPA_ITERS = 4
+
+
+def label_propagation(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
+    """Community detection by synchronous label propagation over an
+    undirected (u < v once) edge list — each round every node adopts
+    its neighbors' MODE label (ties → smallest label), the classic
+    Raghavan et al. 2007 algorithm made deterministic: synchronous
+    updates + a total tie order, so the result is reproducible and
+    cross-engine exact (labels and counts are integers throughout).
+    Distinct from dedup.connected_components (min-label flood): mode
+    adoption splits a connected component into dense regions instead
+    of flooding it with one label.
+
+    Shape at 100 TB: per iteration one edge⋈label shuffle plus one
+    (node, label) count and a node-grain argmax — the same
+    rank-iteration loop as pagerank; labels are node-scale and
+    localCheckpoint'd."""
+    und = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    und = und.localCheckpoint()
+    lab = (
+        und.select("src")
+        .distinct()
+        .select(F.col("src").alias("user_id"), F.col("src").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        msgs = und.join(lab, und.src == lab.user_id).select("dst", "label")
+        cnt = msgs.groupBy("dst", "label").agg(F.count(F.lit(1)).alias("c"))
+        # argmax with ties to the SMALLEST label: min over
+        # (-count, label) — a struct min is a single-shuffle aggregate,
+        # no window needed
+        best = cnt.groupBy("dst").agg(
+            F.min(F.struct((-F.col("c")).alias("nc"), F.col("label").alias("l")))
+            .alias("b")
+        )
+        lab = best.select(
+            F.col("dst").alias("user_id"), F.col("b.l").alias("label")
+        ).localCheckpoint()
+    from pyspark.sql.window import Window as W
+
+    return lab.select(
+        "user_id",
+        F.col("label").cast("long").alias("community"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("label"))
+        .cast("long")
+        .alias("community_size"),
+    )
+
+
+def user_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: LPA_ITERS synchronous label-propagation rounds
+    over the co-occurrence graph. Hash-checked end to end — the update
+    is integer argmax with a total order, so the oracle restates every
+    round as unrolled DuckDB CTEs."""
+    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint()
+    return label_propagation(edges).orderBy("user_id")
 
 
 def events_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -823,6 +925,78 @@ def pagerank_oracle_sql(iters: int = PR_ITERS) -> str:
 
 ORACLES["user_pagerank"] = pagerank_oracle_sql()
 
+ORACLES["user_clustering_coefficient"] = f"""
+    WITH {_SQL_COOC_EDGES}, und AS (
+        SELECT u AS user_id FROM edges
+        UNION ALL SELECT v FROM edges
+    ), deg AS (
+        SELECT user_id, COUNT(*) AS deg FROM und GROUP BY 1
+    ), tri AS (
+        SELECT e1.u AS va, e1.v AS vb, e2.v AS vc
+        FROM edges e1
+        JOIN edges e2 ON e1.v = e2.u
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), tc AS (
+        SELECT user_id, COUNT(*) AS t FROM (
+            SELECT va AS user_id FROM tri
+            UNION ALL SELECT vb FROM tri
+            UNION ALL SELECT vc FROM tri
+        ) GROUP BY 1
+    )
+    SELECT d.user_id,
+           CAST(d.deg AS BIGINT) AS degree,
+           CAST(COALESCE(t.t, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d.deg >= 2 THEN
+               CAST((CAST(2 * COALESCE(t.t, 0) AS HUGEINT) * 2000000
+                     + d.deg * (d.deg - 1))
+                    // (2 * d.deg * (d.deg - 1)) AS DOUBLE) / 1000000
+           ELSE 0.0 END AS lcc
+    FROM deg d LEFT JOIN tc t USING (user_id)
+    ORDER BY 1
+"""
+
+
+def lpa_oracle_sql(iters: int = LPA_ITERS) -> str:
+    """Unrolled DuckDB restatement of the synchronous label-propagation
+    fit: per round, neighbor-label counts then a (count DESC, label
+    ASC) argmax per node — all integers, so the hash gate checks the
+    whole community assignment."""
+    sql = [
+        f"""
+    WITH {_SQL_COOC_EDGES}, und AS (
+        SELECT u AS src, v AS dst FROM edges
+        UNION ALL
+        SELECT v AS src, u AS dst FROM edges
+    ), l0 AS (
+        SELECT DISTINCT src AS user_id, src AS label FROM und
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        sql.append(f"""
+    , m{i} AS (
+        SELECT u.dst AS user_id, l.label, COUNT(*) AS c
+        FROM und u JOIN l{i - 1} l ON l.user_id = u.src
+        GROUP BY 1, 2
+    ), l{i} AS (
+        SELECT user_id, label FROM (
+            SELECT user_id, label,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY c DESC, label ASC) AS rn
+            FROM m{i}
+        ) WHERE rn = 1
+    )""")
+    sql.append(f"""
+    SELECT user_id,
+           CAST(label AS BIGINT) AS community,
+           CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT)
+               AS community_size
+    FROM l{iters}
+    ORDER BY user_id""")
+    return "".join(sql)
+
+
+ORACLES["user_communities"] = lpa_oracle_sql()
+
 ORACLES["events_bigram_lm_scores"] = """
     WITH e AS (
         SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
@@ -865,5 +1039,7 @@ QUERIES = {
     "user_state_scd2": user_state_scd2,
     "user_cooccurrence_triangles": user_cooccurrence_triangles,
     "user_pagerank": user_pagerank,
+    "user_clustering_coefficient": user_clustering_coefficient,
+    "user_communities": user_communities,
     "events_bigram_lm_scores": events_bigram_lm_scores,
 }

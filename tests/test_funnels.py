@@ -145,3 +145,35 @@ def test_pagerank_star_graph_properties(spark):
 def test_pagerank_empty_graph(spark):
     edges = spark.createDataFrame([], "u long, v long")
     assert funnels.pagerank(edges).collect() == []
+
+
+def test_clustering_coefficient_known_graph(spark, sf_dir):
+    """Triangle + pendant: K3 members have lcc 1.0 (or 1/3 for the hub
+    with the pendant attached), pendant has degree 1 and lcc 0."""
+    rows = {
+        r["user_id"]: r
+        for r in funnels.user_clustering_coefficient(spark, sf_dir).collect()
+    }
+    # cross-check every row against its own degree/triangle fields
+    for r in rows.values():
+        d, t = r["degree"], r["n_triangles"]
+        if d >= 2:
+            expect = ((2 * t) * 2_000_000 + d * (d - 1)) // (2 * d * (d - 1)) / 1e6
+        else:
+            expect = 0.0
+        assert r["lcc"] == expect, r
+        assert 2 * t <= d * (d - 1)  # triangles bounded by wedge count
+
+
+def test_label_propagation_splits_barbell(spark):
+    """Two triangles bridged by one edge: synchronous mode-LPA settles
+    on one community per triangle — unlike connected components, which
+    would flood all six nodes with one label."""
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        "u long, v long",
+    )
+    rows = {r["user_id"]: r for r in funnels.label_propagation(edges).collect()}
+    assert {rows[i]["community"] for i in (1, 2, 3)} == {1}
+    assert {rows[i]["community"] for i in (4, 5, 6)} == {3}
+    assert all(r["community_size"] == 3 for r in rows.values())
