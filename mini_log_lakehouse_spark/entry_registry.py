@@ -16,6 +16,7 @@ from mini_log_lakehouse_spark.operators import (
     layout,
     multimodal,
     relational,
+    retrieval,
     sampling,
     sessions,
     similarity,
@@ -51,6 +52,7 @@ _MODULES = (
     relational,
     events,
     textstats,
+    retrieval,
     curation,
     dedup,
     layout,
@@ -142,7 +144,7 @@ _FIRST_WINDOW = (
     "top_customers_by_revenue",
     "streaming_hourly_fact",
     "multimodal_byte_features",
-    "asof_error_attribution",
+    "doc_hybrid_search",
 )
 
 _missing = [n for n in _FIRST_WINDOW if n not in QUERIES]

@@ -618,21 +618,12 @@ SPARSE_QUERY_DOC = 0
 SPARSE_TOP_K = 10
 
 
-def doc_sparse_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sparse lexical retrieval via the inverted-index join — the
-    BM25-family query shape: score every document against a query
-    document by the sum over SHARED tokens of tf_q · tf_d · idf², with
-    the linear idf (N/df) of doc_tfidf_top_terms so the score is an
-    exact rational (engines agree bit-for-bit; log-idf would rank
-    identically but hash-differ in the last ulp).
-
-    The plan IS an inverted index at 100 TB: doc-term postings join
-    the (tiny, broadcast) query term list ON THE TOKEN — only documents
-    sharing a query term are ever scored; no pairwise document loop
-    exists anywhere. Scoring aggregates the posting join, top-K is a
-    TakeOrderedAndProject. Exactness: idf is quantized ONCE per token
-    (idf_milli = N·10³ DIV df, truncating), then the score
-    Σ tf_d·tf_q·idf_milli² is pure decimal(38,0) integer arithmetic."""
+def sparse_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNORDERED (doc_id, shared_terms, score_milli) lexical scores of
+    every candidate document against SPARSE_QUERY_DOC — the shared
+    scoring stage of doc_sparse_search (which top-Ks it) and
+    retrieval.doc_hybrid_search (which rank-fuses it with the dense
+    tier). See doc_sparse_search for the semantics and scale shape."""
     tf = _doc_term_freq(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents")
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -663,12 +654,30 @@ def doc_sparse_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("shared_terms"),
         )
     )
+    return scored.select(
+        "doc_id",
+        "shared_terms",
+        F.expr("CAST(_score DIV 1000 AS LONG)").alias("score_milli"),
+    )
+
+
+def doc_sparse_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical retrieval via the inverted-index join — the
+    BM25-family query shape: score every document against a query
+    document by the sum over SHARED tokens of tf_q · tf_d · idf², with
+    the linear idf (N/df) of doc_tfidf_top_terms so the score is an
+    exact rational (engines agree bit-for-bit; log-idf would rank
+    identically but hash-differ in the last ulp).
+
+    The plan IS an inverted index at 100 TB: doc-term postings join
+    the (tiny, broadcast) query term list ON THE TOKEN — only documents
+    sharing a query term are ever scored; no pairwise document loop
+    exists anywhere. Scoring aggregates the posting join, top-K is a
+    TakeOrderedAndProject. Exactness: idf is quantized ONCE per token
+    (idf_milli = N·10³ DIV df, truncating), then the score
+    Σ tf_d·tf_q·idf_milli² is pure decimal(38,0) integer arithmetic."""
     return (
-        scored.select(
-            "doc_id",
-            "shared_terms",
-            F.expr("CAST(_score DIV 1000 AS LONG)").alias("score_milli"),
-        )
+        sparse_scores(spark, sf_dir)
         .orderBy(F.desc("score_milli"), F.asc("doc_id"))
         .limit(SPARSE_TOP_K)
     )
@@ -946,8 +955,11 @@ ORACLES["doc_lm_quality_gate"] = f"""
         ORDER BY p.doc_id
 """
 
-ORACLES["doc_sparse_search"] = f"""
-        WITH tf AS ({_SQL_TF}),
+# Shared CTE chain ending in sparse_scored(doc_id, shared_terms,
+# score_milli) — one SQL definition of the lexical scorer, in lockstep
+# with sparse_scores(); the top-K oracle below and retrieval's hybrid
+# RRF oracle both start from it.
+SQL_SPARSE_SCORED = f"""tf AS ({_SQL_TF}),
         dfs AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
         idf AS (
             SELECT token,
@@ -960,15 +972,21 @@ ORACLES["doc_sparse_search"] = f"""
         ), query AS (
             SELECT token, tf AS tf_q FROM posting
             WHERE doc_id = {SPARSE_QUERY_DOC}
-        )
-        SELECT p.doc_id,
-               CAST(COUNT(*) AS BIGINT) AS shared_terms,
-               CAST(SUM(CAST(p.tf AS HUGEINT) * q.tf_q
-                        * p.idf_milli * p.idf_milli) // 1000 AS BIGINT)
-                   AS score_milli
-        FROM posting p JOIN query q USING (token)
-        WHERE p.doc_id <> {SPARSE_QUERY_DOC}
-        GROUP BY 1
+        ), sparse_scored AS (
+            SELECT p.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS shared_terms,
+                   CAST(SUM(CAST(p.tf AS HUGEINT) * q.tf_q
+                            * p.idf_milli * p.idf_milli) // 1000 AS BIGINT)
+                       AS score_milli
+            FROM posting p JOIN query q USING (token)
+            WHERE p.doc_id <> {SPARSE_QUERY_DOC}
+            GROUP BY 1
+        )"""
+
+ORACLES["doc_sparse_search"] = f"""
+        WITH {SQL_SPARSE_SCORED}
+        SELECT doc_id, shared_terms, score_milli
+        FROM sparse_scored
         ORDER BY score_milli DESC, doc_id ASC
         LIMIT {SPARSE_TOP_K}
 """

@@ -669,3 +669,25 @@ def test_semdedup_cluster_blocking_agrees_with_label_blocking(spark):
     }
     assert set(planted) <= by_label
     assert by_label == by_cluster
+
+
+def test_hybrid_rrf_fusion_semantics(spark, sf_dir):
+    """RRF invariants on the real corpus: a doc in both tiers scores
+    the sum of its two terms, a single-tier doc scores exactly its one
+    term, and the fused list is ordered by (rrf_micro desc, doc_id)."""
+    from mini_log_lakehouse_spark.operators import retrieval
+
+    rows = retrieval.doc_hybrid_search(spark, sf_dir).collect()
+    assert 0 < len(rows) <= retrieval.RRF_TOP
+    k = retrieval.RRF_K
+    for r in rows:
+        expect = 0
+        if r["lex_rank"] is not None:
+            assert 1 <= r["lex_rank"] <= retrieval.RRF_CAND
+            expect += 1_000_000 // (k + r["lex_rank"])
+        if r["dense_rank"] is not None:
+            assert 1 <= r["dense_rank"] <= retrieval.RRF_CAND
+            expect += 1_000_000 // (k + r["dense_rank"])
+        assert r["rrf_micro"] == expect and expect > 0
+    keys = [(-r["rrf_micro"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
