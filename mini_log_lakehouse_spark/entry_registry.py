@@ -143,7 +143,7 @@ _FIRST_WINDOW = (
     "top3_customers_per_nation",
     "top_customers_by_revenue",
     "streaming_hourly_fact",
-    "multimodal_byte_features",
+    "embedding_pq_codes",
     "doc_hybrid_search",
 )
 

@@ -723,66 +723,82 @@ def kmeans_fit(
 
 
 def kmeans_assign_cte_sql(
-    k: int = KMEANS_K, iters: int = KMEANS_ITERS, fp: int = FIXED_POINT
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    fp: int = FIXED_POINT,
+    slice_lo: int = 0,
+    slice_len: int | None = None,
+    prefix: str = "",
+    with_kw: bool = True,
 ) -> tuple[str, str]:
     """The unrolled k-means CTE chain (quantize -> (assign -> update) ×
     iters -> final assign), WITHOUT the final report SELECT — returns
-    (sql_starting_with_WITH, final_assignment_cte_name) so downstream
-    oracles (the per-cluster report, SemDeDup's cluster blocking) can
-    compose the exact fit. fdiv(a, b) below is floor division built
-    from truncating ops: (a - ((a%b)+b)%b) // b."""
+    (cte_sql, final_assignment_cte_name) so downstream oracles (the
+    per-cluster report, SemDeDup's cluster blocking, PQ's per-subspace
+    codebooks) can compose the exact fit. ``slice_lo``/``slice_len``
+    restrict the fit to an embedding subvector (PQ subspaces);
+    ``prefix`` namespaces the CTEs so several chains can share one
+    WITH (set ``with_kw=False`` for every chain after the first).
+    fdiv(a, b) below is floor division built from truncating ops:
+    (a - ((a%b)+b)%b) // b."""
+    p = prefix
+    where = (
+        f"WHERE u.pos >= {slice_lo} AND u.pos < {slice_lo + slice_len}"
+        if slice_len is not None
+        else ""
+    )
     sql = [
         f"""
-        WITH q AS (
-            SELECT vec_id, u.pos AS pos,
+        {"WITH " if with_kw else ""}{p}q AS (
+            SELECT vec_id, u.pos - {slice_lo} AS pos,
                    CAST(FLOOR(CAST(u.val AS DOUBLE) * {fp} + 0.5) AS BIGINT) AS qv
             FROM (
                 SELECT vec_id,
                        unnest(list_transform(range(1, len(embedding) + 1),
                               i -> {{'pos': i - 1, 'val': embedding[i]}})) AS u
                 FROM embeddings
-            )
-        ), c0 AS (
+            ) {where}
+        ), {p}c0 AS (
             SELECT r.cluster, q.pos, q.qv AS cv
             FROM (
                 SELECT vec_id,
                        CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster
                 FROM embeddings ORDER BY vec_id LIMIT {k}
-            ) r JOIN q ON q.vec_id = r.vec_id
+            ) r JOIN {p}q q ON q.vec_id = r.vec_id
         )"""
     ]
     for i in range(1, iters + 2):
         # assignment i runs against centroids c{i-1}
         sql.append(f"""
-        , a{i} AS (
+        , {p}a{i} AS (
             SELECT q.vec_id, c.cluster,
                    CAST(SUM((q.qv - c.cv) * (q.qv - c.cv)) AS BIGINT) AS dist
-            FROM q JOIN c{i - 1} c ON q.pos = c.pos
+            FROM {p}q q JOIN {p}c{i - 1} c ON q.pos = c.pos
             GROUP BY 1, 2
-        ), s{i} AS (
+        ), {p}s{i} AS (
             SELECT vec_id, cluster, dist FROM (
                 SELECT vec_id, cluster, dist,
                        ROW_NUMBER() OVER (PARTITION BY vec_id
                                           ORDER BY dist, cluster) AS rn
-                FROM a{i}
+                FROM {p}a{i}
             ) WHERE rn = 1
         )""")
         if i > iters:
-            return "".join(sql), f"s{i}"
+            return "".join(sql), f"{p}s{i}"
         sql.append(f"""
-        , u{i} AS (
+        , {p}u{i} AS (
             SELECT s.cluster, q.pos,
                    2 * CAST(SUM(q.qv) AS BIGINT) + COUNT(*) AS a,
                    2 * COUNT(*) AS b
-            FROM s{i} s JOIN q ON q.vec_id = s.vec_id
+            FROM {p}s{i} s JOIN {p}q q ON q.vec_id = s.vec_id
             GROUP BY 1, 2
-        ), c{i} AS (
+        ), {p}c{i} AS (
             SELECT p.cluster, p.pos,
                    CAST(COALESCE(
                        (u.a - ((u.a % u.b) + u.b) % u.b) // u.b,
                        p.cv) AS BIGINT) AS cv
-            FROM c{i - 1} p
-            LEFT JOIN u{i} u ON u.cluster = p.cluster AND u.pos = p.pos
+            FROM {p}c{i - 1} p
+            LEFT JOIN {p}u{i} u ON u.cluster = p.cluster AND u.pos = p.pos
         )""")
     raise AssertionError("unreachable: loop always returns at i == iters + 1")
 
@@ -863,6 +879,145 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.alias("q_int8"),
         "scale",
     ).orderBy("vec_id", "pos")
+
+
+#: Product quantization geometry: PQ_M subspaces × PQ_K centroids each
+#: (codes fit a byte; 64-dim embeddings → 16-dim subvectors). Small
+#: iteration count keeps the unrolled oracle tractable; PQ codebooks
+#: converge fast because each subspace is low-dimensional.
+PQ_M = 4
+PQ_K = 8
+PQ_ITERS = 3
+
+
+def pq_train(
+    vectors: DataFrame,
+    dim: int,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    vec_col: str = "embedding",
+) -> list["np.ndarray"]:
+    """Train PQ codebooks: an independent integer-lattice k-means fit
+    (kmeans_fit — exact, deterministic) per contiguous subvector.
+    Returns m int64 q-space centroid matrices of shape (k, dim/m).
+
+    Scale note: training runs m fits over the corpus (each fit is
+    iters map-only passes + model-sized aggregates). At 100 TB you
+    train on a sample and only ENCODE the full corpus (one pass — see
+    pq_encode); the driver query trains on the full testdata corpus
+    because there the fit itself is the thing under test."""
+    sub = dim // m
+    cents = []
+    for s in range(m):
+        sl = vectors.select(
+            "vec_id", F.slice(vec_col, s * sub + 1, sub).alias(vec_col)
+        )
+        _, c, _ = kmeans_fit(sl, k=k, iters=iters, vec_col=vec_col)
+        cents.append(c)
+    return cents
+
+
+def pq_encode(
+    vectors: DataFrame, cents: list["np.ndarray"], vec_col: str = "embedding"
+) -> DataFrame:
+    """Encode every vector against trained PQ codebooks in ONE Arrow
+    pass: per subspace the exact int64 q-space argmin (ties to the
+    lowest code) plus its distance; the reconstruction error is the
+    exact sum of per-subspace distances (subspaces are orthogonal
+    coordinate blocks, so the sum IS the full-vector distance to the
+    implied product centroid). Map-only — at 100 TB the encoder
+    pipelines with the scan, codebooks ride as an m·k·(dim/m)
+    broadcast constant."""
+    import pyarrow as pa
+
+    m = len(cents)
+    sub = cents[0].shape[1]
+    schema = T.StructType(
+        [T.StructField("vec_id", T.LongType())]
+        + [T.StructField(f"code_{s}", T.LongType()) for s in range(m)]
+        + [T.StructField("recon_err_fixed", T.LongType())]
+    )
+
+    def run(batches):
+        for batch in batches:
+            n = batch.num_rows
+            cols = {
+                "vec_id": batch.column(
+                    batch.schema.get_field_index("vec_id")
+                ).cast(pa.int64())
+            }
+            if n == 0:
+                for s in range(m):
+                    cols[f"code_{s}"] = pa.array([], pa.int64())
+                cols["recon_err_fixed"] = pa.array([], pa.int64())
+            else:
+                mat = (
+                    batch.column(batch.schema.get_field_index(vec_col))
+                    .flatten()
+                    .to_numpy(zero_copy_only=False)
+                    .reshape(n, -1)
+                )
+                qmat = _quantize_mat(mat)
+                err = np.zeros(n, dtype=np.int64)
+                for s in range(m):
+                    d = _sq_dists(qmat[:, s * sub : (s + 1) * sub], cents[s])
+                    cols[f"code_{s}"] = pa.array(
+                        d.argmin(axis=1).astype(np.int64), pa.int64()
+                    )
+                    err += d.min(axis=1)
+                cols["recon_err_fixed"] = pa.array(err, pa.int64())
+            yield pa.RecordBatch.from_pydict(cols)
+
+    return vectors.select("vec_id", vec_col).mapInArrow(run, schema=schema)
+
+
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: full PQ fit + corpus encode over the embeddings
+    table — per vector the PQ_M codes and the exact int64
+    reconstruction error. Hash-checked end to end: every per-subspace
+    fit is the integer-lattice k-means, so the oracle composes PQ_M
+    unrolled CTE chains (one per subspace, namespaced) and joins their
+    final assignments."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    cents = pq_train(e.select("vec_id", "embedding"), dim)
+    return pq_encode(e, cents).orderBy("vec_id")
+
+
+def pq_oracle_sql(
+    m: int = PQ_M, k: int = PQ_K, iters: int = PQ_ITERS, dim: int = 64
+) -> str:
+    """Unrolled DuckDB restatement of the full PQ fit+encode: one
+    namespaced kmeans CTE chain per subspace, joined on vec_id for the
+    code tuple and the exact summed reconstruction error."""
+    sub = dim // m
+    chains, finals = [], []
+    for s in range(m):
+        sql, final = kmeans_assign_cte_sql(
+            k=k,
+            iters=iters,
+            slice_lo=s * sub,
+            slice_len=sub,
+            prefix=f"p{s}_",
+            with_kw=(s == 0),
+        )
+        chains.append(sql)
+        finals.append(final)
+    code_cols = ",\n               ".join(
+        f"CAST(t{s}.cluster AS BIGINT) AS code_{s}" for s in range(m)
+    )
+    err = " + ".join(f"t{s}.dist" for s in range(m))
+    joins = "".join(
+        f"\n        JOIN {finals[s]} t{s} ON t{s}.vec_id = t0.vec_id"
+        for s in range(1, m)
+    )
+    return f"""{"".join(c if i == 0 else ", " + c for i, c in enumerate(chains))}
+        SELECT t0.vec_id,
+               {code_cols},
+               CAST({err} AS BIGINT) AS recon_err_fixed
+        FROM {finals[0]} t0{joins}
+        ORDER BY t0.vec_id"""
 
 
 #: Reduced dimensionality and candidate width of the coarse pass —
@@ -1015,12 +1170,14 @@ ORACLES: dict[str, str] = {
         ORDER BY query_id, rank
     """,
     "embedding_kmeans_clusters": kmeans_oracle_sql(),
+    "embedding_pq_codes": pq_oracle_sql(),
 }
 
 QUERIES = {
     "embedding_random_projection": embedding_random_projection,
     "embedding_int8_quantize": embedding_int8_quantize,
     "embedding_kmeans_clusters": embedding_kmeans_clusters,
+    "embedding_pq_codes": embedding_pq_codes,
     "ann_rp_topk": ann_rp_topk,
     "embedding_label_centroids": embedding_label_centroids,
     "ann_cosine_topk": ann_cosine_topk,

@@ -691,3 +691,38 @@ def test_hybrid_rrf_fusion_semantics(spark, sf_dir):
         assert r["rrf_micro"] == expect and expect > 0
     keys = [(-r["rrf_micro"], r["doc_id"]) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_pq_single_subspace_equals_full_kmeans(spark, sf_dir):
+    """PQ degenerates to plain k-means when m=1: codes must equal the
+    full-vector cluster assignment and the reconstruction error must be
+    the exact assignment distance — pinning that the PQ encoder and the
+    k-means assigner share one distance definition."""
+    from mini_log_lakehouse_spark.operators import similarity as sim_ops
+    from mini_log_lakehouse_spark.sources.registry import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    _, cents, _ = sim_ops.kmeans_fit(e)
+    asg = {
+        r["vec_id"]: r
+        for r in sim_ops.kmeans_assign(e, cents).select(
+            "vec_id", "cluster", "dist_fixed"
+        ).collect()
+    }
+    pq = sim_ops.pq_encode(e, [cents]).collect()
+    assert len(pq) == len(asg) > 0
+    for r in pq:
+        a = asg[r["vec_id"]]
+        assert r["code_0"] == a["cluster"]
+        assert r["recon_err_fixed"] == a["dist_fixed"]
+
+
+def test_pq_codes_in_range_and_error_nonneg(spark, sf_dir):
+    from mini_log_lakehouse_spark.operators import similarity as sim_ops
+
+    rows = sim_ops.embedding_pq_codes(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        for s in range(sim_ops.PQ_M):
+            assert 0 <= r[f"code_{s}"] < sim_ops.PQ_K
+        assert r["recon_err_fixed"] >= 0
