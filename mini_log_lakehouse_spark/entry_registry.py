@@ -94,6 +94,7 @@ _FIRST_WINDOW = (
     "user_pagerank",
     "user_clustering_coefficient",
     "user_communities",
+    "user_bfs_reach",
     "dedup_semantic_pairs",
     "doc_bpe_merge_table",
     "user_cooccurrence_triangles",
@@ -142,7 +143,6 @@ _FIRST_WINDOW = (
     "tpch_q1_pricing_summary",
     "top3_customers_per_nation",
     "top_customers_by_revenue",
-    "streaming_hourly_fact",
     "embedding_pq_codes",
     "doc_hybrid_search",
 )

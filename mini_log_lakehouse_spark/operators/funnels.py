@@ -618,6 +618,58 @@ def user_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges).orderBy("user_id")
 
 
+#: BFS frontier depth and multi-source seed count (the BFS_SEEDS
+#: lowest-id nodes — deterministic, no RNG).
+BFS_HOPS = 4
+BFS_SEEDS = 3
+
+
+def bfs_hops(edges: DataFrame, seeds: DataFrame, hops: int = BFS_HOPS) -> DataFrame:
+    """Multi-source BFS over an undirected (u < v once) edge list:
+    shortest hop-distance from the seed set, exact up to ``hops`` (the
+    blast-radius / influence-reach primitive — "everyone within 4 hops
+    of these flagged accounts"). Nodes not reached within the horizon
+    are absent from the output, which is what bounds the state.
+
+    Monotone frontier: dist_i(v) = min(dist_{i-1}(v), 1 + min over
+    in-neighbors) — pure integer min-plus, so the whole iterative
+    expansion is restatable as unrolled SQL. Shape at 100 TB: the
+    same per-iteration edge⋈frontier shuffle + node-grain min as
+    pagerank; the reached set only grows, and localCheckpoint keeps
+    lineage flat."""
+    und = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    und = und.localCheckpoint()
+    dist = seeds.select("user_id", F.lit(0).alias("dist")).localCheckpoint()
+    for _ in range(hops):
+        cand = und.join(dist, und.src == dist.user_id).select(
+            F.col("dst").alias("user_id"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = (
+            dist.unionAll(cand)
+            .groupBy("user_id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist.select("user_id", F.col("dist").cast("long").alias("hops"))
+
+
+def user_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: BFS_HOPS-hop reach of the BFS_SEEDS lowest-id
+    users over the co-occurrence graph. Hash-checked end to end — the
+    min-plus expansion is integer-exact, so the oracle restates every
+    frontier round as unrolled DuckDB CTEs."""
+    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint()
+    nodes = (
+        edges.select(F.col("u").alias("user_id"))
+        .unionAll(edges.select(F.col("v").alias("user_id")))
+        .distinct()
+    )
+    seeds = nodes.orderBy("user_id").limit(BFS_SEEDS)
+    return bfs_hops(edges, seeds).orderBy("user_id")
+
+
 def events_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram (first-order Markov) LM scoring of each user's event
     sequence against the corpus transition model — the sequence twin of
@@ -997,6 +1049,46 @@ def lpa_oracle_sql(iters: int = LPA_ITERS) -> str:
 
 ORACLES["user_communities"] = lpa_oracle_sql()
 
+
+def bfs_oracle_sql(hops: int = BFS_HOPS, seeds: int = BFS_SEEDS) -> str:
+    """Unrolled DuckDB restatement of the multi-source BFS expansion:
+    per hop a frontier min over in-neighbors, merged monotonically with
+    the previous distances — all integer min-plus."""
+    sql = [
+        f"""
+    WITH {_SQL_COOC_EDGES}, und AS (
+        SELECT u AS src, v AS dst FROM edges
+        UNION ALL
+        SELECT v AS src, u AS dst FROM edges
+    ), seeds AS (
+        SELECT user_id FROM (SELECT DISTINCT src AS user_id FROM und)
+        ORDER BY user_id LIMIT {seeds}
+    ), d0 AS (
+        SELECT user_id, 0 AS dist FROM seeds
+    )"""
+    ]
+    for i in range(1, hops + 1):
+        sql.append(f"""
+    , e{i} AS (
+        SELECT u.dst AS user_id, MIN(d.dist + 1) AS dist
+        FROM und u JOIN d{i - 1} d ON d.user_id = u.src
+        GROUP BY 1
+    ), d{i} AS (
+        SELECT user_id, MIN(dist) AS dist FROM (
+            SELECT user_id, dist FROM d{i - 1}
+            UNION ALL
+            SELECT user_id, dist FROM e{i}
+        ) GROUP BY 1
+    )""")
+    sql.append(f"""
+    SELECT user_id, CAST(dist AS BIGINT) AS hops
+    FROM d{hops}
+    ORDER BY user_id""")
+    return "".join(sql)
+
+
+ORACLES["user_bfs_reach"] = bfs_oracle_sql()
+
 ORACLES["events_bigram_lm_scores"] = """
     WITH e AS (
         SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
@@ -1041,5 +1133,6 @@ QUERIES = {
     "user_pagerank": user_pagerank,
     "user_clustering_coefficient": user_clustering_coefficient,
     "user_communities": user_communities,
+    "user_bfs_reach": user_bfs_reach,
     "events_bigram_lm_scores": events_bigram_lm_scores,
 }

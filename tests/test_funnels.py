@@ -177,3 +177,12 @@ def test_label_propagation_splits_barbell(spark):
     assert {rows[i]["community"] for i in (1, 2, 3)} == {1}
     assert {rows[i]["community"] for i in (4, 5, 6)} == {3}
     assert all(r["community_size"] == 3 for r in rows.values())
+
+
+def test_bfs_hops_path_graph_horizon(spark):
+    """Path 0-1-2-...-7, seed {0}: distances equal the hop index, and
+    nodes beyond the BFS_HOPS horizon are absent (bounded state)."""
+    edges = spark.createDataFrame([(i, i + 1) for i in range(7)], "u long, v long")
+    seeds = spark.createDataFrame([(0,)], "user_id long")
+    got = {r["user_id"]: r["hops"] for r in funnels.bfs_hops(edges, seeds).collect()}
+    assert got == {i: i for i in range(funnels.BFS_HOPS + 1)}
