@@ -133,6 +133,7 @@ _FIRST_WINDOW = (
     # (3) rows-only by design — keep the no_oracle rows visible
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_ivfpq_topk",
     "ann_rp_topk",
     "approx_distinct_users",
     "doc_bpe_encode",
@@ -142,7 +143,6 @@ _FIRST_WINDOW = (
     # (5) backfill from the r3-green pool (bench rows first)
     "tpch_q1_pricing_summary",
     "top3_customers_per_nation",
-    "top_customers_by_revenue",
     "embedding_pq_codes",
     "doc_hybrid_search",
 )

@@ -726,3 +726,21 @@ def test_pq_codes_in_range_and_error_nonneg(spark, sf_dir):
         for s in range(sim_ops.PQ_M):
             assert 0 <= r[f"code_{s}"] < sim_ops.PQ_K
         assert r["recon_err_fixed"] >= 0
+
+
+def test_ivfpq_recall_and_exact_rerank(spark, sf_dir):
+    """IVF-PQ ADC: decent recall vs the exact tier (measured 0.7-0.8 on
+    this near-orthogonal corpus), and — because the final stage is an
+    exact rerank — every reported cos_sim must EQUAL the exact tier's
+    value for the same vec_id."""
+    exact = {
+        r["vec_id"]: r["cos_sim"]
+        for r in similarity.ann_cosine_topk(spark, sf_dir).collect()
+    }
+    approx = similarity.ann_ivfpq_topk(spark, sf_dir).collect()
+    assert len(approx) == similarity.TOP_K
+    recall = len(set(r["vec_id"] for r in approx) & set(exact)) / len(exact)
+    assert recall >= 0.5, f"IVF-PQ recall too low: {recall}"
+    for r in approx:
+        if r["vec_id"] in exact:
+            assert r["cos_sim"] == exact[r["vec_id"]]
