@@ -670,6 +670,88 @@ def user_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_hops(edges, seeds).orderBy("user_id")
 
 
+def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type CUSUM changepoint statistic over daily event counts —
+    the classic "has the level shifted" sequential monitor (Page 1954),
+    the follow-up to events_daily_anomalies' pointwise z-flags: a run
+    of small same-sign deviations that no single-day test flags
+    accumulates here.
+
+    Float-free: deviations are cross-multiplied (d_t = n·x_t − T, an
+    integer that sums to zero over each type), and the max(0, S+d)
+    recurrence — inherently sequential — is computed CLOSED-FORM as
+    S_t = P_t − min(0, min_{j≤t} P_j) with P the running sum of d
+    (standard identity, provable by induction), so the whole monitor is
+    two window passes, no recursion, no UDF.
+
+    Shape at 100 TB: event grain collapses in the first (type, day)
+    partial aggregate; both windows run over type-grain day series —
+    thousands of rows per type, one shuffle shared by both."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    per_type = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("t")
+    )
+    d = daily.join(per_type, "event_type").select(
+        "event_type",
+        "day",
+        F.col("x").cast("long").alias("n_events"),
+        (F.col("n") * F.col("x") - F.col("t")).cast("long").alias("dev_scaled"),
+    )
+    wp = W.partitionBy("event_type").orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    p = d.withColumn("_p", F.sum("dev_scaled").over(wp))
+    return (
+        p.withColumn(
+            "cusum_scaled",
+            (F.col("_p") - F.least(F.lit(0), F.min("_p").over(wp))).cast("long"),
+        )
+        .select("event_type", "day", "n_events", "dev_scaled", "cusum_scaled")
+        .orderBy("event_type", "day")
+    )
+
+
+def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal profile + per-day deviation from the
+    type's own weekday mean — "is this Tuesday unusual FOR a Tuesday",
+    the seasonality-aware refinement of the flat daily mean the
+    anomaly/trend operators use. dev_scaled = x·c_dow − s_dow is the
+    usual division-free cross-multiplication (positive ⇔ above the
+    weekday mean), weekday numbering pinned cross-engine (Spark
+    weekday() == DuckDB isodow() − 1 == 0 for Monday — verified).
+
+    Shape: one (type, day) aggregate, one (type, dow) re-aggregate of
+    it (both map-side partial), one broadcastable profile join back."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    daily = daily.withColumn("dow", F.weekday("day").cast("long"))
+    prof = daily.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("dow_days"), F.sum("x").alias("dow_total")
+    )
+    return (
+        daily.join(prof, ["event_type", "dow"])
+        .select(
+            "event_type",
+            "day",
+            "dow",
+            F.col("x").cast("long").alias("n_events"),
+            F.col("dow_days").cast("long").alias("dow_days"),
+            F.col("dow_total").cast("long").alias("dow_total"),
+            (F.col("x") * F.col("dow_days") - F.col("dow_total"))
+            .cast("long")
+            .alias("dev_scaled"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
 def events_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram (first-order Markov) LM scoring of each user's event
     sequence against the corpus transition model — the sequence twin of
@@ -1089,6 +1171,52 @@ def bfs_oracle_sql(hops: int = BFS_HOPS, seeds: int = BFS_SEEDS) -> str:
 
 ORACLES["user_bfs_reach"] = bfs_oracle_sql()
 
+ORACLES["events_cusum_changepoints"] = f"""
+    WITH daily AS (
+        SELECT event_type, {_DAY} AS day, COUNT(*) AS x
+        FROM events GROUP BY 1, 2
+    ), per_type AS (
+        SELECT event_type, COUNT(*) AS n, SUM(x) AS t
+        FROM daily GROUP BY 1
+    ), d AS (
+        SELECT daily.event_type, daily.day,
+               CAST(daily.x AS BIGINT) AS n_events,
+               CAST(p.n * daily.x - p.t AS BIGINT) AS dev_scaled
+        FROM daily JOIN per_type p USING (event_type)
+    ), ps AS (
+        SELECT *,
+               SUM(dev_scaled) OVER (PARTITION BY event_type ORDER BY day
+                                     ROWS UNBOUNDED PRECEDING) AS p
+        FROM d
+    )
+    SELECT event_type, day, n_events, dev_scaled,
+           CAST(p - LEAST(0, MIN(p) OVER (PARTITION BY event_type ORDER BY day
+                                          ROWS UNBOUNDED PRECEDING))
+                AS BIGINT) AS cusum_scaled
+    FROM ps
+    ORDER BY event_type, day
+"""
+
+ORACLES["events_dow_seasonality"] = f"""
+    WITH daily AS (
+        SELECT event_type, {_DAY} AS day, COUNT(*) AS x
+        FROM events GROUP BY 1, 2
+    ), dd AS (
+        SELECT event_type, day, x, CAST(isodow(day) - 1 AS BIGINT) AS dow
+        FROM daily
+    ), prof AS (
+        SELECT event_type, dow, COUNT(*) AS dow_days, SUM(x) AS dow_total
+        FROM dd GROUP BY 1, 2
+    )
+    SELECT d.event_type, d.day, d.dow,
+           CAST(d.x AS BIGINT) AS n_events,
+           CAST(p.dow_days AS BIGINT) AS dow_days,
+           CAST(p.dow_total AS BIGINT) AS dow_total,
+           CAST(d.x * p.dow_days - p.dow_total AS BIGINT) AS dev_scaled
+    FROM dd d JOIN prof p USING (event_type, dow)
+    ORDER BY d.event_type, d.day
+"""
+
 ORACLES["events_bigram_lm_scores"] = """
     WITH e AS (
         SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
@@ -1134,5 +1262,7 @@ QUERIES = {
     "user_clustering_coefficient": user_clustering_coefficient,
     "user_communities": user_communities,
     "user_bfs_reach": user_bfs_reach,
+    "events_cusum_changepoints": events_cusum_changepoints,
+    "events_dow_seasonality": events_dow_seasonality,
     "events_bigram_lm_scores": events_bigram_lm_scores,
 }

@@ -186,3 +186,20 @@ def test_bfs_hops_path_graph_horizon(spark):
     seeds = spark.createDataFrame([(0,)], "user_id long")
     got = {r["user_id"]: r["hops"] for r in funnels.bfs_hops(edges, seeds).collect()}
     assert got == {i: i for i in range(funnels.BFS_HOPS + 1)}
+
+
+def test_cusum_matches_bruteforce_recurrence(spark, sf_dir):
+    """The closed-form S_t = P_t - min(0, running-min P) must equal the
+    sequential max(0, S + d) recurrence on the real per-type series."""
+    rows = funnels.events_cusum_changepoints(spark, sf_dir).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    assert by_type
+    for series in by_type.values():
+        series.sort(key=lambda r: r["day"])
+        s = 0
+        for r in series:
+            s = max(0, s + r["dev_scaled"])
+            assert r["cusum_scaled"] == s, r
+        assert sum(r["dev_scaled"] for r in series) == 0  # deviations balance
