@@ -98,8 +98,9 @@ _FIRST_WINDOW = (
     "dedup_semantic_pairs",
     "doc_bpe_merge_table",
     "user_cooccurrence_triangles",
-    "embedding_kmeans_clusters",
-    "streaming_hourly_fact_p95",
+    "session_attribution",
+    "event_burst_runs",
+    "tpch_integrity_audit",
     # (2) latest green row is r1/r2 — refresh all 29
     "available_days",
     "dedup_cluster_representatives",
@@ -137,8 +138,9 @@ _FIRST_WINDOW = (
     "ann_rp_topk",
     "approx_distinct_users",
     "doc_bpe_encode",
-    # (4) cross-family anchors (bench-measured every round)
-    "ann_knn_join",
+    # (4) cross-family anchor (bench-measured every round; kmeans,
+    # p95 and knn rotate out this round — all have r5 driver-green rows
+    # and semantically unchanged oracles)
     "dedup_minhash_pairs",
     # (5) backfill from the r3-green pool (bench rows first)
     "tpch_q1_pricing_summary",

@@ -1950,3 +1950,80 @@ QUERIES = {
     "tpch_q20_excess_stock_suppliers": tpch_q20_excess_stock_suppliers,
     "tpch_q21_waiting_orders": tpch_q21_waiting_orders,
 }
+
+
+#: Foreign-key relationships of the TPC-H-ish schema (child.col ->
+#: parent.col) — the audit below checks each one.
+FK_RELATIONSHIPS = (
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def fk_orphan_counts(
+    child: DataFrame, ck: str, parent: DataFrame, pk: str, name: str
+) -> DataFrame:
+    """One FK edge's audit row: (relationship, n_child_rows,
+    n_orphans) — orphan = non-NULL child key with no parent."""
+    c = child.select(F.col(ck).alias("_k"))
+    par = parent.select(F.col(pk).alias("_p")).distinct()
+    return (
+        c.join(par, c["_k"] == par["_p"], "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_child_rows"),
+            F.sum((F.col("_k").isNotNull() & F.col("_p").isNull()).cast("long"))
+            .cast("long")
+            .alias("n_orphans"),
+        )
+        .select(F.lit(name).alias("relationship"), "n_child_rows", "n_orphans")
+    )
+
+
+def tpch_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across every FK edge of the schema:
+    per relationship the child row count and the orphan count (child
+    rows whose non-NULL key has no parent — NULL keys are "unknown",
+    not orphans). The data-quality gate a lakehouse runs after every
+    load; on this synthetic corpus all orphan counts are 0, which is
+    exactly what the audit should report.
+
+    Shape at 100 TB: each check reads ONLY the two key columns (column
+    pruning to the scan), aggregates the dictionary-sized parent key
+    set, and lets AQE broadcast it under the child scan — one pass per
+    edge, no wide rows move."""
+    outs = [
+        fk_orphan_counts(
+            load_table(spark, sf_dir, ct),
+            ck,
+            load_table(spark, sf_dir, pt),
+            pk,
+            f"{ct}.{ck}->{pt}.{pk}",
+        )
+        for ct, ck, pt, pk in FK_RELATIONSHIPS
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("relationship")
+
+
+def _integrity_oracle_sql() -> str:
+    parts = []
+    for ct, ck, pt, pk in FK_RELATIONSHIPS:
+        parts.append(f"""
+        SELECT '{ct}.{ck}->{pt}.{pk}' AS relationship,
+               CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+               CAST(SUM(CASE WHEN c.{ck} IS NOT NULL AND p.{pk} IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+        FROM {ct} c LEFT JOIN (SELECT DISTINCT {pk} FROM {pt}) p
+             ON c.{ck} = p.{pk}""")
+    return " UNION ALL ".join(parts) + " ORDER BY relationship"
+
+
+ORACLES["tpch_integrity_audit"] = _integrity_oracle_sql()
+QUERIES["tpch_integrity_audit"] = tpch_integrity_audit

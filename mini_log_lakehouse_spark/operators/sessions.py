@@ -122,6 +122,68 @@ def sql_session_ids_cte(extra_cols: str = "", where: str = "TRUE") -> str:
     )"""
 
 
+def session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: for every purchase, credit
+    the LAST non-purchase event in the same session before it ("what
+    was the user doing when they converted"), aggregated to credited
+    event_type × purchase count — the marketing-attribution query every
+    product-analytics stack ships, composed from the shared session-id
+    rule. Purchases opening a session get the explicit '(direct)'
+    bucket, not a dropped row.
+
+    Shape at 100 TB: one more window over the SAME (user × time) sort
+    the session-id rule already shuffled for — Catalyst reuses the
+    exchange; the aggregate is type-grain."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    sess = with_session_ids(ev.select("user_id", "event_type", "ts", "event_id"))
+    w = (
+        Window.partitionBy("user_id", "session_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        sess.withColumn("_prior", prior)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("_prior", F.lit("(direct)")).alias("credited_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))
+        .orderBy("credited_type")
+    )
+
+
+def event_burst_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length profile per event type: the longest streak of
+    consecutive same-type events in any user's timeline, plus how many
+    streaks reach length ≥ 3 — the burst/flood signal ("errors arrive
+    in bursts, clicks arrive alone") behind rate-limiting and incident
+    triage. Pure gaps-and-islands: island key = rn_overall − rn_by_type
+    over the same (user × (ts, event_id)) sort, so the whole profile is
+    two windows + two aggregates, exact integers throughout."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wt = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    runs = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("_isl", F.row_number().over(wu) - F.row_number().over(wt))
+        .groupBy("user_id", "event_type", "_isl")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return (
+        runs.groupBy("event_type")
+        .agg(
+            F.max("run_len").cast("long").alias("longest_run"),
+            F.sum((F.col("run_len") >= 3).cast("long"))
+            .cast("long")
+            .alias("n_runs_ge3"),
+            F.count(F.lit(1)).cast("long").alias("n_runs"),
+        )
+        .orderBy("event_type")
+    )
+
+
 _SESSIONS_SQL = f"""
     WITH {sql_session_ids_cte()}
     SELECT user_id, session_id,
@@ -146,7 +208,53 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+ORACLES["session_attribution"] = f"""
+    WITH {sql_session_ids_cte(extra_cols=", event_type, event_id", where="user_id IS NOT NULL")}
+    SELECT COALESCE(prior, '(direct)') AS credited_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM (
+        SELECT event_type,
+               LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id, session_id
+                         ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prior
+        FROM ids
+    )
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+ORACLES["event_burst_runs"] = """
+    WITH e AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+        FROM events WHERE user_id IS NOT NULL
+    ), isl AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+               - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) AS g
+        FROM e
+    ), runs AS (
+        SELECT user_id, event_type, g, COUNT(*) AS run_len
+        FROM isl GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+           CAST(MAX(run_len) AS BIGINT) AS longest_run,
+           CAST(SUM(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_runs_ge3,
+           CAST(COUNT(*) AS BIGINT) AS n_runs
+    FROM runs
+    GROUP BY 1
+    ORDER BY 1
+"""
+
 QUERIES = {
     "user_sessions": user_sessions,
     "user_session_summary": user_session_summary,
+    "session_attribution": session_attribution,
+    "event_burst_runs": event_burst_runs,
 }

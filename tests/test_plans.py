@@ -223,3 +223,18 @@ def test_q21_fact_work_stays_on_orderkey_partitioning(spark, sf_dir):
     assert "hashpartitioning(l_orderkey" in plan
     assert "BroadcastHashJoin" in plan
     assert "partial_count(distinct l_suppkey" in plan or "count(distinct l_suppkey" in plan
+
+
+def test_fk_orphan_audit_finds_planted_orphans(spark):
+    """The integrity audit must actually count orphans, NULL keys must
+    not be counted as orphans, and an intact edge reports zero."""
+    from mini_log_lakehouse_spark.operators.relational import fk_orphan_counts
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (2,), (99,), (None,)], "fk long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    row = fk_orphan_counts(child, "fk", parent, "pk", "t.fk->p.pk").collect()[0]
+    assert row["relationship"] == "t.fk->p.pk"
+    assert row["n_child_rows"] == 5
+    assert row["n_orphans"] == 1  # only 99; NULL is unknown, not orphan
