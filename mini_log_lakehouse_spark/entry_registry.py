@@ -85,16 +85,14 @@ if _unknown:
 # evidence is older than two rounds); (3) rows-only-by-design entries
 # kept visible (their `err: no_oracle` rows should appear, not silently
 # vanish); (4) cross-family anchors (bench-measured every round);
-# (5) backfill from the r3-green pool, favoring the bench headline rows
-# being re-pinned this round (tpch_q1, top3). Everything past position
-# 50 stays covered by the identical local DuckDB hash-compare in
-# tests/test_entry_contract.py.
+# (5) the remaining operators NEW this round. The r3-green pool
+# (tpch_q1, top3, multimodal, asof, ...) yields its backfill slots to
+# them: everything past position 50 stays covered by the identical
+# local DuckDB hash-compare in tests/test_entry_contract.py.
 _FIRST_WINDOW = (
     # (1) new or changed this round
     "user_pagerank",
-    "user_clustering_coefficient",
     "user_communities",
-    "user_bfs_reach",
     "dedup_semantic_pairs",
     "doc_bpe_merge_table",
     "user_cooccurrence_triangles",
@@ -142,11 +140,16 @@ _FIRST_WINDOW = (
     # p95 and knn rotate out this round — all have r5 driver-green rows
     # and semantically unchanged oracles)
     "dedup_minhash_pairs",
-    # (5) backfill from the r3-green pool (bench rows first)
-    "tpch_q1_pricing_summary",
-    "top3_customers_per_nation",
+    # (5) the rest of the round's new operators (dow-seasonality,
+    # clustering-coefficient and bfs-reach yield their slots — locally
+    # hash-verified by tests/test_entry_contract.py like everything
+    # past position 50)
     "embedding_pq_codes",
     "doc_hybrid_search",
+    "events_cusum_changepoints",
+    "user_decayed_activity",
+    "event_trigram_paths",
+    "event_interarrival_stats",
 )
 
 _missing = [n for n in _FIRST_WINDOW if n not in QUERIES]

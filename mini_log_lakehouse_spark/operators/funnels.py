@@ -752,6 +752,113 @@ def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Decay horizon (days) and the 1-day half-life in exact powers of two:
+#: weight(age) = 2^(HORIZON − age), so the score is a pure int64 sum —
+#: the float-free form of exponential recency weighting.
+DECAY_HORIZON_DAYS = 14
+
+
+def user_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement score per user: activity within the
+    last DECAY_HORIZON_DAYS, each day's count weighted by a 1-day
+    half-life — the ranking signal feed/serving layers actually use
+    ("active yesterday ≫ active last week"). Weights are exact powers
+    of two on an integer lattice (score = Σ count_d · 2^(H−age)), so
+    the whole score is int64 arithmetic and hash-checks cross-engine;
+    the usual e^{−λ·age} form would be float-ordering-dependent.
+
+    Shape at 100 TB: one (user, day) aggregate (map-side partial), the
+    corpus max-day as a broadcast scalar, then a user-grain re-agg —
+    the same two-shuffle shape as retention."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    anchor = daily.agg(F.max("day").alias("d_max"))
+    h = DECAY_HORIZON_DAYS
+    recent = (
+        daily.crossJoin(F.broadcast(anchor))
+        .withColumn("age", F.datediff("d_max", "day"))
+        .filter(F.col("age") <= h)
+    )
+    w = F.expr(f"shiftleft(CAST(1 AS BIGINT), {h} - CAST(age AS INT))")
+    return (
+        recent.groupBy("user_id")
+        .agg(
+            F.max("day").alias("last_active_day"),
+            F.count(F.lit(1)).cast("long").alias("n_recent_days"),
+            F.sum(F.col("x") * w).cast("long").alias("decayed_score"),
+        )
+        .orderBy("user_id")
+    )
+
+
+#: Result depth of the frequent-path report.
+TRIGRAM_TOP = 20
+
+
+def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent 3-step user paths (consecutive event triples) —
+    the order-2 extension of event_transition_counts and the standard
+    "what flows do users actually take" mining query. Two leads over
+    the same (user × (ts, event_id)) sort — one window shuffle — then
+    a |types|³-bounded aggregate and a deterministic top-K."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.select(
+            F.col("event_type").alias("step1"),
+            F.lead("event_type", 1).over(w).alias("step2"),
+            F.lead("event_type", 2).over(w).alias("step3"),
+        )
+        .filter(F.col("step2").isNotNull() & F.col("step3").isNotNull())
+    )
+    return (
+        tri.groupBy("step1", "step2", "step3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "step1", "step2", "step3")
+        .limit(TRIGRAM_TOP)
+    )
+
+
+def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time profile per event type: millisecond gaps
+    between a user's consecutive events of the same type — the
+    burstiness/periodicity signal behind rate-limit tuning and
+    synthetic-traffic detection. Gaps are exact int64 milliseconds
+    (unix_millis == epoch_ms, truncating, verified); the quantiles use
+    the exact interpolated percentile (the lineitem_price_quantiles
+    idiom — identical in both engines on integer inputs, rounded
+    once)."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "event_type",
+            (F.unix_millis("ts") - F.lag(F.unix_millis("ts")).over(w)).alias(
+                "gap_ms"
+            ),
+        )
+        .filter(F.col("gap_ms").isNotNull())
+    )
+    p = lambda q: F.round(F.percentile("gap_ms", F.lit(q)), 6)  # noqa: E731
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.min("gap_ms").cast("long").alias("min_gap_ms"),
+            p(0.5).alias("p50_gap_ms"),
+            p(0.95).alias("p95_gap_ms"),
+            F.max("gap_ms").cast("long").alias("max_gap_ms"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def events_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram (first-order Markov) LM scoring of each user's event
     sequence against the corpus transition model — the sequence twin of
@@ -1197,6 +1304,71 @@ ORACLES["events_cusum_changepoints"] = f"""
     ORDER BY event_type, day
 """
 
+ORACLES["user_decayed_activity"] = f"""
+    WITH daily AS (
+        SELECT user_id, {_DAY} AS day, COUNT(*) AS x
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY 1, 2
+    ), anchor AS (
+        SELECT MAX(day) AS d_max FROM daily
+    ), recent AS (
+        SELECT d.user_id, d.day, d.x,
+               CAST(a.d_max - d.day AS BIGINT) AS age
+        FROM daily d, anchor a
+        WHERE a.d_max - d.day <= {DECAY_HORIZON_DAYS}
+    )
+    SELECT user_id,
+           MAX(day) AS last_active_day,
+           CAST(COUNT(*) AS BIGINT) AS n_recent_days,
+           CAST(SUM(x * (CAST(1 AS BIGINT) << ({DECAY_HORIZON_DAYS} - age)))
+                AS BIGINT) AS decayed_score
+    FROM recent
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+ORACLES["event_trigram_paths"] = f"""
+    WITH e AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+        FROM events WHERE user_id IS NOT NULL
+    ), tri AS (
+        SELECT event_type AS step1,
+               LEAD(event_type, 1) OVER w AS step2,
+               LEAD(event_type, 2) OVER w AS step3
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT step1, step2, step3, CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM tri
+    WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n_paths DESC, step1, step2, step3
+    LIMIT {TRIGRAM_TOP}
+"""
+
+ORACLES["event_interarrival_stats"] = """
+    WITH e AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+        FROM events WHERE user_id IS NOT NULL
+    ), gaps AS (
+        SELECT event_type,
+               epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+               ) AS gap_ms
+        FROM e
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_ms) AS BIGINT) AS min_gap_ms,
+           ROUND(quantile_cont(gap_ms, 0.5), 6) AS p50_gap_ms,
+           ROUND(quantile_cont(gap_ms, 0.95), 6) AS p95_gap_ms,
+           CAST(MAX(gap_ms) AS BIGINT) AS max_gap_ms
+    FROM gaps
+    WHERE gap_ms IS NOT NULL
+    GROUP BY 1
+    ORDER BY 1
+"""
+
 ORACLES["events_dow_seasonality"] = f"""
     WITH daily AS (
         SELECT event_type, {_DAY} AS day, COUNT(*) AS x
@@ -1264,5 +1436,8 @@ QUERIES = {
     "user_bfs_reach": user_bfs_reach,
     "events_cusum_changepoints": events_cusum_changepoints,
     "events_dow_seasonality": events_dow_seasonality,
+    "user_decayed_activity": user_decayed_activity,
+    "event_trigram_paths": event_trigram_paths,
+    "event_interarrival_stats": event_interarrival_stats,
     "events_bigram_lm_scores": events_bigram_lm_scores,
 }

@@ -203,3 +203,23 @@ def test_cusum_matches_bruteforce_recurrence(spark, sf_dir):
             s = max(0, s + r["dev_scaled"])
             assert r["cusum_scaled"] == s, r
         assert sum(r["dev_scaled"] for r in series) == 0  # deviations balance
+
+
+def test_decayed_activity_weights(spark, sf_dir):
+    """Score equals the hand-computed power-of-two weighting of the
+    user's recent daily counts."""
+    rows = funnels.user_decayed_activity(spark, sf_dir).collect()
+    assert rows
+    daily = {}
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    for r in ev.groupBy("user_id", F.to_date("ts").alias("day")).count().collect():
+        daily.setdefault(r["user_id"], {})[r["day"]] = r["count"]
+    d_max = max(d for per in daily.values() for d in per)
+    h = funnels.DECAY_HORIZON_DAYS
+    for r in rows:
+        per = daily[r["user_id"]]
+        recent = {d: x for d, x in per.items() if (d_max - d).days <= h}
+        assert r["n_recent_days"] == len(recent)
+        assert r["last_active_day"] == max(recent)
+        expect = sum(x * (1 << (h - (d_max - d).days)) for d, x in recent.items())
+        assert r["decayed_score"] == expect
