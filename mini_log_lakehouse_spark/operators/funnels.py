@@ -440,6 +440,30 @@ PR_DAMP_NUM, PR_DAMP_DEN = 17, 20
 PR_ITERS = 5
 
 
+def _pr_iteration(und_deg: DataFrame, ranks: DataFrame, teleport: int) -> DataFrame:
+    """One damped rank update — factored out so its physical plan can
+    be asserted (tests/test_scale_strategies.py): one edge⋈rank join,
+    one map-side-combined groupBy(dst), the node-grain damp join; no
+    cartesian anywhere."""
+    contribs = (
+        und_deg.join(ranks, und_deg.src == ranks.user_id)
+        .select("dst", F.expr("r DIV deg").alias("c"))
+        .groupBy("dst")
+        .agg(F.sum("c").alias("s"))
+    )
+    return (
+        ranks.select("user_id")
+        .join(contribs, ranks.user_id == contribs.dst, "left")
+        .select(
+            "user_id",
+            (
+                F.lit(teleport)
+                + F.expr(f"({PR_DAMP_NUM} * coalesce(s, 0)) DIV {PR_DAMP_DEN}")
+            ).alias("r"),
+        )
+    )
+
+
 def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     """Damped PageRank over an undirected edge list (u < v once),
     entirely on an integer lattice so the ENTIRE iterative fit is
@@ -481,26 +505,7 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
         F.col("src").alias("user_id"), F.lit(PR_SCALE // n).alias("r")
     ).localCheckpoint()
     for _ in range(iters):
-        contribs = (
-            und_deg.join(ranks, und_deg.src == ranks.user_id)
-            .select("dst", F.expr("r DIV deg").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-        )
-        ranks = (
-            ranks.select("user_id")
-            .join(contribs, ranks.user_id == contribs.dst, "left")
-            .select(
-                "user_id",
-                (
-                    F.lit(teleport)
-                    + F.expr(
-                        f"({PR_DAMP_NUM} * coalesce(s, 0)) DIV {PR_DAMP_DEN}"
-                    )
-                ).alias("r"),
-            )
-            .localCheckpoint()
-        )
+        ranks = _pr_iteration(und_deg, ranks, teleport).localCheckpoint()
     return (
         ranks.join(deg, ranks.user_id == deg.src)
         .select(

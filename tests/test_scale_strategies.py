@@ -184,3 +184,26 @@ def test_bucketed_events_keeps_normalized_timestamp(spark, sf_dir, monkeypatch):
     plain = load_table(spark, sf_dir, "events")
     assert dict(bucketed.dtypes)["ts"] == dict(plain.dtypes)["ts"] == "timestamp"
     assert bucketed.count() == plain.count()
+
+
+def test_pagerank_iteration_plan_shape(spark):
+    """Per-iteration plan evidence for the graph-iteration loop: one
+    rank update compiles to the edge⋈rank join plus ONE shuffled
+    aggregate with a map-side partial (partial_sum below the
+    exchange), and no cartesian product anywhere."""
+    from mini_log_lakehouse_spark.operators import funnels
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "u long, v long"
+    )
+    und = edges.selectExpr("u AS src", "v AS dst").unionAll(
+        edges.selectExpr("v AS src", "u AS dst")
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    und_deg = und.join(deg, "src")
+    ranks = deg.select(F.col("src").alias("user_id"), F.lit(10**10).alias("r"))
+    plan = _plan(funnels._pr_iteration(und_deg, ranks, 123))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "partial_sum" in plan  # map-side combine on the contribs agg
+    # bounded exchange count: join inputs + contrib agg + damp join
+    assert plan.count("Exchange hashpartitioning") <= 5, plan
