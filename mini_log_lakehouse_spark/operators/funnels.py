@@ -314,6 +314,41 @@ def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_state_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup: every event joined to the SCD2
+    state interval covering its timestamp (user_state_scd2 is the
+    dimension history), rolled up to how many events and users each
+    state served — the bitemporal enrichment every lakehouse does when
+    facts must see the dimension AS OF event time, not as of today.
+    Interval semantics: [valid_from, valid_to) — an event at a change
+    instant belongs to the NEW state; zero-length intervals (simultaneous
+    changes) match nothing, exactly as the half-open algebra implies.
+
+    Shape at 100 TB: an equi join on user_id with the interval
+    conjunct evaluated as a post-join filter — both sides hash on the
+    user key (the dimension history is change-grain, far below event
+    grain), so this is a normal shuffled equi join, never an interval
+    cross product."""
+    scd2 = user_state_scd2(spark, sf_dir).select(
+        F.col("user_id").alias("s_uid"), "state", "valid_from", "valid_to"
+    )
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    j = ev.join(
+        scd2,
+        (ev.user_id == scd2.s_uid)
+        & (ev.ts >= scd2.valid_from)
+        & (scd2.valid_to.isNull() | (ev.ts < scd2.valid_to)),
+    )
+    return (
+        j.groupBy("state")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("state")
+    )
+
+
 #: Users co-occurring in at least this many distinct (date, hour)
 #: buckets form an edge of the co-occurrence graph. The threshold
 #: sparsifies the OUTPUT (edges entering the triangle join); the pair
@@ -1107,6 +1142,36 @@ _SQL_COOC_EDGES = f"""ub0 AS (
         HAVING COUNT(*) >= {COOC_MIN_SHARED}
     )"""
 
+ORACLES["events_state_enrichment"] = """
+    WITH e AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+        FROM events WHERE user_id IS NOT NULL
+    ), ch AS (
+        SELECT user_id, event_type, ts, event_id FROM (
+            SELECT user_id, event_type, ts, event_id,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+            FROM e
+        ) WHERE prev IS NULL OR prev <> event_type
+    ), scd2 AS (
+        SELECT user_id AS s_uid,
+               event_type AS state,
+               ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS valid_to
+        FROM ch
+    )
+    SELECT s.state,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM e JOIN scd2 s
+      ON e.user_id = s.s_uid
+     AND e.ts >= s.valid_from
+     AND (s.valid_to IS NULL OR e.ts < s.valid_to)
+    GROUP BY 1
+    ORDER BY 1
+"""
+
 ORACLES["user_cooccurrence_triangles"] = f"""
     WITH {_SQL_COOC_EDGES}, tri AS (
         SELECT e1.u AS va, e1.v AS vb, e2.v AS vc
@@ -1434,6 +1499,7 @@ QUERIES = {
     "events_daily_anomalies": events_daily_anomalies,
     "event_transition_counts": event_transition_counts,
     "user_state_scd2": user_state_scd2,
+    "events_state_enrichment": events_state_enrichment,
     "user_cooccurrence_triangles": user_cooccurrence_triangles,
     "user_pagerank": user_pagerank,
     "user_clustering_coefficient": user_clustering_coefficient,

@@ -223,3 +223,12 @@ def test_decayed_activity_weights(spark, sf_dir):
         assert r["last_active_day"] == max(recent)
         expect = sum(x * (1 << (h - (d_max - d).days)) for d, x in recent.items())
         assert r["decayed_score"] == expect
+
+
+def test_state_enrichment_partitions_all_events(spark, sf_dir):
+    """The half-open SCD2 intervals must cover every event exactly
+    once: total enriched events == total events with a user."""
+    out = funnels.events_state_enrichment(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    assert sum(r["n_events"] for r in out) == ev.count()
+    assert all(r["n_users"] >= 1 for r in out)
