@@ -226,13 +226,15 @@ ISO_ITERS = int(os.environ.get("BENCH_ITERS_ISO", "7"))
 
 
 def isolation_runs(spark, con_dir: str, names, leg: dict) -> dict:
-    """Back-to-back isolated medians for ``names``: Spark and DuckDB
-    each timed alone over ISO_ITERS iterations (caches already warm
-    from the suite), with the in-suite numbers echoed for side-by-side
-    comparison in the artifact."""
+    """Back-to-back isolated medians for ``names``: per query, the
+    DuckDB block runs IMMEDIATELY followed by the Spark block (truly
+    adjacent — timing all of one engine first would reinsert the
+    cross-query cache interference this measurement exists to remove),
+    each the median of ISO_ITERS iterations on already-warm caches,
+    with the in-suite numbers echoed for side-by-side comparison."""
     out = {}
-    duck = bench_duckdb(con_dir, names, iters=ISO_ITERS)
     for name in names:
+        duck = bench_duckdb(con_dir, [name], iters=ISO_ITERS)
         fn = QUERIES[name]
         s = round(
             time_fn(

@@ -1153,11 +1153,14 @@ def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations) as the blocking stage, exact within-cluster cosine as
     the prune stage, at the corpus-specific gate dial. Hash-checked end
     to end: both stages are exact, so the oracle composes the unrolled
-    k-means CTEs with the same pair join."""
-    from mini_log_lakehouse_spark.operators.similarity import kmeans_fit
+    k-means CTEs with the same pair join. The fit is the session-
+    memoized one the cluster report uses — identical, computed once."""
+    from mini_log_lakehouse_spark.operators.similarity import (
+        corpus_kmeans_centroids,
+    )
 
     e = load_table(spark, sf_dir, "embeddings")
-    _, cents, _ = kmeans_fit(e)
+    cents = corpus_kmeans_centroids(spark, sf_dir, e)
     return semantic_dedup_pairs(e, cents, threshold=_GATE_COSINE_THRESHOLD)
 
 

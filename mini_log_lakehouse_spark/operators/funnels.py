@@ -408,14 +408,35 @@ def cooccurrence_edges_from(
     )
 
 
+#: Session-memoized co-occurrence edge lists, keyed by
+#: (applicationId, sf_dir): five driver queries (triangles, pagerank,
+#: communities, bfs, clustering coefficient) consume the SAME edge
+#: build — the bucket pair self-join over events is the expensive part
+#: and is deterministic, so it is computed once per (session, corpus)
+#: and handed out as a localCheckpoint'd node/edge table (the
+#: _IVF_CENTROIDS / _MERGES_CACHE discipline).
+_EDGES_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def cooccurrence_edges(
     spark: SparkSession, sf_dir: str, bucket_cap: int = COOC_BUCKET_CAP
 ) -> DataFrame:
     """Loader wrapper over cooccurrence_edges_from for the testdata
-    events table."""
-    return cooccurrence_edges_from(
-        load_table(spark, sf_dir, "events"), bucket_cap=bucket_cap
-    )
+    events table; memoized per (session, corpus) at the default cap."""
+    if bucket_cap != COOC_BUCKET_CAP:
+        return cooccurrence_edges_from(
+            load_table(spark, sf_dir, "events"), bucket_cap=bucket_cap
+        )
+    from mini_log_lakehouse_spark.session import evict_stale
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    edges = _EDGES_CACHE.get(key)
+    if edges is None:
+        evict_stale(_EDGES_CACHE, key[0], unpersist=False)
+        edges = _EDGES_CACHE[key] = cooccurrence_edges_from(
+            load_table(spark, sf_dir, "events")
+        ).localCheckpoint()
+    return edges
 
 
 def user_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -556,7 +577,7 @@ def user_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-occurrence graph (same capped edge build as the triangle
     counter). Hash-checked end to end — the fit is integer-exact, so
     the oracle restates all five iterations as unrolled DuckDB CTEs."""
-    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint()
+    edges = cooccurrence_edges(spark, sf_dir)  # memoized + checkpointed
     return pagerank(edges).orderBy("user_id")
 
 
@@ -571,9 +592,16 @@ def user_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     of an integer rational. Shape at 100 TB: both inputs are
     node-grain aggregates of the same bounded edge list; the compose
     join is node-grain × node-grain."""
+    return clustering_coefficient_from(
+        cooccurrence_edges(spark, sf_dir)
+    ).orderBy("user_id")
+
+
+def clustering_coefficient_from(edges: DataFrame) -> DataFrame:
+    """Edges-level core of user_clustering_coefficient (undirected
+    u < v edge list in, one row per vertex out)."""
     from mini_log_lakehouse_spark.operators.textstats import _ratio6
 
-    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint()
     und = edges.select(F.col("u").alias("user_id")).unionAll(
         edges.select(F.col("v").alias("user_id"))
     )
@@ -588,9 +616,7 @@ def user_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("degree") >= 2,
         _ratio6("2 * n_triangles", "degree * (degree - 1)"),
     ).otherwise(F.lit(0.0))
-    return both.select(
-        "user_id", "degree", "n_triangles", lcc.alias("lcc")
-    ).orderBy("user_id")
+    return both.select("user_id", "degree", "n_triangles", lcc.alias("lcc"))
 
 
 #: Synchronous label-propagation iterations. Fixed (not
@@ -654,7 +680,7 @@ def user_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the co-occurrence graph. Hash-checked end to end — the update
     is integer argmax with a total order, so the oracle restates every
     round as unrolled DuckDB CTEs."""
-    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint()
+    edges = cooccurrence_edges(spark, sf_dir)  # memoized + checkpointed
     return label_propagation(edges).orderBy("user_id")
 
 
@@ -700,7 +726,7 @@ def user_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     users over the co-occurrence graph. Hash-checked end to end — the
     min-plus expansion is integer-exact, so the oracle restates every
     frontier round as unrolled DuckDB CTEs."""
-    edges = cooccurrence_edges(spark, sf_dir).localCheckpoint()
+    edges = cooccurrence_edges(spark, sf_dir)  # memoized + checkpointed
     nodes = (
         edges.select(F.col("u").alias("user_id"))
         .unionAll(edges.select(F.col("v").alias("user_id")))

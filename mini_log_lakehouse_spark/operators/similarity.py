@@ -831,6 +831,25 @@ def kmeans_oracle_sql(
         ORDER BY 1"""
 
 
+#: Session-memoized full-corpus k-means centroids (default geometry),
+#: keyed by (applicationId, sf_dir): the cluster report and SemDeDup's
+#: blocking stage consume the IDENTICAL deterministic fit — running the
+#: 5-iteration corpus loop twice per session would be pure waste.
+_KMEANS_CENTS: dict[tuple[str, str], "np.ndarray"] = {}
+
+
+def corpus_kmeans_centroids(
+    spark: SparkSession, sf_dir: str, e: DataFrame
+) -> "np.ndarray":
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cents = _KMEANS_CENTS.get(key)
+    if cents is None:
+        session.evict_stale(_KMEANS_CENTS, key[0], unpersist=False)
+        _, cents, _ = kmeans_fit(e)
+        _KMEANS_CENTS[key] = cents
+    return cents
+
+
 def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query: full-corpus k-means cluster sizes + exact int64
     inertia per cluster after KMEANS_ITERS integer-lattice Lloyd
@@ -841,7 +860,7 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest-centroid consistency, and monotone objective are
     additionally pinned in tests."""
     e = load_table(spark, sf_dir, "embeddings")
-    _, cents, _ = kmeans_fit(e)
+    cents = corpus_kmeans_centroids(spark, sf_dir, e)
     final = kmeans_assign(e.select("vec_id", "embedding"), cents)
     return (
         final.groupBy("cluster")
@@ -899,6 +918,9 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_M = 4
 PQ_K = 8
 PQ_ITERS = 3
+#: Embedding width the import-time PQ oracle is generated for;
+#: _pq_codebooks asserts the live corpus matches (honest gate).
+PQ_ORACLE_DIM = 64
 
 
 def pq_train(
@@ -997,6 +1019,15 @@ def _pq_codebooks(
     if books is None:
         session.evict_stale(_PQ_CODEBOOKS, key[0], unpersist=False)
         dim = len(e.select("embedding").first()[0])
+        # honest gate: pq_oracle_sql() bakes dim=64 into the unrolled
+        # CTEs at import time; a regenerated corpus with another width
+        # must fail HERE with the cause named, not hash-red mysteriously
+        if dim != PQ_ORACLE_DIM:
+            raise AssertionError(
+                f"embeddings dim {dim} != PQ_ORACLE_DIM {PQ_ORACLE_DIM}; "
+                "regenerate the PQ oracle (pq_oracle_sql(dim=...)) before "
+                "trusting the hash gate on this corpus"
+            )
         books = _PQ_CODEBOOKS[key] = pq_train(e.select("vec_id", "embedding"), dim)
     return books
 
@@ -1013,7 +1044,7 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pq_oracle_sql(
-    m: int = PQ_M, k: int = PQ_K, iters: int = PQ_ITERS, dim: int = 64
+    m: int = PQ_M, k: int = PQ_K, iters: int = PQ_ITERS, dim: int = PQ_ORACLE_DIM
 ) -> str:
     """Unrolled DuckDB restatement of the full PQ fit+encode: one
     namespaced kmeans CTE chain per subspace, joined on vec_id for the

@@ -232,3 +232,22 @@ def test_state_enrichment_partitions_all_events(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     assert sum(r["n_events"] for r in out) == ev.count()
     assert all(r["n_users"] >= 1 for r in out)
+
+
+def test_clustering_coefficient_pinned_triangle_pendant(spark):
+    """The hand-built case the self-consistency test can't cover: K3
+    {1,2,3} plus pendant 3-4. lcc(1)=lcc(2)=1.0 (their whole
+    neighborhood is connected), lcc(3)=1/3 (one of three wedges
+    closed), lcc(4)=0 (degree 1)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "u long, v long"
+    )
+    rows = {
+        r["user_id"]: r
+        for r in funnels.clustering_coefficient_from(edges).collect()
+    }
+    assert rows[1]["lcc"] == 1.0 and rows[2]["lcc"] == 1.0
+    assert rows[1]["n_triangles"] == 1 and rows[1]["degree"] == 2
+    assert rows[3]["degree"] == 3 and rows[3]["n_triangles"] == 1
+    assert rows[3]["lcc"] == 0.333333  # half-up micro of 1/3
+    assert rows[4]["degree"] == 1 and rows[4]["lcc"] == 0.0
