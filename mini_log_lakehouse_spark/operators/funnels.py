@@ -818,6 +818,58 @@ def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Trailing window width of the rolling active-user metric.
+WAU_WINDOW_DAYS = 7
+
+
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per observed day (WAU), daily actives
+    (DAU), and the DAU/WAU stickiness ratio — the standard engagement
+    triple. A distinct-count over a sliding range frame doesn't exist
+    as a window aggregate, so the rolling distinct is computed the
+    scalable way: each (user, active-day) pair CONTRIBUTES to the 7
+    report days it covers (a 7× explode of the user-day table, which is
+    already orders of magnitude below event grain), then one
+    count-distinct per report day. Report days are the OBSERVED event
+    days (a day with no events emits no row — the explode join keeps
+    the frame inside the data's range rather than extrapolating).
+
+    Exactness: counts are integers; stickiness is the half-up _ratio6
+    quantization of DAU/WAU."""
+    from mini_log_lakehouse_spark.operators.textstats import _ratio6
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    days = ud.select("day").distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(WAU_WINDOW_DAYS - 1))
+        ).alias("_off"),
+        "day",
+    ).select("user_id", F.expr("date_add(day, _off)").alias("report_day"))
+    wau = (
+        contrib.join(
+            F.broadcast(days), contrib.report_day == days.day
+        )
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    )
+    dau = ud.groupBy(F.col("day").alias("report_day")).agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    return (
+        dau.join(wau, "report_day")
+        .select(
+            "report_day",
+            "dau",
+            "wau",
+            _ratio6("dau", "wau").alias("stickiness"),
+        )
+        .orderBy("report_day")
+    )
+
+
 #: Decay horizon (days) and the 1-day half-life in exact powers of two:
 #: weight(age) = 2^(HORIZON − age), so the score is a pure int64 sum —
 #: the float-free form of exponential recency weighting.
@@ -1400,6 +1452,32 @@ ORACLES["events_cusum_changepoints"] = f"""
     ORDER BY event_type, day
 """
 
+ORACLES["events_rolling_wau"] = f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id, {_DAY} AS day
+        FROM events WHERE user_id IS NOT NULL
+    ), days AS (
+        SELECT DISTINCT day FROM ud
+    ), contrib AS (
+        SELECT user_id, day + CAST(i AS INTEGER) AS report_day
+        FROM ud, UNNEST(range(0, {WAU_WINDOW_DAYS})) AS t(i)
+    ), wau AS (
+        SELECT d.day AS report_day, COUNT(DISTINCT c.user_id) AS wau
+        FROM contrib c JOIN days d ON c.report_day = d.day
+        GROUP BY 1
+    ), dau AS (
+        SELECT day AS report_day, COUNT(DISTINCT user_id) AS dau
+        FROM ud GROUP BY 1
+    )
+    SELECT d.report_day,
+           CAST(d.dau AS BIGINT) AS dau,
+           CAST(w.wau AS BIGINT) AS wau,
+           CAST((CAST(d.dau AS HUGEINT) * 2000000 + w.wau)
+                // (2 * w.wau) AS DOUBLE) / 1000000 AS stickiness
+    FROM dau d JOIN wau w USING (report_day)
+    ORDER BY 1
+"""
+
 ORACLES["user_decayed_activity"] = f"""
     WITH daily AS (
         SELECT user_id, {_DAY} AS day, COUNT(*) AS x
@@ -1534,6 +1612,7 @@ QUERIES = {
     "events_cusum_changepoints": events_cusum_changepoints,
     "events_dow_seasonality": events_dow_seasonality,
     "user_decayed_activity": user_decayed_activity,
+    "events_rolling_wau": events_rolling_wau,
     "event_trigram_paths": event_trigram_paths,
     "event_interarrival_stats": event_interarrival_stats,
     "events_bigram_lm_scores": events_bigram_lm_scores,

@@ -251,3 +251,29 @@ def test_clustering_coefficient_pinned_triangle_pendant(spark):
     assert rows[3]["degree"] == 3 and rows[3]["n_triangles"] == 1
     assert rows[3]["lcc"] == 0.333333  # half-up micro of 1/3
     assert rows[4]["degree"] == 1 and rows[4]["lcc"] == 0.0
+
+
+def test_rolling_wau_invariants(spark, sf_dir):
+    """WAU ≥ DAU everywhere (the window contains the day); the max-day
+    row's WAU equals the brute-force distinct over the trailing week;
+    stickiness is DAU/WAU half-up micro."""
+    rows = funnels.events_rolling_wau(spark, sf_dir).collect()
+    assert rows
+    ud = {
+        (r["user_id"], r["day"])
+        for r in load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .collect()
+    }
+    last = max(r["report_day"] for r in rows)
+    brute = len(
+        {u for u, d in ud if 0 <= (last - d).days < funnels.WAU_WINDOW_DAYS}
+    )
+    for r in rows:
+        assert r["wau"] >= r["dau"] >= 1
+        expect = (r["dau"] * 2_000_000 + r["wau"]) // (2 * r["wau"]) / 1e6
+        assert r["stickiness"] == expect
+        if r["report_day"] == last:
+            assert r["wau"] == brute
