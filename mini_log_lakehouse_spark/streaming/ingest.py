@@ -207,6 +207,38 @@ def streaming_hourly_fact_p95(
     return out.orderBy("date", "hour", "event_type")
 
 
+def streaming_daily_active_users(
+    spark: SparkSession, sf_dir: str, watermark: str = "1 day"
+) -> DataFrame:
+    """Streaming DAU: watermarked per-(user, day) dedup CHAINED into a
+    windowed count — distinct counts don't stream, so the streaming
+    form is dedup-then-count, Spark 4's multiple-stateful-operators
+    pipeline (dropDuplicatesWithinWatermark-style state feeding a
+    windowed aggregate). availableNow drains the full replay, so the
+    result is deterministic and the batch COUNT(DISTINCT) oracle
+    hash-checks it exactly.
+
+    State at 100 TB: the dedup store holds (user × day) keys inside the
+    watermark horizon only; the count state is days × 1 rows."""
+    ev = read_events_stream(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    dd = (
+        ev.select("user_id", "ts", F.to_date("ts").alias("date"))
+        .withWatermark("ts", watermark)
+        .dropDuplicates(["user_id", "date"])
+    )
+    agg = dd.groupBy("date").agg(F.count(F.lit(1)).alias("dau"))
+    name = "stream_daily_active_users_result"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("date")
+
+
 def streaming_sliding_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping-window streaming fact (§2.9 extension): 2-hour windows
     sliding every hour, so each event lands in exactly TWO windows — the
@@ -340,6 +372,15 @@ ORACLES["streaming_hourly_fact_p95"] = """
     ORDER BY 1, 2, 3
 """
 
+ORACLES["streaming_daily_active_users"] = """
+    SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS date,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+    FROM events
+    WHERE user_id IS NOT NULL
+    GROUP BY 1
+    ORDER BY 1
+"""
+
 ORACLES["streaming_sliding_fact"] = """
     WITH w AS (
         SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS wstart, event_type
@@ -387,6 +428,7 @@ ORACLES["streaming_session_window"] = """
 QUERIES = {
     "streaming_hourly_fact": streaming_hourly_fact,
     "streaming_hourly_fact_p95": streaming_hourly_fact_p95,
+    "streaming_daily_active_users": streaming_daily_active_users,
     "streaming_sliding_fact": streaming_sliding_fact,
     "streaming_session_window": streaming_session_window,
 }
