@@ -144,8 +144,8 @@ _FIRST_WINDOW = (
     # NOT fit the 50-slot window and carry only the local
     # tests/test_entry_contract.py hash evidence this round:
     # events_dow_seasonality, user_clustering_coefficient,
-    # user_bfs_reach, events_state_enrichment, event_interarrival_stats
-    # — rotate them in next round.
+    # user_bfs_reach, events_state_enrichment, event_interarrival_stats,
+    # user_pagerank_weighted — rotate them in next round.
     "embedding_pq_codes",
     "doc_hybrid_search",
     "events_cusum_changepoints",

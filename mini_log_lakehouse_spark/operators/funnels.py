@@ -404,7 +404,7 @@ def cooccurrence_edges_from(
         .groupBy(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= min_shared)
-        .select("u", "v")
+        .select("u", "v", F.col("shared").cast("long").alias("w"))
     )
 
 
@@ -579,6 +579,76 @@ def user_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle restates all five iterations as unrolled DuckDB CTEs."""
     edges = cooccurrence_edges(spark, sf_dir)  # memoized + checkpointed
     return pagerank(edges).orderBy("user_id")
+
+
+def pagerank_weighted(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """Weighted damped PageRank over an undirected weighted edge list
+    (u, v, w): contributions split proportionally to edge weight —
+    contribution along (u→v) = (r(u)·w) DIV strength(u), strength = Σw
+    — so a pair sharing ten activity buckets pulls rank ten times
+    harder than a pair sharing one. Same integer lattice, damping and
+    loop shape as ``pagerank``; with all weights equal the two are
+    IDENTICAL (trunc((r·w)/(w·d)) == trunc(r/d) for equal rationals —
+    pinned in tests).
+
+    Overflow bound: r < PR_SCALE and bucket-count weights are ≤ days·24,
+    so r·w ≲ 7·10¹⁴ ≪ int64."""
+    und = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "w"
+    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w"))
+    stren = (
+        und.groupBy("src")
+        .agg(F.sum("w").alias("st"), F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint()
+    )
+    und_st = und.join(stren.select("src", "st"), "src").localCheckpoint()
+    n = stren.count()
+    if n == 0:
+        return stren.select(
+            F.col("src").alias("user_id"),
+            F.col("deg").cast("long").alias("degree"),
+            F.col("st").cast("long").alias("strength"),
+            F.lit(0).cast("long").alias("rank_fixed"),
+        )
+    teleport = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // (PR_DAMP_DEN * n)
+    ranks = stren.select(
+        F.col("src").alias("user_id"), F.lit(PR_SCALE // n).alias("r")
+    ).localCheckpoint()
+    for _ in range(iters):
+        contribs = (
+            und_st.join(ranks, und_st.src == ranks.user_id)
+            .select("dst", F.expr("(r * w) DIV st").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            ranks.select("user_id")
+            .join(contribs, ranks.user_id == contribs.dst, "left")
+            .select(
+                "user_id",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * coalesce(s, 0)) DIV {PR_DAMP_DEN}"
+                    )
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.join(stren, ranks.user_id == stren.src).select(
+        "user_id",
+        F.col("deg").cast("long").alias("degree"),
+        F.col("st").cast("long").alias("strength"),
+        F.col("r").cast("long").alias("rank_fixed"),
+    )
+
+
+def user_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: weighted PageRank over the co-occurrence graph,
+    edge weight = number of shared activity buckets. Hash-checked —
+    unrolled CTEs, like the unweighted fit."""
+    edges = cooccurrence_edges(spark, sf_dir)  # memoized + checkpointed
+    return pagerank_weighted(edges).orderBy("user_id")
 
 
 def user_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1214,7 +1284,7 @@ _SQL_COOC_EDGES = f"""ub0 AS (
     ), ub AS (
         SELECT user_id, d, h FROM ub0 JOIN ok USING (d, h)
     ), edges AS (
-        SELECT a.user_id AS u, b.user_id AS v
+        SELECT a.user_id AS u, b.user_id AS v, COUNT(*) AS w
         FROM ub a JOIN ub b ON a.d = b.d AND a.h = b.h AND a.user_id < b.user_id
         GROUP BY 1, 2
         HAVING COUNT(*) >= {COOC_MIN_SHARED}
@@ -1313,6 +1383,54 @@ def pagerank_oracle_sql(iters: int = PR_ITERS) -> str:
 
 
 ORACLES["user_pagerank"] = pagerank_oracle_sql()
+
+
+def pagerank_weighted_oracle_sql(iters: int = PR_ITERS) -> str:
+    """Unrolled DuckDB restatement of the weighted PageRank fit —
+    contributions (r·w) // strength, otherwise identical to
+    pagerank_oracle_sql."""
+    tele_num = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE
+    sql = [
+        f"""
+    WITH {_SQL_COOC_EDGES}, und AS (
+        SELECT u AS src, v AS dst, w FROM edges
+        UNION ALL
+        SELECT v AS src, u AS dst, w FROM edges
+    ), stren AS (
+        SELECT src, SUM(w) AS st, COUNT(*) AS deg FROM und GROUP BY 1
+    ), nn AS (
+        SELECT COUNT(*) AS n FROM stren
+    ), r0 AS (
+        SELECT s.src AS user_id, {PR_SCALE} // nn.n AS r FROM stren s, nn
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        sql.append(f"""
+    , c{i} AS (
+        SELECT u.dst AS user_id, SUM((r.r * u.w) // s.st) AS s
+        FROM und u
+        JOIN r{i - 1} r ON r.user_id = u.src
+        JOIN stren s ON s.src = u.src
+        GROUP BY 1
+    ), r{i} AS (
+        SELECT d.src AS user_id,
+               {tele_num} // ({PR_DAMP_DEN} * nn.n)
+                   + ({PR_DAMP_NUM} * COALESCE(c.s, 0)) // {PR_DAMP_DEN} AS r
+        FROM stren d
+        CROSS JOIN nn
+        LEFT JOIN c{i} c ON c.user_id = d.src
+    )""")
+    sql.append(f"""
+    SELECT r.user_id,
+           CAST(d.deg AS BIGINT) AS degree,
+           CAST(d.st AS BIGINT) AS strength,
+           CAST(r.r AS BIGINT) AS rank_fixed
+    FROM r{iters} r JOIN stren d ON d.src = r.user_id
+    ORDER BY 1""")
+    return "".join(sql)
+
+
+ORACLES["user_pagerank_weighted"] = pagerank_weighted_oracle_sql()
 
 ORACLES["user_clustering_coefficient"] = f"""
     WITH {_SQL_COOC_EDGES}, und AS (
@@ -1606,6 +1724,7 @@ QUERIES = {
     "events_state_enrichment": events_state_enrichment,
     "user_cooccurrence_triangles": user_cooccurrence_triangles,
     "user_pagerank": user_pagerank,
+    "user_pagerank_weighted": user_pagerank_weighted,
     "user_clustering_coefficient": user_clustering_coefficient,
     "user_communities": user_communities,
     "user_bfs_reach": user_bfs_reach,

@@ -277,3 +277,21 @@ def test_rolling_wau_invariants(spark, sf_dir):
         assert r["stickiness"] == expect
         if r["report_day"] == last:
             assert r["wau"] == brute
+
+
+def test_weighted_pagerank_reduces_to_unweighted_on_equal_weights(spark):
+    """trunc((r·w)/(w·d)) == trunc(r/d) for equal rationals, so uniform
+    weights must reproduce the unweighted fit bit-for-bit; and on a
+    star with one heavy edge, the heavy leaf must outrank light ones."""
+    uw = spark.createDataFrame([(0, i, 7) for i in range(1, 5)], "u long, v long, w long")
+    plain = {r["user_id"]: r["rank_fixed"]
+             for r in funnels.pagerank(uw.select("u", "v")).collect()}
+    weighted = {r["user_id"]: r["rank_fixed"]
+                for r in funnels.pagerank_weighted(uw).collect()}
+    assert plain == weighted
+    skew = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 1), (0, 3, 1)], "u long, v long, w long"
+    )
+    rows = {r["user_id"]: r for r in funnels.pagerank_weighted(skew).collect()}
+    assert rows[1]["rank_fixed"] > rows[2]["rank_fixed"] == rows[3]["rank_fixed"]
+    assert rows[1]["strength"] == 10 and rows[0]["strength"] == 12
