@@ -496,14 +496,17 @@ PR_DAMP_NUM, PR_DAMP_DEN = 17, 20
 PR_ITERS = 5
 
 
-def _pr_iteration(und_deg: DataFrame, ranks: DataFrame, teleport: int) -> DataFrame:
-    """One damped rank update — factored out so its physical plan can
-    be asserted (tests/test_scale_strategies.py): one edge⋈rank join,
-    one map-side-combined groupBy(dst), the node-grain damp join; no
-    cartesian anywhere."""
+def _pr_iteration(und_st: DataFrame, ranks: DataFrame, teleport: int) -> DataFrame:
+    """One damped rank update — THE iteration both the weighted and
+    unweighted fits run (unweighted = w ≡ 1, st = deg; identical by
+    trunc((r·w)/(w·d)) == trunc(r/d) for equal rationals). Factored out
+    so its physical plan can be asserted
+    (tests/test_scale_strategies.py): one edge⋈rank join, one
+    map-side-combined groupBy(dst), the node-grain damp join; no
+    cartesian anywhere. ``und_st`` columns: (src, dst, w, st)."""
     contribs = (
-        und_deg.join(ranks, und_deg.src == ranks.user_id)
-        .select("dst", F.expr("r DIV deg").alias("c"))
+        und_st.join(ranks, und_st.src == ranks.user_id)
+        .select("dst", F.expr("(r * w) DIV st").alias("c"))
         .groupBy("dst")
         .agg(F.sum("c").alias("s"))
     )
@@ -544,31 +547,44 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
 
     Overflow bound: Σ contribs ≤ total mass ≈ PR_SCALE, so the widest
     intermediate 17·Σ ≈ 1.7e13 ≪ int64."""
-    und = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
-        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    return _pagerank_impl(
+        edges.select("u", "v", F.lit(1).cast("long").alias("w")), iters
+    ).drop("strength")
+
+
+def _pagerank_impl(edges_w: DataFrame, iters: int) -> DataFrame:
+    """Shared loop of pagerank / pagerank_weighted over (u, v, w)
+    edges. Returns (user_id, degree, strength, rank_fixed)."""
+    und = edges_w.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "w"
+    ).unionAll(
+        edges_w.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w")
     )
-    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
-    und_deg = und.join(deg, "src").localCheckpoint()
-    n = deg.count()
+    stren = (
+        und.groupBy("src")
+        .agg(F.sum("w").alias("st"), F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint()
+    )
+    und_st = und.join(stren.select("src", "st"), "src").localCheckpoint()
+    n = stren.count()
     if n == 0:
-        return deg.select(
+        return stren.select(
             F.col("src").alias("user_id"),
             F.col("deg").cast("long").alias("degree"),
+            F.col("st").cast("long").alias("strength"),
             F.lit(0).cast("long").alias("rank_fixed"),
         )
     teleport = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // (PR_DAMP_DEN * n)
-    ranks = deg.select(
+    ranks = stren.select(
         F.col("src").alias("user_id"), F.lit(PR_SCALE // n).alias("r")
     ).localCheckpoint()
     for _ in range(iters):
-        ranks = _pr_iteration(und_deg, ranks, teleport).localCheckpoint()
-    return (
-        ranks.join(deg, ranks.user_id == deg.src)
-        .select(
-            "user_id",
-            F.col("deg").cast("long").alias("degree"),
-            F.col("r").cast("long").alias("rank_fixed"),
-        )
+        ranks = _pr_iteration(und_st, ranks, teleport).localCheckpoint()
+    return ranks.join(stren, ranks.user_id == stren.src).select(
+        "user_id",
+        F.col("deg").cast("long").alias("degree"),
+        F.col("st").cast("long").alias("strength"),
+        F.col("r").cast("long").alias("rank_fixed"),
     )
 
 
@@ -593,54 +609,7 @@ def pagerank_weighted(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
 
     Overflow bound: r < PR_SCALE and bucket-count weights are ≤ days·24,
     so r·w ≲ 7·10¹⁴ ≪ int64."""
-    und = edges.select(
-        F.col("u").alias("src"), F.col("v").alias("dst"), "w"
-    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w"))
-    stren = (
-        und.groupBy("src")
-        .agg(F.sum("w").alias("st"), F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint()
-    )
-    und_st = und.join(stren.select("src", "st"), "src").localCheckpoint()
-    n = stren.count()
-    if n == 0:
-        return stren.select(
-            F.col("src").alias("user_id"),
-            F.col("deg").cast("long").alias("degree"),
-            F.col("st").cast("long").alias("strength"),
-            F.lit(0).cast("long").alias("rank_fixed"),
-        )
-    teleport = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // (PR_DAMP_DEN * n)
-    ranks = stren.select(
-        F.col("src").alias("user_id"), F.lit(PR_SCALE // n).alias("r")
-    ).localCheckpoint()
-    for _ in range(iters):
-        contribs = (
-            und_st.join(ranks, und_st.src == ranks.user_id)
-            .select("dst", F.expr("(r * w) DIV st").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-        )
-        ranks = (
-            ranks.select("user_id")
-            .join(contribs, ranks.user_id == contribs.dst, "left")
-            .select(
-                "user_id",
-                (
-                    F.lit(teleport)
-                    + F.expr(
-                        f"({PR_DAMP_NUM} * coalesce(s, 0)) DIV {PR_DAMP_DEN}"
-                    )
-                ).alias("r"),
-            )
-            .localCheckpoint()
-        )
-    return ranks.join(stren, ranks.user_id == stren.src).select(
-        "user_id",
-        F.col("deg").cast("long").alias("degree"),
-        F.col("st").cast("long").alias("strength"),
-        F.col("r").cast("long").alias("rank_fixed"),
-    )
+    return _pagerank_impl(edges.select("u", "v", "w"), iters)
 
 
 def user_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -925,8 +894,10 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("report_day")
         .agg(F.countDistinct("user_id").cast("long").alias("wau"))
     )
+    # ud is already distinct on (user, day): a plain count IS the
+    # distinct count — no second dedup pass
     dau = ud.groupBy(F.col("day").alias("report_day")).agg(
-        F.countDistinct("user_id").cast("long").alias("dau")
+        F.count(F.lit(1)).cast("long").alias("dau")
     )
     return (
         dau.join(wau, "report_day")
@@ -1335,67 +1306,22 @@ ORACLES["user_cooccurrence_triangles"] = f"""
     FROM verts GROUP BY 1 ORDER BY 1
 """
 
-def pagerank_oracle_sql(iters: int = PR_ITERS) -> str:
-    """Unrolled DuckDB restatement of the full integer-lattice PageRank
-    fit (the kmeans_oracle_sql recipe applied to graphs): edge build →
-    degrees → r0 → (contribute → damp) × iters. Every step is positive
-    int64 arithmetic with truncating division (DuckDB ``//`` == Spark
-    ``DIV`` — both truncate toward zero), so the hash gate can check the
-    ITERATIVE fit end to end."""
+def _pagerank_oracle_sql(iters: int, weighted: bool) -> str:
+    """Unrolled DuckDB restatement of the PageRank fit — ONE generator
+    for both variants, mirroring the shared Spark loop: contributions
+    are (r·w) // strength with w ≡ 1 / strength = degree in the
+    unweighted case (equal rationals truncate identically). Every step
+    is positive int64 arithmetic with truncating division (DuckDB
+    ``//`` == Spark ``DIV``), so the hash gate checks the ITERATIVE
+    fit end to end."""
     tele_num = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE
+    w_expr = "w" if weighted else "CAST(1 AS BIGINT) AS w"
     sql = [
         f"""
     WITH {_SQL_COOC_EDGES}, und AS (
-        SELECT u AS src, v AS dst FROM edges
+        SELECT u AS src, v AS dst, {w_expr} FROM edges
         UNION ALL
-        SELECT v AS src, u AS dst FROM edges
-    ), deg AS (
-        SELECT src, COUNT(*) AS deg FROM und GROUP BY 1
-    ), nn AS (
-        SELECT COUNT(*) AS n FROM deg
-    ), r0 AS (
-        SELECT d.src AS user_id, {PR_SCALE} // nn.n AS r FROM deg d, nn
-    )"""
-    ]
-    for i in range(1, iters + 1):
-        sql.append(f"""
-    , c{i} AS (
-        SELECT u.dst AS user_id, SUM(r.r // d.deg) AS s
-        FROM und u
-        JOIN r{i - 1} r ON r.user_id = u.src
-        JOIN deg d ON d.src = u.src
-        GROUP BY 1
-    ), r{i} AS (
-        SELECT d.src AS user_id,
-               {tele_num} // ({PR_DAMP_DEN} * nn.n)
-                   + ({PR_DAMP_NUM} * COALESCE(c.s, 0)) // {PR_DAMP_DEN} AS r
-        FROM deg d
-        CROSS JOIN nn
-        LEFT JOIN c{i} c ON c.user_id = d.src
-    )""")
-    sql.append(f"""
-    SELECT r.user_id,
-           CAST(d.deg AS BIGINT) AS degree,
-           CAST(r.r AS BIGINT) AS rank_fixed
-    FROM r{iters} r JOIN deg d ON d.src = r.user_id
-    ORDER BY 1""")
-    return "".join(sql)
-
-
-ORACLES["user_pagerank"] = pagerank_oracle_sql()
-
-
-def pagerank_weighted_oracle_sql(iters: int = PR_ITERS) -> str:
-    """Unrolled DuckDB restatement of the weighted PageRank fit —
-    contributions (r·w) // strength, otherwise identical to
-    pagerank_oracle_sql."""
-    tele_num = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE
-    sql = [
-        f"""
-    WITH {_SQL_COOC_EDGES}, und AS (
-        SELECT u AS src, v AS dst, w FROM edges
-        UNION ALL
-        SELECT v AS src, u AS dst, w FROM edges
+        SELECT v AS src, u AS dst, {w_expr} FROM edges
     ), stren AS (
         SELECT src, SUM(w) AS st, COUNT(*) AS deg FROM und GROUP BY 1
     ), nn AS (
@@ -1420,16 +1346,27 @@ def pagerank_weighted_oracle_sql(iters: int = PR_ITERS) -> str:
         CROSS JOIN nn
         LEFT JOIN c{i} c ON c.user_id = d.src
     )""")
+    strength_col = (
+        ",\n           CAST(d.st AS BIGINT) AS strength" if weighted else ""
+    )
     sql.append(f"""
     SELECT r.user_id,
-           CAST(d.deg AS BIGINT) AS degree,
-           CAST(d.st AS BIGINT) AS strength,
+           CAST(d.deg AS BIGINT) AS degree{strength_col},
            CAST(r.r AS BIGINT) AS rank_fixed
     FROM r{iters} r JOIN stren d ON d.src = r.user_id
     ORDER BY 1""")
     return "".join(sql)
 
 
+def pagerank_oracle_sql(iters: int = PR_ITERS) -> str:
+    return _pagerank_oracle_sql(iters, weighted=False)
+
+
+def pagerank_weighted_oracle_sql(iters: int = PR_ITERS) -> str:
+    return _pagerank_oracle_sql(iters, weighted=True)
+
+
+ORACLES["user_pagerank"] = pagerank_oracle_sql()
 ORACLES["user_pagerank_weighted"] = pagerank_weighted_oracle_sql()
 
 ORACLES["user_clustering_coefficient"] = f"""

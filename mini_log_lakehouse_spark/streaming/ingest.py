@@ -211,20 +211,25 @@ def streaming_daily_active_users(
     spark: SparkSession, sf_dir: str, watermark: str = "1 day"
 ) -> DataFrame:
     """Streaming DAU: watermarked per-(user, day) dedup CHAINED into a
-    windowed count — distinct counts don't stream, so the streaming
-    form is dedup-then-count, Spark 4's multiple-stateful-operators
-    pipeline (dropDuplicatesWithinWatermark-style state feeding a
-    windowed aggregate). availableNow drains the full replay, so the
-    result is deterministic and the batch COUNT(DISTINCT) oracle
-    hash-checks it exactly.
+    count — distinct counts don't stream, so the streaming form is
+    dedup-then-count, the multiple-stateful-operators pipeline.
 
-    State at 100 TB: the dedup store holds (user × day) keys inside the
-    watermark horizon only; the count state is days × 1 rows."""
+    State at 100 TB: ``dropDuplicatesWithinWatermark`` (NOT plain
+    dropDuplicates, whose state never evicts when the event-time
+    column is not a dedup key) — two same-(user, day) events are at
+    most 24 h apart, inside the 1-day delay, so the semantics equal
+    exact per-day dedup while the store holds only the watermark
+    horizon. Exactness contract: availableNow over the single
+    events.parquet file drains in one microbatch, so no row can arrive
+    behind a previous batch's watermark; a multi-file out-of-order
+    replay would drop late rows per the watermark SLA (the same
+    contract every watermarked entry here states) and undercount vs
+    the batch COUNT(DISTINCT) oracle."""
     ev = read_events_stream(spark, sf_dir).filter(F.col("user_id").isNotNull())
     dd = (
         ev.select("user_id", "ts", F.to_date("ts").alias("date"))
         .withWatermark("ts", watermark)
-        .dropDuplicates(["user_id", "date"])
+        .dropDuplicatesWithinWatermark(["user_id", "date"])
     )
     agg = dd.groupBy("date").agg(F.count(F.lit(1)).alias("dau"))
     name = "stream_daily_active_users_result"

@@ -196,13 +196,15 @@ def test_pagerank_iteration_plan_shape(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(100)], "u long, v long"
     )
-    und = edges.selectExpr("u AS src", "v AS dst").unionAll(
-        edges.selectExpr("v AS src", "u AS dst")
+    und = edges.selectExpr("u AS src", "v AS dst", "1 AS w").unionAll(
+        edges.selectExpr("v AS src", "u AS dst", "1 AS w")
     )
-    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    und_deg = und.join(deg, "src")
-    ranks = deg.select(F.col("src").alias("user_id"), F.lit(10**10).alias("r"))
-    plan = _plan(funnels._pr_iteration(und_deg, ranks, 123))
+    stren = und.groupBy("src").agg(
+        F.sum("w").alias("st"), F.count(F.lit(1)).alias("deg")
+    )
+    und_st = und.join(stren.select("src", "st"), "src")
+    ranks = stren.select(F.col("src").alias("user_id"), F.lit(10**10).alias("r"))
+    plan = _plan(funnels._pr_iteration(und_st, ranks, 123))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "partial_sum" in plan  # map-side combine on the contribs agg
     # bounded exchange count: join inputs + contrib agg + damp join
