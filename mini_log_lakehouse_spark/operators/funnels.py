@@ -723,6 +723,61 @@ def user_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges).orderBy("user_id")
 
 
+#: k-core threshold and peel rounds. Peeling is monotone (the edge set
+#: only shrinks), so after convergence extra rounds are no-ops; the
+#: fixed count keeps the fit SQL-restatable and a test asserts one
+#: more round changes nothing on the testdata graph.
+KCORE_K = 3
+KCORE_ITERS = 4
+
+
+def kcore(edges: DataFrame, k: int = KCORE_K, iters: int = KCORE_ITERS) -> DataFrame:
+    """k-core decomposition by iterative peeling: each round drops
+    every node with current degree < k (and its edges), the standard
+    dense-subgraph/robustness primitive ("the part of the graph that
+    survives when hangers-on leave"). Exactly ``iters`` peel rounds —
+    the true k-core once converged (monotone deletion ⇒ convergence is
+    checkable by running one more round). Returns surviving nodes with
+    their within-core degree.
+
+    Shape at 100 TB: per round one node-grain degree count + two
+    semi-join-shaped filters of the edge list; the edge list only
+    shrinks, and localCheckpoint keeps lineage flat — the same
+    iterative discipline as the rank loops, with deletion instead of
+    message passing."""
+    e = edges.select("u", "v")
+    for _ in range(iters):
+        und = e.select(F.col("u").alias("node")).unionAll(
+            e.select(F.col("v").alias("node"))
+        )
+        keep = (
+            und.groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= k)
+            .select("node")
+        )
+        e = (
+            e.join(keep.withColumnRenamed("node", "u"), "u")
+            .join(keep.withColumnRenamed("node", "v"), "v")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    und = e.select(F.col("u").alias("user_id")).unionAll(
+        e.select(F.col("v").alias("user_id"))
+    )
+    return und.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("core_degree")
+    )
+
+
+def user_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: KCORE_ITERS peel rounds at k = KCORE_K over the
+    co-occurrence graph. Hash-checked — the peel is pure integer
+    set algebra, restated round by round as unrolled DuckDB CTEs."""
+    edges = cooccurrence_edges(spark, sf_dir)  # memoized + checkpointed
+    return kcore(edges).orderBy("user_id")
+
+
 #: BFS frontier depth and multi-source seed count (the BFS_SEEDS
 #: lowest-id nodes — deterministic, no RNG).
 BFS_HOPS = 4
@@ -1442,6 +1497,47 @@ def lpa_oracle_sql(iters: int = LPA_ITERS) -> str:
 ORACLES["user_communities"] = lpa_oracle_sql()
 
 
+def kcore_oracle_sql(k: int = KCORE_K, iters: int = KCORE_ITERS) -> str:
+    """Unrolled DuckDB restatement of the k-core peel: per round a
+    degree count and a both-endpoints-survive filter."""
+    # e{i-1} is referenced three times per round (twice in the degree
+    # union, once in the filter) and k{i} twice — without MATERIALIZED,
+    # DuckDB re-inlines the whole upstream chain per reference and the
+    # plan grows 3^rounds copies of the bucket self-join (measured:
+    # minutes instead of milliseconds at sf0.01).
+    sql = [f"""
+    WITH {_SQL_COOC_EDGES}, e0 AS MATERIALIZED (
+        SELECT u, v FROM edges
+    )"""]
+    for i in range(1, iters + 1):
+        sql.append(f"""
+    , d{i} AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT u AS node FROM e{i - 1}
+            UNION ALL SELECT v FROM e{i - 1}
+        ) GROUP BY 1
+    ), k{i} AS MATERIALIZED (
+        SELECT node FROM d{i} WHERE d >= {k}
+    ), e{i} AS MATERIALIZED (
+        SELECT e.u, e.v
+        FROM e{i - 1} e
+        JOIN k{i} a ON a.node = e.u
+        JOIN k{i} b ON b.node = e.v
+    )""")
+    sql.append(f"""
+    SELECT node AS user_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM (
+        SELECT u AS node FROM e{iters}
+        UNION ALL SELECT v FROM e{iters}
+    )
+    GROUP BY 1
+    ORDER BY 1""")
+    return "".join(sql)
+
+
+ORACLES["user_kcore"] = kcore_oracle_sql()
+
+
 def bfs_oracle_sql(hops: int = BFS_HOPS, seeds: int = BFS_SEEDS) -> str:
     """Unrolled DuckDB restatement of the multi-source BFS expansion:
     per hop a frontier min over in-neighbors, merged monotonically with
@@ -1665,6 +1761,7 @@ QUERIES = {
     "user_clustering_coefficient": user_clustering_coefficient,
     "user_communities": user_communities,
     "user_bfs_reach": user_bfs_reach,
+    "user_kcore": user_kcore,
     "events_cusum_changepoints": events_cusum_changepoints,
     "events_dow_seasonality": events_dow_seasonality,
     "user_decayed_activity": user_decayed_activity,

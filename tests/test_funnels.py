@@ -295,3 +295,22 @@ def test_weighted_pagerank_reduces_to_unweighted_on_equal_weights(spark):
     rows = {r["user_id"]: r for r in funnels.pagerank_weighted(skew).collect()}
     assert rows[1]["rank_fixed"] > rows[2]["rank_fixed"] == rows[3]["rank_fixed"]
     assert rows[1]["strength"] == 10 and rows[0]["strength"] == 12
+
+
+def test_kcore_peels_tail_and_converges(spark, sf_dir):
+    """K4 + pendant chain at k=3: the chain (and nothing else) peels
+    away over successive rounds; K4 survives with within-core degree 3.
+    On the real corpus graph, one extra round changes nothing (the
+    fixed iteration count has converged)."""
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(
+        k4 + [(4, 5), (5, 6), (6, 7)], "u long, v long"
+    )
+    rows = {r["user_id"]: r["core_degree"]
+            for r in funnels.kcore(edges, k=3).collect()}
+    assert rows == {1: 3, 2: 3, 3: 3, 4: 3}
+    corpus_edges = funnels.cooccurrence_edges(spark, sf_dir)
+    a = sorted(map(tuple, funnels.kcore(corpus_edges).collect()))
+    b = sorted(map(tuple, funnels.kcore(
+        corpus_edges, iters=funnels.KCORE_ITERS + 1).collect()))
+    assert a == b  # converged: an extra peel round is a no-op
