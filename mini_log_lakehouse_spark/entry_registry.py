@@ -140,13 +140,14 @@ _FIRST_WINDOW = (
     # p95 and knn rotate out this round — all have r5 driver-green rows
     # and semantically unchanged oracles)
     "dedup_minhash_pairs",
-    # (5) the rest of the round's new operators. EIGHT new entries did
+    # (5) the rest of the round's new operators. TEN new entries did
     # NOT fit the 50-slot window and carry only the local
     # tests/test_entry_contract.py hash evidence this round:
     # events_dow_seasonality, user_clustering_coefficient,
     # user_bfs_reach, events_state_enrichment, event_interarrival_stats,
-    # user_pagerank_weighted, events_rolling_wau, user_kcore — rotate
-    # them in next round (eight total).
+    # user_pagerank_weighted, events_rolling_wau, user_kcore,
+    # cooc_degree_histogram, doc_length_histogram — rotate them in next
+    # round (ten total).
     "embedding_pq_codes",
     "doc_hybrid_search",
     "events_cusum_changepoints",

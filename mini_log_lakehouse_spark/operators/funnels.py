@@ -620,6 +620,23 @@ def user_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_weighted(edges).orderBy("user_id")
 
 
+def cooc_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-occurrence graph — the one-glance
+    topology diagnostic (power law vs uniform decides salting and
+    partition strategy for every downstream graph op). Node-grain
+    aggregate of the memoized edge list; pure integer counts."""
+    edges = cooccurrence_edges(spark, sf_dir)  # memoized + checkpointed
+    und = edges.select(F.col("u").alias("user_id")).unionAll(
+        edges.select(F.col("v").alias("user_id"))
+    )
+    deg = und.groupBy("user_id").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy(F.col("degree").cast("long").alias("degree"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("degree")
+    )
+
+
 def user_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient per user over the co-occurrence
     graph: lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) — "how clique-like is
@@ -1424,6 +1441,18 @@ def pagerank_weighted_oracle_sql(iters: int = PR_ITERS) -> str:
 ORACLES["user_pagerank"] = pagerank_oracle_sql()
 ORACLES["user_pagerank_weighted"] = pagerank_weighted_oracle_sql()
 
+ORACLES["cooc_degree_histogram"] = f"""
+    WITH {_SQL_COOC_EDGES}, und AS (
+        SELECT u AS user_id FROM edges
+        UNION ALL SELECT v FROM edges
+    ), deg AS (
+        SELECT user_id, COUNT(*) AS degree FROM und GROUP BY 1
+    )
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM deg GROUP BY 1 ORDER BY 1
+"""
+
 ORACLES["user_clustering_coefficient"] = f"""
     WITH {_SQL_COOC_EDGES}, und AS (
         SELECT u AS user_id FROM edges
@@ -1762,6 +1791,7 @@ QUERIES = {
     "user_communities": user_communities,
     "user_bfs_reach": user_bfs_reach,
     "user_kcore": user_kcore,
+    "cooc_degree_histogram": cooc_degree_histogram,
     "events_cusum_changepoints": events_cusum_changepoints,
     "events_dow_seasonality": events_dow_seasonality,
     "user_decayed_activity": user_decayed_activity,

@@ -661,6 +661,34 @@ def sparse_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two document-length histogram (bucket b covers
+    2^b ≤ n_chars < 2^(b+1)) — the corpus-shape diagnostic behind
+    chunk-size and packing decisions. Buckets are assigned by EXACT
+    integer range comparison against a broadcast 31-row bound table
+    (never floor(log2(n)) — float log at power-of-two boundaries is an
+    engine-tie hazard); documents with n_chars < 1 would fall in no
+    bucket and are excluded by construction (none exist in this
+    corpus, and zero-length docs have no length to histogram)."""
+    d = load_table(spark, sf_dir, "documents")
+    buckets = spark.range(31).select(
+        F.col("id").cast("int").alias("bucket"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))").alias("lo"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT) + 1)").alias("hi"),
+    )
+    return (
+        d.join(
+            F.broadcast(buckets),
+            (d.n_chars >= buckets.lo) & (d.n_chars < buckets.hi),
+        )
+        .groupBy(F.col("bucket").cast("long").alias("bucket"), "lo", "hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .select("bucket", F.col("lo").alias("min_chars"),
+                (F.col("hi") - 1).alias("max_chars"), "n_docs")
+        .orderBy("bucket")
+    )
+
+
 def doc_sparse_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse lexical retrieval via the inverted-index join — the
     BM25-family query shape: score every document against a query
@@ -983,6 +1011,23 @@ SQL_SPARSE_SCORED = f"""tf AS ({_SQL_TF}),
             GROUP BY 1
         )"""
 
+ORACLES["doc_length_histogram"] = """
+    WITH buckets AS (
+        SELECT CAST(b AS BIGINT) AS bucket,
+               (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) AS lo,
+               (CAST(1 AS BIGINT) << (CAST(b AS INTEGER) + 1)) AS hi
+        FROM UNNEST(range(0, 31)) AS t(b)
+    )
+    SELECT b.bucket,
+           b.lo AS min_chars,
+           b.hi - 1 AS max_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents d
+    JOIN buckets b ON d.n_chars >= b.lo AND d.n_chars < b.hi
+    GROUP BY 1, 2, 3
+    ORDER BY 1
+"""
+
 ORACLES["doc_sparse_search"] = f"""
         WITH {SQL_SPARSE_SCORED}
         SELECT doc_id, shared_terms, score_milli
@@ -994,6 +1039,7 @@ ORACLES["doc_sparse_search"] = f"""
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_sparse_search": doc_sparse_search,
+    "doc_length_histogram": doc_length_histogram,
     "doc_lm_quality_gate": doc_lm_quality_gate,
     "doc_unigram_lm_scores": doc_unigram_lm_scores,
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
