@@ -76,84 +76,72 @@ if _unknown:
 
 # The verification driver samples the FIRST 50 registry entries per round,
 # so this explicit window decides which queries get a driver-side
-# CORRECTNESS row. Round-6 priority (VERDICT r5 ask 7): (1) entries NEW
-# or with a changed implementation/oracle this round — the two new
-# operators (PageRank, SemDeDup), the newly-oracled BPE merge table, the
-# bucket-capped co-occurrence graph, the refactor-touched kmeans oracle,
-# and the guard-gaining p95 entry; (2) EVERY entry whose latest green
-# driver row predates r3 (29 entries — after this round no green
-# evidence is older than two rounds); (3) rows-only-by-design entries
-# kept visible (their `err: no_oracle` rows should appear, not silently
-# vanish); (4) cross-family anchors (bench-measured every round);
-# (5) the remaining operators NEW this round. The r3-green pool
-# (tpch_q1, top3, multimodal, asof, ...) yields its backfill slots to
-# them: everything past position 50 stays covered by the identical
-# local DuckDB hash-compare in tests/test_entry_contract.py.
+# CORRECTNESS row. Round-7 priority (VERDICT r6 ask 1): (1) the TEN
+# round-6 entries that have never received a driver row; (2) entries
+# NEW this round; (3) the three ANN tiers whose retrieval mechanism
+# changed this round (md5-parity SRP planes, integer-lattice IVF
+# quantizer) — their rows-only rows must reflect the new code; (4) the
+# stalest previously-green pool (latest green row = r3; 31 of 43 fit —
+# the 12 left over are ≤4 rounds stale and tests/test_rotation.py
+# forces them into the r8 window). Everything past position 50 stays
+# covered by the identical local DuckDB hash-compare in
+# tests/test_entry_contract.py, and tests/test_rotation.py enforces
+# the no-entry-older-than-4-rounds invariant mechanically.
 _FIRST_WINDOW = (
-    # (1) new or changed this round
-    "user_pagerank",
-    "user_communities",
-    "dedup_semantic_pairs",
-    "doc_bpe_merge_table",
-    "user_cooccurrence_triangles",
-    "session_attribution",
-    "event_burst_runs",
-    "tpch_integrity_audit",
-    # (2) latest green row is r1/r2 — refresh all 29
-    "available_days",
-    "dedup_cluster_representatives",
-    "dedup_clusters",
-    "dedup_exact_summary",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
-    "dim_event_type",
-    "doc_bpe_token_counts",
-    "doc_chunks",
-    "doc_curation_summary",
-    "doc_fingerprints",
-    "doc_lang_id",
-    "doc_normalized_fingerprints",
-    "doc_pii_signals",
-    "doc_quality_scores",
-    "doc_repetition_stats",
-    "doc_word_histogram",
-    "errors_by_type",
-    "fct_events_hourly",
-    "hourly_trend",
-    "kpi_totals",
-    "orders_rollup_status_priority",
-    "props_k_histogram",
-    "stg_events",
-    "top_event_types",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "value_stats_by_type",
-    # (3) rows-only by design — keep the no_oracle rows visible
+    # (1) never driver-sampled (added r6, rotated in per VERDICT r6 #1)
+    "user_pagerank_weighted",
+    "user_kcore",
+    "user_bfs_reach",
+    "user_clustering_coefficient",
+    "cooc_degree_histogram",
+    "doc_length_histogram",
+    "event_interarrival_stats",
+    "events_dow_seasonality",
+    "events_rolling_wau",
+    "events_state_enrichment",
+    # (2) new this round (slots swapped in as entries land)
+    "grouping_sets_status_day",
+    "customer_balance_quartiles",
+    "daily_distinct_users",
+    "daily_order_lag",
+    "region_customer_rollup",
+    "nation_customer_counts",
+    # (3) rows-only tiers whose mechanism changed this round
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_ivfpq_topk",
-    "ann_rp_topk",
-    "approx_distinct_users",
-    "doc_bpe_encode",
-    # (4) cross-family anchor (bench-measured every round; kmeans,
-    # p95 and knn rotate out this round — all have r5 driver-green rows
-    # and semantically unchanged oracles)
-    "dedup_minhash_pairs",
-    # (5) the rest of the round's new operators. TEN new entries did
-    # NOT fit the 50-slot window and carry only the local
-    # tests/test_entry_contract.py hash evidence this round:
-    # events_dow_seasonality, user_clustering_coefficient,
-    # user_bfs_reach, events_state_enrichment, event_interarrival_stats,
-    # user_pagerank_weighted, events_rolling_wau, user_kcore,
-    # cooc_degree_histogram, doc_length_histogram — rotate them in next
-    # round (ten total).
-    "embedding_pq_codes",
-    "doc_hybrid_search",
-    "events_cusum_changepoints",
-    "user_decayed_activity",
-    "event_trigram_paths",
-    "streaming_daily_active_users",
+    # (4) stalest green pool — latest driver row is r3
+    "ann_cosine_topk",
+    "asof_error_attribution",
+    "benchmark_contamination",
+    "doc_global_shuffle",
+    "doc_pack_sequences",
+    "doc_reservoir_per_source",
+    "doc_stratified_sample",
+    "doc_train_test_split",
+    "events_hot_bucket_join",
+    "events_hour_pivot",
+    "incident_window_events",
+    "lineitem_price_quantiles",
+    "multimodal_byte_features",
+    "multimodal_frame_stats",
+    "multimodal_media_features",
+    "orders_cube_status_priority",
+    "orders_rolling_quarter",
+    "orders_running_share",
+    "orders_with_prompt_lines",
+    "scalar_function_battery",
+    "streaming_error_followups",
+    "streaming_hourly_fact",
+    "streaming_session_window",
+    "streaming_sliding_fact",
+    "streaming_static_enrichment",
+    "top3_customers_per_nation",
+    "top_customers_by_revenue",
+    "tpch_q1_pricing_summary",
+    "user_last_event",
+    "user_session_summary",
+    "user_sessions",
 )
 
 _missing = [n for n in _FIRST_WINDOW if n not in QUERIES]
