@@ -1203,19 +1203,21 @@ ORACLES: dict[str, str] = {
         FROM documents
     """,
     "dedup_embedding_cosine": f"""
-        SELECT a.label,
-               a.vec_id AS id_a,
-               b.vec_id AS id_b,
-               ROUND(list_cosine_similarity(
-                   CAST(a.embedding AS DOUBLE[]),
-                   CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
-        FROM embeddings a
-        JOIN embeddings b
-          ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE ROUND(list_cosine_similarity(
-                  CAST(a.embedding AS DOUBLE[]),
-                  CAST(b.embedding AS DOUBLE[])), 6) >= {_GATE_COSINE_THRESHOLD}
-        ORDER BY a.label, id_a, id_b
+        WITH scored AS (
+            SELECT a.label,
+                   a.vec_id AS id_a,
+                   b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+            FROM embeddings a
+            JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+        )
+        SELECT label, id_a, id_b, cos_sim
+        FROM scored
+        WHERE cos_sim >= {_GATE_COSINE_THRESHOLD}
+        ORDER BY label, id_a, id_b
     """,
 }
 
@@ -1418,18 +1420,19 @@ def _semantic_pairs_oracle_sql() -> str:
     , emb AS (
         SELECT e.vec_id, e.embedding, s.cluster
         FROM embeddings e JOIN {final} s USING (vec_id)
+    ), scored AS (
+        SELECT CAST(a.cluster AS BIGINT) AS cluster,
+               a.vec_id AS id_a,
+               b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+        FROM emb a
+        JOIN emb b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
     )
-    SELECT CAST(a.cluster AS BIGINT) AS cluster,
-           a.vec_id AS id_a,
-           b.vec_id AS id_b,
-           ROUND(list_cosine_similarity(
-               CAST(a.embedding AS DOUBLE[]),
-               CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
-    FROM emb a
-    JOIN emb b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-    WHERE ROUND(list_cosine_similarity(
-              CAST(a.embedding AS DOUBLE[]),
-              CAST(b.embedding AS DOUBLE[])), 6) >= {_GATE_COSINE_THRESHOLD}
+    SELECT cluster, id_a, id_b, cos_sim
+    FROM scored
+    WHERE cos_sim >= {_GATE_COSINE_THRESHOLD}
     ORDER BY 1, 2, 3"""
 
 

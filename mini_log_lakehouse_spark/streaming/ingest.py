@@ -224,7 +224,13 @@ def streaming_daily_active_users(
     behind a previous batch's watermark; a multi-file out-of-order
     replay would drop late rows per the watermark SLA (the same
     contract every watermarked entry here states) and undercount vs
-    the batch COUNT(DISTINCT) oracle."""
+    the batch COUNT(DISTINCT) oracle. Both halves are enforced, not
+    just documented (ADVICE r6): the runtime guard below fails the
+    entry if the drain took more than one data-carrying microbatch
+    (the regime where the hash gate stops being trustworthy), and
+    tests/test_streaming.py::test_dau_two_file_replay_drops_late_rows
+    replays a two-file out-of-order corpus and pins the exact
+    undercount."""
     ev = read_events_stream(spark, sf_dir).filter(F.col("user_id").isNotNull())
     dd = (
         ev.select("user_id", "ts", F.to_date("ts").alias("date"))
@@ -241,6 +247,21 @@ def streaming_daily_active_users(
         .start()
     )
     q.awaitTermination()
+    # single-microbatch exactness guard (same pattern as the p95 guard):
+    # with >1 data-carrying batch, rows behind an earlier batch's
+    # watermark are dropped by the SLA and the COUNT(DISTINCT) oracle
+    # may legitimately disagree — fail loudly instead of hash-red.
+    data_batches = sum(
+        1 for p in q.recentProgress if (p.get("numInputRows") or 0) > 0
+    )
+    if data_batches > 1:
+        raise AssertionError(
+            f"streaming_daily_active_users drained in {data_batches} "
+            "data-carrying microbatches; the exact-vs-batch-oracle "
+            "contract only holds for a single-batch drain (late rows "
+            "behind the watermark are dropped). Demote this entry to "
+            "rows-only or replay from a single file."
+        )
     return spark.table(name).orderBy("date")
 
 

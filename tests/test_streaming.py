@@ -221,3 +221,70 @@ def test_user_totals_accumulate_across_microbatches(spark, sf_dir, tmp_path):
             assert counts[0] in {per_file[(uid, h)] for h in halves}
             assert counts[0] < counts[1]
     assert both > 0  # the split must actually exercise two-batch users
+
+
+def test_dau_two_file_replay_drops_late_rows(spark, tmp_path):
+    """Pin the documented watermark SLA of streaming_daily_active_users
+    (ingest.py): replay two files one-per-microbatch where the second
+    carries a row BEHIND the first batch's watermark — the late row is
+    dropped, so the streaming DAU undercounts the batch COUNT(DISTINCT)
+    by exactly that (user, day), while on-time rows still land."""
+    import os
+    import time
+
+    from pyspark.sql import Row
+
+    src = tmp_path / "dau_replay"
+    # batch 1: three users on Jan 10 — advances the 1-day watermark to
+    # Jan 9 10:00; batch 2: user 99 on Jan 8 (behind watermark → SLA
+    # drop) plus user 4 on Jan 10 12:00 (on time → counted)
+    f1 = spark.createDataFrame(
+        [Row(user_id=u, ts=f"2025-01-10 10:0{u}:00") for u in (1, 2, 3)]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    f2 = spark.createDataFrame(
+        [
+            Row(user_id=99, ts="2025-01-08 00:00:00"),
+            Row(user_id=4, ts="2025-01-10 12:00:00"),
+        ]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    f1.coalesce(1).write.parquet(str(src / "a"), mode="overwrite")
+    time.sleep(1.1)  # file source orders batches by modification time
+    f2.coalesce(1).write.parquet(str(src / "b"), mode="overwrite")
+
+    stream = (
+        spark.readStream.schema(f1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*/")
+    )
+    dd = (
+        stream.select("user_id", "ts", F.to_date("ts").alias("date"))
+        .withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark(["user_id", "date"])
+    )
+    agg = dd.groupBy("date").agg(F.count(F.lit(1)).alias("dau"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("dau_late_replay")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {str(r["date"]): r["dau"] for r in spark.table("dau_late_replay").collect()}
+    union = f1.unionByName(f2)
+    batch = {
+        str(r["date"]): r["dau"]
+        for r in union.select(F.to_date("ts").alias("date"), "user_id")
+        .groupBy("date")
+        .agg(F.countDistinct("user_id").alias("dau"))
+        .collect()
+    }
+    # multi-batch drain really happened (else the probe proves nothing)
+    data_batches = sum(
+        1 for p in q.recentProgress if (p.get("numInputRows") or 0) > 0
+    )
+    assert data_batches == 2, data_batches
+    assert batch == {"2025-01-10": 4, "2025-01-08": 1}
+    # the exact documented delta: late (99, Jan 8) dropped, on-time
+    # (4, Jan 10) counted
+    assert got == {"2025-01-10": 4}
