@@ -76,72 +76,74 @@ if _unknown:
 
 # The verification driver samples the FIRST 50 registry entries per round,
 # so this explicit window decides which queries get a driver-side
-# CORRECTNESS row. Round-7 priority (VERDICT r6 ask 1): (1) the TEN
-# round-6 entries that have never received a driver row; (2) entries
-# NEW this round; (3) the three ANN tiers whose retrieval mechanism
-# changed this round (md5-parity SRP planes, integer-lattice IVF
-# quantizer) — their rows-only rows must reflect the new code; (4) the
-# stalest previously-green pool (latest green row = r3; 31 of 43 fit —
-# the 12 left over are ≤4 rounds stale and tests/test_rotation.py
-# forces them into the r8 window). Everything past position 50 stays
-# covered by the identical local DuckDB hash-compare in
-# tests/test_entry_contract.py, and tests/test_rotation.py enforces
-# the no-entry-older-than-4-rounds invariant mechanically.
+# CORRECTNESS row. Round-8 priority (VERDICT r7 ask 2, computed from the
+# committed CORRECTNESS_r*.json artifacts — tests/test_rotation.py
+# re-derives the same staleness table and fails if this window drifts):
+# (1) the 6 entries whose latest driver row is r3 — already past
+# ROTATION_MAX_AGE, the round-7 rotation breach; (2) all 17 entries
+# last sampled in r4 — they cross the age bar the moment
+# CORRECTNESS_r08.json lands, so sampling them now is what keeps r9
+# schedulable; (3) entries NEW this round (no driver row ever — the
+# rotation test forces them in); (4) fill from the 44-entry r5 pool
+# (oldest-first pressure: the ~22 left over are exactly next round's
+# (1)+(2) load, which fits r9's 50 slots alongside the r6 pool's lead
+# edge). Everything past position 50 stays covered by the identical
+# local DuckDB hash-compare in tests/test_entry_contract.py.
 _FIRST_WINDOW = (
-    # (1) never driver-sampled (added r6, rotated in per VERDICT r6 #1)
-    "user_pagerank_weighted",
-    "user_kcore",
-    "user_bfs_reach",
-    "user_clustering_coefficient",
-    "cooc_degree_histogram",
-    "doc_length_histogram",
-    "event_interarrival_stats",
-    "events_dow_seasonality",
-    "events_rolling_wau",
-    "events_state_enrichment",
-    # (2) new this round (slots swapped in as entries land)
-    "grouping_sets_status_day",
-    "customer_balance_quartiles",
-    "daily_distinct_users",
-    "daily_order_lag",
-    "region_customer_rollup",
-    "nation_customer_counts",
-    # (3) rows-only tiers whose mechanism changed this round
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_ivfpq_topk",
-    # (4) stalest green pool — latest driver row is r3
-    "ann_cosine_topk",
-    "asof_error_attribution",
-    "benchmark_contamination",
-    "doc_global_shuffle",
-    "doc_pack_sequences",
-    "doc_reservoir_per_source",
-    "doc_stratified_sample",
-    "doc_train_test_split",
-    "events_hot_bucket_join",
-    "events_hour_pivot",
-    "incident_window_events",
-    "lineitem_price_quantiles",
-    "multimodal_byte_features",
-    "multimodal_frame_stats",
-    "multimodal_media_features",
-    "orders_cube_status_priority",
-    "orders_rolling_quarter",
-    "orders_running_share",
-    "orders_with_prompt_lines",
-    "scalar_function_battery",
-    "streaming_error_followups",
-    "streaming_hourly_fact",
-    "streaming_session_window",
-    "streaming_sliding_fact",
-    "streaming_static_enrichment",
-    "top3_customers_per_nation",
-    "top_customers_by_revenue",
-    "tpch_q1_pricing_summary",
-    "user_last_event",
-    "user_session_summary",
-    "user_sessions",
+    # (1) latest driver row r3 — overdue now
+    "customers_with_orders",
+    "customers_without_orders",
+    "setop_except_nations",
+    "setop_intersect_nations",
+    "setop_union_all_counts",
+    "setop_union_nations",
+    # (2) latest driver row r4 — due before r9
+    "doc_bpe_first_merge",
+    "doc_domain_cap",
+    "doc_tfidf_top_terms",
+    "doc_unigram_lm_scores",
+    "documents_jsonl_roundtrip",
+    "embedding_int8_quantize",
+    "embedding_label_centroids",
+    "events_column_profile",
+    "events_daily_trend",
+    "events_heavy_hitters",
+    "events_retention_cohorts",
+    "lakehouse_change_feed",
+    "part_fuzzy_name_pairs",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "user_hourly_gapfilled",
+    # (3) new this round (slots swapped in as entries land)
+    # (4) r5 pool fill, oldest-exposure-first
+    "ann_knn_join",
+    "dedup_embedding_cosine",
+    "dedup_incremental_batch",
+    "doc_sparse_search",
+    "doc_token_stats",
+    "embedding_kmeans_clusters",
+    "embedding_random_projection",
+    "events_funnel",
+    "session_funnel",
+    "setop_except_all_nation_keys",
+    "streaming_hourly_fact_p95",
+    "streaming_user_sessions",
+    "streaming_user_totals",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q12_late_shipment_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_excess_stock_suppliers",
+    "user_state_scd2",
 )
 
 _missing = [n for n in _FIRST_WINDOW if n not in QUERIES]

