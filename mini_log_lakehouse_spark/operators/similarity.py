@@ -53,7 +53,6 @@ KNN_K = 3
 #: buckets suits the 500-5k test corpora; a 100 TB corpus would use ~20
 #: planes plus multi-probe of adjacent buckets.
 LSH_N_PLANES = 4
-LSH_SEED = 42
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -209,8 +208,23 @@ def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- tier 3: hyperplane LSH ---------------------------------------------------
 
-def _hyperplanes(dim: int, n_planes: int = LSH_N_PLANES, seed: int = LSH_SEED) -> np.ndarray:
-    return np.random.default_rng(seed).standard_normal((n_planes, dim))
+def _srp_planes(dim: int, n_planes: int = LSH_N_PLANES) -> np.ndarray:
+    """Deterministic ±1 sign-random-projection planes from md5 parity —
+    the same bit both engines can derive (('0x' || substr(md5('lsh:p:i'),
+    1, 12))::BIGINT % 2), so the recall-report oracle rebuilds the
+    identical planes relationally. Rademacher (±1) hyperplanes are a
+    standard SRP family (same collision-probability guarantee class as
+    Gaussian planes — Charikar 2002 needs only a symmetric sign
+    distribution), and make each plane dot an exact int64 sum over the
+    FIXED_POINT lattice, so bucket ids are bit-identical cross-engine."""
+    import hashlib
+
+    s = np.empty((n_planes, dim), dtype=np.int64)
+    for p in range(n_planes):
+        for i in range(dim):
+            h = int(hashlib.md5(f"lsh:{p}:{i}".encode()).hexdigest()[:12], 16)
+            s[p, i] = 1 if h % 2 == 0 else -1
+    return s
 
 
 def _append_arrow_column(df: DataFrame, vec_col: str, out_col: str, compute) -> DataFrame:
@@ -244,14 +258,18 @@ def _append_arrow_column(df: DataFrame, vec_col: str, out_col: str, compute) -> 
 
 
 def lsh_bucketed(df: DataFrame, vec_col: str = "embedding", dim: int = 64) -> DataFrame:
-    """Assign each vector a random-hyperplane sign bucket.
+    """Assign each vector a sign-random-projection bucket.
 
     One numpy matrix product per Arrow batch (map-only, no shuffle) —
-    how the signature step would run over 100 TB."""
-    planes = _hyperplanes(dim)
+    how the signature step would run over 100 TB. Exactness: vectors
+    are FIXED_POINT-quantized (exact in IEEE) and the planes are ±1, so
+    each plane dot is an exact int64 sum and the bucket id is the same
+    integer in every engine — what lets ann_recall_sql() restate this
+    tier relationally."""
+    planes = _srp_planes(dim)
 
     def compute(mat):
-        signs = (mat @ planes.T) > 0  # (n, n_planes)
+        signs = (_quantize_mat(mat) @ planes.T) > 0  # (n, n_planes)
         return (signs * (1 << np.arange(planes.shape[0]))).sum(axis=1)
 
     return _append_arrow_column(df, vec_col, "bucket", compute)
@@ -299,36 +317,50 @@ IVF_LLOYD_ITERS = 5
 def ivf_train_centroids(
     sample: np.ndarray, n_cells: int = IVF_N_CELLS, iters: int = IVF_LLOYD_ITERS
 ) -> np.ndarray:
-    """Train the coarse quantizer: Lloyd's k-means on a driver-held
-    sample, deterministic init (first n_cells sample rows), cosine metric
-    (all vectors unit-normalized so dot == cosine).
+    """Train the coarse quantizer: INTEGER-LATTICE Lloyd's k-means on a
+    driver-held sample — bit-identical to the distributed kmeans_fit
+    (same deterministic init of the n_cells lowest-id rows, the same
+    exact int64 _sq_dists argmin with ties to the lowest cell, the same
+    floor((2S+n)/(2n)) centroid update), just run in numpy because five
+    distributed passes over a 256-row sample would be pure scheduling
+    overhead. The corpus is unit-norm, so exact squared-L2 argmin IS
+    cosine argmax — no metric drift vs the previous float trainer.
+    Returns int64 q-space centroids.
 
-    This mirrors how IVF indexes are built in practice: the quantizer is
-    trained on a tiny sample (FAISS default: 30-256 vectors/cell), then
-    the full corpus is *assigned* distributively — training is O(sample),
-    never O(corpus)."""
-    x = sample / np.linalg.norm(sample, axis=1, keepdims=True)
-    cent = x[:n_cells].copy()
+    Being float-free end to end is what makes the whole IVF tier
+    restatable as unrolled SQL (kmeans_assign_cte_sql(train_max=...))
+    for the recall-report hash gate. This mirrors how IVF indexes are
+    built in practice: the quantizer is trained on a tiny sample (FAISS
+    default: 30-256 vectors/cell), then the full corpus is *assigned*
+    distributively — training is O(sample), never O(corpus)."""
+    qmat = _quantize_mat(sample.astype(np.float64))
+    cents = qmat[:n_cells].copy()
     for _ in range(iters):
-        assign = (x @ cent.T).argmax(axis=1)
+        assign = _sq_dists(qmat, cents).argmin(axis=1)
+        new = cents.copy()  # empty cells keep their centroid
         for c in range(n_cells):
-            members = x[assign == c]
+            members = qmat[assign == c]
             if len(members):
-                m = members.sum(axis=0)
-                cent[c] = m / (np.linalg.norm(m) or 1.0)
-    return cent
+                n = len(members)
+                s = members.sum(axis=0)
+                # round-half-up(s / n) on the lattice; numpy int64 //
+                # is floor_divide, matching kmeans_fit and the oracle's
+                # (a - pmod(a, b)) // b idiom exactly
+                new[c] = (2 * s + n) // (2 * n)
+        cents = new
+    return cents
 
 
 def ivf_assign_cells(
     df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
 ) -> DataFrame:
-    """Assign every vector its nearest-centroid cell id — one numpy GEMM
-    per Arrow batch (map-only, no shuffle), same shape as lsh_bucketed."""
+    """Assign every vector its nearest-centroid cell id (exact int64
+    squared-L2 argmin in q-space, ties to the lowest cell — the same
+    metric the trainer used) — one numpy GEMM per Arrow batch
+    (map-only, no shuffle), same shape as lsh_bucketed."""
 
     def compute(mat):
-        mat = mat.astype("float64")
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-        return (mat @ centroids.T).argmax(axis=1)
+        return _sq_dists(_quantize_mat(mat), centroids).argmin(axis=1)
 
     return _append_arrow_column(df, vec_col, "cell", compute)
 
@@ -384,7 +416,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not q:
         raise ValueError(f"query vector vec_id={QUERY_VEC_ID} not found in embeddings")
     qvec = np.array(q[0]["embedding"], dtype="float64")
-    probe = np.argsort(-(qvec / np.linalg.norm(qvec)) @ cent.T)[:IVF_N_PROBE]
+    # exact int64 probe selection (ties to the lowest cell — matches the
+    # oracle's ROW_NUMBER ORDER BY dist, cluster)
+    qdist = _sq_dists(_quantize_mat(qvec[None, :]), cent)[0]
+    probe = np.argsort(qdist, kind="stable")[:IVF_N_PROBE]
     return (
         cells.filter(F.col("cell").isin([int(c) for c in probe]))
         .filter(F.col("vec_id") != QUERY_VEC_ID)
@@ -741,18 +776,25 @@ def kmeans_assign_cte_sql(
     slice_len: int | None = None,
     prefix: str = "",
     with_kw: bool = True,
+    train_max: int | None = None,
 ) -> tuple[str, str]:
     """The unrolled k-means CTE chain (quantize -> (assign -> update) ×
     iters -> final assign), WITHOUT the final report SELECT — returns
     (cte_sql, final_assignment_cte_name) so downstream oracles (the
     per-cluster report, SemDeDup's cluster blocking, PQ's per-subspace
-    codebooks) can compose the exact fit. ``slice_lo``/``slice_len``
-    restrict the fit to an embedding subvector (PQ subspaces);
-    ``prefix`` namespaces the CTEs so several chains can share one
-    WITH (set ``with_kw=False`` for every chain after the first).
-    fdiv(a, b) below is floor division built from truncating ops:
-    (a - ((a%b)+b)%b) // b."""
+    codebooks, the IVF coarse quantizer) can compose the exact fit.
+    ``slice_lo``/``slice_len`` restrict the fit to an embedding
+    subvector (PQ subspaces); ``prefix`` namespaces the CTEs so several
+    chains can share one WITH (set ``with_kw=False`` for every chain
+    after the first); ``train_max`` restricts the FIT to the sample
+    ``vec_id < train_max`` (the IVF shape: train on a sample, assign
+    the full corpus — the final assignment always runs over every
+    vector; init is unaffected because the k lowest vec_ids are inside
+    any prefix sample with train_max >= k). fdiv(a, b) below is floor
+    division built from truncating ops: (a - ((a%b)+b)%b) // b."""
     p = prefix
+    if train_max is not None and train_max < k:
+        raise ValueError(f"train_max {train_max} < k {k}: init needs k sample rows")
     where = (
         f"WHERE u.pos >= {slice_lo} AND u.pos < {slice_lo + slice_len}"
         if slice_len is not None
@@ -779,12 +821,19 @@ def kmeans_assign_cte_sql(
         )"""
     ]
     for i in range(1, iters + 2):
-        # assignment i runs against centroids c{i-1}
+        # assignment i runs against centroids c{i-1}; in-loop (fit)
+        # assignments honor the training-sample filter, the final
+        # assignment (i == iters+1) covers the full corpus
+        tf = (
+            f" AND q.vec_id < {train_max}"
+            if (train_max is not None and i <= iters)
+            else ""
+        )
         sql.append(f"""
         , {p}a{i} AS (
             SELECT q.vec_id, c.cluster,
                    CAST(SUM((q.qv - c.cv) * (q.qv - c.cv)) AS BIGINT) AS dist
-            FROM {p}q q JOIN {p}c{i - 1} c ON q.pos = c.pos
+            FROM {p}q q JOIN {p}c{i - 1} c ON q.pos = c.pos{tf}
             GROUP BY 1, 2
         ), {p}s{i} AS (
             SELECT vec_id, cluster, dist FROM (
@@ -1109,7 +1158,9 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not q:
         raise ValueError(f"query vector vec_id={QUERY_VEC_ID} not found")
     qvec = np.array(q[0]["embedding"], dtype="float64")
-    probe = np.argsort(-(qvec / np.linalg.norm(qvec)) @ cent.T)[:IVF_N_PROBE]
+    # same exact int64 probe selection as ann_ivf_topk (shared quantizer)
+    qdist = _sq_dists(_quantize_mat(qvec[None, :]), cent)[0]
+    probe = np.argsort(qdist, kind="stable")[:IVF_N_PROBE]
     cand = (
         ivf_assign_cells(e, cent)
         .filter(F.col("cell").isin([int(c) for c in probe]))
@@ -1160,9 +1211,10 @@ RP_CANDIDATES = 100
 
 
 def ann_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tier 5: two-stage ANN — coarse top-RP_CANDIDATES by cosine in the
-    RP_SEARCH_DIM-dimensional JL space (24/64 of the data scanned per
-    vector), exact cosine rerank of just the candidates.
+    """Tier 5: two-stage ANN — coarse top-RP_CANDIDATES by exact int64
+    dot product in the RP_SEARCH_DIM-dimensional JL space (24/64 of the
+    data scanned per vector), exact cosine rerank of just the
+    candidates.
     Rows-only for the driver gate (approximate by construction); recall
     against the exact tier is pinned in tests.
 
@@ -1182,6 +1234,24 @@ def ann_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = random_project_wide(
         e.filter(F.col("vec_id") == QUERY_VEC_ID), dim_out=RP_SEARCH_DIM
     ).select(F.col("embedding").alias("qvec"), F.col("proj").alias("qproj"))
+    # Coarse score: EXACT int64 dot product in the projected q-space.
+    # proj values are int/FIXED_POINT (integral-valued doubles, exact),
+    # so (p*FP)::long recovers the integer losslessly and the sum is an
+    # order-free int64 — the same number ann_recall_sql() rebuilds
+    # relationally. Corpus vectors are unit-norm and JL preserves norms
+    # within epsilon, so dot-ranking tracks cosine-ranking; the
+    # candidate margin (RP_CANDIDATES >> TOP_K) absorbs the distortion
+    # and the recall test pins the outcome.
+    fp = F.lit(float(FIXED_POINT))
+    coarse_dot = F.aggregate(
+        F.zip_with(
+            F.col("proj"),
+            F.col("qproj"),
+            lambda x, y: (x * fp).cast("long") * (y * fp).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     coarse = (
         proj.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != QUERY_VEC_ID)
@@ -1189,9 +1259,9 @@ def ann_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "embedding",
             "qvec",
-            cosine(F.col("proj"), F.col("qproj")).alias("coarse_sim"),
+            coarse_dot.alias("coarse_dot"),
         )
-        .orderBy(F.desc("coarse_sim"), "vec_id")
+        .orderBy(F.desc("coarse_dot"), "vec_id")
         .limit(RP_CANDIDATES)
     )
     return (
@@ -1202,6 +1272,192 @@ def ann_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(TOP_K)
     )
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@TOP_K gate for EVERY ANN tier against the exact tier
+    (VERDICT r7 ask 3): per tier the number of returned neighbors and
+    the exact integer intersection with ann_cosine_topk's result set.
+    Each tier is deterministic and float-free up to its final rounded-
+    cosine rerank (md5-parity SRP planes, integer-lattice IVF quantizer
+    and PQ codebooks, exact int64 JL dot), so the whole report is
+    restated relationally by ann_recall_sql() and hash-checked by the
+    driver — the ANN family's QUALITY, not just its plumbing, sits
+    behind the gate. The per-tier collects are TOP_K-row model-sized
+    results (the standard serving shape), not corpus scans."""
+    exact = {r["vec_id"] for r in ann_cosine_topk(spark, sf_dir).collect()}
+    tiers = {
+        "ivf": ann_ivf_topk,
+        "ivfpq": ann_ivfpq_topk,
+        "lsh": ann_lsh_topk,
+        "rp": ann_rp_topk,
+    }
+    rows = [("exact", TOP_K, len(exact), len(exact))]
+    for tier in sorted(tiers):
+        ids = {r["vec_id"] for r in tiers[tier](spark, sf_dir).collect()}
+        rows.append((tier, TOP_K, len(ids), len(ids & exact)))
+    return spark.createDataFrame(
+        rows, "tier string, top_k long, n_returned long, hits long"
+    ).orderBy("tier")
+
+
+def ann_recall_sql() -> str:
+    """Unrolled DuckDB restatement of ann_recall_report: every tier's
+    candidate generation rebuilt relationally — SRP buckets from
+    md5-parity planes over the FIXED_POINT lattice, the IVF coarse
+    quantizer as a sample-trained integer-lattice k-means CTE chain
+    (kmeans_assign_cte_sql(train_max=...)), PQ codebooks as one chain
+    per subspace plus ADC lookup-table scoring, and the JL coarse pass
+    as exact int64 dots of md5-parity projections — then the identical
+    rounded-cosine rerank and intersection counts with the exact
+    top-k."""
+    Q, K, FP = QUERY_VEC_ID, TOP_K, FIXED_POINT
+    sub = PQ_ORACLE_DIM // PQ_M
+    cos = (
+        "ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+        "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings "
+        f"WHERE vec_id = {Q})), 6)"
+    )
+    parity = (
+        "('0x' || substr(md5({salt}), 1, 12))::BIGINT % 2 = 0"
+    )
+    head = f"""
+        WITH qf AS MATERIALIZED (
+            SELECT vec_id, u.pos AS pos,
+                   CAST(FLOOR(CAST(u.val AS DOUBLE) * {FP} + 0.5) AS BIGINT) AS f
+            FROM (
+                SELECT vec_id,
+                       unnest(list_transform(range(1, len(embedding) + 1),
+                              i -> {{'pos': i - 1, 'val': embedding[i]}})) AS u
+                FROM embeddings
+            )
+        ), exact10 AS MATERIALIZED (
+            SELECT e.vec_id FROM embeddings e WHERE e.vec_id != {Q}
+            ORDER BY {cos} DESC, e.vec_id LIMIT {K}
+        ), lsh_b AS MATERIALIZED (
+            SELECT vec_id,
+                   CAST(SUM(CASE WHEN dotp > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+            FROM (
+                SELECT q.vec_id, t.p AS p,
+                       SUM(CASE WHEN {parity.format(salt="'lsh:' || t.p || ':' || q.pos")}
+                                THEN q.f ELSE -q.f END) AS dotp
+                FROM qf q, UNNEST(range(0, {LSH_N_PLANES})) AS t(p)
+                GROUP BY 1, 2
+            ) GROUP BY 1
+        ), lsh_probes AS (
+            SELECT bucket FROM lsh_b WHERE vec_id = {Q}
+            UNION ALL
+            SELECT xor(b.bucket, (1::BIGINT << t.p))
+            FROM lsh_b b, UNNEST(range(0, {LSH_N_PLANES})) AS t(p)
+            WHERE b.vec_id = {Q}
+        ), lsh10 AS MATERIALIZED (
+            SELECT e.vec_id FROM embeddings e
+            JOIN lsh_b b ON b.vec_id = e.vec_id
+            JOIN lsh_probes pr ON pr.bucket = b.bucket
+            WHERE e.vec_id != {Q}
+            ORDER BY {cos} DESC, e.vec_id LIMIT {K}
+        ), rp_p AS MATERIALIZED (
+            SELECT vec_id, t.j AS j,
+                   CAST(SUM(CASE WHEN {parity.format(salt="'rp:' || q.pos || ':' || t.j")}
+                            THEN q.f ELSE -q.f END) AS BIGINT) AS pv
+            FROM qf q, UNNEST(range(0, {RP_SEARCH_DIM})) AS t(j)
+            GROUP BY 1, 2
+        ), rp_cand AS MATERIALIZED (
+            SELECT p.vec_id
+            FROM rp_p p JOIN rp_p qq ON qq.j = p.j AND qq.vec_id = {Q}
+            WHERE p.vec_id != {Q}
+            GROUP BY 1
+            ORDER BY CAST(SUM(p.pv * qq.pv) AS BIGINT) DESC, p.vec_id
+            LIMIT {RP_CANDIDATES}
+        ), rp10 AS MATERIALIZED (
+            SELECT e.vec_id FROM embeddings e JOIN rp_cand c ON c.vec_id = e.vec_id
+            ORDER BY {cos} DESC, e.vec_id LIMIT {K}
+        )"""
+    ivf_chain, ivf_final = kmeans_assign_cte_sql(
+        k=IVF_N_CELLS,
+        iters=IVF_LLOYD_ITERS,
+        prefix="ivf_",
+        with_kw=False,
+        train_max=IVF_TRAIN_SAMPLE,
+    )
+    ivf_cents = f"ivf_c{IVF_LLOYD_ITERS}"
+    pq_chains, pq_finals, pq_cents = [], [], []
+    for s in range(PQ_M):
+        sql, final = kmeans_assign_cte_sql(
+            k=PQ_K,
+            iters=PQ_ITERS,
+            slice_lo=s * sub,
+            slice_len=sub,
+            prefix=f"pq{s}_",
+            with_kw=False,
+        )
+        pq_chains.append(sql)
+        pq_finals.append(final)
+        pq_cents.append(f"pq{s}_c{PQ_ITERS}")
+    lut_ctes = ", ".join(
+        f"""pq_lut{s} AS MATERIALIZED (
+            SELECT c.cluster, CAST(SUM((q.qv - c.cv) * (q.qv - c.cv)) AS BIGINT) AS ld
+            FROM {pq_cents[s]} c
+            JOIN pq{s}_q q ON q.pos = c.pos AND q.vec_id = {Q}
+            GROUP BY 1
+        )"""
+        for s in range(PQ_M)
+    )
+    code_joins = "".join(
+        f"""
+            JOIN {pq_finals[s]} a{s} ON a{s}.vec_id = s.vec_id
+            JOIN pq_lut{s} l{s} ON l{s}.cluster = a{s}.cluster"""
+        for s in range(PQ_M)
+    )
+    adc = " + ".join(f"l{s}.ld" for s in range(PQ_M))
+    tail = f"""
+        , ivf_qd AS MATERIALIZED (
+            SELECT c.cluster, CAST(SUM((q.f - c.cv) * (q.f - c.cv)) AS BIGINT) AS d
+            FROM {ivf_cents} c JOIN qf q ON q.pos = c.pos AND q.vec_id = {Q}
+            GROUP BY 1
+        ), ivf_probe AS MATERIALIZED (
+            SELECT cluster FROM (
+                SELECT cluster, ROW_NUMBER() OVER (ORDER BY d, cluster) AS rn
+                FROM ivf_qd
+            ) WHERE rn <= {IVF_N_PROBE}
+        ), ivf10 AS MATERIALIZED (
+            SELECT e.vec_id FROM embeddings e
+            JOIN {ivf_final} s ON s.vec_id = e.vec_id
+            JOIN ivf_probe pr ON pr.cluster = s.cluster
+            WHERE e.vec_id != {Q}
+            ORDER BY {cos} DESC, e.vec_id LIMIT {K}
+        ), {lut_ctes}
+        , ivfpq_pre AS MATERIALIZED (
+            SELECT s.vec_id FROM {ivf_final} s
+            JOIN ivf_probe pr ON pr.cluster = s.cluster{code_joins}
+            WHERE s.vec_id != {Q}
+            ORDER BY ({adc}), s.vec_id LIMIT {IVFPQ_RERANK}
+        ), ivfpq10 AS MATERIALIZED (
+            SELECT e.vec_id FROM embeddings e JOIN ivfpq_pre c ON c.vec_id = e.vec_id
+            ORDER BY {cos} DESC, e.vec_id LIMIT {K}
+        )
+        SELECT tier,
+               CAST(top_k AS BIGINT) AS top_k,
+               CAST(n_returned AS BIGINT) AS n_returned,
+               CAST(hits AS BIGINT) AS hits
+        FROM (
+            SELECT 'exact' AS tier, {K} AS top_k,
+                   (SELECT COUNT(*) FROM exact10) AS n_returned,
+                   (SELECT COUNT(*) FROM exact10) AS hits
+            UNION ALL
+            SELECT 'ivf', {K}, (SELECT COUNT(*) FROM ivf10),
+                   (SELECT COUNT(*) FROM ivf10 a JOIN exact10 x ON x.vec_id = a.vec_id)
+            UNION ALL
+            SELECT 'ivfpq', {K}, (SELECT COUNT(*) FROM ivfpq10),
+                   (SELECT COUNT(*) FROM ivfpq10 a JOIN exact10 x ON x.vec_id = a.vec_id)
+            UNION ALL
+            SELECT 'lsh', {K}, (SELECT COUNT(*) FROM lsh10),
+                   (SELECT COUNT(*) FROM lsh10 a JOIN exact10 x ON x.vec_id = a.vec_id)
+            UNION ALL
+            SELECT 'rp', {K}, (SELECT COUNT(*) FROM rp10),
+                   (SELECT COUNT(*) FROM rp10 a JOIN exact10 x ON x.vec_id = a.vec_id)
+        ) ORDER BY tier"""
+    return head + ", " + ivf_chain + "".join(", " + c for c in pq_chains) + tail
 
 
 ORACLES: dict[str, str] = {
@@ -1299,6 +1555,7 @@ ORACLES: dict[str, str] = {
     """,
     "embedding_kmeans_clusters": kmeans_oracle_sql(),
     "embedding_pq_codes": pq_oracle_sql(),
+    "ann_recall_report": ann_recall_sql(),
 }
 
 QUERIES = {
@@ -1313,4 +1570,5 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
+    "ann_recall_report": ann_recall_report,
 }

@@ -176,7 +176,16 @@ def test_ivf_centroids_deterministic_and_unit_norm(spark, sf_dir):
     c1 = similarity.ivf_train_centroids(sample)
     c2 = similarity.ivf_train_centroids(sample)
     assert np.array_equal(c1, c2)
-    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+    assert c1.dtype == np.int64  # q-space lattice centroids
+    # the driver-side sample trainer must be BIT-IDENTICAL to the
+    # distributed integer-lattice kmeans_fit on the same sample — same
+    # init, same exact argmin, same floor((2S+n)/(2n)) update
+    _, c_dist, _ = similarity.kmeans_fit(
+        e.filter(F.col("vec_id") < similarity.IVF_TRAIN_SAMPLE),
+        k=similarity.IVF_N_CELLS,
+        iters=similarity.IVF_LLOYD_ITERS,
+    )
+    assert np.array_equal(c1, c_dist)
     # every corpus vector lands in a valid cell
     cells = similarity.ivf_assign_cells(e, c1).select("cell").distinct().collect()
     assert all(0 <= r["cell"] < similarity.IVF_N_CELLS for r in cells)
