@@ -115,8 +115,9 @@ _FIRST_WINDOW = (
     "tpch_q7_nation_volume",
     "tpch_q8_market_share",
     "user_hourly_gapfilled",
-    # (3) new this round (slots swapped in as entries land)
+    # (3) new or newly-oracled this round (rows must reflect the new gate)
     "ann_recall_report",
+    "doc_bpe_encode",
     # (4) r5 pool fill, oldest-exposure-first
     "ann_knn_join",
     "dedup_embedding_cosine",
@@ -143,7 +144,6 @@ _FIRST_WINDOW = (
     "tpch_q17_small_quantity_revenue",
     "tpch_q18_large_orders",
     "tpch_q19_disjunctive_revenue",
-    "tpch_q20_excess_stock_suppliers",
 )
 
 _missing = [n for n in _FIRST_WINDOW if n not in QUERIES]

@@ -20,10 +20,10 @@ at 100 TB the vocab is still ~10^6-10^7 rows. Per round:
 
 Determinism: argmax ties break by (frequency desc, pair lexicographic
 asc), so the merge table is reproducible run-to-run and matches the
-pure-Python reference implementation in the tests token-for-token. The
-driver query is rows-only for the gate (iterative algorithms are not
-SQL-expressible; the behavioral test compares against the independent
-reference instead).
+pure-Python reference implementation in the tests token-for-token — and
+every entry here is hash-gated: the induction itself and the corpus
+encode are both restated as unrolled DuckDB CTE chains (bpe_oracle_sql /
+bpe_encode_oracle_sql), the same recipe as kmeans_oracle_sql.
 """
 
 from __future__ import annotations
@@ -44,6 +44,9 @@ from mini_log_lakehouse_spark.sources.registry import load_table
 #: Merge-table size for the driver query — small enough to keep the
 #: gate fast, large enough to exercise multi-character merges.
 BPE_N_MERGES = 12
+#: Leading BPE tokens echoed per document by doc_bpe_encode (enough to
+#: spot-check segmentations without shipping whole token streams).
+BPE_ENCODE_HEAD = 12
 
 _VOCAB_SCHEMA = StructType(
     [
@@ -191,8 +194,15 @@ def doc_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
-def bpe_oracle_sql(n_merges: int = BPE_N_MERGES) -> str:
-    """Unrolled DuckDB restatement of the full BPE merge induction.
+def bpe_chain_cte_sql(n_merges: int = BPE_N_MERGES) -> tuple[str, str]:
+    """Unrolled CTE chain of the full BPE merge induction, WITHOUT a
+    final SELECT — returns (cte_sql, final_vocab_cte_name) so both the
+    merge-table oracle (bpe_oracle_sql) and the corpus-encode oracle
+    (bpe_encode_oracle_sql) compose the exact same induction. The final
+    vocab state v{n}(wid, pos, sym, freq) IS each distinct word's
+    encoded symbol sequence: encode_word applies each learned merge
+    once, in learned order — exactly the transformation the chain
+    applied to the vocabulary.
 
     State between iterations is the vocabulary in long form —
     v{i}(wid, pos, sym, freq), one row per symbol of each distinct
@@ -267,16 +277,69 @@ def bpe_oracle_sql(n_merges: int = BPE_N_MERGES) -> str:
         FROM s{i} s CROSS JOIN m{i} m
         WHERE s.consumed = 0
     )""")
+    return "".join(sql), f"v{n_merges}"
+
+
+def bpe_oracle_sql(n_merges: int = BPE_N_MERGES) -> str:
+    """Merge-table oracle: the chain plus one row per argmax decision."""
+    chain, _ = bpe_chain_cte_sql(n_merges)
     unions = "\n        UNION ALL ".join(
         f"SELECT CAST({i - 1} AS BIGINT) AS rank, a AS left_sym, b AS right_sym,"
         f" a || b AS merged FROM m{i}"
         for i in range(1, n_merges + 1)
     )
-    sql.append(f"""
+    return f"""{chain}
     SELECT * FROM (
         {unions}
-    ) ORDER BY rank""")
-    return "".join(sql)
+    ) ORDER BY rank"""
+
+
+def bpe_encode_oracle_sql(
+    n_merges: int = BPE_N_MERGES, head: int = BPE_ENCODE_HEAD
+) -> str:
+    """Corpus-encode oracle (VERDICT r7 ask 4): doc_bpe_encode restated
+    relationally. The chain's final vocab state v{n} holds each
+    distinct word's post-merge symbol sequence, so encoding is a JOIN:
+    explode each document into its word instances (order-preserving
+    index), join on the word, and the per-doc token stream is the
+    (word index, symbol position) order — from which the word count,
+    token count, and first-``head`` tokens all follow. Empty documents
+    keep explicit zero rows via the LEFT JOIN + COALESCE."""
+    chain, vf = bpe_chain_cte_sql(n_merges)
+    return f"""{chain}
+    , docw AS MATERIALIZED (
+        SELECT doc_id, CAST(t.i AS BIGINT) AS widx, words[CAST(t.i AS INTEGER)] AS w
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> length(x) > 0) AS words
+            FROM documents
+        ), UNNEST(range(1, len(words) + 1)) AS t(i)
+    ), toks AS MATERIALIZED (
+        SELECT d.doc_id, d.widx, v.pos, v.sym
+        FROM docw d JOIN {vf} v ON v.wid = d.w
+    ), counts AS (
+        SELECT doc_id,
+               CAST(COUNT(DISTINCT widx) AS BIGINT) AS n_words,
+               CAST(COUNT(*) AS BIGINT) AS n_bpe_tokens
+        FROM toks GROUP BY 1
+    ), heads AS (
+        SELECT doc_id, string_agg(sym, ' ' ORDER BY widx, pos) AS head_tokens
+        FROM (
+            SELECT doc_id, widx, pos, sym,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY widx, pos) AS rn
+            FROM toks
+        ) WHERE rn <= {head}
+        GROUP BY 1
+    )
+    SELECT doc.doc_id,
+           COALESCE(c.n_words, 0) AS n_words,
+           COALESCE(c.n_bpe_tokens, 0) AS n_bpe_tokens,
+           COALESCE(h.head_tokens, '') AS head_tokens
+    FROM documents doc
+    LEFT JOIN counts c ON c.doc_id = doc.doc_id
+    LEFT JOIN heads h ON h.doc_id = doc.doc_id
+    ORDER BY doc.doc_id"""
 
 
 def doc_bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,10 +374,6 @@ def doc_bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-
-#: Leading BPE tokens echoed per document by doc_bpe_encode (enough to
-#: spot-check segmentations without shipping whole token streams).
-BPE_ENCODE_HEAD = 12
 
 _ENCODE_SCHEMA = StructType(
     [
@@ -394,24 +453,29 @@ def bpe_encode_documents(
 def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query: learn BPE_N_MERGES merges from the corpus, then
     tokenize the corpus with them (the "apply the tokenizer at scale"
-    step). Rows-only for the driver gate — the merge table is iterative
-    — but behaviorally pinned token-for-token against an independent
-    pure-Python BPE in the tests."""
+    step). Hash-checked end to end (bpe_encode_oracle_sql): the
+    induction chain's final vocab state is each word's encoded form, so
+    the oracle joins it back onto word instances — and the behavioral
+    test additionally pins the encoder token-for-token against an
+    independent pure-Python BPE."""
     d = load_table(spark, sf_dir, "documents")
     merges = corpus_merges(spark, sf_dir)
     return bpe_encode_documents(d, merges).orderBy("doc_id")
 
 
-#: doc_bpe_encode stays rows-only (the encoder's per-word memoized
-#: Python loop has no SQL restatement), but its merge table is now
-#: oracle-checked via bpe_oracle_sql, and the behavioral test compares
-#: the encoder against a pure-Python reference BPE. The FIRST merge is
-#: additionally closed-form (single-character symbols): pair
-#: frequencies are counted directly over words (grouping words into a
-#: vocab first and weighting by freq sums to exactly the same counts,
-#: since the pair set depends only on the word).
+#: All three BPE entries are oracle-checked: the merge table via the
+#: unrolled induction chain, the corpus encode via the same chain's
+#: final vocab state joined back onto word instances
+#: (bpe_encode_oracle_sql — the per-word memoized Python encoder is a
+#: CACHE, not extra semantics: its output equals the chain's final
+#: symbol sequences by construction, now enforced by the hash gate).
+#: The FIRST merge is additionally closed-form (single-character
+#: symbols): pair frequencies are counted directly over words (grouping
+#: words into a vocab first and weighting by freq sums to exactly the
+#: same counts, since the pair set depends only on the word).
 ORACLES: dict[str, str] = {
     "doc_bpe_merge_table": bpe_oracle_sql(),
+    "doc_bpe_encode": bpe_encode_oracle_sql(),
     "doc_bpe_first_merge": """
         WITH words AS (
             SELECT w
