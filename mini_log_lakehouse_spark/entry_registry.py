@@ -118,6 +118,7 @@ _FIRST_WINDOW = (
     # (3) new or newly-oracled this round (rows must reflect the new gate)
     "ann_recall_report",
     "doc_bpe_encode",
+    "multimodal_wav_features",
     # (4) r5 pool fill, oldest-exposure-first
     "ann_knn_join",
     "dedup_embedding_cosine",
@@ -143,7 +144,6 @@ _FIRST_WINDOW = (
     "tpch_q16_supplier_part_counts",
     "tpch_q17_small_quantity_revenue",
     "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_revenue",
 )
 
 _missing = [n for n in _FIRST_WINDOW if n not in QUERIES]

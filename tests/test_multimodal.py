@@ -49,3 +49,71 @@ def test_frame_sampling_shape(spark, sf_dir):
         assert len(rows) == len(range(0, total_frames, 4))
         for r in rows:
             assert len(r["frame"]) <= 64
+
+
+def test_wav_roundtrip_known_fixture():
+    """decode_wav on a hand-assembled canonical WAV (no JUNK chunk)
+    recovers the exact header fields and sample statistics."""
+    import struct
+
+    samples = [0, 1000, -1000, 7]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = b"fmt " + struct.pack("<I", 16) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    f = mm.decode_wav(wav)
+    assert f == {
+        "sample_rate": 8000,
+        "n_channels": 1,
+        "bits_per_sample": 16,
+        "n_samples": 4,
+        "peak": 1000,
+        "energy": 1000**2 + 1000**2 + 49,
+        "duration_ms": 0,
+    }
+
+
+def test_wav_parser_walks_chunks_and_padding():
+    """synthesize_wav embeds an odd-sized JUNK chunk before data — a
+    parser that assumed fixed offsets or skipped the even-padding rule
+    would misread the data chunk."""
+    wav = mm.synthesize_wav(3)
+    assert b"JUNK" in wav
+    n, sr = mm._wav_params(3)
+    f = mm.decode_wav(wav)
+    assert f["n_samples"] == n and f["sample_rate"] == sr
+    assert f["peak"] == max(abs(mm._wav_sample(3, i)) for i in range(n))
+    assert f["energy"] == sum(mm._wav_sample(3, i) ** 2 for i in range(n))
+
+
+def test_wav_parser_rejects_corruption():
+    import struct
+
+    import pytest
+
+    wav = bytearray(mm.synthesize_wav(5))
+    with pytest.raises(ValueError, match="RIFF"):
+        mm.decode_wav(b"OggS" + bytes(wav[4:]))
+    truncated = bytes(wav[:-3])
+    with pytest.raises(ValueError):
+        mm.decode_wav(truncated)
+    # declared RIFF size must cover the payload
+    bad = bytearray(wav)
+    bad[4:8] = struct.pack("<I", 10)
+    with pytest.raises(ValueError, match="RIFF size"):
+        mm.decode_wav(bytes(bad))
+
+
+def test_wav_features_query_matches_generation_law(spark, sf_dir):
+    rows = {
+        r["media_id"]: r
+        for r in mm.multimodal_wav_features(spark, sf_dir).collect()
+    }
+    d = {r["doc_id"] for r in spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id").collect()}
+    assert set(rows) == d
+    for mid in list(sorted(d))[:20]:
+        n, sr = mm._wav_params(mid)
+        r = rows[mid]
+        assert (r["n_samples"], r["sample_rate"]) == (n, sr)
+        assert r["duration_ms"] == n * 1000 // sr
