@@ -92,6 +92,19 @@ ITERS = int(os.environ.get("BENCH_ITERS", "5"))
 #: set with fewer iters. Disable with BENCH_SCALED=0 / BENCH_SCALED_100=0.
 SCALE_FACTOR = int(os.environ.get("BENCH_SCALED", "10"))
 SCALE_FACTOR_100 = int(os.environ.get("BENCH_SCALED_100", "100"))
+#: Third decade (sf30 from the sf0.1 base, ~5 GB on disk): VERDICT r7
+#: ask 6 — one more relative decade for the three HEAVIEST queries only
+#: (the floor-dominated sub-second rows prove nothing new at sf30, the
+#: heavy rows are where a plan defect would finally dominate the
+#: per-job floor). Fewer iterations: at this size a single run is
+#: seconds, not floor-noise. Disable with BENCH_SCALED_300=0.
+SCALE_FACTOR_300 = int(os.environ.get("BENCH_SCALED_300", "300"))
+HEADLINE_HEAVY = (
+    "tpch_q1_pricing_summary",
+    "top_customers_by_revenue",
+    "dedup_minhash_pairs",
+)
+ITERS_300 = int(os.environ.get("BENCH_ITERS_300", "3"))
 #: 5 timed iterations at the scaled legs (was 3): the sub-second rows
 #: (top3, errors_by_type) wobbled 2-3.6x across rounds at 3 iters —
 #: the median of 5 plus the isolation re-runs below pins them.
@@ -130,10 +143,10 @@ def _drop_pipeline_caches() -> None:
         dedup._SIG_CACHE.pop(key).unpersist(True)
 
 
-def bench_spark(spark, sf_dir: str, iters: int, warmup: int):
+def bench_spark(spark, sf_dir: str, iters: int, warmup: int, names=HEADLINE):
     results: dict[str, float] = {}
     cold: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         fn = QUERIES[name]
         results[name] = round(
             time_fn(lambda: fn(spark, sf_dir).collect(), warmup=warmup, iters=iters),
@@ -255,7 +268,15 @@ def isolation_runs(spark, con_dir: str, names, leg: dict) -> dict:
     return out
 
 
-def scaled_leg(spark, sf_dir: str, sf: float, factor: int) -> dict:
+def scaled_leg(
+    spark,
+    sf_dir: str,
+    sf: float,
+    factor: int,
+    names=HEADLINE,
+    iters: int = ITERS_SCALED,
+    iso: bool = False,
+) -> dict:
     from mini_log_lakehouse_spark.session import release_corpus_caches
     from mini_log_lakehouse_spark.sources.scaleup import materialize_scaled
 
@@ -267,7 +288,7 @@ def scaled_leg(spark, sf_dir: str, sf: float, factor: int) -> dict:
     # tables/signatures before warming this one (accumulated pins
     # measurably pressure storage memory by the 100x leg).
     release_corpus_caches(spark)
-    results, cold = bench_spark(spark, scaled_dir, ITERS_SCALED, WARMUP_SCALED)
+    results, cold = bench_spark(spark, scaled_dir, iters, WARMUP_SCALED, names)
     leg = _with_ratios(
         {
             "factor": factor,
@@ -275,12 +296,12 @@ def scaled_leg(spark, sf_dir: str, sf: float, factor: int) -> dict:
             "value": round(sum(results.values()), 4),
             "queries": results,
             "queries_cold": cold,
-            "baseline": bench_duckdb(scaled_dir, HEADLINE, iters=ITERS_SCALED),
-            "iters": ITERS_SCALED,
+            "baseline": bench_duckdb(scaled_dir, names, iters=iters),
+            "iters": iters,
         }
     )
-    if factor == max(SCALE_FACTOR, SCALE_FACTOR_100):
-        iso_names = [n for n in HEADLINE if n in ISO_ALWAYS] + [
+    if iso:
+        iso_names = [n for n in names if n in ISO_ALWAYS] + [
             n
             for n, r in leg["ratios"].items()
             if r > 2.0 and n not in ISO_ALWAYS
@@ -345,7 +366,22 @@ def main() -> None:
     if SCALE_FACTOR > 1:
         payload["scaled"] = scaled_leg(spark, sf_dir, sf, SCALE_FACTOR)
     if SCALE_FACTOR_100 > 1:
-        payload["scaled_100"] = scaled_leg(spark, sf_dir, sf, SCALE_FACTOR_100)
+        payload["scaled_100"] = scaled_leg(
+            spark, sf_dir, sf, SCALE_FACTOR_100, iso=True
+        )
+    if SCALE_FACTOR_300 > 1:
+        # heavy rows only; isolation auto-attaches to any >2x row, which
+        # is exactly the "retire top_customers_by_revenue or expose a
+        # real lever" experiment VERDICT r7 asked for
+        payload["scaled_300"] = scaled_leg(
+            spark,
+            sf_dir,
+            sf,
+            SCALE_FACTOR_300,
+            names=HEADLINE_HEAVY,
+            iters=ITERS_300,
+            iso=True,
+        )
 
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -354,7 +390,12 @@ def main() -> None:
         json.dump(payload, fh, indent=1)
 
     compact = _compact(payload)
-    legs = [leg for leg in ("scaled", "scaled_100") if leg in compact]
+    legs = [
+        leg for leg in ("scaled", "scaled_100", "scaled_300") if leg in compact
+    ]
+    # per-query ratios ride the compact line only for the last leg (the
+    # 2000-char stdout-tail budget: r7's line was already 1626 chars);
+    # every leg keeps ratio_total + iso_ratios, BENCH_DETAIL has all
     for leg in legs:
         compact[leg] = _compact(compact[leg], keep_ratios=(leg == legs[-1]))
     compact["detail"] = "BENCH_DETAIL.json"

@@ -119,6 +119,8 @@ _FIRST_WINDOW = (
     "ann_recall_report",
     "doc_bpe_encode",
     "multimodal_wav_features",
+    "user_sssp_weighted",
+    "user_wcc",
     # (4) r5 pool fill, oldest-exposure-first
     "ann_knn_join",
     "dedup_embedding_cosine",
@@ -142,8 +144,6 @@ _FIRST_WINDOW = (
     "tpch_q14_promo_revenue",
     "tpch_q15_top_supplier",
     "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_orders",
 )
 
 _missing = [n for n in _FIRST_WINDOW if n not in QUERIES]

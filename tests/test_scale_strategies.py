@@ -209,3 +209,31 @@ def test_pagerank_iteration_plan_shape(spark):
     assert "partial_sum" in plan  # map-side combine on the contribs agg
     # bounded exchange count: join inputs + contrib agg + damp join
     assert plan.count("Exchange hashpartitioning") <= 5, plan
+
+
+def test_sssp_relax_round_plan_shape(spark):
+    """Per-round plan evidence for the weighted-SSSP loop: one
+    relaxation compiles to the edge⋈frontier join plus ONE shuffled
+    node-grain MIN with a map-side partial (partial_min below the
+    exchange), no cartesian product — the same cost profile asserted
+    for the pagerank iteration."""
+    from mini_log_lakehouse_spark.operators import funnels
+
+    edges = spark.createDataFrame(
+        [(i, i + 1, 2) for i in range(100)], "u long, v long, w long"
+    )
+    und = edges.selectExpr("u AS src", "v AS dst", "w").unionAll(
+        edges.selectExpr("v AS src", "u AS dst", "w")
+    )
+    dist = spark.createDataFrame([(0, 0)], "user_id long, dist long")
+    cand = und.join(dist, und.src == dist.user_id).select(
+        F.col("dst").alias("user_id"),
+        (F.col("dist") + F.col("w")).alias("dist"),
+    )
+    relaxed = (
+        dist.unionAll(cand).groupBy("user_id").agg(F.min("dist").alias("dist"))
+    )
+    plan = _plan(relaxed)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "partial_min" in plan  # map-side combine on the node-grain MIN
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
