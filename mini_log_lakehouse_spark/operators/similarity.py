@@ -12,21 +12,27 @@ Search tiers, per the scale plan (plus the embedding toolbox below):
    k) rows leave the map stage after the window... at 100 TB corpus this
    is THE pattern: queries are small, corpus is huge, so broadcast the
    queries, not the corpus.
-3. **LSH-bucketed ANN** (scale path, rows-only): random-hyperplane signs
+3. **LSH-bucketed ANN** (scale path, rows-only): sign-random-projection
+   buckets from md5-parity ±1 planes over the FIXED_POINT lattice,
    computed vectorized in numpy via mapInArrow (zero-copy Arrow
-   batches); queries probe only their bucket. Sub-linear candidate sets
-   at the cost of recall; recall is measured against tier-1 in tests.
-4. **IVF-flat ANN** (scale path, rows-only): a coarse k-means quantizer
-   trained on a driver-held sample partitions the corpus into cells;
-   queries probe the nprobe nearest cells and rerank exactly. The
-   data-adaptive counterpart to tier 3's data-oblivious hyperplanes;
-   recall measured against tier-1 in tests.
+   batches); queries probe only their bucket (+ hamming-1 multiprobe).
+   Sub-linear candidate sets at the cost of recall.
+4. **IVF-flat ANN** (scale path, rows-only): a coarse INTEGER-LATTICE
+   k-means quantizer trained on a driver-held sample partitions the
+   corpus into cells; queries probe the nprobe nearest cells (exact
+   int64 L2) and rerank exactly. The data-adaptive counterpart to
+   tier 3's data-oblivious hyperplanes.
 5. **Two-stage reduced-space ANN** (scale path, rows-only): coarse scan
-   in a JL-projected space sized from a measured recall curve, exact
-   rerank of the candidate set only.
+   by exact int64 dot in a JL-projected space sized from a measured
+   recall curve, exact rerank of the candidate set only.
 6. **IVF-PQ with ADC** (scale path, rows-only): the production index
    shape — coarse cells (tier 4's quantizer) + PQ codes scored by
-   per-subspace lookup tables, exact rerank of the ADC short-list.
+   per-subspace integer lookup tables, exact rerank of the short-list.
+
+Every approximate tier is float-free up to the final rounded-cosine
+rerank, so ``ann_recall_report`` hash-gates recall@TOP_K of ALL tiers
+against tier 1 cross-engine (``ann_recall_sql`` rebuilds each tier
+relationally); local tests additionally pin per-tier recall floors.
 
 Embedding toolbox: JL random projection (exact fixed-point GEMM,
 oracle-checked), per-label centroids, symmetric int8 quantization, and

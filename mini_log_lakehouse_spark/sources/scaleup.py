@@ -81,6 +81,11 @@ def materialize_scaled(
             out = _replica(df, t, 0)
             for r in range(1, factor):
                 out = out.unionByName(_replica(df, t, r))
+            # Bound output files: the factor-way union otherwise writes
+            # one file per branch-split — measured 9601 files and a 12×
+            # size bloat (tiny row groups kill encoding) at factor=300.
+            # coalesce (no shuffle) keeps the write one pass.
+            out = out.coalesce(min(64, factor))
         else:
             out = df  # fixed dims
         out.write.mode("overwrite").parquet(os.path.join(dst_dir, f"{t}.parquet"))
