@@ -185,8 +185,16 @@ def load_table_bucketed(
         # the raw file would persist the raw type and diverge from what
         # every other consumer sees
         df = load_table(spark, sf_dir, name)
+        # repartition on the bucket key BEFORE the bucketed write:
+        # bucket ids use the same murmur3 hash partitioning, so each
+        # task then writes exactly ONE bucket file. Without it every
+        # input task opens n parquet writers (tasks × n write buffers —
+        # OOM'd the 16g bench JVM at the sf30 leg with 65 × 32 of
+        # them); with it writer memory is one buffer per task. Same
+        # shuffle a production backfill into a bucketed layout pays.
         (
-            df.write.mode("overwrite")
+            df.repartition(n, F.col(key))
+            .write.mode("overwrite")
             .bucketBy(n, key)
             .sortBy(key)
             .format("parquet")
