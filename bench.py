@@ -103,6 +103,10 @@ HEADLINE_HEAVY = (
     "tpch_q1_pricing_summary",
     "top_customers_by_revenue",
     "dedup_minhash_pairs",
+    # the last floor-flagged >2x row rides along (sub-second cost): if
+    # its ratio keeps falling with the decade, the floor-row account is
+    # confirmed with data rather than argued
+    "top3_customers_per_nation",
 )
 ITERS_300 = int(os.environ.get("BENCH_ITERS_300", "3"))
 #: 5 timed iterations at the scaled legs (was 3): the sub-second rows
