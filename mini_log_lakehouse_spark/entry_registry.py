@@ -84,9 +84,10 @@ if _unknown:
 # last sampled in r4 — they cross the age bar the moment
 # CORRECTNESS_r08.json lands, so sampling them now is what keeps r9
 # schedulable; (3) entries NEW this round (no driver row ever — the
-# rotation test forces them in); (4) fill from the 44-entry r5 pool
-# (oldest-first pressure: the ~22 left over are exactly next round's
-# (1)+(2) load, which fits r9's 50 slots alongside the r6 pool's lead
+# rotation test forces them in — 9 slots: 5 early-round entries plus
+# the 4 late-round operators); (4) fill from the 44-entry r5 pool,
+# oldest-exposure-first (the ~26 r5 entries left over are next round's
+# due load, which fits r9's 50 slots alongside the r6 pool's lead
 # edge). Everything past position 50 stays covered by the identical
 # local DuckDB hash-compare in tests/test_entry_contract.py.
 _FIRST_WINDOW = (
@@ -121,6 +122,10 @@ _FIRST_WINDOW = (
     "multimodal_wav_features",
     "user_sssp_weighted",
     "user_wcc",
+    "dedup_substring_spans",
+    "user_link_prediction",
+    "user_event_salsa",
+    "multimodal_bmp_features",
     # (4) r5 pool fill, oldest-exposure-first
     "ann_knn_join",
     "dedup_embedding_cosine",
@@ -140,10 +145,6 @@ _FIRST_WINDOW = (
     "tpch_q10_returned_items",
     "tpch_q11_important_parts",
     "tpch_q12_late_shipment_priority",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
 )
 
 _missing = [n for n in _FIRST_WINDOW if n not in QUERIES]

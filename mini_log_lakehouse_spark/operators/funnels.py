@@ -637,6 +637,160 @@ def cooc_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Link prediction: report the strongest TOP_N non-edges (deterministic
+#: total tiebreak), Jaccard on a 10⁶ fixed-point lattice so the score
+#: column stays integer cross-engine.
+LP_TOP_N = 100
+LP_JACCARD_SCALE = 10**6
+
+
+def link_prediction(edges: DataFrame, top_n: int = LP_TOP_N) -> DataFrame:
+    """Common-neighbor / Jaccard link prediction over an undirected
+    (u < v once) edge list: for every NON-adjacent pair with at least
+    one shared neighbor, the common-neighbor count and the Jaccard
+    coefficient |N(u)∩N(v)| / |N(u)∪N(v)| on the LP_JACCARD_SCALE
+    lattice — the classic "who should be connected" scores (Liben-
+    Nowell & Kleinberg 2003), and the follow-up question every graph
+    suite gets after triangles.
+
+    Relational shape: candidate pairs come from the SAME node-ordered
+    wedge enumeration as triangle_counts (und ⋈ und on the middle
+    vertex, endpoints ordered — each unordered pair counted once per
+    common neighbor); existing edges leave by anti-join; degrees ride
+    in from the node-grain aggregate; the final top-N is a
+    TakeOrderedAndProject with a total (score desc, u, v) order.
+
+    Shape at 100 TB: wedge rows are Σ_m deg(m)² — bounded here because
+    the co-occurrence edge build caps bucket fan-out before pairing; on
+    an uncapped graph the standard mitigation (drop or sample
+    super-hub middles) applies at this join's input, not its output.
+    Integer-only arithmetic: cn·10⁶ ≤ 10⁶·max_deg ≪ int64."""
+    und = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    m1, m2 = und.alias("m1"), und.alias("m2")
+    cand = (
+        m1.join(
+            m2,
+            (F.col("m1.src") == F.col("m2.src"))
+            & (F.col("m1.dst") < F.col("m2.dst")),
+        )
+        .groupBy(F.col("m1.dst").alias("u"), F.col("m2.dst").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .join(edges.select("u", "v"), ["u", "v"], "left_anti")
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    du, dv = deg.alias("du"), deg.alias("dv")
+    return (
+        cand.join(du, cand.u == F.col("du.src"))
+        .join(dv, cand.v == F.col("dv.src"))
+        .select(
+            "u",
+            "v",
+            F.col("cn").cast("long").alias("common_neighbors"),
+            F.expr(
+                f"(cn * {LP_JACCARD_SCALE}) DIV (du.deg + dv.deg - cn)"
+            ).alias("jaccard_fixed"),
+        )
+        .orderBy(F.desc("common_neighbors"), "u", "v")
+        .limit(top_n)
+    )
+
+
+def user_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: top link-prediction candidates over the memoized
+    co-occurrence graph. Hash-checked — counts and a fixed-point
+    Jaccard are exact integers in both engines."""
+    return link_prediction(cooccurrence_edges(spark, sf_dir))
+
+
+#: SALSA (Lempel & Moran 2000): the stochastic — i.e. PageRank-style
+#: row-normalized — variant of HITS hubs-and-authorities, run on the
+#: user ↔ event-type bipartite activity graph. The normalized form is
+#: what makes the fit int64-safe on the same lattice discipline as
+#: pagerank: every per-edge term is (score·w) DIV strength ≤ score, so
+#: total mass never grows and no global normalization (the part of
+#: classic HITS that needs 128-bit intermediates) is ever required.
+SALSA_SCALE = 10**12
+SALSA_ITERS = 3
+
+
+def user_event_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub scores for users and authority scores for event types via
+    SALSA's alternating mass-spreading walk over the bipartite
+    user→event_type graph (edge weight = event count):
+
+        a_i(e) = Σ_u (h_{i-1}(u)·w(u,e)) DIV strength(u)
+        h_i(u) = Σ_e (a_i(e)·w(u,e))     DIV strength(e)
+
+    with h_0 = SALSA_SCALE DIV n_users. Heavy users spread hub mass
+    across the event types they touch in proportion to activity;
+    event types pull authority from many distinct heavy users — the
+    bipartite analog of the rank iteration, and the useful half of
+    HITS for a log corpus (which event surfaces do the influential
+    users concentrate on).
+
+    Hash-checked end to end: the same truncating-DIV lattice as
+    pagerank (all quantities positive int64; score ≤ SALSA_SCALE, so
+    score·w is int64-safe while per-pair event counts stay ≤ ~9·10⁶ —
+    beyond that, pre-bucket w onto a coarser lattice first).
+
+    Shape at 100 TB: the bipartite edge list is an events aggregate
+    (map-side combined); each iteration is one edge⋈hub join +
+    event-grain aggregate (the authority side is |event_types| rows —
+    broadcast), then one edge⋈authority join + user-grain aggregate.
+    Node-scale state, localCheckpoint'd like every iterative fit."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    e = (
+        ev.groupBy(
+            F.col("user_id").cast("string").alias("uid"),
+            F.col("event_type").alias("eid"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint()
+    )
+    stu = e.groupBy("uid").agg(F.sum("w").alias("st")).localCheckpoint()
+    ste = e.groupBy("eid").agg(F.sum("w").alias("st")).localCheckpoint()
+    n_users = stu.count()
+    if n_users == 0:
+        return e.select(
+            F.lit("hub").alias("side"),
+            F.col("uid").alias("id"),
+            F.lit(0).cast("long").alias("score_fixed"),
+        )
+    h = stu.select("uid", F.lit(SALSA_SCALE // n_users).alias("s"))
+    for _ in range(SALSA_ITERS):
+        a = (
+            e.join(h, "uid")
+            .join(stu.select("uid", "st"), "uid")
+            .select("eid", F.expr("(s * w) DIV st").alias("c"))
+            .groupBy("eid")
+            .agg(F.sum("c").alias("s"))
+            .localCheckpoint()
+        )
+        h = (
+            e.join(F.broadcast(a), "eid")
+            .join(F.broadcast(ste.withColumnRenamed("st", "est")), "eid")
+            .select("uid", F.expr("(s * w) DIV est").alias("c"))
+            .groupBy("uid")
+            .agg(F.sum("c").alias("s"))
+            .localCheckpoint()
+        )
+    hubs = h.select(
+        F.lit("hub").alias("side"),
+        F.col("uid").alias("id"),
+        F.col("s").cast("long").alias("score_fixed"),
+    )
+    auth = a.select(
+        F.lit("authority").alias("side"),
+        F.col("eid").alias("id"),
+        F.col("s").cast("long").alias("score_fixed"),
+    )
+    return hubs.unionAll(auth).orderBy("side", "id")
+
+
 def user_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient per user over the co-occurrence
     graph: lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) — "how clique-like is
@@ -1585,6 +1739,89 @@ ORACLES["cooc_degree_histogram"] = f"""
     FROM deg GROUP BY 1 ORDER BY 1
 """
 
+# Restates link_prediction: the same node-ordered wedge enumeration,
+# anti-join against existing edges, node-grain degrees, fixed-point
+# Jaccard with truncating // (all quantities positive), and the total
+# (cn DESC, u, v) top-N order.
+ORACLES["user_link_prediction"] = f"""
+    WITH {_SQL_COOC_EDGES}, und AS (
+        SELECT u AS src, v AS dst FROM edges
+        UNION ALL SELECT v, u FROM edges
+    ), cand AS (
+        SELECT m1.dst AS u, m2.dst AS v, COUNT(*) AS cn
+        FROM und m1 JOIN und m2 ON m1.src = m2.src AND m1.dst < m2.dst
+        GROUP BY 1, 2
+    ), nonedge AS (
+        SELECT c.u, c.v, c.cn FROM cand c
+        LEFT JOIN edges e ON e.u = c.u AND e.v = c.v
+        WHERE e.u IS NULL
+    ), deg AS (
+        SELECT src, COUNT(*) AS deg FROM und GROUP BY 1
+    )
+    SELECT n.u, n.v,
+           CAST(n.cn AS BIGINT) AS common_neighbors,
+           CAST((n.cn * {LP_JACCARD_SCALE}) // (du.deg + dv.deg - n.cn)
+                AS BIGINT) AS jaccard_fixed
+    FROM nonedge n
+    JOIN deg du ON du.src = n.u
+    JOIN deg dv ON dv.src = n.v
+    ORDER BY common_neighbors DESC, u, v
+    LIMIT {LP_TOP_N}
+"""
+
+
+def salsa_oracle_sql(iters: int = SALSA_ITERS) -> str:
+    """Unrolled DuckDB restatement of the SALSA fit — the pagerank
+    recipe on the bipartite graph: every alternating update is
+    positive int64 arithmetic with truncating // (== Spark DIV), so
+    the hash gate checks all ``iters`` double-steps end to end. e and
+    stu are MATERIALIZED (each referenced every iteration — the
+    re-inlining lesson)."""
+    sql = [
+        f"""
+    WITH e AS MATERIALIZED (
+        SELECT CAST(user_id AS VARCHAR) AS uid, event_type AS eid,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1, 2
+    ), stu AS MATERIALIZED (
+        SELECT uid, SUM(w) AS st FROM e GROUP BY 1
+    ), ste AS (
+        SELECT eid, SUM(w) AS st FROM e GROUP BY 1
+    ), nn AS (
+        SELECT COUNT(*) AS n FROM stu
+    ), h0 AS (
+        SELECT stu.uid, {SALSA_SCALE} // nn.n AS s FROM stu, nn
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        sql.append(f"""
+    , a{i} AS (
+        SELECT e.eid, SUM((h.s * e.w) // su.st) AS s
+        FROM e
+        JOIN h{i - 1} h ON h.uid = e.uid
+        JOIN stu su ON su.uid = e.uid
+        GROUP BY 1
+    ), h{i} AS (
+        SELECT e.uid, SUM((a.s * e.w) // se.st) AS s
+        FROM e
+        JOIN a{i} a ON a.eid = e.eid
+        JOIN ste se ON se.eid = e.eid
+        GROUP BY 1
+    )""")
+    sql.append(f"""
+    SELECT side, id, CAST(s AS BIGINT) AS score_fixed FROM (
+        SELECT 'hub' AS side, uid AS id, s FROM h{iters}
+        UNION ALL
+        SELECT 'authority', eid, s FROM a{iters}
+    )
+    ORDER BY side, id""")
+    return "".join(sql)
+
+
+ORACLES["user_event_salsa"] = salsa_oracle_sql()
+
 ORACLES["user_clustering_coefficient"] = f"""
     WITH {_SQL_COOC_EDGES}, und AS (
         SELECT u AS user_id FROM edges
@@ -1988,6 +2225,8 @@ QUERIES = {
     "user_sssp_weighted": user_sssp_weighted,
     "user_wcc": user_wcc,
     "user_kcore": user_kcore,
+    "user_link_prediction": user_link_prediction,
+    "user_event_salsa": user_event_salsa,
     "cooc_degree_histogram": cooc_degree_histogram,
     "events_cusum_changepoints": events_cusum_changepoints,
     "events_dow_seasonality": events_dow_seasonality,

@@ -191,6 +191,99 @@ def decode_wav(content: bytes) -> dict:
     }
 
 
+def _bmp_dims(media_id: int) -> tuple[int, int]:
+    """(width, height) for a media id — width cycles through all four
+    3·w % 4 residues so every row-padding case (0..3 pad bytes) is
+    exercised across the corpus."""
+    return 4 + media_id % 13, 3 + media_id % 7
+
+
+def _bmp_pixel(media_id: int, x: int, y: int) -> tuple[int, int, int]:
+    """(b, g, r) of pixel (x, y) in IMAGE orientation (y = 0 is the top
+    row) — pure nonnegative integer law, restatable as SQL."""
+    return (
+        (media_id * 7 + x * 3 + y * 5) % 256,
+        (media_id * 11 + x + y * 2) % 256,
+        (media_id * 13 + x * 2 + y) % 256,
+    )
+
+
+def synthesize_bmp(media_id: int) -> bytes:
+    """Emit a REAL Windows BMP byte stream: 'BM' file header,
+    BITMAPINFOHEADER (40-byte V3), uncompressed 24-bit BGR pixels,
+    rows stored BOTTOM-UP and padded to 4-byte boundaries — the two
+    classic BMP parsing traps, deliberately present so decode_bmp has
+    to honor them (widths cycle so padding hits 0..3 bytes)."""
+    import struct
+
+    w, h = _bmp_dims(media_id)
+    pad = (-3 * w) % 4
+    rows = []
+    for file_row in range(h):  # bottom-up: file row 0 is image row h-1
+        y = h - 1 - file_row
+        row = bytearray()
+        for x in range(w):
+            row += bytes(_bmp_pixel(media_id, x, y))
+        rows.append(bytes(row) + b"\x00" * pad)
+    pixels = b"".join(rows)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 14 + 40)
+    return header + info + pixels
+
+
+def decode_bmp(content: bytes) -> dict:
+    """REAL pure-python BMP decoder: validates the 'BM' container,
+    reads the pixel-array offset from the file header, parses the
+    BITMAPINFOHEADER, and walks the BOTTOM-UP 4-byte-padded 24-bit
+    rows back into image orientation. The second genuinely real codec
+    path (alongside decode_wav); PIL-backed decodes stay honestly
+    gated in decode_image.
+
+    Returns header facts plus pixel aggregates that prove the pixel
+    bytes were actually read in the right order: channel sums are
+    order-invariant, but ``pos_weighted`` weights each pixel's
+    luma-by-1000 by its image-orientation position, so a decoder that
+    forgot the bottom-up flip (or misapplied row padding) produces a
+    different integer."""
+    import struct
+
+    import numpy as np
+
+    if len(content) < 54 or content[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    _, file_size, _, _, data_off = struct.unpack("<2sIHHI", content[:14])
+    if file_size != len(content):
+        raise ValueError(f"BMP size field {file_size} != payload {len(content)}")
+    hdr_size, w, h = struct.unpack("<Iii", content[14:26])
+    planes, bpp, comp = struct.unpack("<HHI", content[26:34])
+    if hdr_size < 40 or planes != 1 or bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP variant {hdr_size}/{bpp}/{comp}")
+    if h <= 0 or w <= 0:
+        raise ValueError("top-down or degenerate BMP not supported")
+    stride = 3 * w + ((-3 * w) % 4)
+    if data_off + stride * h > len(content):
+        raise ValueError("truncated pixel array")
+    raw = np.frombuffer(
+        content[data_off : data_off + stride * h], dtype=np.uint8
+    ).reshape(h, stride)
+    bgr = raw[::-1, : 3 * w].reshape(h, w, 3).astype(np.int64)  # flip to image order
+    b, g, r = bgr[:, :, 0], bgr[:, :, 1], bgr[:, :, 2]
+    luma = 299 * r + 587 * g + 114 * b
+    pos = (np.arange(h)[:, None] * w + np.arange(w)[None, :]) + 1
+    return {
+        "width": w,
+        "height": h,
+        "n_pixels": w * h,
+        "sum_r": int(r.sum()),
+        "sum_g": int(g.sum()),
+        "sum_b": int(b.sum()),
+        "max_luma_milli": int(luma.max()),
+        "pos_weighted": int((pos * luma).sum()),
+    }
+
+
 def fake_decode(content: bytes) -> dict:
     """FAKE deterministic decoder (clearly marked): derives stable
     pseudo-dimensions from the payload hash. Stands in for a codec so the
@@ -367,6 +460,73 @@ def extract_wav_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=WAV_FEATURES_SCHEMA)
 
 
+BMP_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("max_luma_milli", T.LongType()),
+        T.StructField("pos_weighted", T.LongType()),
+    ]
+)
+
+
+def bmp_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image media table: one REAL BMP binary payload per document id
+    (same shape as wav_media — at scale the column arrives from
+    storage; the deterministic synthesizer doubles as ground truth)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "content": pdf["doc_id"].map(
+                        lambda i: synthesize_bmp(int(i))
+                    ),
+                }
+            )
+
+    return d.mapInPandas(
+        run,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def extract_bmp_features(media: DataFrame) -> DataFrame:
+    """decode_bmp over a binary media column — map-only Arrow pass,
+    one dict per row (the image twin of extract_wav_features)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_bmp(c) for c in pdf["content"]]
+            out = {"media_id": pdf["media_id"].astype("int64")}
+            for k in (
+                "width",
+                "height",
+                "n_pixels",
+                "sum_r",
+                "sum_g",
+                "sum_b",
+                "max_luma_milli",
+                "pos_weighted",
+            ):
+                out[k] = pd.Series([f[k] for f in feats], dtype="int64")
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=BMP_FEATURES_SCHEMA)
+
+
 # --- driver-contract queries --------------------------------------------------
 
 def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -405,7 +565,46 @@ def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_wav_features(wav_media(spark, sf_dir)).orderBy("media_id")
 
 
+def multimodal_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: synthesize a real BMP per document and decode it
+    with the pure-python parser. Hash-checked end to end — the oracle
+    replays the pixel generation law in image orientation, so a
+    decoder that skipped the bottom-up flip, misread the pixel-array
+    offset, or mis-sized row padding breaks the ``pos_weighted``
+    column even though the channel sums would still agree."""
+    return extract_bmp_features(bmp_media(spark, sf_dir)).orderBy("media_id")
+
+
 ORACLES: dict[str, str] = {
+    # the parser must recover exactly what the pixel law encoded:
+    # w = 4 + id % 13, h = 3 + id % 7, (b,g,r) as in _bmp_pixel (all
+    # operands nonnegative before %, so both engines agree), luma =
+    # 299r + 587g + 114b, pos = y*w + x + 1 in image orientation.
+    "multimodal_bmp_features": """
+        WITH base AS (
+            SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+            FROM documents
+        ), pix AS (
+            SELECT doc_id, w, h, tx.x AS x, ty.y AS y,
+                   (doc_id * 7 + tx.x * 3 + ty.y * 5) % 256 AS b,
+                   (doc_id * 11 + tx.x + ty.y * 2) % 256 AS g,
+                   (doc_id * 13 + tx.x * 2 + ty.y) % 256 AS r
+            FROM base, UNNEST(range(0, w)) AS tx(x), UNNEST(range(0, h)) AS ty(y)
+        )
+        SELECT doc_id AS media_id,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(w * h AS BIGINT) AS n_pixels,
+               CAST(SUM(r) AS BIGINT) AS sum_r,
+               CAST(SUM(g) AS BIGINT) AS sum_g,
+               CAST(SUM(b) AS BIGINT) AS sum_b,
+               CAST(MAX(299 * r + 587 * g + 114 * b) AS BIGINT) AS max_luma_milli,
+               CAST(SUM((y * w + x + 1) * (299 * r + 587 * g + 114 * b))
+                    AS BIGINT) AS pos_weighted
+        FROM pix
+        GROUP BY 1, 2, 3, 4
+        ORDER BY 1
+    """,
     # the parser must recover exactly what the generation law encoded:
     # n = 40 + id % 64, sr = 8000 + (id % 3) * 4000,
     # sample_i = ((id*31 + i*17) % 2001) - 1000 (all ints nonnegative
@@ -482,4 +681,5 @@ QUERIES = {
     "multimodal_media_features": multimodal_media_features,
     "multimodal_frame_stats": multimodal_frame_stats,
     "multimodal_wav_features": multimodal_wav_features,
+    "multimodal_bmp_features": multimodal_bmp_features,
 }

@@ -36,7 +36,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mini_log_lakehouse_spark.functions.text import token_shingles
+from mini_log_lakehouse_spark.functions.text import token_shingles, ws_tokens
 from mini_log_lakehouse_spark.sources.registry import load_table
 
 #: Span width for boilerplate mining. Real pipelines use sentence-to-
@@ -191,6 +191,107 @@ def remove_duplicated_segments(
     return rebuilt.select(*other_cols, text_col, "n_segments", "n_removed")
 
 
+#: Exact-substring span matching (the suffix-array dedup grain of Lee
+#: et al. 2022, "Deduplicating Training Data Makes Language Models
+#: Better", re-expressed relationally): window width in tokens.
+SPAN_K = 8
+
+#: Stop-shingle cap: a window whose hash occurs in more than this many
+#: distinct documents is corpus boilerplate (the frequent-gram queries'
+#: business) and is dropped BEFORE the pair join — the standard
+#: suffix-array-dedup guard that bounds candidate pairs per shingle at
+#: SPAN_MAX_DF² instead of corpus².
+SPAN_MAX_DF = 50
+
+
+def substring_spans(
+    docs: DataFrame, k: int = SPAN_K, max_df: int = SPAN_MAX_DF
+) -> DataFrame:
+    """Cross-document EXACT substring spans: for every document pair
+    sharing at least one identical ``k``-token window, the number of
+    matched windows and the longest shared span in tokens — the
+    operator suffix-array pipelines (Lee et al. 2022) run over
+    pretraining corpora, here as pure relational steps so it shards:
+
+    1. positioned shingles: each document emits (pos, md5(window)) for
+       every SPAN_K-token window — one map-side explode, ~n rows/doc;
+    2. eligibility: only hashes seen in 2..SPAN_MAX_DF distinct docs
+       survive (uniques can't match; ultra-frequent windows are
+       boilerplate and would blow the pair join quadratically);
+    3. pair join BY HASH — the only shuffle grain that ever sees two
+       documents together, bounded per hash by the DF cap;
+    4. span reassembly: matched positions on the same alignment
+       diagonal (pa − pb) with consecutive pa form one contiguous
+       shared substring — the classic gaps-and-islands window
+       (island = pa − row_number), giving max-run per pair without
+       ever materializing text.
+
+    Shape at 100 TB: shingle hashing is map-only (hash travels, text
+    never does — 16 B/window); the eligibility aggregate and pair join
+    both shuffle on the hash; islands shuffle on (pair, diagonal).
+    Nothing is ever quadratic in the corpus — only in occurrences of a
+    single window, capped at SPAN_MAX_DF by construction. A production
+    run would swap the md5-of-concat for a rolling Rabin–Karp hash to
+    shave the K× hashing constant; the relational skeleton is
+    identical."""
+    toks = ws_tokens(F.col("text"))
+    _t = F.col("_toks")
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.array_size(_t) - F.lit(k - 1)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(_t, i, F.lit(k)))),
+    )
+    g = (
+        docs.filter(F.array_size(toks) >= k)
+        .select("doc_id", toks.alias("_toks"))
+        .select("doc_id", F.posexplode(hashes).alias("pos0", "h"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    )
+    eligible = (
+        g.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= max_df))
+        .select("h")
+    )
+    ge = g.join(eligible, "h", "left_semi")
+    a, b = ge.alias("a"), ge.alias("b")
+    m = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.pos").alias("pa"),
+            F.col("b.pos").alias("pb"),
+        )
+    )
+    diag = (F.col("pa") - F.col("pb")).alias("gdiag")
+    w = Window.partitionBy("doc_a", "doc_b", "gdiag").orderBy("pa")
+    runs = (
+        m.select("doc_a", "doc_b", diag, "pa")
+        .withColumn("island", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "gdiag", "island")
+        .agg(F.count(F.lit(1)).alias("run"))
+    )
+    best = runs.groupBy("doc_a", "doc_b").agg(F.max("run").alias("max_run"))
+    counts = m.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_matches"))
+    return (
+        counts.join(best, ["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_matches").cast("long").alias("n_matches"),
+            (F.col("max_run") + F.lit(k - 1)).cast("long").alias("longest_span_tokens"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: exact substring spans over the documents table at
+    the default window/DF-cap. Hash-checked — positions, hashes, and
+    the gaps-and-islands reassembly are all integer/string exact."""
+    return substring_spans(load_table(spark, sf_dir, "documents"))
+
+
 _SQL_GRAMS = f"""
         SELECT doc_id, source,
                array_to_string(list_slice(t, i, i + {N_GRAM - 1}), ' ') AS gram
@@ -239,10 +340,54 @@ ORACLES: dict[str, str] = {
         GROUP BY source
         ORDER BY source
     """,
+    # Restates the span matcher step for step: full windows only
+    # (1-based starts 1..len-K+1, docs shorter than K emit nothing),
+    # md5 over the space-rejoined window, the DF-capped eligibility
+    # filter, the hash pair join, and the diagonal gaps-and-islands
+    # run reassembly. g and m are MATERIALIZED: each is referenced
+    # more than once and DuckDB otherwise re-inlines the whole prefix
+    # per reference (the SSSP-oracle lesson).
+    "dedup_substring_spans": f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), g AS MATERIALIZED (
+            SELECT doc_id, i AS pos,
+                   md5(array_to_string(list_slice(t, i, i + {SPAN_K - 1}), ' ')) AS h
+            FROM t, unnest(range(1, len(t) - {SPAN_K - 1} + 1)) AS r(i)
+            WHERE len(t) >= {SPAN_K}
+        ), eligible AS (
+            SELECT h FROM (
+                SELECT h, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY h
+            ) WHERE nd BETWEEN 2 AND {SPAN_MAX_DF}
+        ), m AS MATERIALIZED (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+            FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
+            WHERE a.h IN (SELECT h FROM eligible)
+        ), runs AS (
+            SELECT doc_a, doc_b, pa - pb AS gdiag, pa,
+                   pa - ROW_NUMBER() OVER (
+                       PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa
+                   ) AS island
+            FROM m
+        ), islands AS (
+            SELECT doc_a, doc_b, COUNT(*) AS run
+            FROM runs GROUP BY doc_a, doc_b, gdiag, island
+        ), best AS (
+            SELECT doc_a, doc_b, MAX(run) AS max_run FROM islands GROUP BY 1, 2
+        ), counts AS (
+            SELECT doc_a, doc_b, COUNT(*) AS n_matches FROM m GROUP BY 1, 2
+        )
+        SELECT c.doc_a, c.doc_b,
+               CAST(c.n_matches AS BIGINT) AS n_matches,
+               CAST(b.max_run + {SPAN_K - 1} AS BIGINT) AS longest_span_tokens
+        FROM counts c JOIN best b USING (doc_a, doc_b)
+        ORDER BY doc_a, doc_b
+    """,
 }
 
 QUERIES = {
     "doc_frequent_ngrams": doc_frequent_ngrams,
     "doc_ngram_novelty": doc_ngram_novelty,
     "doc_boilerplate_share": doc_boilerplate_share,
+    "dedup_substring_spans": dedup_substring_spans,
 }

@@ -345,3 +345,47 @@ def test_lpa_stable_at_iters(spark, sf_dir):
     b = sorted(map(tuple, funnels.label_propagation(
         edges, iters=funnels.LPA_ITERS + 1).collect()))
     assert a == b
+
+
+def test_link_prediction_path_graph(spark):
+    """Path 1-2-3-4-5: exactly the three skip-pairs share one common
+    neighbor; Jaccard denominators differ by position (end pairs 1/2,
+    middle pair 1/3)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "u long, v long"
+    )
+    rows = {(r["u"], r["v"]): r for r in funnels.link_prediction(edges).collect()}
+    assert set(rows) == {(1, 3), (2, 4), (3, 5)}
+    assert all(r["common_neighbors"] == 1 for r in rows.values())
+    assert rows[(1, 3)]["jaccard_fixed"] == 500000
+    assert rows[(3, 5)]["jaccard_fixed"] == 500000
+    assert rows[(2, 4)]["jaccard_fixed"] == 333333
+
+
+def test_link_prediction_complete_graph_empty(spark):
+    """K3 has no non-adjacent pair — nothing to predict."""
+    edges = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "u long, v long")
+    assert funnels.link_prediction(edges).collect() == []
+
+
+def test_salsa_mass_conservation_and_sides(spark, sf_dir):
+    """Total hub mass stays within the documented truncation leak of
+    SALSA_SCALE; the authority side is exactly the distinct event
+    types; all scores are nonnegative."""
+    rows = funnels.user_event_salsa(spark, sf_dir).collect()
+    hubs = [r for r in rows if r["side"] == "hub"]
+    auth = [r for r in rows if r["side"] == "authority"]
+    assert all(r["score_fixed"] >= 0 for r in rows)
+    total_h = sum(r["score_fixed"] for r in hubs)
+    total_a = sum(r["score_fixed"] for r in auth)
+    assert 0 < total_h <= funnels.SALSA_SCALE
+    assert 0 < total_a <= funnels.SALSA_SCALE
+    assert total_h >= funnels.SALSA_SCALE * 99 // 100
+    assert total_a >= funnels.SALSA_SCALE * 99 // 100
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    types = {r["event_type"] for r in ev.select("event_type").distinct().collect()}
+    assert {r["id"] for r in auth} == types
+    n_users = ev.select("user_id").distinct().count()
+    assert len(hubs) == n_users

@@ -117,3 +117,81 @@ def test_wav_features_query_matches_generation_law(spark, sf_dir):
         r = rows[mid]
         assert (r["n_samples"], r["sample_rate"]) == (n, sr)
         assert r["duration_ms"] == n * 1000 // sr
+
+
+def test_bmp_roundtrip_matches_pixel_law():
+    """decode_bmp on synthesized payloads recovers exactly what the
+    integer pixel law encoded, across ids covering all four padding
+    widths."""
+    for mid in (0, 1, 2, 3, 7, 12, 90):
+        w, h = mm._bmp_dims(mid)
+        f = mm.decode_bmp(mm.synthesize_bmp(mid))
+        sums = {"r": 0, "g": 0, "b": 0}
+        mx = pw = 0
+        for y in range(h):
+            for x in range(w):
+                b, g, r = mm._bmp_pixel(mid, x, y)
+                sums["r"] += r
+                sums["g"] += g
+                sums["b"] += b
+                luma = 299 * r + 587 * g + 114 * b
+                mx = max(mx, luma)
+                pw += (y * w + x + 1) * luma
+        assert f == {
+            "width": w,
+            "height": h,
+            "n_pixels": w * h,
+            "sum_r": sums["r"],
+            "sum_g": sums["g"],
+            "sum_b": sums["b"],
+            "max_luma_milli": mx,
+            "pos_weighted": pw,
+        }
+
+
+def test_bmp_parser_bottom_up_flip_is_load_bearing():
+    """Re-ordering the stored rows top-down keeps the (order-invariant)
+    channel sums but MUST change pos_weighted — i.e. the decoder really
+    undoes the bottom-up storage order."""
+    mid = 9
+    raw = mm.synthesize_bmp(mid)
+    w, h = mm._bmp_dims(mid)
+    stride = 3 * w + ((-3 * w) % 4)
+    body = raw[54:]
+    flipped = b"".join(
+        body[(h - 1 - i) * stride : (h - i) * stride] for i in range(h)
+    )
+    d0 = mm.decode_bmp(raw)
+    d1 = mm.decode_bmp(raw[:54] + flipped)
+    assert d0["sum_r"] == d1["sum_r"]
+    assert d0["pos_weighted"] != d1["pos_weighted"]
+
+
+def test_bmp_parser_rejects_corruption():
+    import struct
+
+    import pytest
+
+    raw = bytearray(mm.synthesize_bmp(5))
+    with pytest.raises(ValueError, match="BMP"):
+        mm.decode_bmp(b"PNG" + bytes(raw[3:]))
+    with pytest.raises(ValueError):
+        mm.decode_bmp(bytes(raw[:-2]))  # size field no longer matches
+    bad = bytearray(raw)
+    bad[28:30] = struct.pack("<H", 8)  # 8bpp palette variant unsupported
+    with pytest.raises(ValueError, match="unsupported"):
+        mm.decode_bmp(bytes(bad))
+
+
+def test_bmp_features_query_covers_all_docs(spark, sf_dir):
+    rows = {
+        r["media_id"]: r
+        for r in mm.multimodal_bmp_features(spark, sf_dir).collect()
+    }
+    d = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    }
+    assert set(rows) == d

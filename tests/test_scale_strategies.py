@@ -237,3 +237,33 @@ def test_sssp_relax_round_plan_shape(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "partial_min" in plan  # map-side combine on the node-grain MIN
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_substring_spans_plan_no_cartesian(spark):
+    """The span matcher's only pair-producing operator is the HASH join
+    on the window fingerprint (plus the semi-join eligibility gate) —
+    never a cartesian/nested-loop pair enumeration, which is the
+    difference between O(corpus²) and O(Σ occurrences² per window)."""
+    from mini_log_lakehouse_spark.operators.spans import substring_spans
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{j}" for j in range(30))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = _plan(substring_spans(docs))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "partial_count" in plan or "partial_" in plan  # map-side combines
+
+
+def test_link_prediction_plan_no_cartesian(spark):
+    """Candidate generation is the wedge join on the shared middle
+    vertex plus an anti-join and two degree joins — no cartesian pair
+    enumeration, and the final top-N compiles to a TakeOrdered."""
+    from mini_log_lakehouse_spark.operators import funnels
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "u long, v long"
+    )
+    plan = _plan(funnels.link_prediction(edges))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "TakeOrderedAndProject" in plan

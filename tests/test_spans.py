@@ -122,3 +122,38 @@ def test_segment_dedup_delim_is_literal_not_regex(spark):
     assert out[1]["n_removed"] == 1
     assert out[1]["text"] == "keep me"
     assert out[2]["text"] == "other text"
+
+
+def test_substring_spans_known_overlap(spark):
+    """Doc 20 embeds tokens w5..w16 of doc 10 (12 tokens): the 5
+    consecutive 8-token windows of that span match on one diagonal, so
+    n_matches = 5 and the reassembled longest span is exactly 12
+    tokens; the unrelated doc 30 pairs with nobody."""
+    d1 = " ".join(f"w{i}" for i in range(1, 21))
+    d2 = "x1 x2 " + " ".join(f"w{i}" for i in range(5, 17)) + " y1 y2"
+    d3 = " ".join(f"z{i}" for i in range(1, 21))
+    docs = spark.createDataFrame(
+        [Row(doc_id=10, text=d1), Row(doc_id=20, text=d2), Row(doc_id=30, text=d3)]
+    )
+    rows = spans.substring_spans(docs).collect()
+    assert [tuple(r) for r in rows] == [(10, 20, 5, 12)]
+
+
+def test_substring_spans_df_cap_drops_boilerplate(spark):
+    """A window present in more docs than max_df is boilerplate and
+    must not produce pairs (the quadratic guard is semantic, not just
+    an optimization)."""
+    body = " ".join(f"b{i}" for i in range(1, 9))
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"u{i} " + body) for i in range(3)]
+    )
+    assert spans.substring_spans(docs, max_df=2).collect() == []
+    got = spans.substring_spans(docs, max_df=3).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in got} == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_substring_spans_short_docs_emit_nothing(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c"), Row(doc_id=2, text="a b c")]
+    )
+    assert spans.substring_spans(docs).collect() == []
