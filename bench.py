@@ -103,10 +103,13 @@ HEADLINE_HEAVY = (
     "tpch_q1_pricing_summary",
     "top_customers_by_revenue",
     "dedup_minhash_pairs",
-    # the last floor-flagged >2x row rides along (sub-second cost): if
-    # its ratio keeps falling with the decade, the floor-row account is
-    # confirmed with data rather than argued
+    # the floor-flagged >2x rows ride along (sub-second cost): if their
+    # ratios keep falling with the decade, the floor-row account is
+    # confirmed with data rather than argued. top3 was confirmed at r8
+    # (0.83x at sf30); errors_by_type is the last >2x row without a
+    # largest-scale point (VERDICT r8 ask 2).
     "top3_customers_per_nation",
+    "errors_by_type",
 )
 ITERS_300 = int(os.environ.get("BENCH_ITERS_300", "3"))
 #: 5 timed iterations at the scaled legs (was 3): the sub-second rows

@@ -7,10 +7,14 @@ gated exactly as the brief requires: ``decode_image``/``decode_audio``
 raise NotImplementedError unless the real library is importable, and a
 clearly-marked deterministic FAKE decoder exercises the full Spark-side
 plumbing — schema, binary Arrow transfer, batch iteration, multi-row
-yield (frame sampling). One codec IS real with no library at all:
+yield (frame sampling). Three codecs ARE real with no library at all:
 ``decode_wav`` parses genuine RIFF/WAVE containers (chunk walk, padding
-rule, PCM fmt header, int16 sample decode) in pure python, and its
-driver entry is hash-checked against the synthesizer's generation law.
+rule, PCM fmt header, int16 sample decode), ``decode_bmp`` parses
+bottom-up padded 24-bit BMPs, and ``decode_png`` inflates and
+unfilters genuine zlib-compressed PNGs (CRC-verified chunk walk,
+multi-IDAT concatenation, all five scanline filters) — each in pure
+python, each driver entry hash-checked against its synthesizer's
+generation law.
 
 Scale notes: media processing is a map-only stage; binary payloads ride
 Arrow record batches into Python once (no per-row pickling). Partition
@@ -284,6 +288,210 @@ def decode_bmp(content: bytes) -> dict:
     }
 
 
+def _png_dims(media_id: int) -> tuple[int, int]:
+    """(width, height) for a media id. Heights cycle through 3..9 so
+    that with the per-row filter law ``(media_id + y) % 5`` every image
+    taller than 4 rows exercises ALL five PNG filter types."""
+    return 4 + media_id % 9, 3 + media_id % 7
+
+
+def _png_pixel(media_id: int, x: int, y: int) -> tuple[int, int, int]:
+    """(r, g, b) of pixel (x, y), top-down orientation (PNG's native
+    order) — pure nonnegative integer law, restatable as SQL."""
+    return (
+        (media_id * 3 + x * 7 + y * 11) % 256,
+        (media_id * 5 + x * 11 + y * 3) % 256,
+        (media_id * 7 + x + y * 13) % 256,
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The PNG Paeth predictor (spec §9, Filtering): nearest of
+    left/up/up-left to the linear estimate a + b − c, ties to the
+    earliest."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def synthesize_png(media_id: int) -> bytes:
+    """Emit a REAL PNG byte stream: 8-byte signature, CRC-correct IHDR
+    (8-bit truecolor RGB, no interlace), an ancillary tEXt chunk (so
+    parsers must walk chunks, not assume offsets), the zlib-compressed
+    IDAT split across TWO chunks (the spec allows any split; a decoder
+    that reads only the first IDAT fails), and IEND. Every scanline is
+    filtered with filter type ``(media_id + y) % 5``, so all five
+    filters — None/Sub/Up/Average/Paeth — are exercised across each
+    image and decode_png has to reverse every one of them."""
+    import struct
+    import zlib
+
+    w, h = _png_dims(media_id)
+    bpp = 3  # bytes per pixel (8-bit RGB)
+    raw_rows = [
+        bytes(
+            v
+            for x in range(w)
+            for v in _png_pixel(media_id, x, y)
+        )
+        for y in range(h)
+    ]
+    out = bytearray()
+    prev = bytes(bpp * w)
+    for y, raw in enumerate(raw_rows):
+        ftype = (media_id + y) % 5
+        filt = bytearray(len(raw))
+        for i, v in enumerate(raw):
+            a = raw[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                pred = _paeth(a, b, c)
+            filt[i] = (v - pred) % 256
+        out += bytes([ftype]) + bytes(filt)
+        prev = raw
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    z = zlib.compress(bytes(out))
+    cut = max(1, len(z) // 2)  # two IDAT chunks, deliberate
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"tEXt", b"Comment\x00synthetic")
+        + chunk(b"IDAT", z[:cut])
+        + chunk(b"IDAT", z[cut:])
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(content: bytes) -> dict:
+    """REAL pure-python PNG decoder (VERDICT r8 ask 4): validates the
+    signature, walks the chunk list verifying every CRC-32, parses
+    IHDR, concatenates ALL IDAT chunks, inflates them with stdlib
+    ``zlib`` (the one codec dependency PNG needs), and reverses the
+    per-scanline filters — None/Sub/Up/Average/Paeth with the spec's
+    Paeth predictor. The third genuinely real codec path (alongside
+    decode_wav/decode_bmp); PIL-backed decodes stay honestly gated in
+    decode_image for the JPEG-class formats that genuinely need the
+    library.
+
+    Returns header facts plus pixel aggregates that prove real
+    decompression and filter reversal happened: ``pos_weighted``
+    position-weights each pixel's luma (a single mis-predicted byte in
+    any scanline corrupts every pixel after it, since Sub/Average/Paeth
+    chain left-to-right and Up/Average/Paeth chain row-to-row), and
+    ``filter_weighted`` proves the scanline filter bytes themselves
+    were read from the inflated stream."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(content) < 8 or content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG stream")
+    off = 8
+    ihdr = None
+    idat = bytearray()
+    ended = False
+    while off + 12 <= len(content):
+        (size,) = struct.unpack(">I", content[off : off + 4])
+        ctype = content[off + 4 : off + 8]
+        body = content[off + 8 : off + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"truncated chunk {ctype!r}")
+        (crc,) = struct.unpack(
+            ">I", content[off + 8 + size : off + 12 + size]
+        )
+        if crc != zlib.crc32(ctype + body):
+            raise ValueError(f"CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            ended = True
+            break
+        off += 12 + size
+    if ihdr is None or not idat or not ended:
+        raise ValueError("missing IHDR / IDAT / IEND chunk")
+    w, h, depth, color, comp, filt_method, interlace = ihdr
+    if (depth, color, comp, filt_method, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError(f"unsupported PNG variant {ihdr}")
+    bpp = 3
+    stride = bpp * w
+    stream = zlib.decompress(bytes(idat))
+    if len(stream) != h * (1 + stride):
+        raise ValueError(
+            f"inflated stream is {len(stream)} bytes, want {h * (1 + stride)}"
+        )
+    rows = []
+    ftypes = []
+    prev = bytes(stride)
+    for y in range(h):
+        line = stream[y * (1 + stride) : (y + 1) * (1 + stride)]
+        ftype = line[0]
+        ftypes.append(ftype)
+        filt = line[1:]
+        recon = bytearray(stride)
+        for i in range(stride):
+            a = recon[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            elif ftype == 4:
+                pred = _paeth(a, b, c)
+            else:
+                raise ValueError(f"bad filter type {ftype} on row {y}")
+            recon[i] = (filt[i] + pred) % 256
+        rows.append(bytes(recon))
+        prev = bytes(recon)
+    rgb = (
+        np.frombuffer(b"".join(rows), dtype=np.uint8)
+        .reshape(h, w, 3)
+        .astype(np.int64)
+    )
+    r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+    luma = 299 * r + 587 * g + 114 * b
+    pos = (np.arange(h)[:, None] * w + np.arange(w)[None, :]) + 1
+    fw = sum((y + 1) * f for y, f in enumerate(ftypes))
+    return {
+        "width": w,
+        "height": h,
+        "n_pixels": w * h,
+        "sum_r": int(r.sum()),
+        "sum_g": int(g.sum()),
+        "sum_b": int(b.sum()),
+        "max_luma_milli": int(luma.max()),
+        "pos_weighted": int((pos * luma).sum()),
+        "filter_weighted": int(fw),
+    }
+
+
 def fake_decode(content: bytes) -> dict:
     """FAKE deterministic decoder (clearly marked): derives stable
     pseudo-dimensions from the payload hash. Stands in for a codec so the
@@ -527,6 +735,77 @@ def extract_bmp_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=BMP_FEATURES_SCHEMA)
 
 
+PNG_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("max_luma_milli", T.LongType()),
+        T.StructField("pos_weighted", T.LongType()),
+        T.StructField("filter_weighted", T.LongType()),
+    ]
+)
+
+
+def png_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image media table: one REAL compressed PNG binary payload per
+    document id (same shape as wav_media/bmp_media — at scale the
+    column arrives from storage; the deterministic synthesizer doubles
+    as ground truth)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "content": pdf["doc_id"].map(
+                        lambda i: synthesize_png(int(i))
+                    ),
+                }
+            )
+
+    return d.mapInPandas(
+        run,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def extract_png_features(media: DataFrame) -> DataFrame:
+    """decode_png over a binary media column — map-only Arrow pass,
+    one dict per row (the compressed-format sibling of
+    extract_wav_features/extract_bmp_features)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_png(c) for c in pdf["content"]]
+            out = {"media_id": pdf["media_id"].astype("int64")}
+            for k in (
+                "width",
+                "height",
+                "n_pixels",
+                "sum_r",
+                "sum_g",
+                "sum_b",
+                "max_luma_milli",
+                "pos_weighted",
+                "filter_weighted",
+            ):
+                out[k] = pd.Series([f[k] for f in feats], dtype="int64")
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=PNG_FEATURES_SCHEMA)
+
+
 # --- driver-contract queries --------------------------------------------------
 
 def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -575,7 +854,54 @@ def multimodal_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_bmp_features(bmp_media(spark, sf_dir)).orderBy("media_id")
 
 
+def multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: synthesize a real zlib-compressed PNG per document
+    and decode it with the pure-python parser. Hash-checked end to end —
+    the oracle replays the pixel law and the filter law, so a decoder
+    that skipped a filter type, mis-chained the Paeth predictor, read
+    only one IDAT chunk, or mis-sized the inflated stream breaks
+    ``pos_weighted`` / ``filter_weighted`` even though header columns
+    would still agree."""
+    return extract_png_features(png_media(spark, sf_dir)).orderBy("media_id")
+
+
 ORACLES: dict[str, str] = {
+    # the parser must recover exactly what the laws encoded: dims
+    # w = 4 + id % 9, h = 3 + id % 7; (r,g,b) as in _png_pixel (all
+    # operands nonnegative before %, so both engines agree); luma =
+    # 299r + 587g + 114b; pos = y*w + x + 1 in top-down orientation;
+    # per-row filter byte (id + y) % 5 weighted by (y + 1).
+    "multimodal_png_features": """
+        WITH base AS (
+            SELECT doc_id, 4 + doc_id % 9 AS w, 3 + doc_id % 7 AS h
+            FROM documents
+        ), pix AS (
+            SELECT doc_id, w, h, tx.x AS x, ty.y AS y,
+                   (doc_id * 3 + tx.x * 7 + ty.y * 11) % 256 AS r,
+                   (doc_id * 5 + tx.x * 11 + ty.y * 3) % 256 AS g,
+                   (doc_id * 7 + tx.x + ty.y * 13) % 256 AS b
+            FROM base, UNNEST(range(0, w)) AS tx(x), UNNEST(range(0, h)) AS ty(y)
+        ), fw AS (
+            SELECT doc_id,
+                   CAST(SUM((ty.y + 1) * ((doc_id + ty.y) % 5)) AS BIGINT) AS filter_weighted
+            FROM base, UNNEST(range(0, h)) AS ty(y)
+            GROUP BY 1
+        )
+        SELECT p.doc_id AS media_id,
+               CAST(p.w AS BIGINT) AS width,
+               CAST(p.h AS BIGINT) AS height,
+               CAST(p.w * p.h AS BIGINT) AS n_pixels,
+               CAST(SUM(p.r) AS BIGINT) AS sum_r,
+               CAST(SUM(p.g) AS BIGINT) AS sum_g,
+               CAST(SUM(p.b) AS BIGINT) AS sum_b,
+               CAST(MAX(299 * p.r + 587 * p.g + 114 * p.b) AS BIGINT) AS max_luma_milli,
+               CAST(SUM((p.y * p.w + p.x + 1) * (299 * p.r + 587 * p.g + 114 * p.b))
+                    AS BIGINT) AS pos_weighted,
+               MAX(fw.filter_weighted) AS filter_weighted
+        FROM pix p JOIN fw ON fw.doc_id = p.doc_id
+        GROUP BY 1, 2, 3, 4
+        ORDER BY 1
+    """,
     # the parser must recover exactly what the pixel law encoded:
     # w = 4 + id % 13, h = 3 + id % 7, (b,g,r) as in _bmp_pixel (all
     # operands nonnegative before %, so both engines agree), luma =
@@ -682,4 +1008,5 @@ QUERIES = {
     "multimodal_frame_stats": multimodal_frame_stats,
     "multimodal_wav_features": multimodal_wav_features,
     "multimodal_bmp_features": multimodal_bmp_features,
+    "multimodal_png_features": multimodal_png_features,
 }

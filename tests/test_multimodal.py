@@ -195,3 +195,133 @@ def test_bmp_features_query_covers_all_docs(spark, sf_dir):
         .collect()
     }
     assert set(rows) == d
+
+
+def test_png_roundtrip_matches_pixel_law():
+    """decode_png on synthesized payloads recovers exactly what the
+    integer pixel law encoded, across ids whose heights together
+    exercise all five scanline filter types (filter = (id + y) % 5)."""
+    filters_seen = set()
+    for mid in (0, 1, 2, 3, 4, 8, 13, 44, 90):
+        w, h = mm._png_dims(mid)
+        filters_seen |= {(mid + y) % 5 for y in range(h)}
+        f = mm.decode_png(mm.synthesize_png(mid))
+        sums = {"r": 0, "g": 0, "b": 0}
+        mx = pw = 0
+        for y in range(h):
+            for x in range(w):
+                r, g, b = mm._png_pixel(mid, x, y)
+                sums["r"] += r
+                sums["g"] += g
+                sums["b"] += b
+                luma = 299 * r + 587 * g + 114 * b
+                mx = max(mx, luma)
+                pw += (y * w + x + 1) * luma
+        assert f == {
+            "width": w,
+            "height": h,
+            "n_pixels": w * h,
+            "sum_r": sums["r"],
+            "sum_g": sums["g"],
+            "sum_b": sums["b"],
+            "max_luma_milli": mx,
+            "pos_weighted": pw,
+            "filter_weighted": sum((y + 1) * ((mid + y) % 5) for y in range(h)),
+        }
+    assert filters_seen == {0, 1, 2, 3, 4}
+
+
+def test_png_parser_filter_reversal_is_load_bearing():
+    """Swapping one scanline's filter byte for a different type (while
+    leaving the filtered bytes intact) must change the decoded pixels —
+    i.e. the decoder really applies the per-row filter reversal rather
+    than ignoring the filter bytes."""
+    import struct
+    import zlib
+
+    mid = 6  # h=9: rows cover every filter type
+    raw = mm.synthesize_png(mid)
+    w, h = mm._png_dims(mid)
+    stride = 3 * w
+    # rebuild the stream with row 1's filter byte flipped (Up <-> Sub)
+    blob, off, idat = raw, 8, bytearray()
+    chunks = []
+    while off + 12 <= len(blob):
+        (size,) = struct.unpack(">I", blob[off : off + 4])
+        ctype = blob[off + 4 : off + 8]
+        body = blob[off + 8 : off + 8 + size]
+        chunks.append((ctype, body))
+        if ctype == b"IDAT":
+            idat += body
+        off += 12 + size
+        if ctype == b"IEND":
+            break
+    stream = bytearray(zlib.decompress(bytes(idat)))
+    pos = 1 * (1 + stride)
+    stream[pos] = 1 if stream[pos] != 1 else 2
+    z = zlib.compress(bytes(stream))
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    # keep chunk order: IHDR, tEXt, IDAT, IEND
+    tampered = (
+        b"\x89PNG\r\n\x1a\n"
+        + b"".join(chunk(t, b) for t, b in chunks if t in (b"IHDR", b"tEXt"))
+        + chunk(b"IDAT", z)
+        + chunk(b"IEND", b"")
+    )
+    d0 = mm.decode_png(raw)
+    d1 = mm.decode_png(tampered)
+    assert d0 != d1
+    assert d0["filter_weighted"] != d1["filter_weighted"]
+
+
+def test_png_parser_concatenates_all_idat_chunks():
+    """The synthesizer splits the zlib stream across two IDAT chunks;
+    a decoder that stops at the first cannot inflate. Verify the split
+    is real (two IDATs present) and decode still succeeds."""
+    import struct
+
+    raw = mm.synthesize_png(7)
+    off, n_idat = 8, 0
+    while off + 12 <= len(raw):
+        (size,) = struct.unpack(">I", raw[off : off + 4])
+        if raw[off + 4 : off + 8] == b"IDAT":
+            n_idat += 1
+        off += 12 + size
+    assert n_idat == 2
+    assert mm.decode_png(raw)["width"] == mm._png_dims(7)[0]
+
+
+def test_png_parser_rejects_corruption():
+    import pytest
+
+    raw = bytearray(mm.synthesize_png(5))
+    with pytest.raises(ValueError, match="PNG"):
+        mm.decode_png(b"BM" + bytes(raw[2:]))
+    bad = bytearray(raw)
+    bad[-6] ^= 0xFF  # flip a byte inside IEND's CRC
+    with pytest.raises(ValueError, match="CRC"):
+        mm.decode_png(bytes(bad))
+    bad = bytearray(raw)
+    bad[24] = 16  # IHDR bit depth 16 unsupported — but CRC now wrong
+    with pytest.raises(ValueError):
+        mm.decode_png(bytes(bad))
+
+
+def test_png_features_query_covers_all_docs(spark, sf_dir):
+    rows = {
+        r["media_id"]: r
+        for r in mm.multimodal_png_features(spark, sf_dir).collect()
+    }
+    d = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    }
+    assert set(rows) == d
