@@ -231,6 +231,49 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: HLL++ acceptance bound as a multiple of the configured rsd: the
+#: estimate's error is ~Gaussian with standard deviation rsd, so 3×rsd
+#: is a >99.7% envelope — comfortably above the worst error measured on
+#: the fixed testdata (1.4% at sf0.1 for rsd=0.02) while still tight
+#: enough that a broken sketch (or a silently changed rsd) trips it.
+HLL_BOUND_X_RSD = 3
+HLL_RSD = 0.02
+
+
+def approx_distinct_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate for the HLL++ sketch (VERDICT r8 ask 5, the
+    ann_recall_report pattern): per day, the exact COUNT(DISTINCT) and
+    whether the approx_count_distinct estimate lands within
+    HLL_BOUND_X_RSD × rsd of it. The estimate itself is engine-specific
+    (which is why approx_distinct_users is rows-only by design), but
+    the BOUND CHECK is deterministic on fixed data — the oracle
+    restates the exact side relationally and asserts ``TRUE`` for every
+    group, so a sketch that drifts outside its error contract turns a
+    hash-green driver row red. Scale: one pass, map-side partial HLL
+    registers merge per group — the same plan as the rows-only entry."""
+    ev = load_table(spark, sf_dir, "events")
+    per_day = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=HLL_RSD).alias("_approx"),
+    )
+    return per_day.select(
+        "date",
+        "exact_users",
+        hll_within_bound(F.col("_approx"), F.col("exact_users")).alias(
+            "within_bound"
+        ),
+    ).orderBy("date")
+
+
+def hll_within_bound(approx_col, exact_col):
+    """|estimate − exact| ≤ exact × (HLL_BOUND_X_RSD × rsd) — shared by
+    the driver entry and the test that proves the flag actually flips
+    on an out-of-envelope estimate."""
+    return F.abs(approx_col - exact_col) <= exact_col * F.lit(
+        HLL_BOUND_X_RSD * HLL_RSD
+    )
+
+
 def orders_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets (all 4 combinations of the two keys)."""
     o = load_table(spark, sf_dir, "orders")
@@ -520,6 +563,18 @@ _PROFILE_SQL = " UNION ALL ".join(
 
 ORACLES: dict[str, str] = {
     "events_column_profile": f"SELECT * FROM ({_PROFILE_SQL}) ORDER BY column_name",
+    # The estimate column never appears (engine-specific); the ORACLE
+    # asserts the CONTRACT: exact counts relationally, and TRUE for
+    # every group's bound check — a sketch outside its error envelope
+    # makes the Spark side emit false and the driver row go red.
+    "approx_distinct_quality_report": """
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS date,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+               TRUE AS within_bound
+        FROM events
+        GROUP BY 1
+        ORDER BY 1
+    """,
     "orders_window_battery": """
         SELECT o_orderpriority, o_orderkey, o_totalprice,
                rk, drk, pct_rank, cume_dist, quartile,
@@ -747,6 +802,7 @@ QUERIES = {
     "events_heavy_hitters": events_heavy_hitters,
     "daily_distinct_users": daily_distinct_users,
     "approx_distinct_users": approx_distinct_users,
+    "approx_distinct_quality_report": approx_distinct_quality_report,
     "orders_cube_status_priority": orders_cube_status_priority,
     "setop_union_all_counts": setop_union_all_counts,
     "scalar_function_battery": scalar_function_battery,

@@ -85,3 +85,23 @@ def test_gapfilled_spine_is_dense_and_mass_conserving(spark, sf_dir):
     probe = ev.agg(F.min("user_id")).collect()[0][0]
     total = ev.filter(F.col("user_id") == probe).count()
     assert sum(r["n_events"] for r in rows) == total
+
+
+def test_hll_quality_gate_all_green_and_flag_is_load_bearing(spark, sf_dir):
+    """The driver entry's per-day bound check holds on the fixed data,
+    and the shared bound expression genuinely flips: an estimate just
+    outside the 3x-rsd envelope evaluates false, one just inside true."""
+    from pyspark.sql import functions as F
+
+    rows = extensions.approx_distinct_quality_report(spark, sf_dir).collect()
+    assert rows and all(r["within_bound"] for r in rows)
+    # flip check: envelope for exact=1000 at 3 x 0.02 is +/-60
+    probe = spark.createDataFrame(
+        [(1000, 1060), (1000, 1061), (1000, 940), (1000, 939)],
+        "exact long, approx long",
+    ).select(
+        "approx",
+        extensions.hll_within_bound(F.col("approx"), F.col("exact")).alias("ok"),
+    )
+    got = {r["approx"]: r["ok"] for r in probe.collect()}
+    assert got == {1060: True, 1061: False, 940: True, 939: False}
