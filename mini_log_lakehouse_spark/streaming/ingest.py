@@ -277,6 +277,147 @@ def streaming_daily_active_users(
     return spark.table(name).orderBy("date")
 
 
+#: Late-replay predicate for streaming_append_hourly (must stay in
+#: lockstep with the SQL restatement in its oracle): rows of the
+#: corpus's FIRST day whose user_id falls in one fixed residue class.
+_APPEND_LATE_RESIDUE = 3
+
+
+def streaming_append_hourly(
+    spark: SparkSession, sf_dir: str, delay: str = "1 hour"
+) -> DataFrame:
+    """Append-mode hourly fact over a multi-file OUT-OF-ORDER replay —
+    the entry where dropping late data IS the defined semantics
+    (VERDICT r8 ask 6), converting the empirically pinned watermark
+    behavior (tests/test_streaming.py::test_append_windowed_agg_drops_
+    late_rows) into a driver-hash-gated contract.
+
+    Replay construction (harness plumbing — at scale these files arrive
+    from storage in exactly this shape: mostly-ordered with a stale
+    straggler): the events table is split into one file per WEEK in day
+    order, except a deterministic "late" slice — first-day rows with
+    ``user_id % 7 == _APPEND_LATE_RESIDUE`` — which is withheld and
+    replayed LAST, weeks behind the watermark. Each microbatch is one
+    file (maxFilesPerTrigger=1, modification-time order pinned via
+    os.utime).
+
+    The contract the oracle restates relationally:
+
+    - late rows are SLA-dropped on input: by the time the straggler
+      file replays, the effective late-row filter (which lags the
+      reported watermark by one batch — pinned in test_streaming) is
+      weeks past their event times, so the keep/drop boundary's
+      internal propagation detail cannot matter;
+    - every other row arrives in week order, never behind any earlier
+      batch's watermark, so it lands exactly once;
+    - append mode emits exactly the windows the final watermark closed:
+      ``window_end <= max(ts) − delay`` (boundary empirically pinned:
+      end == watermark EMITS — tests/test_streaming.py::
+      test_append_emission_boundary_is_inclusive).
+
+    A runtime guard asserts numRowsDroppedByWatermark equals the late
+    slice's distinct (hour-window, event_type) group count (the late
+    filter runs post-partial-aggregation, so it drops group rows, not
+    raw rows) and that the replay really ran one batch per file — if a
+    Spark upgrade shifts the drop regime, the entry fails loudly
+    instead of hash-red."""
+    import os
+    import tempfile
+
+    from mini_log_lakehouse_spark.sources.registry import load_table
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "user_id")
+    min_day = ev.agg(F.min(F.to_date("ts"))).first()[0]  # scalar, model-sized
+    late = (F.to_date("ts") == F.lit(min_day)) & F.coalesce(
+        F.col("user_id") % 7 == _APPEND_LATE_RESIDUE, F.lit(False)
+    )
+    week = F.floor(
+        F.datediff(F.to_date("ts"), F.lit(min_day)) / F.lit(7)
+    ).cast("int")
+    replay_dir = tempfile.mkdtemp(prefix="append_hourly_replay_")
+    # one partitioned write job: batch id = week for kept rows, a
+    # sentinel ordering the late slice LAST; repartition on the batch id
+    # so each directory holds exactly ONE file (one file == one
+    # microbatch — a multi-file week would make intra-week batch
+    # boundaries, and hence the watermark sequence, nondeterministic)
+    batched = ev.withColumn(
+        "b", F.when(late, F.lit(9999)).otherwise(week)
+    ).select("ts", "event_type", "b")
+    n_batches = batched.select("b").distinct().count()
+    batched.repartition(n_batches, F.col("b")).write.partitionBy("b").parquet(
+        replay_dir, mode="overwrite"
+    )
+    part_dirs = sorted(
+        (d for d in os.listdir(replay_dir) if d.startswith("b=")),
+        key=lambda d: int(d.split("=")[1]),
+    )
+    base = 1_000_000_000
+    for i, d in enumerate(part_dirs):
+        full = os.path.join(replay_dir, d)
+        for f in os.listdir(full):
+            os.utime(os.path.join(full, f), (base + i * 10, base + i * 10))
+    # The stateful aggregate's late filter runs AFTER the batch-local
+    # partial aggregation, so numRowsDroppedByWatermark counts dropped
+    # (window, event_type) GROUPS, not raw input rows (measured: 50 late
+    # rows at sf0.01 report 40 dropped = their 40 distinct hour/type
+    # groups) — the guard must expect the group count.
+    n_late_groups = (
+        ev.filter(late)
+        .select(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .distinct()
+        .count()
+    )
+
+    stream = (
+        spark.readStream.schema(
+            T.StructType(
+                [
+                    T.StructField("ts", T.TimestampType()),
+                    T.StructField("event_type", T.StringType()),
+                ]
+            )
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir + "/*/")
+    )
+    agg = (
+        stream.withWatermark("ts", delay)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("requests"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "requests"
+        )
+    )
+    name = "stream_append_hourly_result"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    data_batches = sum(
+        1 for p in q.recentProgress if (p.get("numInputRows") or 0) > 0
+    )
+    dropped = sum(
+        s.get("numRowsDroppedByWatermark") or 0
+        for p in q.recentProgress
+        for s in (p.get("stateOperators") or [])
+    )
+    if data_batches != n_batches or dropped != n_late_groups:
+        raise AssertionError(
+            f"streaming_append_hourly replay contract broken: "
+            f"{data_batches} data batches (want {n_batches}), "
+            f"{dropped} watermark-dropped groups (want {n_late_groups}) — the "
+            "oracle's kept-set/emission restatement no longer describes "
+            "what the engine did; fix the replay or re-pin the regime "
+            "before trusting the hash gate."
+        )
+    return spark.table(name).orderBy("window_start", "event_type")
+
+
 def streaming_sliding_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping-window streaming fact (§2.9 extension): 2-hour windows
     sliding every hour, so each event lands in exactly TWO windows — the
@@ -419,6 +560,29 @@ ORACLES["streaming_daily_active_users"] = """
     ORDER BY 1
 """
 
+# Append-mode contract, restated relationally (see streaming_append_hourly):
+# kept = everything but the late-replayed first-day residue slice (SLA-
+# dropped); emitted = windows the final watermark closed, with the
+# empirically pinned INCLUSIVE boundary (end == watermark emits).
+ORACLES["streaming_append_hourly"] = f"""
+    WITH evs AS (
+        SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, user_id FROM events
+    ), kept AS (
+        SELECT ts, event_type FROM evs
+        WHERE NOT (CAST(ts AS DATE) = (SELECT MIN(CAST(ts AS DATE)) FROM evs)
+                   AND COALESCE(user_id % 7 = {_APPEND_LATE_RESIDUE}, FALSE))
+    ), agg AS (
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               CAST(COUNT(*) AS BIGINT) AS requests
+        FROM kept GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, requests
+    FROM agg
+    WHERE window_start + INTERVAL 1 HOUR <=
+          (SELECT MAX(ts) - INTERVAL 1 HOUR FROM evs)
+    ORDER BY 1, 2
+"""
+
 ORACLES["streaming_sliding_fact"] = """
     WITH w AS (
         SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS wstart, event_type
@@ -467,6 +631,7 @@ QUERIES = {
     "streaming_hourly_fact": streaming_hourly_fact,
     "streaming_hourly_fact_p95": streaming_hourly_fact_p95,
     "streaming_daily_active_users": streaming_daily_active_users,
+    "streaming_append_hourly": streaming_append_hourly,
     "streaming_sliding_fact": streaming_sliding_fact,
     "streaming_session_window": streaming_session_window,
 }

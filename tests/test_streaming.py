@@ -387,3 +387,105 @@ def test_append_windowed_agg_drops_late_rows(spark, tmp_path):
     assert dropped == 1, dropped
     # one finalized window; 99 excluded; 12:00/13:00 windows withheld
     assert got == [("2025-01-10 10:00:00", 2, 2)], got
+
+
+def test_append_emission_boundary_is_inclusive(spark, tmp_path):
+    """Pins the boundary streaming_append_hourly's oracle restates: a
+    window whose END equals the final watermark IS emitted (max 13:00,
+    delay 1h -> wm 12:00; the 11:00-12:00 window emits, the 13:00-14:00
+    window is withheld)."""
+    import os
+
+    src = tmp_path / "boundary"
+    files = [
+        _mk_users(spark, [(1, "2025-01-10 10:30:00"), (2, "2025-01-10 11:30:00")]),
+        _mk_users(spark, [(3, "2025-01-10 13:00:00")]),
+    ]
+    for i, df in enumerate(files):
+        d = str(src / f"f{i}")
+        df.coalesce(1).write.parquet(d)
+        for root, _, fs in os.walk(d):
+            for f in fs:
+                os.utime(os.path.join(root, f), (1_000_000 + i * 10,) * 2)
+    stream = (
+        spark.readStream.schema(files[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*/")
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.end").alias("window_end"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("boundary_probe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ends = sorted(str(r["window_end"]) for r in spark.table("boundary_probe").collect())
+    assert ends == ["2025-01-10 11:00:00", "2025-01-10 12:00:00"], ends
+
+
+def test_streaming_append_hourly_drops_late_and_withholds_tail(spark, sf_dir):
+    """The driver entry's two defined exclusions, checked against batch
+    truth: the late-replayed first-day residue slice is absent from the
+    emitted counts, and windows past the final watermark are withheld."""
+    from mini_log_lakehouse_spark.sources.registry import load_table
+    from mini_log_lakehouse_spark.streaming.ingest import (
+        _APPEND_LATE_RESIDUE,
+        streaming_append_hourly,
+    )
+
+    got = {
+        (r["window_start"], r["event_type"]): r["requests"]
+        for r in streaming_append_hourly(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    min_day, max_ts = ev.agg(
+        F.min(F.to_date("ts")), F.max("ts")
+    ).first()
+    late = (F.to_date("ts") == F.lit(min_day)) & F.coalesce(
+        F.col("user_id") % 7 == _APPEND_LATE_RESIDUE, F.lit(False)
+    )
+    batch_all = {
+        (r["w"], r["event_type"]): r["n"]
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    batch_kept = {
+        (r["w"], r["event_type"]): r["n"]
+        for r in ev.filter(~late)
+        .groupBy(F.date_trunc("hour", "ts").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    import datetime
+
+    horizon = max_ts - datetime.timedelta(hours=1)
+    expected = {
+        k: n
+        for k, n in batch_kept.items()
+        if k[0] + datetime.timedelta(hours=1) <= horizon
+    }
+    assert got == expected
+    # both exclusions are non-vacuous on this data (a late group may
+    # vanish entirely — a singleton group's only row was late — or
+    # merely shrink; either way the emitted count differs from the
+    # batch-all count inside the emission horizon)
+    assert any(
+        got.get(k, 0) != n
+        for k, n in batch_all.items()
+        if k[0] + datetime.timedelta(hours=1) <= horizon
+    ), "late slice never subtracted anything"
+    assert any(
+        k not in got
+        and k[0] + datetime.timedelta(hours=1) > horizon
+        for k in batch_kept
+    ), "no tail window was withheld"
