@@ -298,7 +298,13 @@ def _persist_sigs(op: str, sigs: DataFrame) -> DataFrame:
     return sigs
 
 
-def _banded(sigs: DataFrame, id_col: str, sig_col: str = "sig") -> DataFrame:
+def _banded(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str = "sig",
+    bands: int = MINHASH_BANDS,
+    rows: int = MINHASH_ROWS,
+) -> DataFrame:
     """Explode a signature into NARROW (id, band, band_key) bucket rows.
 
     Deliberately does NOT carry the K-long signature: band rows are what
@@ -311,25 +317,33 @@ def _banded(sigs: DataFrame, id_col: str, sig_col: str = "sig") -> DataFrame:
     struct, not a hash of them: struct equality shuffles a few extra
     bytes but makes bucketing collision-free and bit-identical to the
     relational oracle's tuple comparison (a hashed key could pair docs
-    whose band values differ but collide)."""
-    bands = _cached_expr(
-        ("minhash_bands", sig_col),
+    whose band values differ but collide).
+
+    ``bands``/``rows`` are the LSH threshold dial (t ≈ (1/b)^(1/r) —
+    fewer bands × more rows per band = stricter): band b covers the
+    CONTIGUOUS signature slice [b·rows, (b+1)·rows), so halving the
+    band count at fixed K merges adjacent bands and the candidate set
+    shrinks *by construction* (agreement on a merged band implies
+    agreement on both halves) — monotonicity is structural, not merely
+    probabilistic, and tests/test_llm_ops.py pins it."""
+    band_expr = _cached_expr(
+        ("minhash_bands", sig_col, bands, rows),
         lambda: F.array(
             *[
                 F.struct(
                     F.lit(b).alias("band"),
                     F.struct(
                         *[
-                            F.col(sig_col)[b * MINHASH_ROWS + r].alias(f"v{r}")
-                            for r in range(MINHASH_ROWS)
+                            F.col(sig_col)[b * rows + r].alias(f"v{r}")
+                            for r in range(rows)
                         ]
                     ).alias("band_key"),
                 )
-                for b in range(MINHASH_BANDS)
+                for b in range(bands)
             ]
         ),
     )
-    return sigs.select(id_col, F.explode(bands).alias("bk")).select(
+    return sigs.select(id_col, F.explode(band_expr).alias("bk")).select(
         id_col,
         F.col("bk.band").alias("band"),
         F.col("bk.band_key").alias("band_key"),
@@ -419,9 +433,19 @@ def minhash_candidate_pairs(
     text_col: str = "text",
     min_est: float | None = None,
     collapse: bool | None = None,
+    bands: int = MINHASH_BANDS,
+    rows: int = MINHASH_ROWS,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing ≥1 band bucket, with the MinHash
     Jaccard estimate (fraction of agreeing signature positions).
+
+    ``bands``/``rows`` are the similarity-threshold dial (K = bands ×
+    rows signatures; collision threshold t ≈ (1/bands)^(1/rows)):
+    tightening — fewer bands, more rows per band — shrinks the
+    candidate set monotonically because bands cover contiguous
+    signature slices (see _banded). The defaults (16×4, t ≈ 0.5) are
+    what the bench entry measures; re-dialing does not change any
+    plan shape, only the band explode width and bucket selectivity.
 
     Execution shape (the one that survives 100 TB):
 
@@ -520,10 +544,13 @@ def minhash_candidate_pairs(
             _COLLAPSE_CACHE[dkey] = decided
         collapse, n_keys = decided
     small = n_keys is not None and n_keys <= _PAIR_JOIN_MAX_KEYS
+    k = bands * rows
     if not collapse:
         # Memo-hit direct calls never even construct the fingerprint
         # plan — the warm path is exactly the signature pipeline.
-        return _minhash_pairs_direct(docs, id_col, text_col, min_est, small)
+        return _minhash_pairs_direct(
+            docs, id_col, text_col, min_est, small, bands, rows
+        )
     members = _members()
     reps = docs.select(
         F.md5(F.col(text_col)).alias("_fp"), F.col(text_col).alias("_rtext")
@@ -535,15 +562,19 @@ def minhash_candidate_pairs(
         ("minhash_base", "_rtext"), lambda: minhash_base_hashes(F.col("_rtext"))
     )
     sig_expr = _cached_expr(
-        ("minhash_sig", "_base"), lambda: minhash_from_base(F.col("_base"))
+        ("minhash_sig", "_base", k), lambda: minhash_from_base(F.col("_base"), k)
     )
     sigs = _persist_sigs(
-        "minhash_rep",  # rep-grain (_fp, sig) — distinct from the doc-grain fast-path table
+        # rep-grain (_fp, sig) — distinct from the doc-grain fast-path
+        # table; keyed by the dial so a re-dialed corpus gets its own slot
+        f"minhash_rep_{bands}x{rows}",
         reps.select("_fp", base_expr.alias("_base")).select(
             "_fp", sig_expr.alias("sig")
         ),
     )
-    cand = _pair_candidates(_banded(sigs, "_fp"), "_fp", small).distinct()
+    cand = _pair_candidates(
+        _banded(sigs, "_fp", bands=bands, rows=rows), "_fp", small
+    ).distinct()
     # Estimate-join strategy: small corpora let AQE broadcast the sig
     # table; larger ones force SHUFFLE_HASH — the signature rows need no
     # ordering, and the planner's static estimate of the (cand ⋈ sig_a)
@@ -570,7 +601,7 @@ def minhash_candidate_pairs(
         .select(
             "_fp_a",
             "_fp_b",
-            F.round(agree / F.lit(MINHASH_K), 6).alias("est_jaccard"),
+            F.round(agree / F.lit(k), 6).alias("est_jaccard"),
         )
     )
     if min_est is not None:
@@ -609,6 +640,8 @@ def minhash_candidate_pairs(
 def _minhash_pairs_direct(
     docs: DataFrame, id_col: str, text_col: str, min_est: float | None,
     small: bool = False,
+    bands: int = MINHASH_BANDS,
+    rows: int = MINHASH_ROWS,
 ) -> DataFrame:
     """Near-duplicate-free fast path: signatures at doc grain, candidate
     pairing per _pair_candidates, estimates re-read from the
@@ -616,20 +649,25 @@ def _minhash_pairs_direct(
     all cases (identical texts share every band and agree at all K
     positions), minus the dropDuplicates shuffle and the two ~identity
     expansion joins."""
+    k = bands * rows
     base_expr = _cached_expr(
         ("minhash_base", text_col), lambda: minhash_base_hashes(F.col(text_col))
     )
     sig_expr = _cached_expr(
-        ("minhash_sig", "_base"), lambda: minhash_from_base(F.col("_base"))
+        ("minhash_sig", "_base", k), lambda: minhash_from_base(F.col("_base"), k)
     )
     sigs = _persist_sigs(
-        "minhash_doc",  # doc-grain (id, sig) — distinct from the rep-grain collapsed-path table
+        # doc-grain (id, sig) — distinct from the rep-grain collapsed-path
+        # table; keyed by the dial so a re-dialed corpus gets its own slot
+        f"minhash_doc_{bands}x{rows}",
         docs.select(F.col(id_col), base_expr.alias("_base")).select(
             id_col, sig_expr.alias("sig")
         ),
     )
     cand = (
-        _pair_candidates(_banded(sigs, id_col), id_col, small)
+        _pair_candidates(
+            _banded(sigs, id_col, bands=bands, rows=rows), id_col, small
+        )
         .select(
             F.col(f"{id_col}_a").alias("id_a"), F.col(f"{id_col}_b").alias("id_b")
         )
@@ -658,7 +696,7 @@ def _minhash_pairs_direct(
         .select(
             "id_a",
             "id_b",
-            F.round(agree / F.lit(MINHASH_K), 6).alias("est_jaccard"),
+            F.round(agree / F.lit(k), 6).alias("est_jaccard"),
         )
     )
     if min_est is not None:
