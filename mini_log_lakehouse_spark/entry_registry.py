@@ -76,75 +76,74 @@ if _unknown:
 
 # The verification driver samples the FIRST 50 registry entries per round,
 # so this explicit window decides which queries get a driver-side
-# CORRECTNESS row. Round-8 priority (VERDICT r7 ask 2, computed from the
+# CORRECTNESS row. Round-9 priority (VERDICT r8 ask 1, computed from the
 # committed CORRECTNESS_r*.json artifacts — tests/test_rotation.py
 # re-derives the same staleness table and fails if this window drifts):
-# (1) the 6 entries whose latest driver row is r3 — already past
-# ROTATION_MAX_AGE, the round-7 rotation breach; (2) all 17 entries
-# last sampled in r4 — they cross the age bar the moment
-# CORRECTNESS_r08.json lands, so sampling them now is what keeps r9
-# schedulable; (3) entries NEW this round (no driver row ever — the
-# rotation test forces them in — 9 slots: 5 early-round entries plus
-# the 4 late-round operators); (4) fill from the 44-entry r5 pool,
-# oldest-exposure-first (the ~26 r5 entries left over are next round's
-# due load, which fits r9's 50 slots alongside the r6 pool's lead
-# edge). Everything past position 50 stays covered by the identical
-# local DuckDB hash-compare in tests/test_entry_contract.py.
+# (1) all 26 entries whose latest driver row is r5 — they cross
+# ROTATION_MAX_AGE=4 the moment CORRECTNESS_r09.json lands, so sampling
+# them now is what keeps the schedule intact; (2) entries NEW this round
+# (no driver row ever — the rotation test forces them in — 3 slots: the
+# PNG codec, the HLL quality gate, the append-mode streaming contract);
+# (3) fill the remaining 21 slots from the 46-entry r6 pool,
+# oldest-exposure-first (prior-round sample count, ties in registry
+# order — the 25 left over are r10's load, comfortably inside its 50
+# slots before the r7 pool comes due at r11). Everything past position
+# 50 stays covered by the identical local DuckDB hash-compare in
+# tests/test_entry_contract.py.
 _FIRST_WINDOW = (
-    # (1) latest driver row r3 — overdue now
-    "customers_with_orders",
-    "customers_without_orders",
-    "setop_except_nations",
-    "setop_intersect_nations",
-    "setop_union_all_counts",
-    "setop_union_nations",
-    # (2) latest driver row r4 — due before r9
-    "doc_bpe_first_merge",
-    "doc_domain_cap",
-    "doc_tfidf_top_terms",
-    "doc_unigram_lm_scores",
-    "documents_jsonl_roundtrip",
-    "embedding_int8_quantize",
-    "embedding_label_centroids",
-    "events_column_profile",
-    "events_daily_trend",
-    "events_heavy_hitters",
-    "events_retention_cohorts",
-    "lakehouse_change_feed",
-    "part_fuzzy_name_pairs",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "user_hourly_gapfilled",
-    # (3) new or newly-oracled this round (rows must reflect the new gate)
-    "ann_recall_report",
-    "doc_bpe_encode",
-    "multimodal_wav_features",
-    "user_sssp_weighted",
-    "user_wcc",
-    "dedup_substring_spans",
-    "user_link_prediction",
-    "user_event_salsa",
-    "multimodal_bmp_features",
-    # (4) r5 pool fill, oldest-exposure-first
-    "ann_knn_join",
-    "dedup_embedding_cosine",
-    "dedup_incremental_batch",
-    "doc_sparse_search",
-    "doc_token_stats",
-    "embedding_kmeans_clusters",
-    "embedding_random_projection",
-    "events_funnel",
-    "session_funnel",
-    "setop_except_all_nation_keys",
-    "streaming_hourly_fact_p95",
-    "streaming_user_sessions",
-    "streaming_user_totals",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
-    "tpch_q12_late_shipment_priority",
+    # (1) latest driver row r5 — due before r10
+    "doc_lang_mixture",
+    "events_cms_user_counts",
+    "events_hour_unpivot",
+    "orders_window_battery",
+    "events_daily_anomalies",
+    "event_transition_counts",
+    "user_state_scd2",
+    "events_bigram_lm_scores",
+    "customers_without_urgent_orders",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_excess_stock_suppliers",
+    "tpch_q21_waiting_orders",
+    "tpch_q22_lapsed_customers",
+    "props_variant_stats",
+    "doc_lm_quality_gate",
+    "source_lang_drift",
+    "events_zorder_pruned",
+    "doc_frequent_ngrams",
+    "doc_ngram_novelty",
+    "doc_boilerplate_share",
+    # (2) new this round (no driver row ever)
+    "multimodal_png_features",
+    "approx_distinct_quality_report",
+    "streaming_append_hourly",
+    # (3) r6 pool fill, oldest-exposure-first
+    "session_attribution",
+    "event_burst_runs",
+    "streaming_daily_active_users",
+    "user_pagerank",
+    "user_communities",
+    "events_cusum_changepoints",
+    "user_decayed_activity",
+    "event_trigram_paths",
+    "embedding_pq_codes",
+    "tpch_integrity_audit",
+    "doc_hybrid_search",
+    "dedup_semantic_pairs",
+    "orders_rollup_status_priority",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "stg_events",
+    "fct_events_hourly",
+    "errors_by_type",
+    "top_event_types",
+    "available_days",
 )
 
 _missing = [n for n in _FIRST_WINDOW if n not in QUERIES]
