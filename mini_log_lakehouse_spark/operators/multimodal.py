@@ -7,14 +7,15 @@ gated exactly as the brief requires: ``decode_image``/``decode_audio``
 raise NotImplementedError unless the real library is importable, and a
 clearly-marked deterministic FAKE decoder exercises the full Spark-side
 plumbing — schema, binary Arrow transfer, batch iteration, multi-row
-yield (frame sampling). Three codecs ARE real with no library at all:
+yield (frame sampling). Four codecs ARE real with no library at all:
 ``decode_wav`` parses genuine RIFF/WAVE containers (chunk walk, padding
 rule, PCM fmt header, int16 sample decode), ``decode_bmp`` parses
-bottom-up padded 24-bit BMPs, and ``decode_png`` inflates and
-unfilters genuine zlib-compressed PNGs (CRC-verified chunk walk,
-multi-IDAT concatenation, all five scanline filters) — each in pure
-python, each driver entry hash-checked against its synthesizer's
-generation law.
+bottom-up padded 24-bit BMPs, ``decode_png`` inflates and unfilters
+genuine zlib-compressed PNGs (CRC-verified chunk walk, multi-IDAT
+concatenation, all five scanline filters), and ``decode_gif`` runs a
+full variable-width LZW decompression (CLEAR resets, KwKwK case,
+sub-block reassembly, palette resolution) — each in pure python, each
+driver entry hash-checked against its synthesizer's generation law.
 
 Scale notes: media processing is a map-only stage; binary payloads ride
 Arrow record batches into Python once (no per-row pickling). Partition
@@ -492,6 +493,251 @@ def decode_png(content: bytes) -> dict:
     }
 
 
+def _gif_dims(media_id: int) -> tuple[int, int]:
+    """(width, height) for a media id — big enough (up to 41×12 = 492
+    pixels) that the LZW dictionary outgrows several code widths, so
+    decoders must implement the variable-width code reader, not just
+    the initial width."""
+    return 30 + media_id % 12, 6 + media_id % 7
+
+
+#: Palette size (a full 16-entry table keeps the initial LZW code size
+#: at 5 bits while staying SQL-restatable).
+GIF_N_COLORS = 16
+
+
+def _gif_palette(media_id: int, j: int) -> tuple[int, int, int]:
+    """(r, g, b) of palette entry j — pure nonnegative integer law."""
+    return (
+        (media_id * 5 + j * 31) % 256,
+        (media_id * 9 + j * 17) % 256,
+        (media_id * 3 + j * 23) % 256,
+    )
+
+
+def _gif_index(media_id: int, x: int, y: int) -> int:
+    """Palette index of pixel (x, y) — the law repeats along x with a
+    period that varies by row, which is exactly the kind of input LZW
+    compresses (repeated runs grow multi-symbol dictionary entries)."""
+    return (media_id + x * (1 + y % 3) + y * 7) % GIF_N_COLORS
+
+
+def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    """REAL GIF-flavor LZW encoder (variable-width codes, MSB-growth at
+    dictionary size 2^width, CLEAR emitted when the dictionary hits
+    _GIF_CLEAR_AT so decoders must handle mid-stream resets, END code
+    terminated, LSB-first bit packing per the GIF spec)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+
+    out_bits: list[int] = []  # (code, width) flattened as bits, LSB-first
+
+    def emit(code: int, width: int) -> None:
+        for i in range(width):
+            out_bits.append((code >> i) & 1)
+
+    def fresh() -> tuple[dict[tuple[int, ...], int], int, int]:
+        table = {(i,): i for i in range(clear)}
+        return table, end + 1, min_code_size + 1
+
+    table, next_code, width = fresh()
+    emit(clear, width)
+    seq: tuple[int, ...] = ()
+    for sym in indices:
+        cand = seq + (sym,)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        table[cand] = next_code
+        next_code += 1
+        # GIF: width grows AFTER a code equal to 2^width - 1 is assigned
+        if next_code - 1 == (1 << width) - 1 and width < 12:
+            width += 1
+        seq = (sym,)
+        if next_code >= _GIF_CLEAR_AT:
+            emit(clear, width)
+            table, next_code, width = fresh()
+    if seq:
+        emit(table[seq], width)
+        # tail sync: the decoder ADDS an entry for this final code (its
+        # table reaches size == next_code) and bump-checks before
+        # reading END — if the final data code lands exactly on the
+        # 2^width−1 boundary, END must be written one bit wider (the
+        # (33, 11)-dims corpus class hits this; round-trip tested)
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+    emit(end, width)
+    # pack bits LSB-first into bytes
+    by = bytearray()
+    for i in range(0, len(out_bits), 8):
+        b = 0
+        for j, bit in enumerate(out_bits[i : i + 8]):
+            b |= bit << j
+        by.append(b)
+    return bytes(by)
+
+
+#: Mid-stream dictionary-reset point — deliberately far below the 4096
+#: hard cap: the corpus law's dictionaries peak at 125–212 entries, so
+#: resetting at 128 makes MOST synthesized images exercise CLEAR
+#: handling (and all of them exercise the 31/63/127 width bumps).
+_GIF_CLEAR_AT = 128
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> list[int]:
+    """REAL GIF LZW decoder: variable-width LSB-first code reader,
+    dictionary rebuild on CLEAR, the KwKwK special case (a code one
+    past the table refers to seq + seq[0]), END code honored."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    nbits = len(data) * 8
+
+    pos = 0
+
+    def read(width: int) -> int:
+        nonlocal pos
+        if pos + width > nbits:
+            raise ValueError("LZW stream exhausted before END code")
+        v = 0
+        for i in range(width):
+            v |= ((data[(pos + i) >> 3] >> ((pos + i) & 7)) & 1) << i
+        pos += width
+        return v
+
+    out: list[int] = []
+    table: list[tuple[int, ...]] = []
+    width = min_code_size + 1
+    prev: tuple[int, ...] | None = None
+    while True:
+        code = read(width)
+        if code == clear:
+            table = [(i,) for i in range(clear)] + [(), ()]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"LZW code {code} with empty prefix state")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + (entry[0],))
+        elif code == len(table):  # KwKwK
+            entry = prev + (prev[0],)
+            table.append(entry)
+        else:
+            raise ValueError(f"LZW code {code} beyond table {len(table)}")
+        out.extend(entry)
+        # the decoder's table lags the encoder's by exactly one entry
+        # (the encoder assigns, THEN emits the next code), so the width
+        # bump fires at size 2^width − 1 here to read the very code the
+        # encoder first emitted at the wider width
+        if prev is not None and len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+        prev = entry
+    if len(out) != n_expected:
+        raise ValueError(f"LZW yielded {len(out)} pixels, want {n_expected}")
+    return out
+
+
+def synthesize_gif(media_id: int) -> bytes:
+    """Emit a REAL GIF87a byte stream: header + logical screen
+    descriptor, a 16-entry global color table, image descriptor, and
+    genuinely LZW-COMPRESSED pixel data split into ≤255-byte sub-blocks
+    (two traps deliberately present: variable-width code growth and a
+    mid-stream CLEAR reset — see _lzw_encode)."""
+    import struct
+
+    w, h = _gif_dims(media_id)
+    indices = [
+        _gif_index(media_id, x, y) for y in range(h) for x in range(w)
+    ]
+    min_code = 4  # 16 colors
+    z = _lzw_encode(indices, min_code)
+    palette = b"".join(
+        bytes(_gif_palette(media_id, j)) for j in range(GIF_N_COLORS)
+    )
+    screen = struct.pack("<6sHHBBB", b"GIF87a", w, h, 0x80 | 0x03, 0, 0)
+    img = struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    blocks = bytearray([min_code])
+    for i in range(0, len(z), 255):
+        chunk = z[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks.append(0)  # block terminator
+    return screen + palette + img + bytes(blocks) + b"\x3b"
+
+
+def decode_gif(content: bytes) -> dict:
+    """REAL pure-python GIF87a decoder: header + screen descriptor
+    parse, global color table load, image descriptor walk, sub-block
+    reassembly, and a full variable-width LZW decompression (CLEAR
+    resets and the KwKwK case included) followed by palette resolution.
+    The fourth real codec path; PIL stays honestly gated for the
+    JPEG-class formats that genuinely need it.
+
+    Same proof-of-decode aggregates as the other image codecs: channel
+    sums, max luma, and position-weighted luma — one wrong LZW code
+    shifts every later pixel, so ``pos_weighted`` breaks on any
+    dictionary/width/reset defect."""
+    import struct
+
+    import numpy as np
+
+    if len(content) < 13 or content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    w, h, packed, _bg, _ar = struct.unpack("<HHBBB", content[6:13])
+    if not packed & 0x80:
+        raise ValueError("no global color table")
+    n_colors = 2 << (packed & 0x07)
+    off = 13
+    palette = np.frombuffer(
+        content[off : off + 3 * n_colors], dtype=np.uint8
+    ).reshape(n_colors, 3)
+    off += 3 * n_colors
+    if content[off] != 0x2C:
+        raise ValueError(f"expected image descriptor, got {content[off]:#x}")
+    left, top, iw, ih, ipacked = struct.unpack("<HHHHB", content[off + 1 : off + 10])
+    if (left, top, iw, ih) != (0, 0, w, h) or ipacked & 0xC0:
+        raise ValueError("unsupported GIF layout (offset/local-table/interlace)")
+    off += 10
+    min_code = content[off]
+    off += 1
+    z = bytearray()
+    while True:
+        if off >= len(content):
+            raise ValueError("truncated GIF sub-block stream")
+        n = content[off]
+        off += 1
+        if n == 0:
+            break
+        if off + n > len(content):
+            raise ValueError("truncated GIF sub-block")
+        z += content[off : off + n]
+        off += n
+    if off >= len(content) or content[off] != 0x3B:
+        raise ValueError("missing GIF trailer")
+    idx = np.array(_lzw_decode(bytes(z), min_code, w * h), dtype=np.int64)
+    if idx.max() >= n_colors:
+        raise ValueError("pixel index beyond palette")
+    rgb = palette[idx].astype(np.int64).reshape(h, w, 3)
+    r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+    luma = 299 * r + 587 * g + 114 * b
+    pos = (np.arange(h)[:, None] * w + np.arange(w)[None, :]) + 1
+    return {
+        "width": w,
+        "height": h,
+        "n_pixels": w * h,
+        "sum_r": int(r.sum()),
+        "sum_g": int(g.sum()),
+        "sum_b": int(b.sum()),
+        "max_luma_milli": int(luma.max()),
+        "pos_weighted": int((pos * luma).sum()),
+    }
+
+
 def fake_decode(content: bytes) -> dict:
     """FAKE deterministic decoder (clearly marked): derives stable
     pseudo-dimensions from the payload hash. Stands in for a codec so the
@@ -806,6 +1052,73 @@ def extract_png_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=PNG_FEATURES_SCHEMA)
 
 
+GIF_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("max_luma_milli", T.LongType()),
+        T.StructField("pos_weighted", T.LongType()),
+    ]
+)
+
+
+def gif_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image media table: one REAL LZW-compressed GIF87a binary payload
+    per document id (same shape as the other media synthesizers)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "content": pdf["doc_id"].map(
+                        lambda i: synthesize_gif(int(i))
+                    ),
+                }
+            )
+
+    return d.mapInPandas(
+        run,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def extract_gif_features(media: DataFrame) -> DataFrame:
+    """decode_gif over a binary media column — map-only Arrow pass,
+    one dict per row (the LZW-compressed sibling of the other
+    extract_*_features passes)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_gif(c) for c in pdf["content"]]
+            out = {"media_id": pdf["media_id"].astype("int64")}
+            for k in (
+                "width",
+                "height",
+                "n_pixels",
+                "sum_r",
+                "sum_g",
+                "sum_b",
+                "max_luma_milli",
+                "pos_weighted",
+            ):
+                out[k] = pd.Series([f[k] for f in feats], dtype="int64")
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=GIF_FEATURES_SCHEMA)
+
+
 # --- driver-contract queries --------------------------------------------------
 
 def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -865,7 +1178,51 @@ def multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_png_features(png_media(spark, sf_dir)).orderBy("media_id")
 
 
+def multimodal_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: synthesize a real LZW-compressed GIF87a per
+    document and decode it with the pure-python parser. Hash-checked
+    end to end — the oracle replays the index and palette laws, so a
+    wrong LZW code (dictionary, variable-width reader, CLEAR reset,
+    KwKwK case) shifts every subsequent pixel and breaks
+    ``pos_weighted`` even where channel sums might survive."""
+    return extract_gif_features(gif_media(spark, sf_dir)).orderBy("media_id")
+
+
 ORACLES: dict[str, str] = {
+    # the parser must recover exactly what the laws encoded: dims
+    # w = 30 + id % 12, h = 6 + id % 7; palette index
+    # (id + x*(1 + y%3) + y*7) % 16; palette entry j -> (r,g,b) per
+    # _gif_palette (all operands nonnegative before %, so both engines
+    # agree); luma/pos as in the other image codecs.
+    "multimodal_gif_features": """
+        WITH base AS (
+            SELECT doc_id, 30 + doc_id % 12 AS w, 6 + doc_id % 7 AS h
+            FROM documents
+        ), pix AS (
+            SELECT doc_id, w, h, tx.x AS x, ty.y AS y,
+                   (doc_id + tx.x * (1 + ty.y % 3) + ty.y * 7) % 16 AS j
+            FROM base, UNNEST(range(0, w)) AS tx(x), UNNEST(range(0, h)) AS ty(y)
+        ), rgb AS (
+            SELECT doc_id, w, h, x, y,
+                   (doc_id * 5 + j * 31) % 256 AS r,
+                   (doc_id * 9 + j * 17) % 256 AS g,
+                   (doc_id * 3 + j * 23) % 256 AS b
+            FROM pix
+        )
+        SELECT doc_id AS media_id,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(w * h AS BIGINT) AS n_pixels,
+               CAST(SUM(r) AS BIGINT) AS sum_r,
+               CAST(SUM(g) AS BIGINT) AS sum_g,
+               CAST(SUM(b) AS BIGINT) AS sum_b,
+               CAST(MAX(299 * r + 587 * g + 114 * b) AS BIGINT) AS max_luma_milli,
+               CAST(SUM((y * w + x + 1) * (299 * r + 587 * g + 114 * b))
+                    AS BIGINT) AS pos_weighted
+        FROM rgb
+        GROUP BY 1, 2, 3, 4
+        ORDER BY 1
+    """,
     # the parser must recover exactly what the laws encoded: dims
     # w = 4 + id % 9, h = 3 + id % 7; (r,g,b) as in _png_pixel (all
     # operands nonnegative before %, so both engines agree); luma =
@@ -1009,4 +1366,5 @@ QUERIES = {
     "multimodal_wav_features": multimodal_wav_features,
     "multimodal_bmp_features": multimodal_bmp_features,
     "multimodal_png_features": multimodal_png_features,
+    "multimodal_gif_features": multimodal_gif_features,
 }

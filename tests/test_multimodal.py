@@ -325,3 +325,128 @@ def test_png_features_query_covers_all_docs(spark, sf_dir):
         .collect()
     }
     assert set(rows) == d
+
+
+def test_gif_lzw_roundtrip_and_edge_cases():
+    """The LZW pair is a real codec: round-trips the corpus law (which
+    forces variable-width growth through 31/63/127 and mid-stream CLEAR
+    resets on most images), plus adversarial shapes — single symbol,
+    KwKwK-inducing repeats, and seeded random streams."""
+    import random
+
+    for mid in (0, 1, 5, 11, 23, 777):
+        w, h = mm._gif_dims(mid)
+        idx = [mm._gif_index(mid, x, y) for y in range(h) for x in range(w)]
+        z = mm._lzw_encode(idx, 4)
+        assert mm._lzw_decode(z, 4, len(idx)) == idx, mid
+    for seq in ([0], [1] * 8, [0, 1] * 50, [3] * 700, list(range(16)) * 40):
+        z = mm._lzw_encode(seq, 4)
+        assert mm._lzw_decode(z, 4, len(seq)) == seq
+    for seed in range(8):
+        rng = random.Random(seed)
+        seq = [rng.randrange(16) for _ in range(rng.randrange(1, 2500))]
+        z = mm._lzw_encode(seq, 4)
+        assert mm._lzw_decode(z, 4, len(seq)) == seq, seed
+
+
+def test_gif_clear_resets_fire_on_corpus():
+    """_GIF_CLEAR_AT must actually trigger on the synthesized corpus —
+    otherwise the decoder's reset path is dead code in the gate."""
+    hit = 0
+    for mid in range(30):
+        w, h = mm._gif_dims(mid)
+        idx = [mm._gif_index(mid, x, y) for y in range(h) for x in range(w)]
+        clear = 16
+        table = {(i,): i for i in range(clear)}
+        next_code, seq, clears = 18, (), 0
+        for sym in idx:
+            cand = seq + (sym,)
+            if cand in table:
+                seq = cand
+                continue
+            table[cand] = next_code
+            next_code += 1
+            seq = (sym,)
+            if next_code >= mm._GIF_CLEAR_AT:
+                clears += 1
+                table = {(i,): i for i in range(clear)}
+                next_code = 18
+        hit += clears > 0
+    assert hit >= 15, hit  # most of the corpus exercises the reset
+
+
+def test_gif_roundtrip_matches_pixel_law():
+    for mid in (0, 3, 7, 12, 29, 777):
+        w, h = mm._gif_dims(mid)
+        f = mm.decode_gif(mm.synthesize_gif(mid))
+        sums = [0, 0, 0]
+        mx = pw = 0
+        for y in range(h):
+            for x in range(w):
+                r, g, b = mm._gif_palette(mid, mm._gif_index(mid, x, y))
+                sums[0] += r
+                sums[1] += g
+                sums[2] += b
+                luma = 299 * r + 587 * g + 114 * b
+                mx = max(mx, luma)
+                pw += (y * w + x + 1) * luma
+        assert f == {
+            "width": w,
+            "height": h,
+            "n_pixels": w * h,
+            "sum_r": sums[0],
+            "sum_g": sums[1],
+            "sum_b": sums[2],
+            "max_luma_milli": mx,
+            "pos_weighted": pw,
+        }
+
+
+def test_gif_parser_rejects_corruption():
+    import pytest
+
+    raw = bytearray(mm.synthesize_gif(5))
+    with pytest.raises(ValueError, match="GIF"):
+        mm.decode_gif(b"BM" + bytes(raw[2:]))
+    with pytest.raises(ValueError, match="trailer"):
+        mm.decode_gif(bytes(raw[:-1]))
+    # truncating one LZW sub-block byte breaks the stream mid-decode
+    bad = bytearray(raw)
+    # find first sub-block after the min-code byte and shrink it
+    import struct
+    n_colors = 16
+    off = 13 + 3 * n_colors + 10 + 1
+    blen = bad[off]
+    assert blen > 0
+    del bad[off + 1]  # drop one payload byte
+    bad[off] = blen - 1
+    with pytest.raises(ValueError):
+        mm.decode_gif(bytes(bad))
+
+
+def test_gif_features_query_covers_all_docs(spark, sf_dir):
+    rows = {
+        r["media_id"]: r
+        for r in mm.multimodal_gif_features(spark, sf_dir).collect()
+    }
+    d = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    }
+    assert set(rows) == d
+
+
+def test_gif_lzw_tail_boundary_class():
+    """Regression: when the FINAL data code lands exactly on the
+    2^width−1 dictionary boundary, the decoder bumps width (it adds an
+    entry for that code) before reading END — the encoder must write
+    END one bit wider. The (33, 11)-dims corpus class (ids ≡ 75 mod 84)
+    hits this; a sweep over lengths crosses every boundary."""
+    for mid in (75, 159, 243):
+        assert mm.decode_gif(mm.synthesize_gif(mid))["width"] == mm._gif_dims(mid)[0]
+    for n in range(1, 200):
+        seq = (list(range(16)) * (n // 16 + 1))[:n]
+        z = mm._lzw_encode(seq, 4)
+        assert mm._lzw_decode(z, 4, n) == seq, n
