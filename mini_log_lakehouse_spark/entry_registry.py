@@ -82,11 +82,11 @@ if _unknown:
 # (1) all 26 entries whose latest driver row is r5 — they cross
 # ROTATION_MAX_AGE=4 the moment CORRECTNESS_r09.json lands, so sampling
 # them now is what keeps the schedule intact; (2) entries NEW this round
-# (no driver row ever — the rotation test forces them in — 4 slots: the
-# PNG and GIF codecs, the HLL quality gate, the append-mode streaming
-# contract); (3) fill the remaining 20 slots from the 46-entry r6 pool,
+# (no driver row ever — the rotation test forces them in — 5 slots: the
+# PNG and GIF codecs, the HLL quality gate, the append- and update-mode
+# streaming contracts); (3) fill the remaining 19 slots from the 46-entry r6 pool,
 # oldest-exposure-first (prior-round sample count, ties in registry
-# order — the 26 r6 leftovers are r10's load, comfortably inside its 50
+# order — the 27 r6 leftovers are r10's load, comfortably inside its 50
 # slots before the r7 pool comes due at r11). Everything past position
 # 50 stays covered by the identical local DuckDB hash-compare in
 # tests/test_entry_contract.py.
@@ -123,6 +123,7 @@ _FIRST_WINDOW = (
     "multimodal_gif_features",
     "approx_distinct_quality_report",
     "streaming_append_hourly",
+    "streaming_update_hourly",
     # (3) r6 pool fill, oldest-exposure-first
     "session_attribution",
     "event_burst_runs",
@@ -143,7 +144,6 @@ _FIRST_WINDOW = (
     "stg_events",
     "fct_events_hourly",
     "errors_by_type",
-    "top_event_types",
 )
 
 _missing = [n for n in _FIRST_WINDOW if n not in QUERIES]

@@ -277,10 +277,82 @@ def streaming_daily_active_users(
     return spark.table(name).orderBy("date")
 
 
-#: Late-replay predicate for streaming_append_hourly (must stay in
-#: lockstep with the SQL restatement in its oracle): rows of the
+#: Late-replay predicate for the out-of-order replay entries (must stay
+#: in lockstep with the SQL restatement in their oracles): rows of the
 #: corpus's FIRST day whose user_id falls in one fixed residue class.
 _APPEND_LATE_RESIDUE = 3
+
+
+def _weekly_replay(spark: SparkSession, sf_dir: str):
+    """Shared out-of-order replay construction for the output-mode
+    contract entries (streaming_append_hourly / streaming_update_hourly):
+    split the events table into one parquet file per WEEK in day order,
+    withholding the deterministic "late" slice — first-day rows with
+    ``user_id % 7 == _APPEND_LATE_RESIDUE`` — into a final straggler
+    file, modification-time order pinned via os.utime so
+    maxFilesPerTrigger=1 replays one file per microbatch.
+
+    Returns (stream DataFrame, n_batches, n_late_groups) where
+    n_late_groups is the late slice's distinct (hour-window, event_type)
+    count — the unit `numRowsDroppedByWatermark` reports, because the
+    stateful aggregate's late filter runs AFTER the batch-local partial
+    aggregation (measured: 50 late rows at sf0.01 report 40 dropped =
+    their 40 distinct hour/type groups)."""
+    import os
+    import tempfile
+
+    from mini_log_lakehouse_spark.sources.registry import load_table
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "user_id")
+    min_day = ev.agg(F.min(F.to_date("ts"))).first()[0]  # scalar, model-sized
+    late = (F.to_date("ts") == F.lit(min_day)) & F.coalesce(
+        F.col("user_id") % 7 == _APPEND_LATE_RESIDUE, F.lit(False)
+    )
+    week = F.floor(
+        F.datediff(F.to_date("ts"), F.lit(min_day)) / F.lit(7)
+    ).cast("int")
+    replay_dir = tempfile.mkdtemp(prefix="weekly_replay_")
+    # one partitioned write job: batch id = week for kept rows, a
+    # sentinel ordering the late slice LAST; repartition on the batch id
+    # so each directory holds exactly ONE file (one file == one
+    # microbatch — a multi-file week would make intra-week batch
+    # boundaries, and hence the watermark sequence, nondeterministic)
+    batched = ev.withColumn(
+        "b", F.when(late, F.lit(9999)).otherwise(week)
+    ).select("ts", "event_type", "b")
+    n_batches = batched.select("b").distinct().count()
+    batched.repartition(n_batches, F.col("b")).write.partitionBy("b").parquet(
+        replay_dir, mode="overwrite"
+    )
+    part_dirs = sorted(
+        (d for d in os.listdir(replay_dir) if d.startswith("b=")),
+        key=lambda d: int(d.split("=")[1]),
+    )
+    base = 1_000_000_000
+    for i, d in enumerate(part_dirs):
+        full = os.path.join(replay_dir, d)
+        for f in os.listdir(full):
+            os.utime(os.path.join(full, f), (base + i * 10, base + i * 10))
+    n_late_groups = (
+        ev.filter(late)
+        .select(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .distinct()
+        .count()
+    )
+    stream = (
+        spark.readStream.schema(
+            T.StructType(
+                [
+                    T.StructField("ts", T.TimestampType()),
+                    T.StructField("event_type", T.StringType()),
+                ]
+            )
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir + "/*/")
+    )
+    return stream, n_batches, n_late_groups
 
 
 def streaming_append_hourly(
@@ -318,69 +390,10 @@ def streaming_append_hourly(
     A runtime guard asserts numRowsDroppedByWatermark equals the late
     slice's distinct (hour-window, event_type) group count (the late
     filter runs post-partial-aggregation, so it drops group rows, not
-    raw rows) and that the replay really ran one batch per file — if a
-    Spark upgrade shifts the drop regime, the entry fails loudly
-    instead of hash-red."""
-    import os
-    import tempfile
-
-    from mini_log_lakehouse_spark.sources.registry import load_table
-
-    tune(spark)
-    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "user_id")
-    min_day = ev.agg(F.min(F.to_date("ts"))).first()[0]  # scalar, model-sized
-    late = (F.to_date("ts") == F.lit(min_day)) & F.coalesce(
-        F.col("user_id") % 7 == _APPEND_LATE_RESIDUE, F.lit(False)
-    )
-    week = F.floor(
-        F.datediff(F.to_date("ts"), F.lit(min_day)) / F.lit(7)
-    ).cast("int")
-    replay_dir = tempfile.mkdtemp(prefix="append_hourly_replay_")
-    # one partitioned write job: batch id = week for kept rows, a
-    # sentinel ordering the late slice LAST; repartition on the batch id
-    # so each directory holds exactly ONE file (one file == one
-    # microbatch — a multi-file week would make intra-week batch
-    # boundaries, and hence the watermark sequence, nondeterministic)
-    batched = ev.withColumn(
-        "b", F.when(late, F.lit(9999)).otherwise(week)
-    ).select("ts", "event_type", "b")
-    n_batches = batched.select("b").distinct().count()
-    batched.repartition(n_batches, F.col("b")).write.partitionBy("b").parquet(
-        replay_dir, mode="overwrite"
-    )
-    part_dirs = sorted(
-        (d for d in os.listdir(replay_dir) if d.startswith("b=")),
-        key=lambda d: int(d.split("=")[1]),
-    )
-    base = 1_000_000_000
-    for i, d in enumerate(part_dirs):
-        full = os.path.join(replay_dir, d)
-        for f in os.listdir(full):
-            os.utime(os.path.join(full, f), (base + i * 10, base + i * 10))
-    # The stateful aggregate's late filter runs AFTER the batch-local
-    # partial aggregation, so numRowsDroppedByWatermark counts dropped
-    # (window, event_type) GROUPS, not raw input rows (measured: 50 late
-    # rows at sf0.01 report 40 dropped = their 40 distinct hour/type
-    # groups) — the guard must expect the group count.
-    n_late_groups = (
-        ev.filter(late)
-        .select(F.date_trunc("hour", "ts").alias("h"), "event_type")
-        .distinct()
-        .count()
-    )
-
-    stream = (
-        spark.readStream.schema(
-            T.StructType(
-                [
-                    T.StructField("ts", T.TimestampType()),
-                    T.StructField("event_type", T.StringType()),
-                ]
-            )
-        )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(replay_dir + "/*/")
-    )
+    raw rows — see _weekly_replay) and that the replay really ran one
+    batch per file — if a Spark upgrade shifts the drop regime, the
+    entry fails loudly instead of hash-red."""
+    stream, n_batches, n_late_groups = _weekly_replay(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", delay)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -416,6 +429,69 @@ def streaming_append_hourly(
             "before trusting the hash gate."
         )
     return spark.table(name).orderBy("window_start", "event_type")
+
+
+def streaming_update_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE-mode hourly fact over the SAME out-of-order weekly replay
+    as streaming_append_hourly — completing the output-mode triad
+    (complete / append / update), each with a hash-gated contract.
+
+    Update mode emits every group CHANGED in a batch with its current
+    cumulative value and never withholds unfinalized windows — the
+    exact complement of append's horizon rule. On the weekly replay the
+    result is fully deterministic and batch-restatable: a 1-hour
+    clock-aligned window never spans a day (so never a week file),
+    hence every kept group receives ALL its rows in exactly one
+    microbatch and emits exactly once, with its final count — while the
+    late straggler slice is SLA-dropped on input exactly as in append
+    mode (weeks behind the effective watermark). So the memory sink
+    holds ONE row per kept (window, type) group with the batch-exact
+    count, and the oracle is the plain batch aggregate over the kept
+    set with NO emission-horizon filter — tail windows the append
+    entry withholds are present here.
+
+    Guards: one data batch per file, dropped groups == the late slice's
+    group count, and one emission per group (a re-emission would break
+    the row-count gate anyway; the guard makes it loud)."""
+    stream, n_batches, n_late_groups = _weekly_replay(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("requests"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "requests"
+        )
+    )
+    name = "stream_update_hourly_result"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    data_batches = sum(
+        1 for p in q.recentProgress if (p.get("numInputRows") or 0) > 0
+    )
+    dropped = sum(
+        s.get("numRowsDroppedByWatermark") or 0
+        for p in q.recentProgress
+        for s in (p.get("stateOperators") or [])
+    )
+    out = spark.table(name)
+    n_rows = out.count()
+    n_groups = out.select("window_start", "event_type").distinct().count()
+    if data_batches != n_batches or dropped != n_late_groups or n_rows != n_groups:
+        raise AssertionError(
+            f"streaming_update_hourly replay contract broken: "
+            f"{data_batches} data batches (want {n_batches}), {dropped} "
+            f"watermark-dropped groups (want {n_late_groups}), {n_rows} "
+            f"emitted rows for {n_groups} groups (want equal — a window "
+            "straddled two batches and re-emitted). The batch-aggregate "
+            "oracle no longer describes what the engine did."
+        )
+    return out.orderBy("window_start", "event_type")
 
 
 def streaming_sliding_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -583,6 +659,22 @@ ORACLES["streaming_append_hourly"] = f"""
     ORDER BY 1, 2
 """
 
+# Update-mode contract: same kept-set as append (late slice dropped)
+# but NO emission horizon — update emits unfinalized windows too, so
+# the oracle is the plain batch aggregate over kept rows.
+ORACLES["streaming_update_hourly"] = f"""
+    WITH evs AS (
+        SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, user_id FROM events
+    )
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS requests
+    FROM evs
+    WHERE NOT (CAST(ts AS DATE) = (SELECT MIN(CAST(ts AS DATE)) FROM evs)
+               AND COALESCE(user_id % 7 = {_APPEND_LATE_RESIDUE}, FALSE))
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
 ORACLES["streaming_sliding_fact"] = """
     WITH w AS (
         SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS wstart, event_type
@@ -632,6 +724,7 @@ QUERIES = {
     "streaming_hourly_fact_p95": streaming_hourly_fact_p95,
     "streaming_daily_active_users": streaming_daily_active_users,
     "streaming_append_hourly": streaming_append_hourly,
+    "streaming_update_hourly": streaming_update_hourly,
     "streaming_sliding_fact": streaming_sliding_fact,
     "streaming_session_window": streaming_session_window,
 }

@@ -489,3 +489,36 @@ def test_streaming_append_hourly_drops_late_and_withholds_tail(spark, sf_dir):
         and k[0] + datetime.timedelta(hours=1) > horizon
         for k in batch_kept
     ), "no tail window was withheld"
+
+
+def test_streaming_update_vs_append_horizon(spark, sf_dir):
+    """The output-mode triad's defining difference, on the SAME replay:
+    update mode emits the tail windows append withholds (no emission
+    horizon) while sharing the late-slice drop — so update's emitted
+    set equals append's plus exactly the kept groups past the final
+    watermark."""
+    from mini_log_lakehouse_spark.streaming.ingest import (
+        streaming_append_hourly,
+        streaming_update_hourly,
+    )
+
+    upd = {
+        (r["window_start"], r["event_type"]): r["requests"]
+        for r in streaming_update_hourly(spark, sf_dir).collect()
+    }
+    app = {
+        (r["window_start"], r["event_type"]): r["requests"]
+        for r in streaming_append_hourly(spark, sf_dir).collect()
+    }
+    assert set(app) < set(upd)  # strict: the tail is withheld in append
+    assert all(upd[k] == v for k, v in app.items())  # same counts where shared
+    import datetime
+
+    from mini_log_lakehouse_spark.sources.registry import load_table
+
+    max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    horizon = max_ts - datetime.timedelta(hours=1)
+    extra = set(upd) - set(app)
+    assert extra and all(
+        k[0] + datetime.timedelta(hours=1) > horizon for k in extra
+    )
