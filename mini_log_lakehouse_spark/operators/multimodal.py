@@ -322,6 +322,23 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+def _png_predict(ftype: int, a: int, b: int, c: int) -> int:
+    """Predictor for one byte under PNG filter ``ftype`` given left (a),
+    up (b), up-left (c) — the ONE switch both synthesize_png (subtract)
+    and decode_png (add back) use, so the two sides cannot drift."""
+    if ftype == 0:
+        return 0
+    if ftype == 1:
+        return a
+    if ftype == 2:
+        return b
+    if ftype == 3:
+        return (a + b) // 2
+    if ftype == 4:
+        return _paeth(a, b, c)
+    raise ValueError(f"bad filter type {ftype}")
+
+
 def synthesize_png(media_id: int) -> bytes:
     """Emit a REAL PNG byte stream: 8-byte signature, CRC-correct IHDR
     (8-bit truecolor RGB, no interlace), an ancillary tEXt chunk (so
@@ -353,17 +370,7 @@ def synthesize_png(media_id: int) -> bytes:
             a = raw[i - bpp] if i >= bpp else 0
             b = prev[i]
             c = prev[i - bpp] if i >= bpp else 0
-            if ftype == 0:
-                pred = 0
-            elif ftype == 1:
-                pred = a
-            elif ftype == 2:
-                pred = b
-            elif ftype == 3:
-                pred = (a + b) // 2
-            else:
-                pred = _paeth(a, b, c)
-            filt[i] = (v - pred) % 256
+            filt[i] = (v - _png_predict(ftype, a, b, c)) % 256
         out += bytes([ftype]) + bytes(filt)
         prev = raw
 
@@ -421,7 +428,7 @@ def decode_png(content: bytes) -> dict:
         (size,) = struct.unpack(">I", content[off : off + 4])
         ctype = content[off + 4 : off + 8]
         body = content[off + 8 : off + 8 + size]
-        if len(body) != size:
+        if len(body) != size or off + 12 + size > len(content):
             raise ValueError(f"truncated chunk {ctype!r}")
         (crc,) = struct.unpack(
             ">I", content[off + 8 + size : off + 12 + size]
@@ -461,19 +468,7 @@ def decode_png(content: bytes) -> dict:
             a = recon[i - bpp] if i >= bpp else 0
             b = prev[i]
             c = prev[i - bpp] if i >= bpp else 0
-            if ftype == 0:
-                pred = 0
-            elif ftype == 1:
-                pred = a
-            elif ftype == 2:
-                pred = b
-            elif ftype == 3:
-                pred = (a + b) // 2
-            elif ftype == 4:
-                pred = _paeth(a, b, c)
-            else:
-                raise ValueError(f"bad filter type {ftype} on row {y}")
-            recon[i] = (filt[i] + pred) % 256
+            recon[i] = (filt[i] + _png_predict(ftype, a, b, c)) % 256
         rows.append(bytes(recon))
         prev = bytes(recon)
     rgb = (
@@ -1130,346 +1125,118 @@ def frame_sample(media: DataFrame, frame_bytes: int = 64, every: int = 4) -> Dat
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
-WAV_FEATURES_SCHEMA = T.StructType(
+def _long_schema(*names: str) -> "T.StructType":
+    """media_id + all-int64 feature columns (every real codec's feature
+    row is pure integers by design — the laws are SQL-restatable)."""
+    return T.StructType(
+        [T.StructField("media_id", T.LongType())]
+        + [T.StructField(n, T.LongType()) for n in names]
+    )
+
+
+WAV_FEATURES_SCHEMA = _long_schema(
+    "sample_rate", "n_channels", "bits_per_sample", "n_samples",
+    "peak", "energy", "duration_ms",
+)
+BMP_FEATURES_SCHEMA = _long_schema(
+    "width", "height", "n_pixels", "sum_r", "sum_g", "sum_b",
+    "max_luma_milli", "pos_weighted",
+)
+PNG_FEATURES_SCHEMA = _long_schema(
+    "width", "height", "n_pixels", "sum_r", "sum_g", "sum_b",
+    "max_luma_milli", "pos_weighted", "filter_weighted",
+)
+GIF_FEATURES_SCHEMA = _long_schema(
+    "width", "height", "n_pixels", "sum_r", "sum_g", "sum_b",
+    "max_luma_milli", "pos_weighted",
+)
+JPEG_FEATURES_SCHEMA = _long_schema(
+    "width", "height", "blocks_x", "blocks_y", "sum_dc", "max_abs_dc",
+    "pos_weighted_dc", "sum_ac", "pos_weighted_ac", "quant_sum",
+)
+
+_MEDIA_BINARY_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
-        T.StructField("sample_rate", T.LongType()),
-        T.StructField("n_channels", T.LongType()),
-        T.StructField("bits_per_sample", T.LongType()),
-        T.StructField("n_samples", T.LongType()),
-        T.StructField("peak", T.LongType()),
-        T.StructField("energy", T.LongType()),
-        T.StructField("duration_ms", T.LongType()),
+        T.StructField("content", T.BinaryType()),
     ]
 )
+
+
+def _media_table(spark: SparkSession, sf_dir: str, synth) -> DataFrame:
+    """One REAL binary payload per document id, synthesized in an
+    Arrow-batched pass (at scale this column arrives from storage; here
+    the deterministic synthesizer doubles as the ground truth the
+    oracle replays). One implementation for every codec family."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "content": pdf["doc_id"].map(lambda i: synth(int(i))),
+                }
+            )
+
+    return d.mapInPandas(run, schema=_MEDIA_BINARY_SCHEMA)
+
+
+def _extract_features(media: DataFrame, decode, schema) -> DataFrame:
+    """``decode`` over a binary media column — map-only Arrow pass, one
+    dict per row; feature columns are derived from the schema, so codec
+    families can't drift from their declared shape."""
+    cols = [f.name for f in schema.fields if f.name != "media_id"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode(c) for c in pdf["content"]]
+            out = {"media_id": pdf["media_id"].astype("int64")}
+            for k in cols:
+                out[k] = pd.Series([f[k] for f in feats], dtype="int64")
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=schema)
 
 
 def wav_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio media table: one REAL RIFF/WAVE binary payload per document
-    id, synthesized in an Arrow-batched pass (at scale this column
-    arrives from storage; here the deterministic synthesizer doubles as
-    the ground truth the oracle replays)."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["doc_id"].astype("int64"),
-                    "content": pdf["doc_id"].map(
-                        lambda i: synthesize_wav(int(i))
-                    ),
-                }
-            )
-
-    return d.mapInPandas(
-        run,
-        schema=T.StructType(
-            [
-                T.StructField("media_id", T.LongType()),
-                T.StructField("content", T.BinaryType()),
-            ]
-        ),
-    )
+    return _media_table(spark, sf_dir, synthesize_wav)
 
 
 def extract_wav_features(media: DataFrame) -> DataFrame:
-    """decode_wav over a binary media column — the real-codec version of
-    extract_media_features (map-only Arrow pass, one dict per row)."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            feats = [decode_wav(c) for c in pdf["content"]]
-            out = {"media_id": pdf["media_id"].astype("int64")}
-            for k in (
-                "sample_rate",
-                "n_channels",
-                "bits_per_sample",
-                "n_samples",
-                "peak",
-                "energy",
-                "duration_ms",
-            ):
-                out[k] = pd.Series([f[k] for f in feats], dtype="int64")
-            yield pd.DataFrame(out)
-
-    return media.mapInPandas(run, schema=WAV_FEATURES_SCHEMA)
-
-
-BMP_FEATURES_SCHEMA = T.StructType(
-    [
-        T.StructField("media_id", T.LongType()),
-        T.StructField("width", T.LongType()),
-        T.StructField("height", T.LongType()),
-        T.StructField("n_pixels", T.LongType()),
-        T.StructField("sum_r", T.LongType()),
-        T.StructField("sum_g", T.LongType()),
-        T.StructField("sum_b", T.LongType()),
-        T.StructField("max_luma_milli", T.LongType()),
-        T.StructField("pos_weighted", T.LongType()),
-    ]
-)
+    return _extract_features(media, decode_wav, WAV_FEATURES_SCHEMA)
 
 
 def bmp_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image media table: one REAL BMP binary payload per document id
-    (same shape as wav_media — at scale the column arrives from
-    storage; the deterministic synthesizer doubles as ground truth)."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["doc_id"].astype("int64"),
-                    "content": pdf["doc_id"].map(
-                        lambda i: synthesize_bmp(int(i))
-                    ),
-                }
-            )
-
-    return d.mapInPandas(
-        run,
-        schema=T.StructType(
-            [
-                T.StructField("media_id", T.LongType()),
-                T.StructField("content", T.BinaryType()),
-            ]
-        ),
-    )
+    return _media_table(spark, sf_dir, synthesize_bmp)
 
 
 def extract_bmp_features(media: DataFrame) -> DataFrame:
-    """decode_bmp over a binary media column — map-only Arrow pass,
-    one dict per row (the image twin of extract_wav_features)."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            feats = [decode_bmp(c) for c in pdf["content"]]
-            out = {"media_id": pdf["media_id"].astype("int64")}
-            for k in (
-                "width",
-                "height",
-                "n_pixels",
-                "sum_r",
-                "sum_g",
-                "sum_b",
-                "max_luma_milli",
-                "pos_weighted",
-            ):
-                out[k] = pd.Series([f[k] for f in feats], dtype="int64")
-            yield pd.DataFrame(out)
-
-    return media.mapInPandas(run, schema=BMP_FEATURES_SCHEMA)
-
-
-PNG_FEATURES_SCHEMA = T.StructType(
-    [
-        T.StructField("media_id", T.LongType()),
-        T.StructField("width", T.LongType()),
-        T.StructField("height", T.LongType()),
-        T.StructField("n_pixels", T.LongType()),
-        T.StructField("sum_r", T.LongType()),
-        T.StructField("sum_g", T.LongType()),
-        T.StructField("sum_b", T.LongType()),
-        T.StructField("max_luma_milli", T.LongType()),
-        T.StructField("pos_weighted", T.LongType()),
-        T.StructField("filter_weighted", T.LongType()),
-    ]
-)
+    return _extract_features(media, decode_bmp, BMP_FEATURES_SCHEMA)
 
 
 def png_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image media table: one REAL compressed PNG binary payload per
-    document id (same shape as wav_media/bmp_media — at scale the
-    column arrives from storage; the deterministic synthesizer doubles
-    as ground truth)."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["doc_id"].astype("int64"),
-                    "content": pdf["doc_id"].map(
-                        lambda i: synthesize_png(int(i))
-                    ),
-                }
-            )
-
-    return d.mapInPandas(
-        run,
-        schema=T.StructType(
-            [
-                T.StructField("media_id", T.LongType()),
-                T.StructField("content", T.BinaryType()),
-            ]
-        ),
-    )
+    return _media_table(spark, sf_dir, synthesize_png)
 
 
 def extract_png_features(media: DataFrame) -> DataFrame:
-    """decode_png over a binary media column — map-only Arrow pass,
-    one dict per row (the compressed-format sibling of
-    extract_wav_features/extract_bmp_features)."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            feats = [decode_png(c) for c in pdf["content"]]
-            out = {"media_id": pdf["media_id"].astype("int64")}
-            for k in (
-                "width",
-                "height",
-                "n_pixels",
-                "sum_r",
-                "sum_g",
-                "sum_b",
-                "max_luma_milli",
-                "pos_weighted",
-                "filter_weighted",
-            ):
-                out[k] = pd.Series([f[k] for f in feats], dtype="int64")
-            yield pd.DataFrame(out)
-
-    return media.mapInPandas(run, schema=PNG_FEATURES_SCHEMA)
-
-
-GIF_FEATURES_SCHEMA = T.StructType(
-    [
-        T.StructField("media_id", T.LongType()),
-        T.StructField("width", T.LongType()),
-        T.StructField("height", T.LongType()),
-        T.StructField("n_pixels", T.LongType()),
-        T.StructField("sum_r", T.LongType()),
-        T.StructField("sum_g", T.LongType()),
-        T.StructField("sum_b", T.LongType()),
-        T.StructField("max_luma_milli", T.LongType()),
-        T.StructField("pos_weighted", T.LongType()),
-    ]
-)
+    return _extract_features(media, decode_png, PNG_FEATURES_SCHEMA)
 
 
 def gif_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image media table: one REAL LZW-compressed GIF87a binary payload
-    per document id (same shape as the other media synthesizers)."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["doc_id"].astype("int64"),
-                    "content": pdf["doc_id"].map(
-                        lambda i: synthesize_gif(int(i))
-                    ),
-                }
-            )
-
-    return d.mapInPandas(
-        run,
-        schema=T.StructType(
-            [
-                T.StructField("media_id", T.LongType()),
-                T.StructField("content", T.BinaryType()),
-            ]
-        ),
-    )
+    return _media_table(spark, sf_dir, synthesize_gif)
 
 
 def extract_gif_features(media: DataFrame) -> DataFrame:
-    """decode_gif over a binary media column — map-only Arrow pass,
-    one dict per row (the LZW-compressed sibling of the other
-    extract_*_features passes)."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            feats = [decode_gif(c) for c in pdf["content"]]
-            out = {"media_id": pdf["media_id"].astype("int64")}
-            for k in (
-                "width",
-                "height",
-                "n_pixels",
-                "sum_r",
-                "sum_g",
-                "sum_b",
-                "max_luma_milli",
-                "pos_weighted",
-            ):
-                out[k] = pd.Series([f[k] for f in feats], dtype="int64")
-            yield pd.DataFrame(out)
-
-    return media.mapInPandas(run, schema=GIF_FEATURES_SCHEMA)
-
-
-JPEG_FEATURES_SCHEMA = T.StructType(
-    [
-        T.StructField("media_id", T.LongType()),
-        T.StructField("width", T.LongType()),
-        T.StructField("height", T.LongType()),
-        T.StructField("blocks_x", T.LongType()),
-        T.StructField("blocks_y", T.LongType()),
-        T.StructField("sum_dc", T.LongType()),
-        T.StructField("max_abs_dc", T.LongType()),
-        T.StructField("pos_weighted_dc", T.LongType()),
-        T.StructField("sum_ac", T.LongType()),
-        T.StructField("pos_weighted_ac", T.LongType()),
-        T.StructField("quant_sum", T.LongType()),
-    ]
-)
+    return _extract_features(media, decode_gif, GIF_FEATURES_SCHEMA)
 
 
 def jpeg_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image media table: one REAL baseline-JFIF binary payload per
-    document id (same shape as the other media synthesizers)."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["doc_id"].astype("int64"),
-                    "content": pdf["doc_id"].map(
-                        lambda i: synthesize_jpeg(int(i))
-                    ),
-                }
-            )
-
-    return d.mapInPandas(
-        run,
-        schema=T.StructType(
-            [
-                T.StructField("media_id", T.LongType()),
-                T.StructField("content", T.BinaryType()),
-            ]
-        ),
-    )
+    return _media_table(spark, sf_dir, synthesize_jpeg)
 
 
 def extract_jpeg_features(media: DataFrame) -> DataFrame:
-    """decode_jpeg_dc over a binary media column — map-only Arrow pass,
-    one dict per row (the entropy-layer sibling of the other
-    extract_*_features passes)."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            feats = [decode_jpeg_dc(c) for c in pdf["content"]]
-            out = {"media_id": pdf["media_id"].astype("int64")}
-            for k in (
-                "width",
-                "height",
-                "blocks_x",
-                "blocks_y",
-                "sum_dc",
-                "max_abs_dc",
-                "pos_weighted_dc",
-                "sum_ac",
-                "pos_weighted_ac",
-                "quant_sum",
-            ):
-                out[k] = pd.Series([f[k] for f in feats], dtype="int64")
-            yield pd.DataFrame(out)
-
-    return media.mapInPandas(run, schema=JPEG_FEATURES_SCHEMA)
+    return _extract_features(media, decode_jpeg_dc, JPEG_FEATURES_SCHEMA)
 
 
 # --- driver-contract queries --------------------------------------------------

@@ -283,6 +283,14 @@ def streaming_daily_active_users(
 _APPEND_LATE_RESIDUE = 3
 
 
+#: Memoized replay corpora keyed by (applicationId, sf_dir) →
+#: (replay_dir, n_batches, n_late_groups): the split-write and the two
+#: scalar jobs run ONCE per corpus per session — without this, each of
+#: the two output-mode entries (plus their tests) re-writes a complete
+#: copy of the events table into a fresh temp dir per call.
+_REPLAY_CACHE: dict[tuple[str, str], tuple[str, int, int]] = {}
+
+
 def _weekly_replay(spark: SparkSession, sf_dir: str):
     """Shared out-of-order replay construction for the output-mode
     contract entries (streaming_append_hourly / streaming_update_hourly):
@@ -290,7 +298,9 @@ def _weekly_replay(spark: SparkSession, sf_dir: str):
     withholding the deterministic "late" slice — first-day rows with
     ``user_id % 7 == _APPEND_LATE_RESIDUE`` — into a final straggler
     file, modification-time order pinned via os.utime so
-    maxFilesPerTrigger=1 replays one file per microbatch.
+    maxFilesPerTrigger=1 replays one file per microbatch. The written
+    corpus is memoized per (session, sf_dir) and shared by both
+    entries; each call builds a fresh readStream over it.
 
     Returns (stream DataFrame, n_batches, n_late_groups) where
     n_late_groups is the late slice's distinct (hour-window, event_type)
@@ -304,6 +314,11 @@ def _weekly_replay(spark: SparkSession, sf_dir: str):
     from mini_log_lakehouse_spark.sources.registry import load_table
 
     tune(spark)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _REPLAY_CACHE.get(key)
+    if cached is not None:
+        replay_dir, n_batches, n_late_groups = cached
+        return _replay_stream(spark, replay_dir), n_batches, n_late_groups
     ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "user_id")
     min_day = ev.agg(F.min(F.to_date("ts"))).first()[0]  # scalar, model-sized
     late = (F.to_date("ts") == F.lit(min_day)) & F.coalesce(
@@ -340,7 +355,12 @@ def _weekly_replay(spark: SparkSession, sf_dir: str):
         .distinct()
         .count()
     )
-    stream = (
+    _REPLAY_CACHE[key] = (replay_dir, n_batches, n_late_groups)
+    return _replay_stream(spark, replay_dir), n_batches, n_late_groups
+
+
+def _replay_stream(spark: SparkSession, replay_dir: str) -> DataFrame:
+    return (
         spark.readStream.schema(
             T.StructType(
                 [
@@ -352,12 +372,9 @@ def _weekly_replay(spark: SparkSession, sf_dir: str):
         .option("maxFilesPerTrigger", 1)
         .parquet(replay_dir + "/*/")
     )
-    return stream, n_batches, n_late_groups
 
 
-def streaming_append_hourly(
-    spark: SparkSession, sf_dir: str, delay: str = "1 hour"
-) -> DataFrame:
+def streaming_append_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Append-mode hourly fact over a multi-file OUT-OF-ORDER replay —
     the entry where dropping late data IS the defined semantics
     (VERDICT r8 ask 6), converting the empirically pinned watermark
@@ -395,7 +412,10 @@ def streaming_append_hourly(
     entry fails loudly instead of hash-red."""
     stream, n_batches, n_late_groups = _weekly_replay(spark, sf_dir)
     agg = (
-        stream.withWatermark("ts", delay)
+        # the 1-hour delay is FIXED: the oracle restates the drop set and
+        # the emission horizon with a literal INTERVAL 1 HOUR, so a
+        # parameterized delay would silently diverge from the gate
+        stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("requests"))
         .select(
@@ -419,11 +439,16 @@ def streaming_append_hourly(
         for p in q.recentProgress
         for s in (p.get("stateOperators") or [])
     )
-    if data_batches != n_batches or dropped != n_late_groups:
+    # >= not ==: the metric counts post-partial-agg rows PER MAP
+    # PARTITION, so a late file that splits across input partitions at a
+    # larger sf double-counts a group — more counted drops is not a
+    # semantics change (kept-late rows would show as hash mismatches);
+    # FEWER than the group count means late rows actually landed.
+    if data_batches != n_batches or dropped < n_late_groups:
         raise AssertionError(
             f"streaming_append_hourly replay contract broken: "
             f"{data_batches} data batches (want {n_batches}), "
-            f"{dropped} watermark-dropped groups (want {n_late_groups}) — the "
+            f"{dropped} watermark-dropped groups (want >= {n_late_groups}) — the "
             "oracle's kept-set/emission restatement no longer describes "
             "what the engine did; fix the replay or re-pin the regime "
             "before trusting the hash gate."
@@ -482,11 +507,12 @@ def streaming_update_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.table(name)
     n_rows = out.count()
     n_groups = out.select("window_start", "event_type").distinct().count()
-    if data_batches != n_batches or dropped != n_late_groups or n_rows != n_groups:
+    # same >= rationale as streaming_append_hourly's guard
+    if data_batches != n_batches or dropped < n_late_groups or n_rows != n_groups:
         raise AssertionError(
             f"streaming_update_hourly replay contract broken: "
             f"{data_batches} data batches (want {n_batches}), {dropped} "
-            f"watermark-dropped groups (want {n_late_groups}), {n_rows} "
+            f"watermark-dropped groups (want >= {n_late_groups}), {n_rows} "
             f"emitted rows for {n_groups} groups (want equal — a window "
             "straddled two batches and re-emitted). The batch-aggregate "
             "oracle no longer describes what the engine did."
