@@ -1015,6 +1015,174 @@ def decode_jpeg_dc(content: bytes) -> dict:
     }
 
 
+def _tiff_dims(media_id: int) -> tuple[int, int]:
+    """(width, height) for a media id."""
+    return 6 + media_id % 11, 4 + media_id % 9
+
+
+def _tiff_rows_per_strip(media_id: int) -> int:
+    """Rows per strip — chosen against the height law so the corpus
+    covers 1..4 strips (21% of ids are SINGLE-strip, exercising the
+    INLINE tag-value path; the rest exercise the out-of-line arrays
+    and the short final strip)."""
+    return 3 + media_id % 5
+
+
+def _tiff_pixel(media_id: int, x: int, y: int) -> int:
+    """8-bit grayscale value of pixel (x, y) — pure integer law."""
+    return (media_id * 7 + x * 3 + y * 5) % 256
+
+
+def synthesize_tiff(media_id: int) -> bytes:
+    """Emit a REAL baseline TIFF byte stream: 'II' (little-endian) for
+    even ids, 'MM' (big-endian) for odd — every multi-byte field in the
+    header, IFD and tag values honors the declared order, so a decoder
+    that assumes one endianness fails on half the corpus. Grayscale
+    8-bit uncompressed pixels split across MULTIPLE strips
+    (RowsPerStrip varies by id), with the StripOffsets/StripByteCounts
+    arrays stored OUT-OF-LINE when they outgrow the 4-byte inline value
+    slot — the classic TIFF trap pair alongside endianness."""
+    import struct
+
+    w, h = _tiff_dims(media_id)
+    rps = _tiff_rows_per_strip(media_id)
+    bo = "<" if media_id % 2 == 0 else ">"
+    strips = [
+        bytes(
+            _tiff_pixel(media_id, x, y)
+            for y in range(y0, min(y0 + rps, h))
+            for x in range(w)
+        )
+        for y0 in range(0, h, rps)
+    ]
+    n = len(strips)
+    # layout: header (8) | IFD | out-of-line arrays | strip data
+    n_tags = 9
+    ifd_off = 8
+    ifd_size = 2 + n_tags * 12 + 4
+    arrays_off = ifd_off + ifd_size
+    # out-of-line u32 arrays only when n > 1 (inline otherwise)
+    offsets_off = arrays_off
+    counts_off = arrays_off + (4 * n if n > 1 else 0)
+    data_off = counts_off + (4 * n if n > 1 else 0)
+    strip_offsets = []
+    pos = data_off
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+
+    def tag(tid: int, ttype: int, count: int, value: int) -> bytes:
+        # type 3 = SHORT (inline in the low 2 bytes), 4 = LONG
+        if ttype == 3:
+            return struct.pack(
+                f"{bo}HHIHH", tid, ttype, count, value, 0
+            )
+        return struct.pack(f"{bo}HHII", tid, ttype, count, value)
+
+    tags = [
+        tag(256, 4, 1, w),  # ImageWidth
+        tag(257, 4, 1, h),  # ImageLength
+        tag(258, 3, 1, 8),  # BitsPerSample
+        tag(259, 3, 1, 1),  # Compression: none
+        tag(262, 3, 1, 1),  # Photometric: BlackIsZero
+        tag(273, 4, n, strip_offsets[0] if n == 1 else offsets_off),
+        tag(277, 3, 1, 1),  # SamplesPerPixel
+        tag(278, 4, 1, rps),  # RowsPerStrip
+        tag(279, 4, n, len(strips[0]) if n == 1 else counts_off),
+    ]
+    ifd = struct.pack(f"{bo}H", n_tags) + b"".join(tags) + struct.pack(f"{bo}I", 0)
+    arrays = b""
+    if n > 1:
+        arrays = struct.pack(f"{bo}{n}I", *strip_offsets) + struct.pack(
+            f"{bo}{n}I", *(len(s) for s in strips)
+        )
+    header = (b"II" if bo == "<" else b"MM") + struct.pack(f"{bo}HI", 42, ifd_off)
+    return header + ifd + arrays + b"".join(strips)
+
+
+def decode_tiff(content: bytes) -> dict:
+    """REAL pure-python baseline-TIFF decoder: byte-order dispatch from
+    the II/MM header, IFD walk with per-type value decoding, INLINE vs
+    OUT-OF-LINE tag-value resolution (LONG arrays larger than the
+    4-byte slot live at an offset), and multi-strip pixel assembly.
+    The sixth real no-library codec path; its distinct trap class is
+    endianness — every multi-byte read must honor the declared order,
+    and the corpus alternates II/MM by id so both paths are gated.
+
+    ``pos_weighted`` position-weights each pixel, so wrong strip order
+    or a misread offset array breaks the hash even when sums agree."""
+    import struct
+
+    if len(content) < 8 or content[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF stream")
+    bo = "<" if content[:2] == b"II" else ">"
+    magic, ifd_off = struct.unpack(f"{bo}HI", content[2:8])
+    if magic != 42:
+        raise ValueError(f"bad TIFF magic {magic}")
+    if ifd_off + 2 > len(content):
+        raise ValueError("truncated IFD offset")
+    (n_tags,) = struct.unpack(f"{bo}H", content[ifd_off : ifd_off + 2])
+    tags: dict[int, list[int]] = {}
+    for i in range(n_tags):
+        off = ifd_off + 2 + i * 12
+        if off + 12 > len(content):
+            raise ValueError("truncated IFD entry")
+        tid, ttype, count = struct.unpack(f"{bo}HHI", content[off : off + 8])
+        if ttype == 3:  # SHORT: sizeof 2
+            if count * 2 <= 4:
+                vals = list(
+                    struct.unpack(f"{bo}{count}H", content[off + 8 : off + 8 + 2 * count])
+                )
+            else:
+                (voff,) = struct.unpack(f"{bo}I", content[off + 8 : off + 12])
+                vals = list(
+                    struct.unpack(f"{bo}{count}H", content[voff : voff + 2 * count])
+                )
+        elif ttype == 4:  # LONG: sizeof 4
+            if count == 1:
+                vals = list(struct.unpack(f"{bo}I", content[off + 8 : off + 12]))
+            else:
+                (voff,) = struct.unpack(f"{bo}I", content[off + 8 : off + 12])
+                if voff + 4 * count > len(content):
+                    raise ValueError("truncated out-of-line value array")
+                vals = list(
+                    struct.unpack(f"{bo}{count}I", content[voff : voff + 4 * count])
+                )
+        else:
+            raise ValueError(f"unsupported TIFF tag type {ttype}")
+        tags[tid] = vals
+    for req in (256, 257, 258, 259, 262, 273, 277, 278, 279):
+        if req not in tags:
+            raise ValueError(f"missing required TIFF tag {req}")
+    if tags[259] != [1] or tags[258] != [8] or tags[277] != [1]:
+        raise ValueError("unsupported TIFF variant (compressed or multi-sample)")
+    w, h = tags[256][0], tags[257][0]
+    offsets, counts = tags[273], tags[279]
+    if len(offsets) != len(counts):
+        raise ValueError("strip offset/count arity mismatch")
+    pixels = bytearray()
+    for o, c in zip(offsets, counts):
+        if o + c > len(content):
+            raise ValueError("truncated strip")
+        pixels += content[o : o + c]
+    if len(pixels) != w * h:
+        raise ValueError(f"strip bytes {len(pixels)} != {w}x{h}")
+    import numpy as np
+
+    v = np.frombuffer(bytes(pixels), dtype=np.uint8).astype(np.int64)
+    pos = np.arange(w * h, dtype=np.int64) + 1
+    return {
+        "width": w,
+        "height": h,
+        "n_pixels": w * h,
+        "n_strips": len(offsets),
+        "big_endian": 0 if bo == "<" else 1,
+        "sum_v": int(v.sum()),
+        "max_v": int(v.max()),
+        "pos_weighted": int((pos * v).sum()),
+    }
+
+
 def fake_decode(content: bytes) -> dict:
     """FAKE deterministic decoder (clearly marked): derives stable
     pseudo-dimensions from the payload hash. Stands in for a codec so the
@@ -1154,6 +1322,10 @@ JPEG_FEATURES_SCHEMA = _long_schema(
     "width", "height", "blocks_x", "blocks_y", "sum_dc", "max_abs_dc",
     "pos_weighted_dc", "sum_ac", "pos_weighted_ac", "quant_sum",
 )
+TIFF_FEATURES_SCHEMA = _long_schema(
+    "width", "height", "n_pixels", "n_strips", "big_endian",
+    "sum_v", "max_v", "pos_weighted",
+)
 
 _MEDIA_BINARY_SCHEMA = T.StructType(
     [
@@ -1239,6 +1411,14 @@ def extract_jpeg_features(media: DataFrame) -> DataFrame:
     return _extract_features(media, decode_jpeg_dc, JPEG_FEATURES_SCHEMA)
 
 
+def tiff_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _media_table(spark, sf_dir, synthesize_tiff)
+
+
+def extract_tiff_features(media: DataFrame) -> DataFrame:
+    return _extract_features(media, decode_tiff, TIFF_FEATURES_SCHEMA)
+
+
 # --- driver-contract queries --------------------------------------------------
 
 def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1319,7 +1499,46 @@ def multimodal_jpeg_dc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_jpeg_features(jpeg_media(spark, sf_dir)).orderBy("media_id")
 
 
+def multimodal_tiff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: synthesize a real TIFF per document — LITTLE-endian
+    (II) for even ids, BIG-endian (MM) for odd, 1–4 strips with the
+    offset/count arrays inline or out-of-line as the spec dictates —
+    and decode it with the pure-python IFD parser. Hash-checked end to
+    end: the oracle replays the pixel/dims/strip laws plus the
+    endianness bit, so a decoder that assumed one byte order or misread
+    an out-of-line array breaks half the corpus."""
+    return extract_tiff_features(tiff_media(spark, sf_dir)).orderBy("media_id")
+
+
 ORACLES: dict[str, str] = {
+    # the parser must recover exactly what the laws encoded: dims
+    # w = 6 + id % 11, h = 4 + id % 9; rows/strip = 3 + id % 5 (strips =
+    # ceil(h / rps)); endianness = id % 2; gray v = (id*7 + x*3 + y*5) % 256.
+    "multimodal_tiff_features": """
+        WITH base AS (
+            SELECT doc_id,
+                   6 + doc_id % 11 AS w,
+                   4 + doc_id % 9 AS h,
+                   3 + doc_id % 5 AS rps
+            FROM documents
+        ), pix AS (
+            SELECT doc_id, w, h, rps, tx.x AS x, ty.y AS y,
+                   (doc_id * 7 + tx.x * 3 + ty.y * 5) % 256 AS v
+            FROM base, UNNEST(range(0, w)) AS tx(x), UNNEST(range(0, h)) AS ty(y)
+        )
+        SELECT doc_id AS media_id,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(w * h AS BIGINT) AS n_pixels,
+               CAST((h + rps - 1) // rps AS BIGINT) AS n_strips,
+               CAST(doc_id % 2 AS BIGINT) AS big_endian,
+               CAST(SUM(v) AS BIGINT) AS sum_v,
+               CAST(MAX(v) AS BIGINT) AS max_v,
+               CAST(SUM((y * w + x + 1) * v) AS BIGINT) AS pos_weighted
+        FROM pix
+        GROUP BY 1, 2, 3, 4, 5, 6
+        ORDER BY 1
+    """,
     # the parser must recover exactly what the laws encoded: dims
     # w = 9 + id % 21, h = 8 + id % 13; blocks = ceil(w/8) * ceil(h/8);
     # dc(b) = (id*3 + 7*b*b) % 511 - 255 (operands nonnegative before %
@@ -1553,4 +1772,5 @@ QUERIES = {
     "multimodal_png_features": multimodal_png_features,
     "multimodal_gif_features": multimodal_gif_features,
     "multimodal_jpeg_dc_features": multimodal_jpeg_dc_features,
+    "multimodal_tiff_features": multimodal_tiff_features,
 }

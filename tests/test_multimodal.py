@@ -529,3 +529,79 @@ def test_jpeg_features_query_covers_all_docs(spark, sf_dir):
         .collect()
     }
     assert set(rows) == d
+
+
+def test_tiff_roundtrip_both_endiannesses_and_strip_shapes():
+    """decode_tiff recovers the pixel law for both byte orders (even
+    ids II, odd ids MM) and across 1..4 strips — including the
+    single-strip INLINE tag-value case and the out-of-line arrays."""
+    strip_counts = set()
+    endians = set()
+    # ids chosen to cover strip counts 1 (9, 27), 2 (0..3), 3 (5, 7),
+    # and 4 (15, 25) under the dims/rows-per-strip laws
+    for mid in (0, 1, 2, 3, 5, 7, 9, 15, 25, 27, 777):
+        w, h = mm._tiff_dims(mid)
+        rps = mm._tiff_rows_per_strip(mid)
+        n = -(-h // rps)
+        strip_counts.add(n)
+        f = mm.decode_tiff(mm.synthesize_tiff(mid))
+        endians.add(f["big_endian"])
+        vals = [mm._tiff_pixel(mid, x, y) for y in range(h) for x in range(w)]
+        assert f == {
+            "width": w,
+            "height": h,
+            "n_pixels": w * h,
+            "n_strips": n,
+            "big_endian": mid % 2,
+            "sum_v": sum(vals),
+            "max_v": max(vals),
+            "pos_weighted": sum((i + 1) * v for i, v in enumerate(vals)),
+        }
+    assert endians == {0, 1}
+    assert 1 in strip_counts and len(strip_counts) >= 3
+
+
+def test_tiff_endianness_is_load_bearing():
+    """Flipping the byte-order marker without re-encoding the fields
+    must fail parsing (bad magic under the other order) — i.e. the
+    decoder really dispatches on II/MM rather than assuming one."""
+    import pytest
+
+    raw = bytearray(mm.synthesize_tiff(4))  # II
+    raw[:2] = b"MM"
+    with pytest.raises(ValueError):
+        mm.decode_tiff(bytes(raw))
+
+
+def test_tiff_parser_rejects_corruption():
+    import pytest
+
+    raw = bytearray(mm.synthesize_tiff(7))
+    with pytest.raises(ValueError, match="TIFF"):
+        mm.decode_tiff(b"GI" + bytes(raw[2:]))
+    with pytest.raises(ValueError):
+        mm.decode_tiff(bytes(raw[:-3]))  # truncated final strip
+    bad = bytearray(mm.synthesize_tiff(6))
+    # compression tag (259) value -> 5 (LZW, unsupported): find its entry
+    import struct
+    n_tags = struct.unpack("<H", bad[8:10])[0]
+    for i in range(n_tags):
+        off = 10 + i * 12
+        if struct.unpack("<H", bad[off : off + 2])[0] == 259:
+            bad[off + 8] = 5
+    with pytest.raises(ValueError, match="unsupported"):
+        mm.decode_tiff(bytes(bad))
+
+
+def test_tiff_features_query_covers_all_docs(spark, sf_dir):
+    rows = {
+        r["media_id"]: r
+        for r in mm.multimodal_tiff_features(spark, sf_dir).collect()
+    }
+    d = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    }
+    assert set(rows) == d
