@@ -317,15 +317,19 @@ def scaled_leg(
     return leg
 
 
-def _compact(full: dict, keep_ratios: bool = False) -> dict:
+def _compact(full: dict, keep_ratios: bool = False, keep_cold: bool = True) -> dict:
     """2-decimal summary of a leg payload with per-query baselines folded
     to a total — the printed line must fit the driver's ~2000-char stdout
     tail (exceeding it cuts the FRONT of the JSON line and breaks
     parsing). Per-query ratios ride the compact line only for the leg the
-    2x bar is judged on (the largest); every leg keeps ratio_total, and
-    BENCH_DETAIL.json holds everything."""
+    2x bar is judged on (the largest); scaled legs drop their cold dicts
+    from the line (r9's line reached 1936 chars — ~64 of margin — and
+    the cold numbers are no-baseline diagnostics, not the 2x evidence);
+    every leg keeps ratio_total, and BENCH_DETAIL.json holds everything."""
     out = {}
     for k, v in full.items():
+        if k == "queries_cold" and not keep_cold:
+            continue
         if k == "isolation":
             # full isolation blocks live in BENCH_DETAIL.json; the
             # compact line carries only the isolated ratios (the number
@@ -408,7 +412,9 @@ def main() -> None:
     # 2000-char stdout-tail budget: r7's line was already 1626 chars);
     # every leg keeps ratio_total + iso_ratios, BENCH_DETAIL has all
     for leg in legs:
-        compact[leg] = _compact(compact[leg], keep_ratios=(leg == legs[-1]))
+        compact[leg] = _compact(
+            compact[leg], keep_ratios=(leg == legs[-1]), keep_cold=False
+        )
     compact["detail"] = "BENCH_DETAIL.json"
     print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
