@@ -82,12 +82,12 @@ if _unknown:
 # (1) all 26 entries whose latest driver row is r5 — they cross
 # ROTATION_MAX_AGE=4 the moment CORRECTNESS_r09.json lands, so sampling
 # them now is what keeps the schedule intact; (2) entries NEW this round
-# (no driver row ever — the rotation test forces them in — 7 slots: the
-# PNG/GIF/TIFF codecs and the baseline-JPEG entropy layer, the HLL
-# quality gate, the append- and update-mode streaming contracts);
-# (3) fill the remaining 17 slots from the 46-entry r6 pool,
+# (no driver row ever — the rotation test forces them in — 8 slots: the
+# PNG/GIF/TIFF codecs, the baseline-JPEG entropy layer, the G.711
+# mu-law expansion, the HLL quality gate, the append- and update-mode
+# streaming contracts); (3) fill the remaining 16 slots from the 46-entry r6 pool,
 # oldest-exposure-first (prior-round sample count, ties in registry
-# order — the 29 r6 leftovers are r10's load, comfortably inside its 50
+# order — the 30 r6 leftovers are r10's load, comfortably inside its 50
 # slots before the r7 pool comes due at r11). Everything past position
 # 50 stays covered by the identical local DuckDB hash-compare in
 # tests/test_entry_contract.py.
@@ -127,6 +127,7 @@ _FIRST_WINDOW = (
     "streaming_update_hourly",
     "multimodal_jpeg_dc_features",
     "multimodal_tiff_features",
+    "multimodal_mulaw_features",
     # (3) r6 pool fill, oldest-exposure-first
     "session_attribution",
     "event_burst_runs",
@@ -144,7 +145,6 @@ _FIRST_WINDOW = (
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
-    "stg_events",
 )
 
 _missing = [n for n in _FIRST_WINDOW if n not in QUERIES]

@@ -187,9 +187,17 @@ def decode_wav(content: bytes) -> dict:
     if fmt is None or data is None:
         raise ValueError("missing fmt / data chunk")
     audio_format, channels, sr, _byte_rate, _block_align, bits = fmt
-    if audio_format != 1 or bits != 16:
+    if audio_format == 1 and bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    elif audio_format == 7 and bits == 8:
+        # G.711 µ-law: expand each companded byte to 16-bit linear with
+        # the published integer law — a REAL compressed-audio decode
+        # (segment exponent + mantissa, bias 0x84), not a passthrough
+        v = 255 - np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+        mag = (((v & 0x0F) << 3) + 0x84) * (1 << ((v >> 4) & 0x07)) - 0x84
+        samples = np.where(v & 0x80, -mag, mag)
+    else:
         raise ValueError(f"unsupported format {audio_format}/{bits}")
-    samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
     return {
         "sample_rate": sr,
         "n_channels": channels,
@@ -199,6 +207,35 @@ def decode_wav(content: bytes) -> dict:
         "energy": int((samples * samples).sum()),
         "duration_ms": (len(samples) // channels) * 1000 // sr,
     }
+
+
+def _mulaw_params(media_id: int) -> tuple[int, int]:
+    """(n_samples, sample_rate) for a µ-law media id."""
+    return 50 + media_id % 53, 8000
+
+
+def _mulaw_byte(media_id: int, i: int) -> int:
+    """Companded byte i of media id — the multiplier 29 is coprime to
+    256, so across the corpus every one of the 256 µ-law codes (all 8
+    segments, both signs) is exercised."""
+    return (media_id * 13 + i * 29) % 256
+
+
+def synthesize_wav_mulaw(media_id: int) -> bytes:
+    """Emit a REAL RIFF/WAVE byte stream carrying G.711 µ-LAW audio
+    (format code 7, 8-bit companded bytes): same container shape as
+    synthesize_wav, but the payload is COMPRESSED audio the decoder
+    must expand with the published integer law."""
+    import struct
+
+    n, sr = _mulaw_params(media_id)
+    data = bytes(_mulaw_byte(media_id, i) for i in range(n))
+    fmt = struct.pack("<HHIIHH", 7, 1, sr, sr, 1, 8)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data + b"\x00" * (len(data) % 2)
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
 def _bmp_dims(media_id: int) -> tuple[int, int]:
@@ -1499,6 +1536,22 @@ def multimodal_jpeg_dc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_jpeg_features(jpeg_media(spark, sf_dir)).orderBy("media_id")
 
 
+def multimodal_mulaw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: synthesize a G.711 µ-LAW WAV per document (format
+    code 7 — genuinely COMPRESSED audio) and decode it with the same
+    pure-python RIFF parser, which must expand every companded byte
+    with the published segment/mantissa integer law (all 256 codes
+    occur across the corpus; reference extremes pinned in tests:
+    0xFF→0, 0x00→−32124). Hash-checked end to end: the oracle replays
+    the byte law AND the expansion law relationally, so a wrong shift,
+    bias, or sign branch breaks peak/energy."""
+    return _extract_features(
+        _media_table(spark, sf_dir, synthesize_wav_mulaw),
+        decode_wav,
+        WAV_FEATURES_SCHEMA,
+    ).orderBy("media_id")
+
+
 def multimodal_tiff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query: synthesize a real TIFF per document — LITTLE-endian
     (II) for even ids, BIG-endian (MM) for odd, 1–4 strips with the
@@ -1511,6 +1564,37 @@ def multimodal_tiff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    # the decoder must expand exactly what the laws encoded: n = 50 +
+    # id % 53 bytes, byte i = (id*13 + i*29) % 256, then the G.711
+    # expansion v = 255 − byte; mag = ((v%16)*8 + 132)·2^((v/16)%8) −
+    # 132; sample = −mag when v ≥ 128 (all integer, so both engines
+    # agree bit-for-bit).
+    "multimodal_mulaw_features": """
+        WITH base AS (
+            SELECT doc_id, 50 + doc_id % 53 AS n FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   255 - (doc_id * 13 + t.i * 29) % 256 AS v
+            FROM base, UNNEST(range(0, n)) AS t(i)
+        ), lin AS (
+            SELECT doc_id,
+                   CASE WHEN v >= 128 THEN -(((v % 16) * 8 + 132) * (1 << ((v // 16) % 8)) - 132)
+                        ELSE ((v % 16) * 8 + 132) * (1 << ((v // 16) % 8)) - 132
+                   END AS x
+            FROM s
+        )
+        SELECT b.doc_id AS media_id,
+               CAST(8000 AS BIGINT) AS sample_rate,
+               CAST(1 AS BIGINT) AS n_channels,
+               CAST(8 AS BIGINT) AS bits_per_sample,
+               CAST(b.n AS BIGINT) AS n_samples,
+               CAST(MAX(ABS(l.x)) AS BIGINT) AS peak,
+               CAST(SUM(l.x * l.x) AS BIGINT) AS energy,
+               CAST(b.n * 1000 // 8000 AS BIGINT) AS duration_ms
+        FROM base b JOIN lin l ON l.doc_id = b.doc_id
+        GROUP BY 1, 2, 3, 4, 5, 8
+        ORDER BY 1
+    """,
     # the parser must recover exactly what the laws encoded: dims
     # w = 6 + id % 11, h = 4 + id % 9; rows/strip = 3 + id % 5 (strips =
     # ceil(h / rps)); endianness = id % 2; gray v = (id*7 + x*3 + y*5) % 256.
@@ -1773,4 +1857,5 @@ QUERIES = {
     "multimodal_gif_features": multimodal_gif_features,
     "multimodal_jpeg_dc_features": multimodal_jpeg_dc_features,
     "multimodal_tiff_features": multimodal_tiff_features,
+    "multimodal_mulaw_features": multimodal_mulaw_features,
 }

@@ -605,3 +605,45 @@ def test_tiff_features_query_covers_all_docs(spark, sf_dir):
         .collect()
     }
     assert set(rows) == d
+
+
+def test_mulaw_expansion_matches_g711_reference_points():
+    """decode_wav's format-7 branch is the published G.711 expansion:
+    canonical extremes pinned (0xFF -> 0, 0x00 -> -32124, 0x80 ->
+    +32124, 0x7F -> -0-region smallest magnitudes) and every one of
+    the 256 codes occurs across the synthesized corpus."""
+    import struct
+
+    def one(code):
+        data = bytes([code])
+        fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+        chunks = (
+            b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 1) + data + b"\x00"
+        )
+        wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+        f = mm.decode_wav(wav)
+        return f["peak"], f["energy"]
+
+    assert one(0xFF) == (0, 0)
+    assert one(0x00) == (32124, 32124 * 32124)
+    assert one(0x80) == (32124, 32124 * 32124)
+    assert one(0x7F) == (0, 0)  # negative zero (both zeros decode to 0)
+    assert one(0x7E) == (8, 64)  # smallest nonzero magnitude, negative side
+    codes = set()
+    for mid in range(60):
+        n, _ = mm._mulaw_params(mid)
+        codes |= {mm._mulaw_byte(mid, i) for i in range(n)}
+    assert codes == set(range(256))
+
+
+def test_mulaw_wav_roundtrip_matches_laws(spark, sf_dir):
+    rows = {
+        r["media_id"]: r
+        for r in mm.multimodal_mulaw_features(spark, sf_dir).collect()
+    }
+    for mid in list(rows)[:10]:
+        n, sr = mm._mulaw_params(mid)
+        assert rows[mid]["n_samples"] == n
+        assert rows[mid]["bits_per_sample"] == 8
+        assert rows[mid]["sample_rate"] == sr
