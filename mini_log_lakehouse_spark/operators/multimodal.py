@@ -926,15 +926,22 @@ def decode_jpeg_dc(content: bytes) -> dict:
         raise ValueError("not a JPEG stream (no SOI)")
     off = 2
     dims = None
-    quant = None
+    quant_tq = 0  # SOF0's Tq selector for the single component
+    qtables: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict] = {}
     scan = None
     while off + 4 <= len(content):
         if content[off] != 0xFF:
             raise ValueError(f"expected marker at {off}")
+        # any number of 0xFF fill bytes may precede the marker byte
+        # (ITU T.81 B.1.1.2); skip them before reading it
+        while off + 1 < len(content) and content[off + 1] == 0xFF:
+            off += 1
         marker = content[off + 1]
         if marker == 0xD9:  # EOI
             break
+        if off + 4 > len(content):
+            raise ValueError("truncated JPEG segment header")
         size = int.from_bytes(content[off + 2 : off + 4], "big")
         body = content[off + 4 : off + 2 + size]
         if len(body) != size - 2:
@@ -944,10 +951,18 @@ def decode_jpeg_dc(content: bytes) -> dict:
             if prec != 8 or ncomp != 1:
                 raise ValueError(f"unsupported SOF0 variant {prec}/{ncomp}")
             dims = (w, h)
+            quant_tq = body[8] if len(body) > 8 else 0  # component Tq
         elif marker == 0xDB:
-            if body[0] != 0:
-                raise ValueError("unsupported DQT precision/id")
-            quant = list(body[1:65])
+            # a DQT segment holds one or more (Pq<<4|Tq, 64 bytes)
+            # table entries; keep every table keyed by Tq
+            p = 0
+            while p < len(body):
+                if body[p] >> 4 != 0:
+                    raise ValueError("unsupported 16-bit DQT precision")
+                if p + 65 > len(body):
+                    raise ValueError("truncated DQT table entry")
+                qtables[body[p] & 0xF] = list(body[p + 1 : p + 65])
+                p += 65
         elif marker == 0xC4:
             tclass, tid = body[0] >> 4, body[0] & 0xF
             counts = list(body[1:17])
@@ -966,8 +981,11 @@ def decode_jpeg_dc(content: bytes) -> dict:
             scan = content[off + 2 + size :]
             break
         off += 2 + size
-    if dims is None or quant is None or (0, 0) not in huff or (1, 0) not in huff or scan is None:
-        raise ValueError("missing SOF0 / DQT / DHT / SOS")
+    if dims is None or (0, 0) not in huff or (1, 0) not in huff or scan is None:
+        raise ValueError("missing SOF0 / DHT / SOS")
+    quant = qtables.get(quant_tq)
+    if quant is None:
+        raise ValueError(f"missing DQT table {quant_tq} selected by SOF0")
     # find EOI and unstuff the entropy stream
     data = bytearray()
     i = 0
@@ -1172,6 +1190,8 @@ def decode_tiff(content: bytes) -> dict:
                 )
             else:
                 (voff,) = struct.unpack(f"{bo}I", content[off + 8 : off + 12])
+                if voff + 2 * count > len(content):
+                    raise ValueError("truncated out-of-line value array")
                 vals = list(
                     struct.unpack(f"{bo}{count}H", content[voff : voff + 2 * count])
                 )

@@ -517,6 +517,55 @@ def test_jpeg_parser_rejects_corruption():
         mm.decode_jpeg_dc(bytes(bad))
 
 
+def test_jpeg_fill_bytes_and_multi_table_dqt():
+    """Two legal-JFIF layouts the synthesizer never emits (ADVICE r9):
+    0xFF fill bytes preceding a marker, and a single DQT segment
+    carrying multiple tables with SOF0's Tq selecting among them."""
+    import struct
+
+    raw = mm.synthesize_jpeg(11)
+    good = mm.decode_jpeg_dc(raw)
+    # fill bytes: pad before SOF0's marker byte
+    sof = raw.find(b"\xff\xc0")
+    padded = raw[:sof] + b"\xff\xff\xff" + raw[sof:]
+    assert mm.decode_jpeg_dc(padded) == good
+    # multi-table DQT: prepend a decoy table 1 in the SAME segment;
+    # Tq=0 in SOF0 must still select the real table 0
+    dqt = raw.find(b"\xff\xdb")
+    size = int.from_bytes(raw[dqt + 2 : dqt + 4], "big")
+    body = raw[dqt + 4 : dqt + 2 + size]
+    decoy = b"\x01" + bytes(64)  # Tq=1, all-zero entries
+    two = struct.pack(">HH", 0xFFDB, len(decoy + body) + 2) + decoy + body
+    multi = raw[:dqt] + two + raw[dqt + 2 + size :]
+    assert mm.decode_jpeg_dc(multi) == good
+    # and pointing Tq at a missing table must fail loudly
+    sof = multi.find(b"\xff\xc0")
+    bad = bytearray(multi)
+    bad[sof + 12] = 7  # component Tq -> table 7 (absent)
+    try:
+        mm.decode_jpeg_dc(bytes(bad))
+        raise AssertionError("missing-DQT-table selection not detected")
+    except ValueError as e:
+        assert "DQT" in str(e)
+
+
+def test_tiff_truncated_short_array_raises_valueerror():
+    """The out-of-line SHORT array read mirrors the LONG path's bounds
+    guard (ADVICE r9): a count that points past the file must raise the
+    decoder's ValueError contract, not struct.error."""
+    import struct
+
+    import pytest
+
+    # minimal II header + one SHORT tag (count=3, voff far past EOF)
+    ifd = struct.pack("<H", 1) + struct.pack(
+        "<HHII", 258, 3, 3, 9999
+    ) + struct.pack("<I", 0)
+    raw = b"II" + struct.pack("<HI", 42, 8) + ifd
+    with pytest.raises(ValueError, match="truncated out-of-line"):
+        mm.decode_tiff(raw)
+
+
 def test_jpeg_features_query_covers_all_docs(spark, sf_dir):
     rows = {
         r["media_id"]: r
