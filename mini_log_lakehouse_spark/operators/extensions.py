@@ -274,6 +274,134 @@ def hll_within_bound(approx_col, exact_col):
     )
 
 
+#: KMV sketch size: relative standard error ≈ 1/sqrt(k−2) = 4.4% at 512.
+KMV_K = 512
+#: 48-bit hash space (12 md5 hex digits) — matches sampling._hash_bucket.
+KMV_SPACE = 1 << 48
+#: Acceptance envelope in basis points: 3σ = 3/sqrt(510) = 13.29% (the
+#: worst group on the fixed corpus measures 10.2% at sf0.01). Integer
+#: basis-point compare keeps the check float-free on both engines.
+KMV_BOUND_BP = 1329
+
+
+def kmv_distinct_orders(li: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Distinct-count estimation by **K-minimum-values** (bottom-k /
+    theta sketch; Bar-Yossef et al. RANDOM'02, Beyer et al. SIGMOD'07):
+    per (l_returnflag, ship_year) group, hash every l_orderkey to a
+    uniform 48-bit value, keep the k smallest DISTINCT hashes, and
+    estimate D ≈ (k−1) / normalized k-th minimum. Groups holding fewer
+    than k distinct keys keep them all and the sketch is EXACT.
+
+    Unlike HLL++ (engine-private registers — approx_distinct_users is
+    rows-only for that reason), the KMV sketch state is just k order
+    statistics of a hash both engines compute identically (the md5
+    idiom of sampling._hash_bucket), and the estimator is integer
+    arithmetic (truncating DIV) — so the ESTIMATE itself hash-gates,
+    not merely a bound check. ``within_bound`` additionally asserts the
+    3σ error envelope so a silently broken estimator flips a column
+    the eye would catch even in a rows-only reading.
+
+    Scale shape: the distinct() partial-aggregates (group, hash) pairs
+    map-side; the per-group k-smallest ranking window runs under
+    Spark's WindowGroupLimit, which maintains bounded top-k state BELOW
+    the exchange — i.e. each task ships at most k hashes per group,
+    exactly the mergeable bottom-k sketch union. The estimate is a
+    group-grain scalar expression; the corpus is scanned twice (sketch
+    + exact audit column) only because the report compares against
+    truth — a production pipeline would drop the exact side and scan
+    once."""
+    keyed = li.select(
+        F.col("l_returnflag").alias("returnflag"),
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+        _hash48(F.col("l_orderkey")).alias("hv"),
+    ).distinct()
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("returnflag", "ship_year").orderBy("hv")
+    sk = (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("returnflag", "ship_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.max(F.when(F.col("rn") == k, F.col("hv"))).alias("hk"),
+        )
+    )
+    exact = li.groupBy(
+        F.col("l_returnflag").alias("returnflag"),
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+    ).agg(F.countDistinct("l_orderkey").alias("exact_orders"))
+    est = F.when(F.col("n_kept") < k, F.col("n_kept")).otherwise(
+        F.expr(f"CAST(({k - 1} * {KMV_SPACE}) DIV hk AS BIGINT)")
+    )
+    return (
+        exact.join(sk, ["returnflag", "ship_year"])
+        .withColumn("kmv_estimate", est.cast("long"))
+        .select(
+            "returnflag",
+            "ship_year",
+            "exact_orders",
+            "kmv_estimate",
+            (
+                F.abs(F.col("kmv_estimate") - F.col("exact_orders")) * 10000
+                <= F.col("exact_orders") * KMV_BOUND_BP
+            ).alias("within_bound"),
+        )
+        .orderBy("returnflag", "ship_year")
+    )
+
+
+def _hash48(col):
+    """Uniform 48-bit integer hash shared with the DuckDB oracle (the
+    sampling._hash_bucket idiom with the modulus left at the full hash
+    space)."""
+    from mini_log_lakehouse_spark.operators.sampling import _hash_bucket
+
+    return _hash_bucket(col, "kmv:", KMV_SPACE)
+
+
+def lineitem_kmv_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry for the KMV sketch — see kmv_distinct_orders."""
+    return kmv_distinct_orders(load_table(spark, sf_dir, "lineitem"))
+
+
+def kmv_oracle_sql(k: int = KMV_K) -> str:
+    """Relational restatement of the KMV sketch (parameterized so tests
+    can gate small-k regimes the fixed corpus doesn't reach)."""
+    return f"""
+        WITH hv AS (
+            SELECT DISTINCT l_returnflag AS returnflag,
+                   CAST(YEAR(l_shipdate) AS BIGINT) AS ship_year,
+                   ((('0x' || substr(md5('kmv:' || CAST(l_orderkey AS VARCHAR)), 1, 12))::BIGINT) % {KMV_SPACE}) AS hv
+            FROM lineitem
+        ), ranked AS (
+            SELECT returnflag, ship_year, hv,
+                   ROW_NUMBER() OVER (PARTITION BY returnflag, ship_year ORDER BY hv) AS rn
+            FROM hv
+        ), sk AS (
+            SELECT returnflag, ship_year, COUNT(*) AS n_kept,
+                   MAX(CASE WHEN rn = {k} THEN hv END) AS hk
+            FROM ranked WHERE rn <= {k} GROUP BY 1, 2
+        ), exact AS (
+            SELECT l_returnflag AS returnflag,
+                   CAST(YEAR(l_shipdate) AS BIGINT) AS ship_year,
+                   COUNT(DISTINCT l_orderkey) AS exact_orders
+            FROM lineitem GROUP BY 1, 2
+        )
+        SELECT returnflag, ship_year, exact_orders, kmv_estimate,
+               (ABS(kmv_estimate - exact_orders) * 10000
+                <= exact_orders * {KMV_BOUND_BP}) AS within_bound
+        FROM (
+            SELECT e.returnflag, e.ship_year, e.exact_orders,
+                   CAST(CASE WHEN s.n_kept < {k} THEN s.n_kept
+                        ELSE ({k - 1} * {KMV_SPACE}) // s.hk END AS BIGINT)
+                       AS kmv_estimate
+            FROM exact e JOIN sk s USING (returnflag, ship_year)
+        )
+        ORDER BY returnflag, ship_year
+    """
+
+
 def orders_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets (all 4 combinations of the two keys)."""
     o = load_table(spark, sf_dir, "orders")
@@ -575,6 +703,7 @@ ORACLES: dict[str, str] = {
         GROUP BY 1
         ORDER BY 1
     """,
+    "lineitem_kmv_distinct_orders": kmv_oracle_sql(),
     "orders_window_battery": """
         SELECT o_orderpriority, o_orderkey, o_totalprice,
                rk, drk, pct_rank, cume_dist, quartile,
@@ -803,6 +932,7 @@ QUERIES = {
     "daily_distinct_users": daily_distinct_users,
     "approx_distinct_users": approx_distinct_users,
     "approx_distinct_quality_report": approx_distinct_quality_report,
+    "lineitem_kmv_distinct_orders": lineitem_kmv_distinct_orders,
     "orders_cube_status_priority": orders_cube_status_priority,
     "setop_union_all_counts": setop_union_all_counts,
     "scalar_function_battery": scalar_function_battery,

@@ -105,3 +105,30 @@ def test_hll_quality_gate_all_green_and_flag_is_load_bearing(spark, sf_dir):
     )
     got = {r["approx"]: r["ok"] for r in probe.collect()}
     assert got == {1060: True, 1061: False, 940: True, 939: False}
+
+
+def test_kmv_estimator_branch_matches_oracle_and_flag_flips(spark, sf_dir):
+    """At k=16 the sf0.001 corpus (221+ distinct orders per group) is
+    deep in the ESTIMATOR regime the fixed-k driver entry only reaches
+    at sf0.01 — the Spark sketch must still be hash-identical to the
+    relational restatement, and the 3σ envelope (calibrated for k=512)
+    must visibly flip to False for some group, proving within_bound is
+    a live check rather than a constant."""
+    from tests.oracle_harness import compare
+
+    li = extensions.load_table(spark, sf_dir, "lineitem")
+    df = extensions.kmv_distinct_orders(li, k=16)
+    compare(df, extensions.kmv_oracle_sql(16), sf_dir, "kmv_k16")
+    rows = df.collect()
+    assert any(r["kmv_estimate"] != r["exact_orders"] for r in rows), (
+        "estimator branch never fired at k=16"
+    )
+    assert any(not r["within_bound"] for r in rows)
+
+
+def test_kmv_exact_regime_is_exact(spark, sf_dir):
+    """Groups with fewer than k distinct keys keep every hash — the
+    sketch must degrade to the exact count, not an estimate."""
+    li = extensions.load_table(spark, sf_dir, "lineitem")
+    for r in extensions.kmv_distinct_orders(li, k=4096).collect():
+        assert r["kmv_estimate"] == r["exact_orders"] and r["within_bound"]

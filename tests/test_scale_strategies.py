@@ -267,3 +267,14 @@ def test_link_prediction_plan_no_cartesian(spark):
     plan = _plan(funnels.link_prediction(edges))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_kmv_sketch_pushes_window_group_limit(spark, sf_dir):
+    """The KMV bottom-k ranking must run under WindowGroupLimit: each
+    task keeps at most k hashes per group BELOW the exchange — the
+    per-partition sketch whose shuffle union IS the KMV merge. Without
+    it every distinct hash would ship to the window stage."""
+    from mini_log_lakehouse_spark.operators import extensions
+
+    plan = _plan(extensions.lineitem_kmv_distinct_orders(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
