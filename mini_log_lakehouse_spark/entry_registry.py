@@ -8,6 +8,7 @@ module; this module only merges and sanity-checks the dicts.
 from __future__ import annotations
 
 from mini_log_lakehouse_spark.operators import (
+    bloom,
     curation,
     dedup,
     events,
@@ -50,6 +51,7 @@ _MODULES = (
     skew,
     sources_jsonl,
     relational,
+    bloom,
     events,
     textstats,
     retrieval,
