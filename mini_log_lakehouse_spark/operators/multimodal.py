@@ -196,6 +196,16 @@ def decode_wav(content: bytes) -> dict:
         v = 255 - np.frombuffer(data, dtype=np.uint8).astype(np.int64)
         mag = (((v & 0x0F) << 3) + 0x84) * (1 << ((v >> 4) & 0x07)) - 0x84
         samples = np.where(v & 0x80, -mag, mag)
+    elif audio_format == 6 and bits == 8:
+        # G.711 A-law: xor 0x55, then segment/mantissa expansion
+        # (ITU G.711 table 2 / CCITT alaw2linear). Two traps vs µ-law:
+        # the sign bit SET means POSITIVE, and there is no zero code
+        # (smallest magnitude is 8)
+        v = np.frombuffer(data, dtype=np.uint8).astype(np.int64) ^ 0x55
+        m16 = (v & 0x0F) << 4
+        e = (v >> 4) & 0x07
+        mag = np.where(e == 0, m16 + 8, (m16 + 0x108) << np.maximum(e - 1, 0))
+        samples = np.where(v & 0x80, mag, -mag)
     else:
         raise ValueError(f"unsupported format {audio_format}/{bits}")
     return {
@@ -231,6 +241,35 @@ def synthesize_wav_mulaw(media_id: int) -> bytes:
     n, sr = _mulaw_params(media_id)
     data = bytes(_mulaw_byte(media_id, i) for i in range(n))
     fmt = struct.pack("<HHIIHH", 7, 1, sr, sr, 1, 8)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data + b"\x00" * (len(data) % 2)
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _alaw_params(media_id: int) -> tuple[int, int]:
+    """(n_samples, sample_rate) for an A-law media id."""
+    return 44 + media_id % 61, 8000
+
+
+def _alaw_byte(media_id: int, i: int) -> int:
+    """Companded byte i of media id — the multiplier 31 is coprime to
+    256, so across the corpus every one of the 256 A-law codes (all 8
+    segments, both signs) is exercised."""
+    return (media_id * 19 + i * 31) % 256
+
+
+def synthesize_wav_alaw(media_id: int) -> bytes:
+    """Emit a REAL RIFF/WAVE byte stream carrying G.711 A-LAW audio
+    (format code 6, 8-bit companded bytes): the µ-law sibling with the
+    xor-0x55 companding and the inverted sign convention the decoder
+    must honor separately."""
+    import struct
+
+    n, sr = _alaw_params(media_id)
+    data = bytes(_alaw_byte(media_id, i) for i in range(n))
+    fmt = struct.pack("<HHIIHH", 6, 1, sr, sr, 1, 8)
     chunks = (
         b"fmt " + struct.pack("<I", len(fmt)) + fmt
         + b"data" + struct.pack("<I", len(data)) + data + b"\x00" * (len(data) % 2)
@@ -1572,6 +1611,22 @@ def multimodal_mulaw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def multimodal_alaw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: synthesize a G.711 A-LAW WAV per document (format
+    code 6) and decode it with the same pure-python RIFF parser, which
+    must expand every companded byte with the xor-0x55 segment law —
+    A-law's two traps vs µ-law are the INVERTED sign convention (bit
+    set ⇒ positive) and the absent zero code (reference extremes
+    pinned in tests: 0x55→−8, 0xD5→+8, 0xAA→+32256, 0x2A→−32256).
+    Hash-checked end to end: the oracle replays the byte law AND the
+    expansion law relationally."""
+    return _extract_features(
+        _media_table(spark, sf_dir, synthesize_wav_alaw),
+        decode_wav,
+        WAV_FEATURES_SCHEMA,
+    ).orderBy("media_id")
+
+
 def multimodal_tiff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query: synthesize a real TIFF per document — LITTLE-endian
     (II) for even ids, BIG-endian (MM) for odd, 1–4 strips with the
@@ -1600,6 +1655,38 @@ ORACLES: dict[str, str] = {
             SELECT doc_id,
                    CASE WHEN v >= 128 THEN -(((v % 16) * 8 + 132) * (1 << ((v // 16) % 8)) - 132)
                         ELSE ((v % 16) * 8 + 132) * (1 << ((v // 16) % 8)) - 132
+                   END AS x
+            FROM s
+        )
+        SELECT b.doc_id AS media_id,
+               CAST(8000 AS BIGINT) AS sample_rate,
+               CAST(1 AS BIGINT) AS n_channels,
+               CAST(8 AS BIGINT) AS bits_per_sample,
+               CAST(b.n AS BIGINT) AS n_samples,
+               CAST(MAX(ABS(l.x)) AS BIGINT) AS peak,
+               CAST(SUM(l.x * l.x) AS BIGINT) AS energy,
+               CAST(b.n * 1000 // 8000 AS BIGINT) AS duration_ms
+        FROM base b JOIN lin l ON l.doc_id = b.doc_id
+        GROUP BY 1, 2, 3, 4, 5, 8
+        ORDER BY 1
+    """,
+    # the decoder must expand exactly what the laws encoded: n = 44 +
+    # id % 61 bytes, byte i = (id*19 + i*31) % 256, then the G.711
+    # A-law expansion v = byte XOR 85; e = (v/16)%8; mag = (v%16)*16+8
+    # for e=0 else ((v%16)*16+264)·2^(e−1); sample = +mag when v ≥ 128
+    # (sign convention INVERTED vs µ-law; all integer).
+    "multimodal_alaw_features": """
+        WITH base AS (
+            SELECT doc_id, 44 + doc_id % 61 AS n FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   xor((doc_id * 19 + t.i * 31) % 256, 85) AS v
+            FROM base, UNNEST(range(0, n)) AS t(i)
+        ), lin AS (
+            SELECT doc_id,
+                   CASE WHEN v >= 128 THEN 1 ELSE -1 END *
+                   CASE WHEN (v // 16) % 8 = 0 THEN (v % 16) * 16 + 8
+                        ELSE ((v % 16) * 16 + 264) * (1 << ((v // 16) % 8 - 1))
                    END AS x
             FROM s
         )
@@ -1878,4 +1965,5 @@ QUERIES = {
     "multimodal_jpeg_dc_features": multimodal_jpeg_dc_features,
     "multimodal_tiff_features": multimodal_tiff_features,
     "multimodal_mulaw_features": multimodal_mulaw_features,
+    "multimodal_alaw_features": multimodal_alaw_features,
 }

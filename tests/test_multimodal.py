@@ -686,6 +686,65 @@ def test_mulaw_expansion_matches_g711_reference_points():
     assert codes == set(range(256))
 
 
+def test_alaw_expansion_matches_g711_reference_points():
+    """decode_wav's format-6 branch is the published G.711 A-law
+    expansion: canonical extremes pinned (0x55 -> -8, 0xD5 -> +8 —
+    sign bit set is POSITIVE, inverted vs µ-law; 0xAA -> +32256,
+    0x2A -> -32256; no zero code exists), every one of the 256 codes
+    decodes to the CCITT alaw2linear scalar reference, and every code
+    occurs across the synthesized corpus."""
+    import struct
+
+    def one(code):
+        data = bytes([code])
+        fmt = struct.pack("<HHIIHH", 6, 1, 8000, 8000, 1, 8)
+        chunks = (
+            b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 1) + data + b"\x00"
+        )
+        wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+        return mm.decode_wav(wav)
+
+    def ref(code):  # CCITT alaw2linear
+        v = code ^ 0x55
+        t = (v & 0x0F) << 4
+        seg = (v & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        return t if v & 0x80 else -t
+
+    assert (one(0x55)["peak"], ref(0x55)) == (8, -8)
+    assert (one(0xD5)["peak"], ref(0xD5)) == (8, 8)
+    assert (one(0xAA)["peak"], ref(0xAA)) == (32256, 32256)
+    assert (one(0x2A)["peak"], ref(0x2A)) == (32256, -32256)
+    for code in range(256):
+        f = one(code)
+        r = ref(code)
+        assert f["peak"] == abs(r) and f["energy"] == r * r, (code, f, r)
+        assert f["peak"] >= 8  # A-law has no zero code
+    codes = set()
+    for mid in range(60):
+        n, _ = mm._alaw_params(mid)
+        codes |= {mm._alaw_byte(mid, i) for i in range(n)}
+    assert codes == set(range(256))
+
+
+def test_alaw_wav_roundtrip_matches_laws(spark, sf_dir):
+    rows = {
+        r["media_id"]: r
+        for r in mm.multimodal_alaw_features(spark, sf_dir).collect()
+    }
+    for mid in list(rows)[:10]:
+        n, sr = mm._alaw_params(mid)
+        assert rows[mid]["n_samples"] == n
+        assert rows[mid]["bits_per_sample"] == 8
+        assert rows[mid]["sample_rate"] == sr
+
+
 def test_mulaw_wav_roundtrip_matches_laws(spark, sf_dir):
     rows = {
         r["media_id"]: r
