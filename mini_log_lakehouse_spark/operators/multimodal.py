@@ -947,20 +947,13 @@ def synthesize_jpeg(media_id: int) -> bytes:
     )
 
 
-def decode_jpeg_dc(content: bytes) -> dict:
-    """REAL baseline-JPEG entropy decoder (the layer that does NOT need
-    a codec library): marker-segment walk, DQT/SOF0 parse, DHT
-    canonical-Huffman reconstruction, entropy-coded scan decode — bit
-    reader with FF 00 byte UNSTUFFING, per-block Huffman DC size
-    category + amplitude bits (ones'-complement negatives), DC
-    prediction accumulation, AC EOB — for every 8×8 block. The one
-    genuinely library-bound stage, the inverse DCT to pixels, stays
-    honestly gated in decode_image; these features are entropy-layer
-    facts a data pipeline extracts without it.
-
-    ``pos_weighted_dc`` position-weights each block's decoded DC — a
-    single wrong Huffman bit or a missed stuffing byte desynchronizes
-    the stream and breaks it even when sums could survive."""
+def _jpeg_entropy_decode(content: bytes) -> tuple[int, int, list[int], list[list[int]]]:
+    """Shared baseline-JPEG entropy decode: marker walk, DQT/SOF0/DHT
+    parse, FF 00 unstuffing, Huffman + amplitude decode with DC
+    prediction. Returns (width, height, quant_table, blocks) where each
+    block is its 64 coefficients in ZIG-ZAG order (quantized, i.e. as
+    coded). decode_jpeg_dc summarizes the entropy layer; decode_jpeg_pixels
+    carries on through dequantization and the integer IDCT."""
     if len(content) < 4 or content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (no SOI)")
     off = 2
@@ -1076,13 +1069,13 @@ def decode_jpeg_dc(content: bytes) -> dict:
     w, h = dims
     bx, by = (w + 7) // 8, (h + 7) // 8
     dc_table, ac_table = huff[(0, 0)], huff[(1, 0)]
-    dcs: list[int] = []
-    acs: list[tuple[int, int]] = []  # (zig-zag index, value), all blocks
+    blocks: list[list[int]] = []
     prev = 0
     for _ in range(bx * by):
+        coeffs = [0] * 64
         size = read_huff(dc_table)
         prev += read_amp(size) if size else 0
-        dcs.append(prev)
+        coeffs[0] = prev
         k = 0  # general baseline AC decode: run/size symbols until EOB
         while True:
             sym = read_huff(ac_table)
@@ -1094,7 +1087,31 @@ def decode_jpeg_dc(content: bytes) -> dict:
             k += (sym >> 4) + 1
             if k > 63:
                 raise ValueError("AC index overran the 8x8 block")
-            acs.append((k, read_amp(sym & 0xF)))
+            coeffs[k] = read_amp(sym & 0xF)
+        blocks.append(coeffs)
+    return w, h, quant, blocks
+
+
+def decode_jpeg_dc(content: bytes) -> dict:
+    """REAL baseline-JPEG entropy decoder (the layer that does NOT need
+    a codec library): marker-segment walk, DQT/SOF0 parse, DHT
+    canonical-Huffman reconstruction, entropy-coded scan decode — bit
+    reader with FF 00 byte UNSTUFFING, per-block Huffman DC size
+    category + amplitude bits (ones'-complement negatives), DC
+    prediction accumulation, AC EOB — for every 8×8 block. The next
+    stage, dequantization + inverse DCT to pixels, is decode_jpeg_pixels
+    (fixed-point integer, no library needed either); these features are
+    the entropy-layer facts a data pipeline can extract more cheaply.
+
+    ``pos_weighted_dc`` position-weights each block's decoded DC — a
+    single wrong Huffman bit or a missed stuffing byte desynchronizes
+    the stream and breaks it even when sums could survive."""
+    w, h, quant, blocks = _jpeg_entropy_decode(content)
+    bx, by = (w + 7) // 8, (h + 7) // 8
+    dcs = [b[0] for b in blocks]
+    acs = [
+        (k, v) for b in blocks for k, v in enumerate(b[1:], 1) if v
+    ]  # (zig-zag index, value) in decode order (k ascends within a block)
     return {
         "width": w,
         "height": h,
@@ -1106,6 +1123,99 @@ def decode_jpeg_dc(content: bytes) -> dict:
         "sum_ac": sum(v for _, v in acs),
         "pos_weighted_ac": sum(k * v for k, v in acs),
         "quant_sum": sum(quant),
+    }
+
+
+def _zigzag_order() -> list[tuple[int, int]]:
+    """Zig-zag index -> (row, col) of the 8×8 coefficient matrix (ITU
+    T.81 figure 5): anti-diagonals in turn, odd sums walking down-left
+    (row ascending), even sums up-right."""
+    return sorted(
+        ((r, c) for r in range(8) for c in range(8)),
+        key=lambda rc: (
+            rc[0] + rc[1],
+            rc[0] if (rc[0] + rc[1]) % 2 else -rc[0],
+        ),
+    )
+
+
+_JPEG_ZIGZAG = _zigzag_order()
+
+#: Fixed-point IDCT basis scale: B[k][t] = round((C(k)/2)·cos((2t+1)kπ/16)
+#: ·2^13) with C(0) = 1/√2 — so s(y,x) = (Σ F[v][u]·B[v][y]·B[u][x]) / 2^26
+#: is the standard 2-D IDCT in pure integers, each engine reproducing it
+#: bit-for-bit (Python floats only build the CONSTANT table; the per-pixel
+#: arithmetic is int64 multiply-add with one biased truncating shift).
+IDCT_SHIFT = 13
+
+
+def _idct_basis() -> list[list[int]]:
+    import math
+
+    return [
+        [
+            round(
+                (math.sqrt(0.5) if k == 0 else 1.0)
+                / 2
+                * math.cos((2 * t + 1) * k * math.pi / 16)
+                * (1 << IDCT_SHIFT)
+            )
+            for t in range(8)
+        ]
+        for k in range(8)
+    ]
+
+
+_IDCT_BASIS = _idct_basis()
+#: Descale bias: pixel = ((total + 2^25 + 2^46) >> 26) − 2^20 + 128. The
+#: 2^25 term is the half-ulp round; the 2^46/2^20 pair keeps the shifted
+#: operand POSITIVE (|total| < 2^45 for any 8-bit-quant baseline block),
+#: because DuckDB's // and Spark's DIV truncate toward zero while >> is
+#: a floor — biasing makes floor == truncate so all three agree.
+_IDCT_ROUND = 1 << 25
+_IDCT_BIAS = 1 << 46
+_IDCT_UNBIAS = 1 << 20
+
+
+def decode_jpeg_pixels(content: bytes) -> dict:
+    """REAL baseline-JPEG PIXEL decoder, pure python/numpy end to end:
+    the entropy layer of decode_jpeg_dc (shared _jpeg_entropy_decode),
+    then dequantization (coefficient × DQT entry, zig-zag order),
+    de-zig-zag into the 8×8 matrix, the FIXED-POINT integer 2-D IDCT
+    (see IDCT_SHIFT — deterministic integer arithmetic, so the DuckDB
+    oracle replays it relationally, constants and all), +128 level
+    shift, [0,255] clamp, and the crop of the padded block grid to the
+    declared dimensions. ``pos_weighted_px`` position-weights every
+    pixel in image order, so a transposed basis, wrong zig-zag walk, or
+    missing crop breaks the hash even when sums survive."""
+    import numpy as np
+
+    w, h, quant, blocks = _jpeg_entropy_decode(content)
+    bx, by = (w + 7) // 8, (h + 7) // 8
+    q = np.asarray(quant, dtype=np.int64)
+    basis = np.asarray(_IDCT_BASIS, dtype=np.int64)
+    zz_r = np.asarray([r for r, _ in _JPEG_ZIGZAG])
+    zz_c = np.asarray([c for _, c in _JPEG_ZIGZAG])
+    deq = np.asarray(blocks, dtype=np.int64) * q  # (n_blocks, 64) zig-zag
+    fm = np.zeros((len(blocks), 8, 8), dtype=np.int64)
+    fm[:, zz_r, zz_c] = deq
+    # s[n,y,x] = Σ_v Σ_u B[v][y]·F[n,v,u]·B[u][x]
+    totals = np.einsum("vy,nvu,ux->nyx", basis, fm, basis)
+    px = ((totals + _IDCT_ROUND + _IDCT_BIAS) >> 26) - _IDCT_UNBIAS + 128
+    px = np.clip(px, 0, 255)
+    img = np.zeros((by * 8, bx * 8), dtype=np.int64)
+    for i in range(len(blocks)):
+        r, c = divmod(i, bx)
+        img[r * 8 : (r + 1) * 8, c * 8 : (c + 1) * 8] = px[i]
+    flat = img[:h, :w].reshape(-1)
+    pos = np.arange(w * h, dtype=np.int64) + 1
+    return {
+        "width": w,
+        "height": h,
+        "n_pixels": w * h,
+        "sum_px": int(flat.sum()),
+        "max_px": int(flat.max()),
+        "pos_weighted_px": int((pos * flat).sum()),
     }
 
 
@@ -1422,6 +1532,9 @@ TIFF_FEATURES_SCHEMA = _long_schema(
     "width", "height", "n_pixels", "n_strips", "big_endian",
     "sum_v", "max_v", "pos_weighted",
 )
+JPEG_PIXEL_SCHEMA = _long_schema(
+    "width", "height", "n_pixels", "sum_px", "max_px", "pos_weighted_px",
+)
 
 _MEDIA_BINARY_SCHEMA = T.StructType(
     [
@@ -1611,6 +1724,20 @@ def multimodal_mulaw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def multimodal_jpeg_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: the FULL baseline-JPEG pixel pipeline per document
+    — entropy decode, dequantization, zig-zag placement, fixed-point
+    integer IDCT, level shift, clamp, crop (decode_jpeg_pixels). The
+    oracle replays the coefficient laws AND the integer IDCT itself
+    (the 8-point basis constants inlined as a VALUES table, the biased
+    truncating descale in integer division), so both engines compute
+    identical pixels — a genuinely lossy-codec decode gated bit-for-bit
+    with no image library anywhere."""
+    return _extract_features(
+        jpeg_media(spark, sf_dir), decode_jpeg_pixels, JPEG_PIXEL_SCHEMA
+    ).orderBy("media_id")
+
+
 def multimodal_alaw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query: synthesize a G.711 A-LAW WAV per document (format
     code 6) and decode it with the same pure-python RIFF parser, which
@@ -1638,7 +1765,59 @@ def multimodal_tiff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_tiff_features(tiff_media(spark, sf_dir)).orderBy("media_id")
 
 
+#: The three IDCT basis rows the synthesized coefficient pattern needs
+#: (k = 0 for DC, k = 2 / k = 3 for the zig-zag-17 AC at (v=2, u=3)),
+#: inlined into the oracle as a VALUES table so DuckDB replays the
+#: identical fixed-point arithmetic.
+_IDCT_SQL_BASIS = ", ".join(
+    f"({t}, {_IDCT_BASIS[0][t]}, {_IDCT_BASIS[2][t]}, {_IDCT_BASIS[3][t]})"
+    for t in range(8)
+)
+
 ORACLES: dict[str, str] = {
+    # full pixel pipeline: the oracle rebuilds each pixel from the
+    # coefficient laws (dc/ac/quant as in multimodal_jpeg_dc_features)
+    # through the SAME fixed-point integer IDCT the decoder runs —
+    # basis constants from _IDCT_BASIS, biased truncating descale —
+    # then aggregates over the cropped w×h image.
+    "multimodal_jpeg_pixel_features": f"""
+        WITH base AS (
+            SELECT doc_id,
+                   9 + doc_id % 21 AS w,
+                   8 + doc_id % 13 AS h,
+                   (9 + doc_id % 21 + 7) // 8 AS bx,
+                   doc_id % 99 + 1 AS q0,
+                   (doc_id + 17) % 99 + 1 AS q17
+            FROM documents
+        ), bconst(t, b0, b2, b3) AS (VALUES {_IDCT_SQL_BASIS}),
+        px AS (
+            SELECT doc_id, w, h,
+                   ty.y * w + tx.x + 1 AS pos,
+                   GREATEST(0, LEAST(255,
+                     (( ((doc_id * 3 + 7 * ((ty.y // 8) * bx + tx.x // 8)
+                                        * ((ty.y // 8) * bx + tx.x // 8)) % 511 - 255)
+                        * q0 * cy.b0 * cx.b0
+                      + ((doc_id + (ty.y // 8) * bx + tx.x // 8) % 3 + 1)
+                        * q17 * cy.b2 * cx.b3
+                      + 33554432 + 70368744177664) // 67108864) - 1048576 + 128)) AS v
+            FROM base,
+                 UNNEST(range(0, w)) AS tx(x),
+                 UNNEST(range(0, h)) AS ty(y),
+                 bconst cx,
+                 bconst cy
+            WHERE cx.t = tx.x % 8 AND cy.t = ty.y % 8
+        )
+        SELECT doc_id AS media_id,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(w * h AS BIGINT) AS n_pixels,
+               CAST(SUM(v) AS BIGINT) AS sum_px,
+               CAST(MAX(v) AS BIGINT) AS max_px,
+               CAST(SUM(pos * v) AS BIGINT) AS pos_weighted_px
+        FROM px
+        GROUP BY 1, 2, 3, 4
+        ORDER BY 1
+    """,
     # the decoder must expand exactly what the laws encoded: n = 50 +
     # id % 53 bytes, byte i = (id*13 + i*29) % 256, then the G.711
     # expansion v = 255 − byte; mag = ((v%16)*8 + 132)·2^((v/16)%8) −
@@ -1966,4 +2145,5 @@ QUERIES = {
     "multimodal_tiff_features": multimodal_tiff_features,
     "multimodal_mulaw_features": multimodal_mulaw_features,
     "multimodal_alaw_features": multimodal_alaw_features,
+    "multimodal_jpeg_pixel_features": multimodal_jpeg_pixel_features,
 }

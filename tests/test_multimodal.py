@@ -580,6 +580,95 @@ def test_jpeg_features_query_covers_all_docs(spark, sf_dir):
     assert set(rows) == d
 
 
+def test_jpeg_integer_idct_matches_float_reference():
+    """The fixed-point IDCT (basis table + biased truncating descale)
+    must agree with the textbook float IDCT within one gray level for
+    arbitrary coefficient blocks — the property that makes it a REAL
+    inverse DCT rather than an ad-hoc law."""
+    import math
+
+    import numpy as np
+
+    def float_idct(fm):
+        out = np.zeros((8, 8))
+        for y in range(8):
+            for x in range(8):
+                s = 0.0
+                for v in range(8):
+                    for u in range(8):
+                        cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                        s += (
+                            cv * cu * fm[v][u]
+                            * math.cos((2 * y + 1) * v * math.pi / 16)
+                            * math.cos((2 * x + 1) * u * math.pi / 16)
+                        )
+                out[y][x] = s / 4
+        return out
+
+    basis = np.asarray(mm._IDCT_BASIS, dtype=np.int64)
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        fm = rng.integers(-2000, 2000, size=(8, 8))
+        tot = np.einsum("vy,vu,ux->yx", basis, fm.astype(np.int64), basis)
+        fixed = ((tot + mm._IDCT_ROUND + mm._IDCT_BIAS) >> 26) - mm._IDCT_UNBIAS
+        assert np.abs(fixed - np.round(float_idct(fm))).max() <= 1
+
+
+def test_jpeg_pixel_decode_matches_law_replay():
+    """decode_jpeg_pixels on the synthesized corpus equals an
+    independent replay of the coefficient laws through the same
+    fixed-point IDCT — exercising dequant, zig-zag placement, block
+    tiling and the crop (non-multiple-of-8 dims included)."""
+    import numpy as np
+
+    basis = np.asarray(mm._IDCT_BASIS, dtype=np.int64)
+    for mid in (0, 1, 5, 12, 20, 75, 777):
+        w, h = mm._jpeg_dims(mid)
+        bx, by = (w + 7) // 8, (h + 7) // 8
+        q0 = mid % 99 + 1
+        q17 = (mid + 17) % 99 + 1
+        img = np.zeros((by * 8, bx * 8), dtype=np.int64)
+        for b in range(bx * by):
+            fm = np.zeros((8, 8), dtype=np.int64)
+            fm[0, 0] = mm._jpeg_dc(mid, b) * q0
+            fm[2, 3] = mm._jpeg_ac(mid, b) * q17  # zig-zag 17 = (v2,u3)
+            tot = np.einsum("vy,vu,ux->yx", basis, fm, basis)
+            px = np.clip(
+                ((tot + mm._IDCT_ROUND + mm._IDCT_BIAS) >> 26)
+                - mm._IDCT_UNBIAS + 128,
+                0,
+                255,
+            )
+            r, c = divmod(b, bx)
+            img[r * 8 : (r + 1) * 8, c * 8 : (c + 1) * 8] = px
+        flat = img[:h, :w].reshape(-1)
+        pos = np.arange(w * h, dtype=np.int64) + 1
+        f = mm.decode_jpeg_pixels(mm.synthesize_jpeg(mid))
+        assert f == {
+            "width": w,
+            "height": h,
+            "n_pixels": w * h,
+            "sum_px": int(flat.sum()),
+            "max_px": int(flat.max()),
+            "pos_weighted_px": int((pos * flat).sum()),
+        }
+
+
+def test_jpeg_pixel_features_query_covers_all_docs(spark, sf_dir):
+    rows = {
+        r["media_id"]
+        for r in mm.multimodal_jpeg_pixel_features(spark, sf_dir).collect()
+    }
+    d = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    }
+    assert rows == d
+
+
 def test_tiff_roundtrip_both_endiannesses_and_strip_shapes():
     """decode_tiff recovers the pixel law for both byte orders (even
     ids II, odd ids MM) and across 1..4 strips — including the
