@@ -78,75 +78,73 @@ if _unknown:
 
 # The verification driver samples the FIRST 50 registry entries per round,
 # so this explicit window decides which queries get a driver-side
-# CORRECTNESS row. Round-9 priority (VERDICT r8 ask 1, computed from the
-# committed CORRECTNESS_r*.json artifacts — tests/test_rotation.py
-# re-derives the same staleness table and fails if this window drifts):
-# (1) all 26 entries whose latest driver row is r5 — they cross
-# ROTATION_MAX_AGE=4 the moment CORRECTNESS_r09.json lands, so sampling
-# them now is what keeps the schedule intact; (2) entries NEW this round
-# (no driver row ever — the rotation test forces them in — 8 slots: the
-# PNG/GIF/TIFF codecs, the baseline-JPEG entropy layer, the G.711
-# mu-law expansion, the HLL quality gate, the append- and update-mode
-# streaming contracts); (3) fill the remaining 16 slots from the 46-entry r6 pool,
-# oldest-exposure-first (prior-round sample count, ties in registry
-# order — the 30 r6 leftovers are r10's load, comfortably inside its 50
-# slots before the r7 pool comes due at r11). Everything past position
-# 50 stays covered by the identical local DuckDB hash-compare in
-# tests/test_entry_contract.py.
+# CORRECTNESS row. Round-10 priority (computed from the committed
+# CORRECTNESS_r*.json artifacts — tests/test_rotation.py re-derives the
+# same staleness table and fails if this window drifts):
+# (1) all 30 entries whose latest driver row is r6 — they cross
+# ROTATION_MAX_AGE=4 the moment CORRECTNESS_r10.json lands; (2) entries
+# NEW this round (no driver row ever — the rotation test forces them
+# in — 4 slots: the KMV distinct sketch, the Bloom prefilter join, the
+# G.711 A-law expansion, the full JPEG pixel decode); (3) fill the
+# remaining 16 slots from the 50-entry r7 pool, oldest-exposure-first
+# (prior-round sample count, ties in registry order — the 34 r7
+# leftovers are r11's load, comfortably inside its 50 slots).
+# Everything past position 50 stays covered by the identical local
+# DuckDB hash-compare in tests/test_entry_contract.py.
 _FIRST_WINDOW = (
-    # (1) latest driver row r5 — due before r10
-    "doc_lang_mixture",
-    "events_cms_user_counts",
-    "events_hour_unpivot",
-    "orders_window_battery",
-    "events_daily_anomalies",
-    "event_transition_counts",
-    "user_state_scd2",
-    "events_bigram_lm_scores",
-    "customers_without_urgent_orders",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_excess_stock_suppliers",
-    "tpch_q21_waiting_orders",
-    "tpch_q22_lapsed_customers",
-    "props_variant_stats",
-    "doc_lm_quality_gate",
-    "source_lang_drift",
-    "events_zorder_pruned",
-    "doc_frequent_ngrams",
-    "doc_ngram_novelty",
-    "doc_boilerplate_share",
+    # (1) latest driver row r6 — due before r11
+    "approx_distinct_users",
+    "doc_bpe_merge_table",
+    "user_cooccurrence_triangles",
+    "ann_rp_topk",
+    "stg_events",
+    "fct_events_hourly",
+    "errors_by_type",
+    "top_event_types",
+    "available_days",
+    "kpi_totals",
+    "hourly_trend",
+    "dim_event_type",
+    "props_k_histogram",
+    "value_stats_by_type",
+    "doc_word_histogram",
+    "doc_bpe_token_counts",
+    "doc_fingerprints",
+    "doc_quality_scores",
+    "doc_lang_id",
+    "doc_chunks",
+    "doc_repetition_stats",
+    "doc_pii_signals",
+    "doc_normalized_fingerprints",
+    "doc_curation_summary",
+    "dedup_exact_summary",
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "dedup_clusters",
+    "dedup_cluster_representatives",
     # (2) new this round (no driver row ever)
-    "multimodal_png_features",
-    "multimodal_gif_features",
-    "approx_distinct_quality_report",
-    "streaming_append_hourly",
-    "streaming_update_hourly",
-    "multimodal_jpeg_dc_features",
-    "multimodal_tiff_features",
-    "multimodal_mulaw_features",
-    # (3) r6 pool fill, oldest-exposure-first
-    "session_attribution",
-    "event_burst_runs",
-    "streaming_daily_active_users",
-    "user_pagerank",
-    "user_communities",
-    "events_cusum_changepoints",
-    "user_decayed_activity",
-    "event_trigram_paths",
-    "embedding_pq_codes",
-    "tpch_integrity_audit",
-    "doc_hybrid_search",
-    "dedup_semantic_pairs",
-    "orders_rollup_status_priority",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
+    "lineitem_kmv_distinct_orders",
+    "orders_bloom_prefilter_revenue",
+    "multimodal_alaw_features",
+    "multimodal_jpeg_pixel_features",
+    # (3) r7 pool fill, oldest-exposure-first
+    "events_state_enrichment",
+    "user_pagerank_weighted",
+    "user_clustering_coefficient",
+    "user_bfs_reach",
+    "user_kcore",
+    "cooc_degree_histogram",
+    "events_dow_seasonality",
+    "events_rolling_wau",
+    "event_interarrival_stats",
+    "doc_length_histogram",
+    "doc_train_test_split",
+    "doc_stratified_sample",
+    "doc_pack_sequences",
+    "doc_reservoir_per_source",
+    "doc_global_shuffle",
+    "benchmark_contamination",
 )
 
 _missing = [n for n in _FIRST_WINDOW if n not in QUERIES]
