@@ -151,6 +151,17 @@ def _drop_pipeline_caches() -> None:
 
 
 def bench_spark(spark, sf_dir: str, iters: int, warmup: int, names=HEADLINE):
+    # Leg-wide settle pass BEFORE any per-query timing: one execution of
+    # every query so the leg's startup transient — scaled-corpus write
+    # residue in the page cache, input-cache fill, bucketed-CTAS
+    # materialization, JIT ramp, the first full-GC wave — lands here
+    # instead of inside the first timed query's median. r9's sf30 leg
+    # measured top_customers_by_revenue at 20.7 s in-suite vs 4.8 s
+    # isolated (0.91x DuckDB) purely because its timed iterations ran
+    # while the leg was still settling; the per-query warmups alone
+    # don't absorb a transient that outlives them.
+    for name in names:
+        QUERIES[name](spark, sf_dir).collect()
     results: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in names:
@@ -314,6 +325,20 @@ def scaled_leg(
             if r > 2.0 and n not in ISO_ALWAYS
         ]
         leg["isolation"] = isolation_runs(spark, scaled_dir, iso_names, leg)
+        # the comparable-total ratio over the ISOLATED medians — the
+        # cleanest single number for the 2x bar at this leg (in-suite
+        # totals carry cross-query cache interference the isolation
+        # blocks exist to remove); only meaningful when every
+        # baseline-covered query was isolated, so guard on that
+        iso_pairs = [
+            (d["spark_isolated"], d["duck_isolated"])
+            for d in leg["isolation"].values()
+            if d["duck_isolated"]
+        ]
+        if len(iso_pairs) == len(leg["ratios"]):
+            leg["iso_ratio_total"] = round(
+                sum(s for s, _ in iso_pairs) / sum(d for _, d in iso_pairs), 2
+            )
     return leg
 
 
@@ -416,7 +441,26 @@ def main() -> None:
             compact[leg], keep_ratios=(leg == legs[-1]), keep_cold=False
         )
     compact["detail"] = "BENCH_DETAIL.json"
-    print(json.dumps(compact, separators=(",", ":")))
+    # Hard budget: the driver keeps only the LAST ~2000 chars of stdout,
+    # and an over-long line truncates at the FRONT, breaking the JSON
+    # (round 3 lost its bench artifact exactly this way). If the line
+    # outgrows the budget, shed per-query second dicts of the middle
+    # legs first (they are diagnostics; BENCH_DETAIL.json keeps all) —
+    # never the ratio/iso fields the 2x judgment reads.
+    line = json.dumps(compact, separators=(",", ":"))
+    for leg_name, key in (
+        ("scaled", "queries"),
+        ("scaled_100", "queries"),
+        (None, "queries_cold"),
+    ):
+        if len(line) <= 1950:
+            break
+        target = compact.get(leg_name) if leg_name else compact
+        if target is None:
+            continue
+        target.pop(key, None)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 
