@@ -84,11 +84,12 @@ if _unknown:
 # (1) all 30 entries whose latest driver row is r6 — they cross
 # ROTATION_MAX_AGE=4 the moment CORRECTNESS_r10.json lands; (2) entries
 # NEW this round (no driver row ever — the rotation test forces them
-# in — 4 slots: the KMV distinct sketch, the Bloom prefilter join, the
-# G.711 A-law expansion, the full JPEG pixel decode); (3) fill the
-# remaining 16 slots from the 50-entry r7 pool, oldest-exposure-first
-# (prior-round sample count, ties in registry order — the 34 r7
-# leftovers are r11's load, comfortably inside its 50 slots).
+# in — 6 slots: the KMV distinct sketch, the Bloom prefilter join, the
+# G.711 A-law expansion, the full JPEG pixel decode, the
+# approx-percentile quality gate, the sorted-neighborhood dedup);
+# (3) fill the remaining 14 slots from the 50-entry r7 pool,
+# oldest-exposure-first (prior-round sample count, ties in registry
+# order — the 36 r7 leftovers are r11's load, inside its 50 slots).
 # Everything past position 50 stays covered by the identical local
 # DuckDB hash-compare in tests/test_entry_contract.py.
 _FIRST_WINDOW = (
@@ -128,6 +129,8 @@ _FIRST_WINDOW = (
     "orders_bloom_prefilter_revenue",
     "multimodal_alaw_features",
     "multimodal_jpeg_pixel_features",
+    "approx_percentile_quality_report",
+    "dedup_sorted_neighborhood",
     # (3) r7 pool fill, oldest-exposure-first
     "events_state_enrichment",
     "user_pagerank_weighted",
@@ -143,8 +146,6 @@ _FIRST_WINDOW = (
     "doc_stratified_sample",
     "doc_pack_sequences",
     "doc_reservoir_per_source",
-    "doc_global_shuffle",
-    "benchmark_contamination",
 )
 
 _missing = [n for n in _FIRST_WINDOW if n not in QUERIES]

@@ -1202,6 +1202,116 @@ def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_pairs(e, cents, threshold=_GATE_COSINE_THRESHOLD)
 
 
+# --- sorted-neighborhood blocking --------------------------------------------
+
+#: Sliding-window size: each record pairs with its W−1 successors in
+#: the sorted order — candidates are O(n·(W−1)), never quadratic.
+SN_WINDOW = 4
+#: Blocking key: the record's first 3 words (edits deeper in the text
+#: keep neighbors adjacent; a different first word is a different block
+#: — the classic multi-pass answer is a second run with another key).
+SN_KEY_WORDS = 3
+
+
+def _global_sort_ranks(df: DataFrame, order_cols: list[str], parts: int = 32) -> DataFrame:
+    """Global 1..n ranks for a UNIQUE total order WITHOUT a
+    single-partition window: range-repartition on the order columns,
+    rank locally per partition (parallel window), then add
+    per-partition offsets — prefix sums over the ≤``parts``-row count
+    collect (model-sized, like the k-means centroid collects). The
+    localCheckpoint pins ONE materialization, so the offsets and the
+    ranked rows come from the same range-boundary sampling
+    (repartitionByRange samples; two executions could split rows
+    differently — the sampled-boundary bug class the r6 review
+    caught)."""
+    from pyspark.sql.window import Window
+
+    d = (
+        df.repartitionByRange(parts, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_lrn",
+            F.row_number().over(
+                Window.partitionBy("_pid").orderBy(*order_cols)
+            ),
+        )
+        .localCheckpoint()
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in d.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off = df.sparkSession.createDataFrame(offsets, "_pid int, _off long")
+    return (
+        d.join(F.broadcast(off), "_pid")
+        .withColumn("rank", (F.col("_lrn") + F.col("_off")).cast("long"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
+def sorted_neighborhood_pairs(docs: DataFrame, window: int = SN_WINDOW) -> DataFrame:
+    """Near-duplicate candidate pairs by **sorted-neighborhood
+    blocking** (Hernández & Stolfo, SIGMOD'95): sort by a blocking key
+    (first SN_KEY_WORDS words, doc_id tie-break — a unique total
+    order), slide a ``window``-record window over the sorted corpus,
+    pair each record with its ≤ window−1 successors, and keep pairs
+    passing the cheap verifier (char counts within ~11%, a pure
+    integer predicate). The deterministic complement to LSH banding
+    (dedup_minhash_pairs): no hashing, O(n·W) candidates, and a
+    different recall profile — it catches near-dups whose edits
+    preserve the sort-key prefix.
+
+    Scale shape: ranks come from _global_sort_ranks (range partition +
+    parallel per-partition window + broadcast offsets — no
+    single-partition stage), the successor pairing is a shuffle
+    equi-join on rank+d after a map-side explode of d ∈ 1..W−1, and
+    the verifier is row-local. Window pairs cross range-partition
+    boundaries for free because the join is on the GLOBAL rank."""
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        F.substring_index(F.col("text"), " ", SN_KEY_WORDS).alias("sn_key"),
+    )
+    ranked = _global_sort_ranks(keyed, ["sn_key", "doc_id"])
+    left = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_chars").alias("chars_a"),
+        "rank",
+        F.explode(
+            F.array(*[F.lit(d) for d in range(1, window)])
+        ).alias("dist"),
+    ).withColumn("rank_b", F.col("rank") + F.col("dist"))
+    right = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_chars").alias("chars_b"),
+        F.col("rank").alias("rank_b"),
+    )
+    return (
+        left.join(right, "rank_b")
+        .filter(
+            F.least("chars_a", "chars_b") * 10
+            >= F.greatest("chars_a", "chars_b") * 9
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("dist").cast("long").alias("dist"),
+            F.abs(F.col("chars_a") - F.col("chars_b")).alias("char_diff"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry — see sorted_neighborhood_pairs."""
+    return sorted_neighborhood_pairs(load_table(spark, sf_dir, "documents"))
+
+
 #: Normalized-fingerprint SQL — must stay in lockstep with
 #: textstats.normalize_text (same whitespace class, trim, lower).
 _SQL_NORM_FP = "md5(lower(trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g'))))"
@@ -1476,9 +1586,31 @@ def _semantic_pairs_oracle_sql() -> str:
 
 ORACLES["dedup_semantic_pairs"] = _semantic_pairs_oracle_sql()
 
+ORACLES["dedup_sorted_neighborhood"] = f"""
+        WITH ranked AS (
+            SELECT doc_id, n_chars,
+                   ROW_NUMBER() OVER (
+                       ORDER BY array_to_string(
+                                    (string_split(text, ' '))[1:{SN_KEY_WORDS}],
+                                    ' '),
+                                doc_id) AS rank
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a,
+               b.doc_id AS doc_b,
+               CAST(b.rank - a.rank AS BIGINT) AS dist,
+               CAST(ABS(a.n_chars - b.n_chars) AS BIGINT) AS char_diff
+        FROM ranked a
+        JOIN ranked b ON b.rank - a.rank BETWEEN 1 AND {SN_WINDOW - 1}
+        WHERE LEAST(a.n_chars, b.n_chars) * 10
+              >= GREATEST(a.n_chars, b.n_chars) * 9
+        ORDER BY 1, 2
+"""
+
 QUERIES = {
     "dedup_exact_summary": dedup_exact_summary,
     "dedup_semantic_pairs": dedup_semantic_pairs,
+    "dedup_sorted_neighborhood": dedup_sorted_neighborhood,
     "dedup_incremental_batch": dedup_incremental_batch,
     "part_fuzzy_name_pairs": part_fuzzy_name_pairs,
     "dedup_minhash_pairs": dedup_minhash_pairs,

@@ -274,6 +274,75 @@ def hll_within_bound(approx_col, exact_col):
     )
 
 
+#: approx_percentile accuracy parameter: the sketch guarantees the
+#: returned value's exact rank is within n/accuracy of the requested
+#: rank (Greenwald–Khanna bound, the contract Spark documents).
+APPROX_PCT_ACCURACY = 1000
+
+
+def approx_percentile_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate for the approx_percentile sketch (the
+    approx_distinct_quality_report pattern, completing the sketch-gate
+    family: HLL bounded, KMV exact-gated, CMS ≥-checked, Misra–Gries
+    exact-at-scale, percentiles HERE): per l_returnflag group, the
+    p50/p95 approx_percentile of l_extendedprice must sit at an exact
+    rank within the documented Greenwald–Khanna envelope
+    (n/APPROX_PCT_ACCURACY, +1 for ties/rounding).
+
+    The approx VALUE is engine-specific, so — like the HLL gate — the
+    report exposes only deterministic columns: group, row count, and
+    the two bound flags the oracle asserts TRUE. The rank check is the
+    two-sided form robust to duplicate values: count(< v) must not
+    exceed the upper rank bound and count(≤ v) must reach the lower
+    one, both in pure integer arithmetic (p·n scaled by 20 to stay
+    integral for p = 0.95).
+
+    Scale shape: the sketch is a mergeable bounded summary (map-side
+    partial aggregation, a few KB per group however big the corpus);
+    the rank audit joins the 3-row sketch output back as a broadcast
+    and re-scans once — a production pipeline would drop the audit and
+    keep the single sketch pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.percentile_approx(
+            "l_extendedprice", [0.5, 0.95], APPROX_PCT_ACCURACY
+        ).alias("_aps"),
+    )
+    probe = li.join(
+        F.broadcast(sk), "l_returnflag"
+    )  # sketch output is group-grain — tiny
+    return (
+        probe.groupBy(F.col("l_returnflag").alias("returnflag"), "n_rows")
+        .agg(
+            rank_within_bound(
+                F.col("l_extendedprice"), F.col("_aps")[0], 1, 2,
+                F.col("n_rows"), APPROX_PCT_ACCURACY,
+            ).alias("within_p50"),
+            rank_within_bound(
+                F.col("l_extendedprice"), F.col("_aps")[1], 19, 20,
+                F.col("n_rows"), APPROX_PCT_ACCURACY,
+            ).alias("within_p95"),
+        )
+        .select("returnflag", "n_rows", "within_p50", "within_p95")
+        .orderBy("returnflag")
+    )
+
+
+def rank_within_bound(value_col, v, p_num: int, p_den: int, n_col, accuracy: int):
+    """Aggregate boolean: does value ``v`` sit at an exact rank within
+    n/accuracy (+1 for ties) of the p_num/p_den quantile of
+    ``value_col``? Two-sided and duplicate-robust: count(< v) must not
+    exceed the upper rank bound, count(≤ v) must reach the lower one.
+    Shared by the driver entry and the test that proves the flag
+    actually flips for an out-of-envelope value."""
+    eps = n_col / F.lit(accuracy) + F.lit(1)
+    target = n_col * F.lit(p_num) / F.lit(p_den)
+    lt = F.sum((value_col < v).cast("long"))
+    le = F.sum((value_col <= v).cast("long"))
+    return (lt <= target + eps) & (le >= target - eps)
+
+
 #: KMV sketch size: relative standard error ≈ 1/sqrt(k−2) = 4.4% at 512.
 KMV_K = 512
 #: 48-bit hash space (12 md5 hex digits) — matches sampling._hash_bucket.
@@ -704,6 +773,15 @@ ORACLES: dict[str, str] = {
         ORDER BY 1
     """,
     "lineitem_kmv_distinct_orders": kmv_oracle_sql(),
+    "approx_percentile_quality_report": """
+        SELECT l_returnflag AS returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               TRUE AS within_p50,
+               TRUE AS within_p95
+        FROM lineitem
+        GROUP BY 1
+        ORDER BY 1
+    """,
     "orders_window_battery": """
         SELECT o_orderpriority, o_orderkey, o_totalprice,
                rk, drk, pct_rank, cume_dist, quartile,
@@ -933,6 +1011,7 @@ QUERIES = {
     "approx_distinct_users": approx_distinct_users,
     "approx_distinct_quality_report": approx_distinct_quality_report,
     "lineitem_kmv_distinct_orders": lineitem_kmv_distinct_orders,
+    "approx_percentile_quality_report": approx_percentile_quality_report,
     "orders_cube_status_priority": orders_cube_status_priority,
     "setop_union_all_counts": setop_union_all_counts,
     "scalar_function_battery": scalar_function_battery,

@@ -132,3 +132,24 @@ def test_kmv_exact_regime_is_exact(spark, sf_dir):
     li = extensions.load_table(spark, sf_dir, "lineitem")
     for r in extensions.kmv_distinct_orders(li, k=4096).collect():
         assert r["kmv_estimate"] == r["exact_orders"] and r["within_bound"]
+
+
+def test_approx_percentile_gate_all_green_and_flag_flips(spark, sf_dir):
+    """The rank-envelope flags hold on the fixed corpus (measured worst
+    GK rank error 0.00102 vs the n/1000 + 1 envelope), and the shared
+    bound expression genuinely flips: the true median passes, a value
+    at rank 20/100 fails the p50 check."""
+    from pyspark.sql import functions as F
+
+    rows = extensions.approx_percentile_quality_report(spark, sf_dir).collect()
+    assert rows and all(r["within_p50"] and r["within_p95"] for r in rows)
+    df = spark.range(1, 101).select(F.col("id").alias("x"))
+    got = df.agg(
+        extensions.rank_within_bound(
+            F.col("x"), F.lit(50), 1, 2, F.lit(100), 1000
+        ).alias("ok"),
+        extensions.rank_within_bound(
+            F.col("x"), F.lit(20), 1, 2, F.lit(100), 1000
+        ).alias("bad"),
+    ).collect()[0]
+    assert got["ok"] and not got["bad"]

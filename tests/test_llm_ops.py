@@ -796,3 +796,39 @@ def test_minhash_dial_defaults_unchanged(docs_with_dups):
         ).collect()
     )
     assert a == b
+
+
+def test_sorted_neighborhood_ranks_are_a_permutation(spark, sf_dir):
+    """_global_sort_ranks must produce exactly 1..n with no single-
+    partition stage: the per-partition local window + offset sum has to
+    agree with a true global ordering."""
+    from pyspark.sql import functions as F
+
+    docs = dedup.load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.substring_index("text", " ", dedup.SN_KEY_WORDS).alias("sn_key"),
+    )
+    ranked = dedup._global_sort_ranks(docs, ["sn_key", "doc_id"])
+    rows = ranked.select("sn_key", "doc_id", "rank").collect()
+    n = len(rows)
+    assert sorted(r["rank"] for r in rows) == list(range(1, n + 1))
+    in_rank_order = sorted(rows, key=lambda r: r["rank"])
+    assert in_rank_order == sorted(rows, key=lambda r: (r["sn_key"], r["doc_id"]))
+
+
+def test_sorted_neighborhood_matches_oracle_and_plan_is_parallel(spark, sf_dir):
+    from tests.oracle_harness import compare
+
+    df = dedup.dedup_sorted_neighborhood(spark, sf_dir)
+    compare(
+        df,
+        dedup.ORACLES["dedup_sorted_neighborhood"],
+        sf_dir,
+        "dedup_sorted_neighborhood",
+    )
+    # the ranking stage must never funnel the corpus through one task
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan.replace(
+        "Exchange SinglePartition, EXECUTOR_BROADCAST", ""
+    ), plan
