@@ -721,6 +721,123 @@ SQL_QUALITY = (
     f" + least(1.0, len({_TOKS}) / 100.0) * 0.5, 6)"
 )
 
+# --- multi-pattern blocklist scan (Aho–Corasick) -----------------------------
+
+#: Curation blocklist: every pattern is BORDER-FREE (no proper prefix
+#: equals a suffix — asserted by test), so occurrences can never
+#: overlap and the automaton's all-matches count equals the oracle's
+#: non-overlapping replace() count. The set mixes whole words, a
+#: multi-word phrase, and substrings that cross word boundaries
+#: ("ta" inside table/data, "w s" across a space) — matches regexp
+#: word-boundary scans cannot express in one pass.
+BLOCKLIST = (
+    "slow",
+    "agg",
+    "ta",
+    "w s",
+    "fast join",
+    "big query",
+    "value",
+    "stream",
+)
+
+
+def build_aho_corasick(patterns: tuple[str, ...]):
+    """Goto/fail/output automaton (Aho & Corasick, CACM 1975). Built
+    once per pattern set on the driver — size O(Σ|patterns|), shipped
+    to tasks as a closure constant like the k-means codebooks."""
+    from collections import deque
+
+    goto: list[dict[str, int]] = [{}]
+    out: list[list[int]] = [[]]
+    for pi, pat in enumerate(patterns):
+        node = 0
+        for ch in pat:
+            nxt = goto[node].get(ch)
+            if nxt is None:
+                nxt = len(goto)
+                goto[node][ch] = nxt
+                goto.append({})
+                out.append([])
+            node = nxt
+        out[node].append(pi)
+    fail = [0] * len(goto)
+    q = deque(goto[0].values())
+    while q:
+        u = q.popleft()
+        for ch, v in goto[u].items():
+            q.append(v)
+            f = fail[u]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            cand = goto[f].get(ch, 0)
+            fail[v] = cand if cand != v else 0
+            out[v] = out[v] + out[fail[v]]
+    return goto, fail, out
+
+
+def ac_count(text: str, goto, fail, out, n_patterns: int) -> list[int]:
+    """ALL-occurrence counts per pattern in one left-to-right pass —
+    overlapping matches included (the failure links surface every
+    pattern ending at each position; see the ababa test)."""
+    counts = [0] * n_patterns
+    node = 0
+    for ch in text:
+        while node and ch not in goto[node]:
+            node = fail[node]
+        node = goto[node].get(ch, 0)
+        for pi in out[node]:
+            counts[pi] += 1
+    return counts
+
+
+def doc_blocklist_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, pattern) hit counts for the curation BLOCKLIST via a
+    single-pass **Aho–Corasick** scan: one automaton walk per document
+    counts every pattern simultaneously — the shape a production
+    blocklist (thousands of phrases) requires, where one regexp pass
+    per pattern would re-scan the corpus P times. The automaton is
+    driver-built (O(Σ|patterns|) states) and rides into a map-only
+    Arrow pass; text never shuffles, and the output is (doc, pattern)
+    grain, already sparse (zero-hit pairs dropped).
+
+    Hash-gated exactly because the blocklist is border-free (see
+    BLOCKLIST): non-overlapping = all occurrences, so DuckDB's
+    replace()-length count reproduces the automaton integer for
+    integer; the automaton itself handles overlaps generally (tested
+    on ababa) — the restriction is the oracle's, not the scanner's."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    goto, fail, out = build_aho_corasick(BLOCKLIST)
+    npat = len(BLOCKLIST)
+
+    def run(batches):
+        for pdf in batches:
+            dids, pats, hits = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                counts = ac_count(text, goto, fail, out, npat)
+                for pi, c in enumerate(counts):
+                    if c:
+                        dids.append(int(did))
+                        pats.append(BLOCKLIST[pi])
+                        hits.append(c)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dids, dtype="int64"),
+                    "pattern": pd.Series(pats, dtype="object"),
+                    "hits": pd.Series(hits, dtype="int64"),
+                }
+            )
+
+    return (
+        docs.mapInPandas(run, "doc_id long, pattern string, hits long")
+        .orderBy("doc_id", "pattern")
+    )
+
+
+_SQL_BLOCKLIST_VALUES = ", ".join(f"('{p}')" for p in BLOCKLIST)
+
 ORACLES: dict[str, str] = {
     "doc_token_stats": f"""
         SELECT lang,
@@ -1011,6 +1128,20 @@ SQL_SPARSE_SCORED = f"""tf AS ({_SQL_TF}),
             GROUP BY 1
         )"""
 
+ORACLES["doc_blocklist_hits"] = f"""
+        WITH pats(pattern) AS (VALUES {_SQL_BLOCKLIST_VALUES}),
+        hits AS (
+            SELECT d.doc_id, p.pattern,
+                   (length(d.text) - length(replace(d.text, p.pattern, '')))
+                       // length(p.pattern) AS hits
+            FROM documents d, pats p
+        )
+        SELECT doc_id, pattern, CAST(hits AS BIGINT) AS hits
+        FROM hits
+        WHERE hits > 0
+        ORDER BY 1, 2
+"""
+
 ORACLES["doc_length_histogram"] = """
     WITH buckets AS (
         SELECT CAST(b AS BIGINT) AS bucket,
@@ -1037,6 +1168,7 @@ ORACLES["doc_sparse_search"] = f"""
 """
 
 QUERIES = {
+    "doc_blocklist_hits": doc_blocklist_hits,
     "doc_token_stats": doc_token_stats,
     "doc_sparse_search": doc_sparse_search,
     "doc_length_histogram": doc_length_histogram,

@@ -832,3 +832,33 @@ def test_sorted_neighborhood_matches_oracle_and_plan_is_parallel(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan.replace(
         "Exchange SinglePartition, EXECUTOR_BROADCAST", ""
     ), plan
+
+
+def test_aho_corasick_handles_overlaps_and_failure_links(spark):
+    """The automaton counts ALL occurrences — overlapping matches and
+    suffix-pattern surfacing through failure links (the classic ushers
+    case) — even though the gated BLOCKLIST never needs it."""
+    g, f, o = textstats.build_aho_corasick(("aba", "ba"))
+    assert textstats.ac_count("ababa", g, f, o, 2) == [2, 2]
+    g, f, o = textstats.build_aho_corasick(("he", "she", "his", "hers"))
+    assert textstats.ac_count("ushers", g, f, o, 4) == [1, 1, 0, 1]
+    g, f, o = textstats.build_aho_corasick(("aa",))
+    assert textstats.ac_count("aaaa", g, f, o, 1) == [3]
+
+
+def test_blocklist_is_border_free_so_oracle_counts_agree(spark, sf_dir):
+    """Every gated pattern must be border-free (no proper prefix equals
+    a suffix): that is the property making non-overlapping replace()
+    counts equal all-occurrence automaton counts, i.e. the precondition
+    of the oracle's arithmetic. Then the entry must match the oracle."""
+    for p in textstats.BLOCKLIST:
+        for k in range(1, len(p)):
+            assert p[:k] != p[-k:], f"{p!r} has border of length {k}"
+    from tests.oracle_harness import compare
+
+    compare(
+        textstats.doc_blocklist_hits(spark, sf_dir),
+        textstats.ORACLES["doc_blocklist_hits"],
+        sf_dir,
+        "doc_blocklist_hits",
+    )
