@@ -84,6 +84,7 @@ def bloom_prefilter(
     by a bit-test filter. A fact row whose word is absent from the bitmap
     (no dim key set any bit there) drops at the join itself — an all-zero
     word can't contain its bit."""
+    bitmap = bloom_bitmap(dim_keys, dim_col)  # one build, all k salts
     out = fact
     for i, s in enumerate(BLOOM_SALTS):
         pos = _hash_bucket(F.col(key), s, BLOOM_BITS)
@@ -92,7 +93,7 @@ def bloom_prefilter(
             .withColumn(f"_bfw{i}", F.expr(f"_bfp{i} DIV 64"))
             .join(
                 F.broadcast(
-                    bloom_bitmap(dim_keys, dim_col).select(
+                    bitmap.select(
                         F.col("word").alias(f"_bfw{i}"),
                         F.col("bits").alias(f"_bfb{i}"),
                     )

@@ -1227,8 +1227,9 @@ def _global_sort_ranks(df: DataFrame, order_cols: list[str], parts: int = 32) ->
     from pyspark.sql.window import Window
 
     d = (
+        # no sortWithinPartitions: the per-partition ranking window
+        # below plans its own local sort on the same columns
         df.repartitionByRange(parts, *[F.col(c) for c in order_cols])
-        .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
         .withColumn(
             "_lrn",

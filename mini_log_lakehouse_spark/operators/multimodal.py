@@ -969,6 +969,8 @@ def _jpeg_entropy_decode(content: bytes) -> tuple[int, int, list[int], list[list
         # (ITU T.81 B.1.1.2); skip them before reading it
         while off + 1 < len(content) and content[off + 1] == 0xFF:
             off += 1
+        if off + 2 > len(content):
+            raise ValueError("truncated JPEG stream in fill bytes")
         marker = content[off + 1]
         if marker == 0xD9:  # EOI
             break

@@ -844,3 +844,12 @@ def test_mulaw_wav_roundtrip_matches_laws(spark, sf_dir):
         assert rows[mid]["n_samples"] == n
         assert rows[mid]["bits_per_sample"] == 8
         assert rows[mid]["sample_rate"] == sr
+
+
+def test_jpeg_trailing_fill_bytes_raise_valueerror():
+    """A malformed stream ending in a run of 0xFF fill bytes must hit
+    the decoder's ValueError contract, not IndexError (review r10)."""
+    import pytest
+
+    with pytest.raises(ValueError):
+        mm.decode_jpeg_dc(b"\xff\xd8" + b"\xff" * 4)
