@@ -881,12 +881,23 @@ def synthesize_jpeg(media_id: int) -> bytes:
     code (16-zero run), one nonzero AC coefficient at zig-zag index 17,
     and EOB — with 0xFF scan bytes STUFFED as FF 00 per the spec (ZRL's
     engineered 111111110 code makes stuffing actually occur; see
-    _JPEG_AC_SPEC). Only the inverse DCT to pixels is omitted (the
-    features below are entropy-layer facts), which is exactly the part
-    that stays PIL-gated in decode_image."""
+    _JPEG_AC_SPEC). The inverse DCT to pixels is decode_jpeg_pixels."""
+    w, h = _jpeg_dims(media_id)
+    return _synthesize_jpeg_stream(
+        w,
+        h,
+        lambda b: _jpeg_dc(media_id, b),
+        lambda b: _jpeg_ac(media_id, b),
+        bytes(((media_id + i) % 99) + 1 for i in range(64)),
+    )
+
+
+def _synthesize_jpeg_stream(w, h, dc_fn, ac_fn, quant: bytes) -> bytes:
+    """One baseline-JFIF stream for arbitrary per-block DC/AC laws —
+    shared by synthesize_jpeg (stills, laws keyed on media id) and
+    synthesize_avi (MJPEG frames, laws keyed on media id AND frame)."""
     import struct
 
-    w, h = _jpeg_dims(media_id)
     bx, by = (w + 7) // 8, (h + 7) // 8
     dc_codes = _huff_codes(_JPEG_DC_SPEC)
     ac_codes = _huff_codes(_JPEG_AC_SPEC)
@@ -899,7 +910,7 @@ def synthesize_jpeg(media_id: int) -> bytes:
 
     prev = 0
     for b in range(bx * by):
-        dc = _jpeg_dc(media_id, b)
+        dc = dc_fn(b)
         diff = dc - prev
         prev = dc
         size = abs(diff).bit_length()
@@ -908,7 +919,7 @@ def synthesize_jpeg(media_id: int) -> bytes:
             amp = diff if diff > 0 else diff + (1 << size) - 1
             put(amp, size)
         put(*ac_codes[0xF0])  # ZRL: AC indices 1..16 are zero
-        ac = _jpeg_ac(media_id, b)
+        ac = ac_fn(b)
         ac_size = ac.bit_length()
         put(*ac_codes[ac_size])  # (run=0, size) for the index-17 value
         put(ac, ac_size)
@@ -933,7 +944,6 @@ def synthesize_jpeg(media_id: int) -> bytes:
             0xFFC4, bytes([tclass << 4]) + bytes(counts) + bytes(symbols)
         )
 
-    quant = bytes(((media_id + i) % 99) + 1 for i in range(64))
     return (
         b"\xff\xd8"  # SOI
         + seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -1128,6 +1138,149 @@ def decode_jpeg_dc(content: bytes) -> dict:
     }
 
 
+def _avi_frames(media_id: int) -> int:
+    """Frame count for a media id — 2..4, so every file has at least
+    one inter-frame motion difference."""
+    return 2 + media_id % 3
+
+
+def _avi_dc(media_id: int, frame: int, b: int) -> int:
+    """DC law of block b in frame ``frame`` — the still-image law with
+    a per-frame offset, so consecutive frames differ everywhere and
+    the motion feature is non-trivial."""
+    return (media_id * 3 + frame * 11 + b * b * 7) % 511 - 255
+
+
+def _avi_ac(media_id: int, frame: int, b: int) -> int:
+    return (media_id + frame + b) % 3 + 1
+
+
+def synthesize_avi(media_id: int) -> bytes:
+    """Emit a REAL AVI (RIFF 'AVI ') byte stream carrying MJPEG video:
+    nested LIST chunks — 'hdrl' holding the 'avih' main header and a
+    'strl' stream list ('strh' vids/MJPG + 'strf' BITMAPINFOHEADER) —
+    then the 'movi' list with one '00dc' chunk per frame, each a
+    COMPLETE baseline JFIF stream from the shared synthesizer, with
+    RIFF even-padding between frames. The container trap class is
+    NESTED lists: a walker that treats LIST like a leaf chunk never
+    finds the frames."""
+    import struct
+
+    w, h = _jpeg_dims(media_id)
+    nf = _avi_frames(media_id)
+    frames = [
+        _synthesize_jpeg_stream(
+            w,
+            h,
+            lambda b, f=f: _avi_dc(media_id, f, b),
+            lambda b, f=f: _avi_ac(media_id, f, b),
+            bytes(((media_id + i) % 99) + 1 for i in range(64)),
+        )
+        for f in range(nf)
+    ]
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + b"\x00" * (len(body) % 2)
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<14I", 66667, 0, 0, 0, nf, 0, 1, max(map(len, frames)), w, h, 0, 0, 0, 0
+    )
+    strh = (
+        b"vidsMJPG"
+        + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, 15, 0, nf, 0, 0, -1)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", fr) for fr in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(content: bytes) -> dict:
+    """REAL pure-python AVI/MJPEG video decoder: RIFF 'AVI ' container
+    walk with recursive LIST descent (hdrl/strl/movi nesting honored,
+    even-padding per chunk), 'avih' main-header parse, '00dc' frame
+    extraction, then the full baseline-JPEG pixel pipeline per frame
+    (shared _jpeg_entropy_decode + fixed-point integer IDCT). Declared
+    frame count and per-frame dimensions are cross-checked against the
+    streams — a real video pipeline's consistency contract.
+
+    ``pos_weighted`` runs over (frame, y, x) in playback order and
+    ``motion_abs`` sums |frame_f − frame_{f−1}| pixel-wise — the
+    temporal feature a training-data pipeline extracts (scene-change /
+    duplicate-frame signals); one swapped or re-decoded frame breaks
+    both."""
+    import struct
+
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI stream")
+    (riff_size,) = struct.unpack("<I", content[4:8])
+    if riff_size + 8 != len(content):
+        raise ValueError(f"RIFF size {riff_size} != payload {len(content) - 8}")
+    avih = None
+    frames: list[bytes] = []
+
+    def walk(off: int, end: int) -> None:
+        nonlocal avih
+        while off + 8 <= end:
+            cid = content[off : off + 4]
+            (sz,) = struct.unpack("<I", content[off + 4 : off + 8])
+            body = off + 8
+            if body + sz > end:
+                raise ValueError(f"truncated chunk {cid!r}")
+            if cid == b"LIST":
+                if sz < 4:
+                    raise ValueError("LIST chunk too small for a type")
+                walk(body + 4, body + sz)
+            elif cid == b"avih":
+                if sz < 56:
+                    raise ValueError("short avih header")
+                avih = struct.unpack("<14I", content[body : body + 56])
+            elif cid == b"00dc":
+                frames.append(content[body : body + sz])
+            off = body + sz + (sz % 2)  # chunks are even-padded
+
+    walk(12, len(content))
+    if avih is None:
+        raise ValueError("missing avih header")
+    n_declared, aw, ah = avih[4], avih[8], avih[9]
+    if len(frames) != n_declared:
+        raise ValueError(f"declared {n_declared} frames, found {len(frames)}")
+    if not frames:
+        raise ValueError("empty AVI")
+    import numpy as np
+
+    grids = []
+    for fr in frames:
+        w, h, quant, blocks = _jpeg_entropy_decode(fr)
+        if (w, h) != (aw, ah):
+            raise ValueError(f"frame dims {w}x{h} != avih {aw}x{ah}")
+        grids.append(_jpeg_pixel_grid(w, h, quant, blocks))
+    video = np.stack(grids)  # (nf, h, w)
+    flat = video.reshape(-1)
+    pos = np.arange(flat.size, dtype=np.int64) + 1
+    motion = int(np.abs(np.diff(video, axis=0)).sum())
+    return {
+        "n_frames": len(frames),
+        "width": aw,
+        "height": ah,
+        "n_pixels": int(flat.size),
+        "sum_px": int(flat.sum()),
+        "max_px": int(flat.max()),
+        "pos_weighted_px": int((pos * flat).sum()),
+        "motion_abs": motion,
+    }
+
+
 def _zigzag_order() -> list[tuple[int, int]]:
     """Zig-zag index -> (row, col) of the 8×8 coefficient matrix (ITU
     T.81 figure 5): anti-diagonals in turn, odd sums walking down-left
@@ -1179,20 +1332,13 @@ _IDCT_BIAS = 1 << 46
 _IDCT_UNBIAS = 1 << 20
 
 
-def decode_jpeg_pixels(content: bytes) -> dict:
-    """REAL baseline-JPEG PIXEL decoder, pure python/numpy end to end:
-    the entropy layer of decode_jpeg_dc (shared _jpeg_entropy_decode),
-    then dequantization (coefficient × DQT entry, zig-zag order),
-    de-zig-zag into the 8×8 matrix, the FIXED-POINT integer 2-D IDCT
-    (see IDCT_SHIFT — deterministic integer arithmetic, so the DuckDB
-    oracle replays it relationally, constants and all), +128 level
-    shift, [0,255] clamp, and the crop of the padded block grid to the
-    declared dimensions. ``pos_weighted_px`` position-weights every
-    pixel in image order, so a transposed basis, wrong zig-zag walk, or
-    missing crop breaks the hash even when sums survive."""
+def _jpeg_pixel_grid(w: int, h: int, quant, blocks) -> "np.ndarray":
+    """Dequantize + de-zig-zag + integer IDCT + level shift + clamp +
+    crop: the (h, w) int64 pixel grid of one decoded scan. Shared by
+    decode_jpeg_pixels (still images) and decode_avi (per MJPEG
+    frame)."""
     import numpy as np
 
-    w, h, quant, blocks = _jpeg_entropy_decode(content)
     bx, by = (w + 7) // 8, (h + 7) // 8
     q = np.asarray(quant, dtype=np.int64)
     basis = np.asarray(_IDCT_BASIS, dtype=np.int64)
@@ -1209,7 +1355,25 @@ def decode_jpeg_pixels(content: bytes) -> dict:
     for i in range(len(blocks)):
         r, c = divmod(i, bx)
         img[r * 8 : (r + 1) * 8, c * 8 : (c + 1) * 8] = px[i]
-    flat = img[:h, :w].reshape(-1)
+    return img[:h, :w]
+
+
+def decode_jpeg_pixels(content: bytes) -> dict:
+    """REAL baseline-JPEG PIXEL decoder, pure python/numpy end to end:
+    the entropy layer of decode_jpeg_dc (shared _jpeg_entropy_decode),
+    then dequantization (coefficient × DQT entry, zig-zag order),
+    de-zig-zag into the 8×8 matrix, the FIXED-POINT integer 2-D IDCT
+    (see IDCT_SHIFT — deterministic integer arithmetic, so the DuckDB
+    oracle replays it relationally, constants and all), +128 level
+    shift, [0,255] clamp, and the crop of the padded block grid to the
+    declared dimensions. ``pos_weighted_px`` position-weights every
+    pixel in image order, so a transposed basis, wrong zig-zag walk, or
+    missing crop breaks the hash even when sums survive."""
+    w, h, quant, blocks = _jpeg_entropy_decode(content)
+    img = _jpeg_pixel_grid(w, h, quant, blocks)
+    import numpy as np
+
+    flat = img.reshape(-1)
     pos = np.arange(w * h, dtype=np.int64) + 1
     return {
         "width": w,
@@ -1537,6 +1701,10 @@ TIFF_FEATURES_SCHEMA = _long_schema(
 JPEG_PIXEL_SCHEMA = _long_schema(
     "width", "height", "n_pixels", "sum_px", "max_px", "pos_weighted_px",
 )
+AVI_FEATURES_SCHEMA = _long_schema(
+    "n_frames", "width", "height", "n_pixels", "sum_px", "max_px",
+    "pos_weighted_px", "motion_abs",
+)
 
 _MEDIA_BINARY_SCHEMA = T.StructType(
     [
@@ -1740,6 +1908,24 @@ def multimodal_jpeg_pixel_features(spark: SparkSession, sf_dir: str) -> DataFram
     ).orderBy("media_id")
 
 
+def multimodal_avi_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: synthesize a real AVI/MJPEG VIDEO per document and
+    decode it end to end — nested RIFF LIST walk, avih cross-check,
+    per-frame baseline-JPEG pixel decode through the fixed-point
+    integer IDCT, playback-order position weighting, and the
+    inter-frame |Δ| motion sum. The oracle replays the per-frame
+    coefficient laws through the same integer IDCT (a frames dimension
+    over the still-image restatement, the motion term as a pixel-wise
+    self-join on adjacent frames) — a REAL video container + lossy
+    codec pipeline, hash-gated bit for bit with no media library
+    anywhere."""
+    return _extract_features(
+        _media_table(spark, sf_dir, synthesize_avi),
+        decode_avi,
+        AVI_FEATURES_SCHEMA,
+    ).orderBy("media_id")
+
+
 def multimodal_alaw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query: synthesize a G.711 A-LAW WAV per document (format
     code 6) and decode it with the same pure-python RIFF parser, which
@@ -1777,6 +1963,64 @@ _IDCT_SQL_BASIS = ", ".join(
 )
 
 ORACLES: dict[str, str] = {
+    # full video pipeline: the still-image pixel restatement gains a
+    # frames dimension (per-frame dc law dc = (id*3 + f*11 + 7b²) %
+    # 511 − 255, ac = (id+f+b)%3+1), playback-order position weights,
+    # and the motion term as a pixel-wise self-join of adjacent
+    # frames. px is MATERIALIZED — it feeds two consumers.
+    "multimodal_avi_features": f"""
+        WITH base AS (
+            SELECT doc_id,
+                   9 + doc_id % 21 AS w,
+                   8 + doc_id % 13 AS h,
+                   (9 + doc_id % 21 + 7) // 8 AS bx,
+                   doc_id % 99 + 1 AS q0,
+                   (doc_id + 17) % 99 + 1 AS q17,
+                   2 + doc_id % 3 AS nf
+            FROM documents
+        ), bconst(t, b0, b2, b3) AS (VALUES {_IDCT_SQL_BASIS}),
+        px AS MATERIALIZED (
+            SELECT doc_id, w, h, nf, tf.f AS f,
+                   ty.y * w + tx.x AS pif,
+                   GREATEST(0, LEAST(255,
+                     (( ((doc_id * 3 + tf.f * 11
+                          + 7 * ((ty.y // 8) * bx + tx.x // 8)
+                              * ((ty.y // 8) * bx + tx.x // 8)) % 511 - 255)
+                        * q0 * cy.b0 * cx.b0
+                      + ((doc_id + tf.f + (ty.y // 8) * bx + tx.x // 8) % 3 + 1)
+                        * q17 * cy.b2 * cx.b3
+                      + 33554432 + 70368744177664) // 67108864) - 1048576 + 128)) AS v
+            FROM base,
+                 UNNEST(range(0, nf)) AS tf(f),
+                 UNNEST(range(0, w)) AS tx(x),
+                 UNNEST(range(0, h)) AS ty(y),
+                 bconst cx,
+                 bconst cy
+            WHERE cx.t = tx.x % 8 AND cy.t = ty.y % 8
+        ),
+        agg AS (
+            SELECT doc_id, w, h, nf,
+                   CAST(SUM(v) AS BIGINT) AS sum_px,
+                   CAST(MAX(v) AS BIGINT) AS max_px,
+                   CAST(SUM((f * w * h + pif + 1) * v) AS BIGINT) AS pos_weighted_px
+            FROM px GROUP BY 1, 2, 3, 4
+        ),
+        motion AS (
+            SELECT a.doc_id, CAST(SUM(ABS(a.v - b.v)) AS BIGINT) AS motion_abs
+            FROM px a JOIN px b
+              ON a.doc_id = b.doc_id AND b.f = a.f - 1 AND a.pif = b.pif
+            GROUP BY 1
+        )
+        SELECT a.doc_id AS media_id,
+               CAST(a.nf AS BIGINT) AS n_frames,
+               CAST(a.w AS BIGINT) AS width,
+               CAST(a.h AS BIGINT) AS height,
+               CAST(a.nf * a.w * a.h AS BIGINT) AS n_pixels,
+               a.sum_px, a.max_px, a.pos_weighted_px,
+               m.motion_abs
+        FROM agg a JOIN motion m ON m.doc_id = a.doc_id
+        ORDER BY 1
+    """,
     # full pixel pipeline: the oracle rebuilds each pixel from the
     # coefficient laws (dc/ac/quant as in multimodal_jpeg_dc_features)
     # through the SAME fixed-point integer IDCT the decoder runs —
@@ -2148,4 +2392,5 @@ QUERIES = {
     "multimodal_mulaw_features": multimodal_mulaw_features,
     "multimodal_alaw_features": multimodal_alaw_features,
     "multimodal_jpeg_pixel_features": multimodal_jpeg_pixel_features,
+    "multimodal_avi_features": multimodal_avi_features,
 }

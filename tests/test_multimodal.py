@@ -853,3 +853,85 @@ def test_jpeg_trailing_fill_bytes_raise_valueerror():
 
     with pytest.raises(ValueError):
         mm.decode_jpeg_dc(b"\xff\xd8" + b"\xff" * 4)
+
+
+def test_avi_roundtrip_matches_law_replay():
+    """decode_avi recovers exactly the per-frame laws through the same
+    integer IDCT the still-image path uses — frame stacking, playback
+    position weights, and the inter-frame motion sum included."""
+    import numpy as np
+
+    basis = np.asarray(mm._IDCT_BASIS, dtype=np.int64)
+    for mid in (0, 1, 5, 12, 777):
+        w, h = mm._jpeg_dims(mid)
+        nf = mm._avi_frames(mid)
+        bx, by = (w + 7) // 8, (h + 7) // 8
+        q0, q17 = mid % 99 + 1, (mid + 17) % 99 + 1
+        grids = []
+        for fr in range(nf):
+            img = np.zeros((by * 8, bx * 8), dtype=np.int64)
+            for b in range(bx * by):
+                fmat = np.zeros((8, 8), dtype=np.int64)
+                fmat[0, 0] = mm._avi_dc(mid, fr, b) * q0
+                fmat[2, 3] = mm._avi_ac(mid, fr, b) * q17
+                tot = np.einsum("vy,vu,ux->yx", basis, fmat, basis)
+                px = np.clip(
+                    ((tot + mm._IDCT_ROUND + mm._IDCT_BIAS) >> 26)
+                    - mm._IDCT_UNBIAS + 128,
+                    0,
+                    255,
+                )
+                r, c = divmod(b, bx)
+                img[r * 8 : (r + 1) * 8, c * 8 : (c + 1) * 8] = px
+            grids.append(img[:h, :w])
+        video = np.stack(grids)
+        flat = video.reshape(-1)
+        pos = np.arange(flat.size, dtype=np.int64) + 1
+        assert mm.decode_avi(mm.synthesize_avi(mid)) == {
+            "n_frames": nf,
+            "width": w,
+            "height": h,
+            "n_pixels": flat.size,
+            "sum_px": int(flat.sum()),
+            "max_px": int(flat.max()),
+            "pos_weighted_px": int((pos * flat).sum()),
+            "motion_abs": int(np.abs(np.diff(video, axis=0)).sum()),
+        }
+
+
+def test_avi_parser_rejects_corruption_and_checks_consistency():
+    import struct
+
+    import pytest
+
+    raw = mm.synthesize_avi(7)
+    with pytest.raises(ValueError, match="AVI"):
+        mm.decode_avi(b"RIFX" + raw[4:])
+    with pytest.raises(ValueError):
+        mm.decode_avi(raw[:-5])  # RIFF size no longer matches
+    # declared-frame-count cross-check: bump avih dwTotalFrames
+    i = raw.find(b"avih") + 8 + 16
+    bad = bytearray(raw)
+    bad[i : i + 4] = struct.pack("<I", 99)
+    with pytest.raises(ValueError, match="declared"):
+        mm.decode_avi(bytes(bad))
+    # frame-dims cross-check: tamper avih width
+    j = raw.find(b"avih") + 8 + 32
+    bad = bytearray(raw)
+    bad[j : j + 4] = struct.pack("<I", 640)
+    with pytest.raises(ValueError, match="frame dims"):
+        mm.decode_avi(bytes(bad))
+
+
+def test_avi_features_query_covers_all_docs(spark, sf_dir):
+    rows = {
+        r["media_id"]
+        for r in mm.multimodal_avi_features(spark, sf_dir).collect()
+    }
+    d = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    }
+    assert rows == d
