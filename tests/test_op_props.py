@@ -1,0 +1,70 @@
+"""Property-based tests for the round-10 operators: the Aho-Corasick
+automaton against a naive all-occurrence counter on arbitrary
+pattern/text draws, and the Bloom prefilter's no-false-negative
+guarantee on arbitrary key sets.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from mini_log_lakehouse_spark.operators import textstats
+
+texts = st.text(alphabet="ab ", min_size=0, max_size=60)
+patterns = st.lists(
+    st.text(alphabet="ab ", min_size=1, max_size=4),
+    min_size=1,
+    max_size=4,
+    unique=True,
+)
+
+
+def _naive_count(text: str, pat: str) -> int:
+    return sum(1 for i in range(len(text)) if text.startswith(pat, i))
+
+
+@given(pats=patterns, text=texts)
+@settings(max_examples=200, deadline=None)
+def test_aho_corasick_equals_naive_all_occurrence_count(pats, text):
+    """For ANY pattern set — overlapping, nested, prefix-of-another —
+    the automaton's per-pattern counts equal the brute-force
+    all-occurrence scan. This is the general contract; the gated
+    blocklist's border-free restriction only matters for the oracle's
+    replace() arithmetic, not for the scanner."""
+    pats_t = tuple(pats)
+    goto, fail, out = textstats.build_aho_corasick(pats_t)
+    got = textstats.ac_count(text, goto, fail, out, len(pats_t))
+    assert got == [_naive_count(text, p) for p in pats_t]
+
+
+_BLOOM_SETTINGS = settings(
+    max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+
+
+@given(
+    fact_keys=st.lists(st.integers(0, 5000), min_size=1, max_size=200),
+    dim_keys=st.sets(st.integers(0, 5000), min_size=1, max_size=50),
+)
+@_BLOOM_SETTINGS
+def test_bloom_prefilter_never_drops_a_true_match(spark, fact_keys, dim_keys):
+    """False negatives are structurally impossible for ANY key sets:
+    every fact row whose key is in the dim survives the prefilter."""
+    from pyspark.sql import functions as F
+
+    from mini_log_lakehouse_spark.operators import bloom
+
+    fact = spark.createDataFrame([(k,) for k in fact_keys], "k long")
+    dim = spark.createDataFrame([(k,) for k in dim_keys], "d long")
+    cand = {
+        r["k"]
+        for r in bloom.bloom_prefilter(fact, "k", dim, "d").collect()
+    }
+    true_matches = {k for k in fact_keys if k in dim_keys}
+    assert true_matches <= cand
+    # and the bitmap stays bounded regardless of the draw
+    assert (
+        bloom.bloom_bitmap(dim.select(F.col("d")), "d").count()
+        <= bloom.BLOOM_BITS // 64
+    )
