@@ -420,13 +420,187 @@ def kmv_distinct_orders(li: DataFrame, k: int = KMV_K) -> DataFrame:
     )
 
 
-def _hash48(col):
+def _hash48(col, salt: str = "kmv:"):
     """Uniform 48-bit integer hash shared with the DuckDB oracle (the
     sampling._hash_bucket idiom with the modulus left at the full hash
     space)."""
     from mini_log_lakehouse_spark.operators.sampling import _hash_bucket
 
-    return _hash_bucket(col, "kmv:", KMV_SPACE)
+    return _hash_bucket(col, salt, KMV_SPACE)
+
+
+#: Intersection-estimate envelope: relative σ ≈ sqrt(1/c) for c ≈ 390
+#: sampled common hashes (~5.1%) plus the union term in quadrature →
+#: ~3σ ≈ 20%. Observed worst on the fixed corpus: 3.7%.
+KMV_INTER_BOUND_BP = 2000
+
+
+def kmv_set_report(orders: DataFrame, k: int = KMV_K) -> DataFrame:
+    """**Theta-sketch set algebra on KMV sketches** (Dasgupta et al.,
+    "Theta Sketch Framework", and the KMV estimators of Beyer et al.
+    SIGMOD'07): estimate |A∪B| and |A∩B| for two customer key sets
+    (A = customers with URGENT orders, B = with HIGH orders) from their
+    bottom-k sketches ALONE — union = bottom-k of the merged sketch
+    hashes (valid because the k smallest of A∪B are contained in
+    sketchA ∪ sketchB), intersection = (common hashes below the union's
+    θ) · |A∪B|est / k. Exact counts ride along as the audit columns.
+
+    Every step is deterministic integer arithmetic on the shared md5
+    hash, so — like lineitem_kmv_distinct_orders — the ESTIMATES
+    themselves hash-gate against the relational restatement, which no
+    engine-private sketch (HLL, DataSketches) can offer.
+
+    Scale shape: one corpus pass builds both sketches (distinct
+    partial-agg + per-label bottom-k under WindowGroupLimit, ≤ k rows
+    per label shipped); ALL set algebra then runs on ≤ 2k sketch rows
+    — the union ranking's single partition is model-sized by
+    construction, never corpus-sized. The exact audit columns cost one
+    more pass a production pipeline would drop."""
+    from pyspark.sql.window import Window as W
+
+    scoped = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    keys = scoped.select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("s"),
+        _hash48(F.col("o_custkey"), "kmvset:").alias("hv"),
+    ).distinct()
+    sk = (
+        keys.withColumn(
+            "rn", F.row_number().over(W.partitionBy("s").orderBy("hv"))
+        )
+        .filter(F.col("rn") <= k)
+        .select("s", "hv")
+    )
+    un = (
+        sk.select("hv")
+        .distinct()
+        .withColumn("rn", F.row_number().over(W.orderBy("hv")))
+        .filter(F.col("rn") <= k)
+    )
+    theta = un.agg(
+        F.count(F.lit(1)).alias("n_u"), F.max("hv").alias("uk")
+    )
+    common = (
+        sk.filter(F.col("s") == "a")
+        .select("hv")
+        .join(sk.filter(F.col("s") == "b").select("hv"), "hv")
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("hv") <= F.col("uk"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = scoped.agg(
+        F.countDistinct("o_custkey").alias("exact_union"),
+        F.countDistinct(
+            F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_custkey"))
+        ).alias("exact_a"),
+        F.countDistinct(
+            F.when(F.col("o_orderpriority") == "2-HIGH", F.col("o_custkey"))
+        ).alias("exact_b"),
+    ).withColumn(
+        "exact_inter",
+        (F.col("exact_a") + F.col("exact_b") - F.col("exact_union")).cast(
+            "long"
+        ),
+    )
+    est_u = F.when(F.col("n_u") < k, F.col("n_u")).otherwise(
+        F.expr(f"CAST(({k - 1} * {KMV_SPACE}) DIV uk AS BIGINT)")
+    )
+    row = (
+        exact.crossJoin(F.broadcast(theta))
+        .crossJoin(F.broadcast(common))
+        .withColumn("kmv_union", est_u.cast("long"))
+        .withColumn(
+            "kmv_inter",
+            F.when(F.col("n_u") < k, F.col("c"))
+            .otherwise(F.expr(f"CAST(c * kmv_union DIV {k} AS BIGINT)"))
+            .cast("long"),
+        )
+    )
+    return row.select(
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        "kmv_union",
+        (
+            F.abs(F.col("kmv_union") - F.col("exact_union")) * 10000
+            <= F.col("exact_union") * KMV_BOUND_BP
+        ).alias("union_within"),
+        "exact_inter",
+        "kmv_inter",
+        (
+            F.abs(F.col("kmv_inter") - F.col("exact_inter")) * 10000
+            <= F.col("exact_inter") * KMV_INTER_BOUND_BP
+        ).alias("inter_within"),
+    )
+
+
+def orders_kmv_set_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry — see kmv_set_report."""
+    return kmv_set_report(load_table(spark, sf_dir, "orders"))
+
+
+def kmv_set_oracle_sql(k: int = KMV_K) -> str:
+    """Relational restatement of the sketch set algebra."""
+    return f"""
+        WITH keys AS (
+            SELECT DISTINCT
+                   CASE WHEN o_orderpriority = '1-URGENT' THEN 'a' ELSE 'b' END AS s,
+                   ((('0x' || substr(md5('kmvset:' || CAST(o_custkey AS VARCHAR)), 1, 12))::BIGINT) % {KMV_SPACE}) AS hv
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        ), sk AS (
+            SELECT s, hv FROM (
+                SELECT s, hv, ROW_NUMBER() OVER (PARTITION BY s ORDER BY hv) AS rn
+                FROM keys
+            ) WHERE rn <= {k}
+        ), un AS (
+            SELECT hv FROM (
+                SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn
+                FROM (SELECT DISTINCT hv FROM sk)
+            ) WHERE rn <= {k}
+        ), theta AS (
+            SELECT COUNT(*) AS n_u, MAX(hv) AS uk FROM un
+        ), common AS (
+            SELECT COUNT(*) AS c
+            FROM (SELECT hv FROM sk WHERE s = 'a'
+                  INTERSECT
+                  SELECT hv FROM sk WHERE s = 'b') i, theta t
+            WHERE i.hv <= t.uk
+        ), exact AS (
+            SELECT COUNT(DISTINCT o_custkey) AS exact_union,
+                   COUNT(DISTINCT o_custkey)
+                       FILTER (WHERE o_orderpriority = '1-URGENT') AS exact_a,
+                   COUNT(DISTINCT o_custkey)
+                       FILTER (WHERE o_orderpriority = '2-HIGH') AS exact_b
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        ), est AS (
+            SELECT e.exact_a, e.exact_b, e.exact_union,
+                   e.exact_a + e.exact_b - e.exact_union AS exact_inter,
+                   CAST(CASE WHEN t.n_u < {k} THEN t.n_u
+                        ELSE ({k - 1} * {KMV_SPACE}) // t.uk END AS BIGINT)
+                       AS kmv_union,
+                   t.n_u, c.c
+            FROM exact e, theta t, common c
+        )
+        SELECT CAST(exact_a AS BIGINT) AS exact_a,
+               CAST(exact_b AS BIGINT) AS exact_b,
+               CAST(exact_union AS BIGINT) AS exact_union,
+               kmv_union,
+               (ABS(kmv_union - exact_union) * 10000
+                <= exact_union * {KMV_BOUND_BP}) AS union_within,
+               CAST(exact_inter AS BIGINT) AS exact_inter,
+               CAST(CASE WHEN n_u < {k} THEN c
+                    ELSE c * kmv_union // {k} END AS BIGINT) AS kmv_inter,
+               (ABS(CAST(CASE WHEN n_u < {k} THEN c
+                         ELSE c * kmv_union // {k} END AS BIGINT)
+                    - exact_inter) * 10000
+                <= exact_inter * {KMV_INTER_BOUND_BP}) AS inter_within
+        FROM est
+    """
 
 
 def lineitem_kmv_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -773,6 +947,7 @@ ORACLES: dict[str, str] = {
         ORDER BY 1
     """,
     "lineitem_kmv_distinct_orders": kmv_oracle_sql(),
+    "orders_kmv_set_report": kmv_set_oracle_sql(),
     "approx_percentile_quality_report": """
         SELECT l_returnflag AS returnflag,
                CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -1011,6 +1186,7 @@ QUERIES = {
     "approx_distinct_users": approx_distinct_users,
     "approx_distinct_quality_report": approx_distinct_quality_report,
     "lineitem_kmv_distinct_orders": lineitem_kmv_distinct_orders,
+    "orders_kmv_set_report": orders_kmv_set_report,
     "approx_percentile_quality_report": approx_percentile_quality_report,
     "orders_cube_status_priority": orders_cube_status_priority,
     "setop_union_all_counts": setop_union_all_counts,

@@ -153,3 +153,32 @@ def test_approx_percentile_gate_all_green_and_flag_flips(spark, sf_dir):
         ).alias("bad"),
     ).collect()[0]
     assert got["ok"] and not got["bad"]
+
+
+def test_kmv_set_report_matches_oracle_and_exact_regime(spark, sf_dir):
+    """The sketch set-algebra estimates hash-match the relational
+    restatement; at sf0.001 (147 distinct union keys < k) the sketches
+    are exact and both estimates must equal the exact counts."""
+    from tests.oracle_harness import compare
+
+    df = extensions.orders_kmv_set_report(spark, sf_dir)
+    compare(df, extensions.kmv_set_oracle_sql(), sf_dir, "kmv_set")
+    r = df.collect()[0]
+    assert r["union_within"] and r["inter_within"]
+    if r["exact_union"] < extensions.KMV_K:
+        assert r["kmv_union"] == r["exact_union"]
+        assert r["kmv_inter"] == r["exact_inter"]
+
+
+def test_kmv_set_estimator_regime_small_k(spark, sf_dir):
+    """k=32 forces the estimator branch on sf0.001 (147 union keys):
+    the sketch algebra must still hash-match the restatement, and the
+    estimates must genuinely differ from exact — proving the estimator
+    path, not the exact-degradation path, produced them."""
+    from tests.oracle_harness import compare
+
+    orders = extensions.load_table(spark, sf_dir, "orders")
+    df = extensions.kmv_set_report(orders, k=32)
+    compare(df, extensions.kmv_set_oracle_sql(32), sf_dir, "kmv_set_k32")
+    r = df.collect()[0]
+    assert r["kmv_union"] != r["exact_union"] or r["kmv_inter"] != r["exact_inter"]
