@@ -84,13 +84,14 @@ if _unknown:
 # (1) all 30 entries whose latest driver row is r6 — they cross
 # ROTATION_MAX_AGE=4 the moment CORRECTNESS_r10.json lands; (2) entries
 # NEW this round (no driver row ever — the rotation test forces them
-# in — 9 slots: the KMV distinct sketch + its set-algebra report, the
-# Bloom prefilter join, the G.711 A-law expansion, the full JPEG pixel
-# decode, the AVI/MJPEG video pipeline, the approx-percentile quality
-# gate, the sorted-neighborhood dedup, the Aho-Corasick blocklist
-# scan); (3) fill the remaining 11 slots from the 50-entry r7 pool,
-# oldest-exposure-first (prior-round sample count, ties in registry
-# order — the 39 r7 leftovers are r11's load, inside its 50 slots).
+# in — 10 slots: the KMV distinct sketch + its set-algebra report,
+# the Bloom prefilter join, the G.711 A-law expansion, the full JPEG
+# pixel decode, the AVI/MJPEG video pipeline, the approx-percentile
+# quality gate, the sorted-neighborhood dedup, the Aho-Corasick
+# blocklist scan, the association-rule miner); (3) fill the remaining
+# 10 slots from the 50-entry r7 pool, oldest-exposure-first
+# (prior-round sample count, ties in registry order — the 40 r7
+# leftovers are r11's load, inside its 50 slots).
 # Everything past position 50 stays covered by the identical local
 # DuckDB hash-compare in tests/test_entry_contract.py.
 _FIRST_WINDOW = (
@@ -128,6 +129,7 @@ _FIRST_WINDOW = (
     # (2) new this round (no driver row ever)
     "lineitem_kmv_distinct_orders",
     "orders_kmv_set_report",
+    "event_association_rules",
     "orders_bloom_prefilter_revenue",
     "multimodal_alaw_features",
     "multimodal_jpeg_pixel_features",
@@ -146,7 +148,6 @@ _FIRST_WINDOW = (
     "events_rolling_wau",
     "event_interarrival_stats",
     "doc_length_histogram",
-    "doc_train_test_split",
 )
 
 _missing = [n for n in _FIRST_WINDOW if n not in QUERIES]

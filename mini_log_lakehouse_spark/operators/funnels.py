@@ -1427,7 +1427,110 @@ def events_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DAY = "CAST(CAST(ts AS TIMESTAMP) AS DATE)"
 
+# --- association rules -------------------------------------------------------
+
+#: Ratio scale for confidence/lift: parts-per-million via truncating
+#: integer division — Spark DIV and DuckDB // agree exactly.
+ASSOC_PPM = 1_000_000
+
+
+def event_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket **association rules** over (user, day) baskets:
+    for every unordered event-type pair, the basket co-occurrence
+    support and both directed confidences plus lift (Agrawal &
+    Srikant's support/confidence framework), all ratios as exact
+    integer parts-per-million — truncating DIV agrees across engines,
+    so the whole rule table hash-gates.
+
+    Scale shape: baskets form in ONE distinct partial aggregate at
+    (user, day, type) grain; the pair join is per-basket and bounded
+    by the type domain (|T| = 5 here ⇒ ≤ 10 pairs per basket — the
+    explicit-pair form is right for small catalogs; a 10^5-item
+    catalog would switch to FP-growth-style prefix mining);
+    everything downstream is type- or pair-grain (≤ |T|² rows), with
+    the item supports and the basket total broadcast. Lift's integer
+    form keeps the numerator ≤ sup_ab·n_baskets·10^6 — inside int64
+    through ~10^5 baskets per sup product; beyond that widen to
+    decimal."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        F.col("user_id").alias("u"),
+        F.to_date("ts").alias("d"),
+        F.col("event_type").alias("t"),
+    ).distinct()
+    nb = b.groupBy().agg(
+        F.count_distinct(F.struct("u", "d")).alias("n_baskets")
+    )
+    sup = b.groupBy("t").agg(F.count(F.lit(1)).alias("sup"))
+    pairs = (
+        b.select("u", "d", F.col("t").alias("type_a"))
+        .join(
+            b.select("u", "d", F.col("t").alias("type_b")),
+            ["u", "d"],
+        )
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("sup_ab"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(sup.select(F.col("t").alias("type_a"), F.col("sup").alias("sup_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(sup.select(F.col("t").alias("type_b"), F.col("sup").alias("sup_b"))),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("sup_ab").alias("basket_support"),
+            F.expr(f"CAST(sup_ab * {ASSOC_PPM} DIV sup_a AS BIGINT)").alias(
+                "conf_ab_ppm"
+            ),
+            F.expr(f"CAST(sup_ab * {ASSOC_PPM} DIV sup_b AS BIGINT)").alias(
+                "conf_ba_ppm"
+            ),
+            F.expr(
+                f"CAST(sup_ab * n_baskets * {ASSOC_PPM} DIV (sup_a * sup_b)"
+                " AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+_ASSOC_ORACLE = f"""
+        WITH b AS (
+            SELECT DISTINCT user_id AS u,
+                   CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+                   event_type AS t
+            FROM events
+        ), nb AS (
+            SELECT COUNT(*) AS n_baskets FROM (SELECT DISTINCT u, d FROM b)
+        ), sup AS (
+            SELECT t, COUNT(*) AS sup FROM b GROUP BY 1
+        ), pairs AS (
+            SELECT a.t AS type_a, x.t AS type_b, COUNT(*) AS sup_ab
+            FROM b a JOIN b x ON a.u = x.u AND a.d = x.d AND a.t < x.t
+            GROUP BY 1, 2
+        )
+        SELECT p.type_a, p.type_b,
+               CAST(p.sup_ab AS BIGINT) AS basket_support,
+               CAST(p.sup_ab * {ASSOC_PPM} // sa.sup AS BIGINT) AS conf_ab_ppm,
+               CAST(p.sup_ab * {ASSOC_PPM} // sb.sup AS BIGINT) AS conf_ba_ppm,
+               CAST(p.sup_ab * n.n_baskets * {ASSOC_PPM}
+                    // (sa.sup * sb.sup) AS BIGINT) AS lift_ppm
+        FROM pairs p
+        JOIN sup sa ON sa.t = p.type_a
+        JOIN sup sb ON sb.t = p.type_b
+        CROSS JOIN nb n
+        ORDER BY 1, 2
+"""
+
 ORACLES: dict[str, str] = {
+    "event_association_rules": _ASSOC_ORACLE,
     "events_funnel": f"""
         WITH firsts AS (
             SELECT user_id,
@@ -2208,6 +2311,7 @@ ORACLES["events_bigram_lm_scores"] = """
 """
 
 QUERIES = {
+    "event_association_rules": event_association_rules,
     "events_funnel": events_funnel,
     "events_retention_cohorts": events_retention_cohorts,
     "session_funnel": session_funnel,

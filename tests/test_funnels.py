@@ -389,3 +389,27 @@ def test_salsa_mass_conservation_and_sides(spark, sf_dir):
     assert {r["id"] for r in auth} == types
     n_users = ev.select("user_id").distinct().count()
     assert len(hubs) == n_users
+
+
+def test_association_rules_match_oracle_and_invariants(spark, sf_dir):
+    """Rule table hash-matches the relational restatement, and the
+    classic invariants hold: confidence ≤ 1, pair support ≤ either
+    item's support (checked via conf ≤ PPM), lift shared by both
+    directions of a pair."""
+    from tests.oracle_harness import compare
+
+    from mini_log_lakehouse_spark.operators import funnels
+
+    df = funnels.event_association_rules(spark, sf_dir)
+    compare(
+        df,
+        funnels.ORACLES["event_association_rules"],
+        sf_dir,
+        "event_association_rules",
+    )
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["conf_ab_ppm"] <= funnels.ASSOC_PPM
+        assert 0 < r["conf_ba_ppm"] <= funnels.ASSOC_PPM
+        assert r["basket_support"] > 0 and r["lift_ppm"] > 0
