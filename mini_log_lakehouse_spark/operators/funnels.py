@@ -1452,7 +1452,9 @@ def event_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     form keeps the numerator ≤ sup_ab·n_baskets·10^6 — inside int64
     through ~10^5 baskets per sup product; beyond that widen to
     decimal."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
     b = ev.select(
         F.col("user_id").alias("u"),
         F.to_date("ts").alias("d"),
@@ -1507,6 +1509,7 @@ _ASSOC_ORACLE = f"""
                    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
                    event_type AS t
             FROM events
+            WHERE user_id IS NOT NULL
         ), nb AS (
             SELECT COUNT(*) AS n_baskets FROM (SELECT DISTINCT u, d FROM b)
         ), sup AS (

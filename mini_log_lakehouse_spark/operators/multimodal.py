@@ -820,6 +820,12 @@ def _jpeg_dims(media_id: int) -> tuple[int, int]:
     return 9 + media_id % 21, 8 + media_id % 13
 
 
+def _jpeg_quant(media_id: int) -> bytes:
+    """DQT table law — ONE definition shared by the still and AVI
+    synthesizers (the oracles restate entries 0 and 17 as q0/q17)."""
+    return bytes(((media_id + i) % 99) + 1 for i in range(64))
+
+
 def _jpeg_dc(media_id: int, b: int) -> int:
     """DC coefficient of block b (raster order) — pure integer law in
     [−255, 255]. Quadratic in b so consecutive DIFFERENCES vary over
@@ -888,7 +894,7 @@ def synthesize_jpeg(media_id: int) -> bytes:
         h,
         lambda b: _jpeg_dc(media_id, b),
         lambda b: _jpeg_ac(media_id, b),
-        bytes(((media_id + i) % 99) + 1 for i in range(64)),
+        _jpeg_quant(media_id),
     )
 
 
@@ -1174,7 +1180,7 @@ def synthesize_avi(media_id: int) -> bytes:
             h,
             lambda b, f=f: _avi_dc(media_id, f, b),
             lambda b, f=f: _avi_ac(media_id, f, b),
-            bytes(((media_id + i) % 99) + 1 for i in range(64)),
+            _jpeg_quant(media_id),
         )
         for f in range(nf)
     ]
@@ -1190,7 +1196,10 @@ def synthesize_avi(media_id: int) -> bytes:
     )
     strh = (
         b"vidsMJPG"
-        + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, 15, 0, nf, 0, 0, -1)
+        # dwQuality = -1 (driver default), dwSampleSize = 0 (REQUIRED
+        # for vids streams: nonzero would declare fixed-size samples
+        # and a strict demuxer would misgroup the per-frame chunks)
+        + struct.pack("<IHHIIIIIIiI", 0, 0, 0, 0, 1, 15, 0, nf, 0, -1, 0)
         + struct.pack("<4H", 0, 0, w, h)
     )
     strf = struct.pack(
