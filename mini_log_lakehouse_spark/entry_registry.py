@@ -84,14 +84,14 @@ if _unknown:
 # (1) all 30 entries whose latest driver row is r6 — they cross
 # ROTATION_MAX_AGE=4 the moment CORRECTNESS_r10.json lands; (2) entries
 # NEW this round (no driver row ever — the rotation test forces them
-# in — 10 slots: the KMV distinct sketch + its set-algebra report,
+# in — 11 slots: the KMV distinct sketch + its set-algebra report,
 # the Bloom prefilter join, the G.711 A-law expansion, the full JPEG
-# pixel decode, the AVI/MJPEG video pipeline, the approx-percentile
-# quality gate, the sorted-neighborhood dedup, the Aho-Corasick
-# blocklist scan, the association-rule miner); (3) fill the remaining
-# 10 slots from the 50-entry r7 pool, oldest-exposure-first
-# (prior-round sample count, ties in registry order — the 40 r7
-# leftovers are r11's load, inside its 50 slots).
+# pixel decode, the AVI/MJPEG and MP4/ISO-BMFF video pipelines, the
+# approx-percentile quality gate, the sorted-neighborhood dedup, the
+# Aho-Corasick blocklist scan, the association-rule miner); (3) fill
+# the remaining 9 slots from the 50-entry r7 pool,
+# oldest-exposure-first (prior-round sample count, ties in registry
+# order — the 41 r7 leftovers are r11's load, inside its 50 slots).
 # Everything past position 50 stays covered by the identical local
 # DuckDB hash-compare in tests/test_entry_contract.py.
 _FIRST_WINDOW = (
@@ -134,6 +134,7 @@ _FIRST_WINDOW = (
     "multimodal_alaw_features",
     "multimodal_jpeg_pixel_features",
     "multimodal_avi_features",
+    "multimodal_mp4_features",
     "approx_percentile_quality_report",
     "dedup_sorted_neighborhood",
     "doc_blocklist_hits",
@@ -147,7 +148,6 @@ _FIRST_WINDOW = (
     "events_dow_seasonality",
     "events_rolling_wau",
     "event_interarrival_stats",
-    "doc_length_histogram",
 )
 
 _missing = [n for n in _FIRST_WINDOW if n not in QUERIES]

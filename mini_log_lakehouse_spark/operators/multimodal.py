@@ -1290,6 +1290,210 @@ def decode_avi(content: bytes) -> dict:
     }
 
 
+def _mp4_frames(media_id: int) -> int:
+    """Sample count for an MP4 media id — 3..6 (distinct from the AVI
+    law, so the two containers carry different corpora)."""
+    return 3 + media_id % 4
+
+
+def _mp4_dc(media_id: int, frame: int, b: int) -> int:
+    return (media_id * 3 + frame * 13 + b * b * 7) % 511 - 255
+
+
+def _mp4_ac(media_id: int, frame: int, b: int) -> int:
+    return (media_id + 2 * frame + b) % 3 + 1
+
+
+def synthesize_mp4(media_id: int) -> bytes:
+    """Emit a REAL ISO-BMFF (MP4) byte stream with MJPEG samples: ftyp,
+    a moov tree (mvhd, trak → tkhd / mdia → mdhd, hdlr('vide'),
+    minf → stbl with stsd('jpeg' VisualSampleEntry), stts, stsc, stsz,
+    stco) and an mdat holding the concatenated baseline-JFIF frames —
+    BIG-endian throughout, sample boundaries ONLY via the stsz size
+    table + stco chunk offset (the sample-table indirection that IS
+    ISO-BMFF), and two deliberate traps: mdat always uses the 64-bit
+    ``largesize`` form (size == 1), and EVEN ids store mdat BEFORE
+    moov, so a single-forward-pass parser that interprets as it walks
+    breaks on half the corpus."""
+    import struct
+
+    w, h = _jpeg_dims(media_id)
+    nf = _mp4_frames(media_id)
+    frames = [
+        _synthesize_jpeg_stream(
+            w,
+            h,
+            lambda b, f=f: _mp4_dc(media_id, f, b),
+            lambda b, f=f: _mp4_ac(media_id, f, b),
+            _jpeg_quant(media_id),
+        )
+        for f in range(nf)
+    ]
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    def full(btype: bytes, body: bytes, version: int = 0) -> bytes:
+        return box(btype, struct.pack(">I", version << 24) + body)
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd = full(
+        b"mvhd",
+        struct.pack(">IIII", 0, 0, 1000, nf * 66)  # ctime mtime scale dur
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + bytes(8)  # reserved
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + bytes(24)
+        + struct.pack(">I", 2),  # next track id
+    )
+    tkhd = full(
+        b"tkhd",
+        struct.pack(">IIIII", 0, 0, 1, 0, nf * 66)
+        + bytes(8)
+        + struct.pack(">hhhH", 0, 0, 0, 0)
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", w << 16, h << 16),  # 16.16 fixed dims
+    )
+    mdhd = full(
+        b"mdhd", struct.pack(">IIIIHH", 0, 0, 1000, nf * 66, 0x55C4, 0)
+    )
+    hdlr = full(b"hdlr", bytes(4) + b"vide" + bytes(12) + b"MJPEG\x00")
+    # VisualSampleEntry 'jpeg': 6 reserved + data_ref_index, then the
+    # 70-byte visual fields (dims at offset 24 of the entry body)
+    entry = (
+        bytes(6)
+        + struct.pack(">H", 1)
+        + bytes(16)
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + bytes(4)
+        + struct.pack(">H", 1)
+        + bytes(32)
+        + struct.pack(">hH", 24, 0xFFFF)
+    )
+    stsd = full(b"stsd", struct.pack(">I", 1) + box(b"jpeg", entry))
+    stts = full(b"stts", struct.pack(">III", 1, nf, 66))
+    stsc = full(b"stsc", struct.pack(">IIII", 1, 1, nf, 1))
+    stsz = full(
+        b"stsz",
+        struct.pack(">II", 0, nf)
+        + b"".join(struct.pack(">I", len(fr)) for fr in frames),
+    )
+    # stco patched once the final layout is known
+    payload = b"".join(frames)
+    mdat = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + len(payload)) + payload
+
+    def moov(chunk_off: int) -> bytes:
+        stco = full(b"stco", struct.pack(">II", 1, chunk_off))
+        stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+        minf = box(b"minf", stbl)
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        trak = box(b"trak", tkhd + mdia)
+        return box(b"moov", mvhd + trak)
+
+    free = box(b"free", b"\x00" * 6)
+    if media_id % 2 == 0:  # mdat first — moov size is layout-invariant
+        chunk_off = len(ftyp) + 16
+        return ftyp + mdat + free + moov(chunk_off)
+    probe = moov(0)
+    chunk_off = len(ftyp) + len(probe) + len(free) + 16
+    return ftyp + moov(chunk_off) + free + mdat
+
+
+def decode_mp4(content: bytes) -> dict:
+    """REAL pure-python ISO-BMFF/MP4 video decoder: big-endian box walk
+    with the 64-bit ``largesize`` form honored, recursion into the
+    moov/trak/mdia/minf/stbl containers, sample-table resolution —
+    stsz per-sample sizes sliced from the stco chunk offset (samples
+    have NO framing of their own; the table IS the framing) — stts
+    frame-count and tkhd dimension cross-checks, then the shared
+    baseline-JPEG pixel pipeline per sample. Collect-then-interpret:
+    box order is free in ISO-BMFF (even corpus ids store mdat before
+    moov), so the walker gathers the tree before resolving offsets."""
+    import struct
+
+    if len(content) < 12 or content[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF stream (no ftyp)")
+    CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+    found: dict[bytes, bytes] = {}
+
+    def walk(off: int, end: int) -> None:
+        while off + 8 <= end:
+            (size,) = struct.unpack(">I", content[off : off + 4])
+            btype = content[off + 4 : off + 8]
+            body = off + 8
+            if size == 1:  # 64-bit largesize
+                if body + 8 > end:
+                    raise ValueError("truncated largesize box")
+                (size,) = struct.unpack(">Q", content[body : body + 8])
+                body += 8
+            elif size == 0:  # box extends to end of enclosing scope
+                size = end - off
+            if off + size > end or size < (body - off):
+                raise ValueError(f"box {btype!r} overruns its container")
+            if btype in CONTAINERS:
+                walk(body, off + size)
+            else:
+                found[btype] = content[body : off + size]
+            off += size
+
+    walk(0, len(content))
+    for req in (b"tkhd", b"stts", b"stsz", b"stco", b"mdat"):
+        if req not in found:
+            raise ValueError(f"missing {req!r} box")
+    tkhd = found[b"tkhd"]
+    w = struct.unpack(">I", tkhd[-8:-4])[0] >> 16
+    h = struct.unpack(">I", tkhd[-4:])[0] >> 16
+    stts = found[b"stts"]
+    (n_entries,) = struct.unpack(">I", stts[4:8])
+    declared = sum(
+        struct.unpack(">I", stts[8 + 8 * i : 12 + 8 * i])[0]
+        for i in range(n_entries)
+    )
+    stsz = found[b"stsz"]
+    uniform, count = struct.unpack(">II", stsz[4:12])
+    if uniform:
+        sizes = [uniform] * count
+    else:
+        sizes = list(struct.unpack(f">{count}I", stsz[12 : 12 + 4 * count]))
+    if count != declared:
+        raise ValueError(f"stsz {count} samples != stts {declared}")
+    stco = found[b"stco"]
+    (n_chunks,) = struct.unpack(">I", stco[4:8])
+    if n_chunks != 1:
+        raise ValueError("multi-chunk layout not supported")
+    (chunk_off,) = struct.unpack(">I", stco[8:12])
+    import numpy as np
+
+    grids = []
+    pos_abs = chunk_off
+    for sz in sizes:
+        if pos_abs + sz > len(content):
+            raise ValueError("sample overruns the file")
+        fw, fh, quant, blocks = _jpeg_entropy_decode(
+            content[pos_abs : pos_abs + sz]
+        )
+        if (fw, fh) != (w, h):
+            raise ValueError(f"sample dims {fw}x{fh} != tkhd {w}x{h}")
+        grids.append(_jpeg_pixel_grid(fw, fh, quant, blocks))
+        pos_abs += sz
+    if not grids:
+        raise ValueError("empty sample table")
+    video = np.stack(grids)
+    flat = video.reshape(-1)
+    pos = np.arange(flat.size, dtype=np.int64) + 1
+    return {
+        "n_frames": len(grids),
+        "width": w,
+        "height": h,
+        "n_pixels": int(flat.size),
+        "sum_px": int(flat.sum()),
+        "max_px": int(flat.max()),
+        "pos_weighted_px": int((pos * flat).sum()),
+        "motion_abs": int(np.abs(np.diff(video, axis=0)).sum()),
+    }
+
+
 def _zigzag_order() -> list[tuple[int, int]]:
     """Zig-zag index -> (row, col) of the 8×8 coefficient matrix (ITU
     T.81 figure 5): anti-diagonals in turn, odd sums walking down-left
@@ -1935,6 +2139,23 @@ def multimodal_avi_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def multimodal_mp4_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: synthesize a real ISO-BMFF MP4 per document and
+    decode it end to end — big-endian box walk with 64-bit largesize,
+    collect-then-interpret ordering (even ids are mdat-first), the
+    stsz/stco sample-table indirection (samples carry no framing of
+    their own), tkhd/stts cross-checks, per-sample baseline-JPEG pixel
+    decode, and the inter-frame motion sum. Same gate shape as the AVI
+    entry over a DIFFERENT frame corpus (its own count/coefficient
+    laws) and a structurally different container family — index-table
+    framing vs AVI's chunk-per-frame."""
+    return _extract_features(
+        _media_table(spark, sf_dir, synthesize_mp4),
+        decode_mp4,
+        AVI_FEATURES_SCHEMA,
+    ).orderBy("media_id")
+
+
 def multimodal_alaw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query: synthesize a G.711 A-LAW WAV per document (format
     code 6) and decode it with the same pure-python RIFF parser, which
@@ -1972,6 +2193,61 @@ _IDCT_SQL_BASIS = ", ".join(
 )
 
 ORACLES: dict[str, str] = {
+    # MP4 sibling of the AVI oracle: same IDCT restatement over its own
+    # frame laws (nf = 3 + id % 4, dc offset f·13, ac (id + 2f + b)).
+    "multimodal_mp4_features": f"""
+        WITH base AS (
+            SELECT doc_id,
+                   9 + doc_id % 21 AS w,
+                   8 + doc_id % 13 AS h,
+                   (9 + doc_id % 21 + 7) // 8 AS bx,
+                   doc_id % 99 + 1 AS q0,
+                   (doc_id + 17) % 99 + 1 AS q17,
+                   3 + doc_id % 4 AS nf
+            FROM documents
+        ), bconst(t, b0, b2, b3) AS (VALUES {_IDCT_SQL_BASIS}),
+        px AS MATERIALIZED (
+            SELECT doc_id, w, h, nf, tf.f AS f,
+                   ty.y * w + tx.x AS pif,
+                   GREATEST(0, LEAST(255,
+                     (( ((doc_id * 3 + tf.f * 13
+                          + 7 * ((ty.y // 8) * bx + tx.x // 8)
+                              * ((ty.y // 8) * bx + tx.x // 8)) % 511 - 255)
+                        * q0 * cy.b0 * cx.b0
+                      + ((doc_id + 2 * tf.f + (ty.y // 8) * bx + tx.x // 8) % 3 + 1)
+                        * q17 * cy.b2 * cx.b3
+                      + 33554432 + 70368744177664) // 67108864) - 1048576 + 128)) AS v
+            FROM base,
+                 UNNEST(range(0, nf)) AS tf(f),
+                 UNNEST(range(0, w)) AS tx(x),
+                 UNNEST(range(0, h)) AS ty(y),
+                 bconst cx,
+                 bconst cy
+            WHERE cx.t = tx.x % 8 AND cy.t = ty.y % 8
+        ),
+        agg AS (
+            SELECT doc_id, w, h, nf,
+                   CAST(SUM(v) AS BIGINT) AS sum_px,
+                   CAST(MAX(v) AS BIGINT) AS max_px,
+                   CAST(SUM((f * w * h + pif + 1) * v) AS BIGINT) AS pos_weighted_px
+            FROM px GROUP BY 1, 2, 3, 4
+        ),
+        motion AS (
+            SELECT a.doc_id, CAST(SUM(ABS(a.v - b.v)) AS BIGINT) AS motion_abs
+            FROM px a JOIN px b
+              ON a.doc_id = b.doc_id AND b.f = a.f - 1 AND a.pif = b.pif
+            GROUP BY 1
+        )
+        SELECT a.doc_id AS media_id,
+               CAST(a.nf AS BIGINT) AS n_frames,
+               CAST(a.w AS BIGINT) AS width,
+               CAST(a.h AS BIGINT) AS height,
+               CAST(a.nf * a.w * a.h AS BIGINT) AS n_pixels,
+               a.sum_px, a.max_px, a.pos_weighted_px,
+               m.motion_abs
+        FROM agg a JOIN motion m ON m.doc_id = a.doc_id
+        ORDER BY 1
+    """,
     # full video pipeline: the still-image pixel restatement gains a
     # frames dimension (per-frame dc law dc = (id*3 + f*11 + 7b²) %
     # 511 − 255, ac = (id+f+b)%3+1), playback-order position weights,
@@ -2402,4 +2678,5 @@ QUERIES = {
     "multimodal_alaw_features": multimodal_alaw_features,
     "multimodal_jpeg_pixel_features": multimodal_jpeg_pixel_features,
     "multimodal_avi_features": multimodal_avi_features,
+    "multimodal_mp4_features": multimodal_mp4_features,
 }

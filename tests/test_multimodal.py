@@ -935,3 +935,89 @@ def test_avi_features_query_covers_all_docs(spark, sf_dir):
         .collect()
     }
     assert rows == d
+
+
+def test_mp4_roundtrip_both_layouts_match_law_replay():
+    """decode_mp4 recovers the per-sample laws through the shared
+    integer IDCT for BOTH box orders (even ids mdat-first, odd ids
+    moov-first) — the collect-then-interpret walk and the stsz/stco
+    framing are load-bearing in each."""
+    import numpy as np
+
+    basis = np.asarray(mm._IDCT_BASIS, dtype=np.int64)
+    for mid in (0, 1, 6, 13, 776, 777):
+        w, h = mm._jpeg_dims(mid)
+        nf = mm._mp4_frames(mid)
+        bx, by = (w + 7) // 8, (h + 7) // 8
+        q0, q17 = mid % 99 + 1, (mid + 17) % 99 + 1
+        grids = []
+        for fr in range(nf):
+            img = np.zeros((by * 8, bx * 8), dtype=np.int64)
+            for b in range(bx * by):
+                fmat = np.zeros((8, 8), dtype=np.int64)
+                fmat[0, 0] = mm._mp4_dc(mid, fr, b) * q0
+                fmat[2, 3] = mm._mp4_ac(mid, fr, b) * q17
+                tot = np.einsum("vy,vu,ux->yx", basis, fmat, basis)
+                px = np.clip(
+                    ((tot + mm._IDCT_ROUND + mm._IDCT_BIAS) >> 26)
+                    - mm._IDCT_UNBIAS + 128,
+                    0,
+                    255,
+                )
+                r, c = divmod(b, bx)
+                img[r * 8 : (r + 1) * 8, c * 8 : (c + 1) * 8] = px
+            grids.append(img[:h, :w])
+        video = np.stack(grids)
+        flat = video.reshape(-1)
+        pos = np.arange(flat.size, dtype=np.int64) + 1
+        assert mm.decode_mp4(mm.synthesize_mp4(mid)) == {
+            "n_frames": nf,
+            "width": w,
+            "height": h,
+            "n_pixels": flat.size,
+            "sum_px": int(flat.sum()),
+            "max_px": int(flat.max()),
+            "pos_weighted_px": int((pos * flat).sum()),
+            "motion_abs": int(np.abs(np.diff(video, axis=0)).sum()),
+        }
+
+
+def test_mp4_parser_rejects_corruption_and_checks_tables():
+    import struct
+
+    import pytest
+
+    raw = mm.synthesize_mp4(3)  # odd id: moov before mdat
+    with pytest.raises(ValueError, match="ftyp"):
+        mm.decode_mp4(b"XXXX" + raw[4:])
+    # stsz/stts cross-check: bump the stts sample count
+    i = raw.find(b"stts") + 4 + 8  # type + version/flags + entry_count
+    bad = bytearray(raw)
+    bad[i : i + 4] = struct.pack(">I", 99)
+    with pytest.raises(ValueError, match="stts"):
+        mm.decode_mp4(bytes(bad))
+    # tkhd dims cross-check
+    j = raw.find(b"tkhd")
+    tk_end = j + 4 + struct.unpack(">I", raw[j - 4 : j])[0] - 8
+    bad = bytearray(raw)
+    bad[tk_end - 8 : tk_end - 4] = struct.pack(">I", 640 << 16)
+    with pytest.raises(ValueError, match="tkhd"):
+        mm.decode_mp4(bytes(bad))
+    # truncated largesize payload (even id: mdat-first)
+    raw2 = mm.synthesize_mp4(2)
+    with pytest.raises(ValueError):
+        mm.decode_mp4(raw2[:-7])
+
+
+def test_mp4_features_query_covers_all_docs(spark, sf_dir):
+    rows = {
+        r["media_id"]
+        for r in mm.multimodal_mp4_features(spark, sf_dir).collect()
+    }
+    d = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    }
+    assert rows == d
