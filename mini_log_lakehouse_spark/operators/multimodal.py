@@ -171,7 +171,9 @@ def decode_wav(content: bytes) -> dict:
     if riff_size + 8 != len(content):
         raise ValueError(f"RIFF size {riff_size} != payload {len(content) - 8}")
     fmt = None
+    fmt_body = b""
     data = None
+    fact = None
     off = 12
     while off + 8 <= len(content):
         cid = content[off : off + 4]
@@ -181,12 +183,19 @@ def decode_wav(content: bytes) -> dict:
             raise ValueError(f"truncated chunk {cid!r}")
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif cid == b"data":
             data = body
+        elif cid == b"fact":
+            # total decoded sample count — required for compressed
+            # formats whose data chunk over-covers (padded last block)
+            if size < 4:
+                raise ValueError("truncated fact chunk")
+            (fact,) = struct.unpack("<I", body[:4])
         off += 8 + size + (size % 2)  # chunks are even-padded
     if fmt is None or data is None:
         raise ValueError("missing fmt / data chunk")
-    audio_format, channels, sr, _byte_rate, _block_align, bits = fmt
+    audio_format, channels, sr, _byte_rate, block_align, bits = fmt
     if audio_format == 1 and bits == 16:
         samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
     elif audio_format == 7 and bits == 8:
@@ -206,6 +215,59 @@ def decode_wav(content: bytes) -> dict:
         e = (v >> 4) & 0x07
         mag = np.where(e == 0, m16 + 8, (m16 + 0x108) << np.maximum(e - 1, 0))
         samples = np.where(v & 0x80, mag, -mag)
+    elif audio_format == 17 and bits == 4:
+        # IMA/DVI ADPCM (format 0x11): a genuinely PREDICTIVE codec —
+        # each 4-bit nibble encodes a step-scaled delta against an
+        # evolving (predictor, step-index) state; one wrong table hit
+        # or clamp desynchronizes every later sample. Blocks are
+        # self-seeding: 4-byte header (int16 predictor = sample 0,
+        # uint8 step index, zero reserved byte), then nibbles LOW
+        # nibble first. The data chunk covers whole blocks; the
+        # mandatory 'fact' chunk carries the true sample count the
+        # partial last block must be truncated to.
+        if len(fmt_body) < 20:
+            raise ValueError("ADPCM fmt chunk missing extension")
+        cb, spb = struct.unpack("<HH", fmt_body[16:20])
+        if cb < 2:
+            raise ValueError("ADPCM fmt extension too short")
+        if channels != 1 or spb != (block_align - 4) * 2 + 1:
+            raise ValueError(
+                f"inconsistent ADPCM framing: {channels} ch, "
+                f"{spb} samples/block vs align {block_align}"
+            )
+        if fact is None:
+            raise ValueError("compressed WAV requires a fact chunk")
+        if not data or len(data) % block_align:
+            raise ValueError("ADPCM data is not a whole number of blocks")
+        out: list[int] = []
+        for boff in range(0, len(data), block_align):
+            blk = data[boff : boff + block_align]
+            (pred,) = struct.unpack("<h", blk[0:2])
+            sidx = blk[2]
+            if blk[3] != 0:
+                raise ValueError("nonzero ADPCM block reserved byte")
+            if sidx > 88:
+                raise ValueError(f"ADPCM step index {sidx} out of range")
+            out.append(pred)
+            for byte in blk[4:]:
+                for c in (byte & 0x0F, byte >> 4):
+                    step = _ADPCM_STEPS[sidx]
+                    diff = step >> 3
+                    if c & 1:
+                        diff += step >> 2
+                    if c & 2:
+                        diff += step >> 1
+                    if c & 4:
+                        diff += step
+                    pred = pred - diff if c & 8 else pred + diff
+                    pred = max(-32768, min(32767, pred))
+                    sidx = max(0, min(88, sidx + _ADPCM_INDEX_DELTA[c & 7]))
+                    out.append(pred)
+        if not (len(out) - spb < fact <= len(out)):
+            raise ValueError(
+                f"fact count {fact} inconsistent with {len(out)} block samples"
+            )
+        samples = np.asarray(out[:fact], dtype=np.int64)
     else:
         raise ValueError(f"unsupported format {audio_format}/{bits}")
     return {
@@ -273,6 +335,82 @@ def synthesize_wav_alaw(media_id: int) -> bytes:
     chunks = (
         b"fmt " + struct.pack("<I", len(fmt)) + fmt
         + b"data" + struct.pack("<I", len(data)) + data + b"\x00" * (len(data) % 2)
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+#: IMA ADPCM quantizer step table (89 entries) and 4-bit index
+#: adjustment table — the published constants from the IMA Digital
+#: Audio Focus Group recommendation (the same tables every DVI/IMA
+#: implementation ships); the oracle inlines the step table as VALUES.
+_ADPCM_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+)
+_ADPCM_INDEX_DELTA = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+#: One ADPCM block = 4-byte header + 8 nibble bytes -> 17 samples.
+ADPCM_BLOCK_ALIGN = 12
+ADPCM_SPB = (ADPCM_BLOCK_ALIGN - 4) * 2 + 1
+
+
+def _adpcm_params(media_id: int) -> tuple[int, int]:
+    """(n_samples, sample_rate) — n spans 37..100, so files hold 3–6
+    blocks and the last block is partial unless n % 17 == 0."""
+    return 37 + media_id % 64, 8000
+
+
+def _adpcm_pred0(media_id: int, b: int) -> int:
+    """Block b's seed predictor (doubles as the block's sample 0)."""
+    return (media_id * 23 + b * 97) % 4001 - 2000
+
+
+def _adpcm_idx0(media_id: int, b: int) -> int:
+    """Block b's seed step index — spans all 89 table entries across
+    the corpus, so both index clamps and the 32767 step are hit."""
+    return (media_id * 5 + b * 11) % 89
+
+
+def _adpcm_nibble(media_id: int, b: int, j: int) -> int:
+    """Nibble j (0..15) of block b — 11 is coprime to 16, so every
+    4-bit code (all three delta bits and the sign bit) occurs."""
+    return (media_id * 7 + b * 3 + j * 11) % 16
+
+
+def synthesize_wav_adpcm(media_id: int) -> bytes:
+    """Emit a REAL RIFF/WAVE byte stream carrying IMA ADPCM audio
+    (format code 0x11): extended fmt chunk (cbSize=2 samples-per-block
+    field), the mandatory 'fact' chunk with the true sample count, and
+    self-seeding 12-byte blocks (int16 predictor + step index + zero
+    reserved byte + 16 low-nibble-first codes). The nibble/seed laws
+    are what the DuckDB oracle replays through a recursive CTE."""
+    import struct
+
+    n, sr = _adpcm_params(media_id)
+    nblocks = (n + ADPCM_SPB - 1) // ADPCM_SPB
+    body = bytearray()
+    for b in range(nblocks):
+        body += struct.pack(
+            "<hBB", _adpcm_pred0(media_id, b), _adpcm_idx0(media_id, b), 0
+        )
+        for m in range(8):
+            lo = _adpcm_nibble(media_id, b, 2 * m)
+            hi = _adpcm_nibble(media_id, b, 2 * m + 1)
+            body.append(lo | (hi << 4))
+    byte_rate = (sr * ADPCM_BLOCK_ALIGN + ADPCM_SPB - 1) // ADPCM_SPB
+    fmt = struct.pack(
+        "<HHIIHHHH", 17, 1, sr, byte_rate, ADPCM_BLOCK_ALIGN, 4, 2, ADPCM_SPB
+    )
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", 4) + struct.pack("<I", n)
+        + b"data" + struct.pack("<I", len(body)) + bytes(body)
     )
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
@@ -2172,6 +2310,24 @@ def multimodal_alaw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def multimodal_adpcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: synthesize an IMA ADPCM WAV per document (format
+    code 0x11) and decode it with the pure-python RIFF parser — the
+    first PREDICTIVE audio codec in the suite: every 4-bit nibble is a
+    step-scaled delta against evolving (predictor, step-index) state,
+    blocks re-seed the state, and the 'fact' chunk truncates the
+    padded last block. Hash-checked end to end: the oracle replays the
+    nibble/seed laws through a recursive CTE over the SAME 89-entry
+    step table and clamp arithmetic, so a wrong table entry, a missed
+    clamp, swapped nibble order, or unhonored fact count shifts
+    energy/peak and breaks the gate."""
+    return _extract_features(
+        _media_table(spark, sf_dir, synthesize_wav_adpcm),
+        decode_wav,
+        WAV_FEATURES_SCHEMA,
+    ).orderBy("media_id")
+
+
 def multimodal_tiff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query: synthesize a real TIFF per document — LITTLE-endian
     (II) for even ids, BIG-endian (MM) for odd, 1–4 strips with the
@@ -2409,6 +2565,65 @@ ORACLES: dict[str, str] = {
                CAST(SUM(l.x * l.x) AS BIGINT) AS energy,
                CAST(b.n * 1000 // 8000 AS BIGINT) AS duration_ms
         FROM base b JOIN lin l ON l.doc_id = b.doc_id
+        GROUP BY 1, 2, 3, 4, 5, 8
+        ORDER BY 1
+    """,
+    # the decoder must reproduce the PREDICTIVE decode exactly: n = 37 +
+    # id % 64 samples in ceil(n/17) self-seeding blocks; block b seeds
+    # pred = (id*23 + b*97) % 4001 − 2000 (emitted as its sample 0) and
+    # step index (id*5 + b*11) % 89; nibble j = (id*7 + b*3 + j*11) % 16
+    # then the IMA update — diff = step/8 (+step/4|step/2|step per delta
+    # bit), sign bit subtracts, predictor clamps to int16, index moves
+    # by (−1,−1,−1,−1,2,4,6,8)[c&7] clamped to [0,88] — replayed here as
+    # a recursive CTE joined to the 89-entry step table; rows past the
+    # fact count n (the padded last block) are dropped before the agg.
+    "multimodal_adpcm_features": f"""
+        WITH RECURSIVE st(i, step) AS (
+            VALUES {", ".join(f"({i}, {s})" for i, s in enumerate(_ADPCM_STEPS))}
+        ), base AS (
+            SELECT doc_id, 37 + doc_id % 64 AS n FROM documents
+        ), blocks AS (
+            SELECT doc_id, n, t.b AS b
+            FROM base, UNNEST(range(0, (n + 16) // 17)) AS t(b)
+        ), nibs AS (
+            SELECT doc_id, b, t.j AS j,
+                   (doc_id * 7 + b * 3 + t.j * 11) % 16 AS c
+            FROM blocks, UNNEST(range(0, 16)) AS t(j)
+        ), dec AS (
+            SELECT doc_id, b, 0 AS k,
+                   (doc_id * 23 + b * 97) % 4001 - 2000 AS pred,
+                   (doc_id * 5 + b * 11) % 89 AS sidx
+            FROM blocks
+            UNION ALL
+            SELECT d.doc_id, d.b, d.k + 1,
+                   GREATEST(-32768, LEAST(32767,
+                       d.pred + (CASE WHEN nb.c >= 8 THEN -1 ELSE 1 END) * (
+                           st.step // 8
+                           + CASE WHEN nb.c % 2 = 1 THEN st.step // 4 ELSE 0 END
+                           + CASE WHEN (nb.c // 2) % 2 = 1 THEN st.step // 2 ELSE 0 END
+                           + CASE WHEN (nb.c // 4) % 2 = 1 THEN st.step ELSE 0 END))),
+                   GREATEST(0, LEAST(88, d.sidx +
+                       CASE nb.c % 8 WHEN 4 THEN 2 WHEN 5 THEN 4
+                                     WHEN 6 THEN 6 WHEN 7 THEN 8
+                                     ELSE -1 END))
+            FROM dec d
+            JOIN st ON st.i = d.sidx
+            JOIN nibs nb ON nb.doc_id = d.doc_id AND nb.b = d.b AND nb.j = d.k
+            WHERE d.k < 16
+        ), samples AS (
+            SELECT d.doc_id, b.n, d.pred AS x
+            FROM dec d JOIN base b ON b.doc_id = d.doc_id
+            WHERE d.b * 17 + d.k < b.n
+        )
+        SELECT doc_id AS media_id,
+               CAST(8000 AS BIGINT) AS sample_rate,
+               CAST(1 AS BIGINT) AS n_channels,
+               CAST(4 AS BIGINT) AS bits_per_sample,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(MAX(ABS(x)) AS BIGINT) AS peak,
+               CAST(SUM(x * x) AS BIGINT) AS energy,
+               CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms
+        FROM samples
         GROUP BY 1, 2, 3, 4, 5, 8
         ORDER BY 1
     """,
@@ -2679,4 +2894,5 @@ QUERIES = {
     "multimodal_jpeg_pixel_features": multimodal_jpeg_pixel_features,
     "multimodal_avi_features": multimodal_avi_features,
     "multimodal_mp4_features": multimodal_mp4_features,
+    "multimodal_adpcm_features": multimodal_adpcm_features,
 }

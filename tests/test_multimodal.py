@@ -1021,3 +1021,133 @@ def test_mp4_features_query_covers_all_docs(spark, sf_dir):
         .collect()
     }
     assert rows == d
+
+
+def _adpcm_one_block(pred0, idx0, nibbles, fact=None, reserved=0):
+    """Hand-build a single-block IMA ADPCM WAV (nibbles low-first)."""
+    import struct
+
+    body = struct.pack("<hBB", pred0, idx0, reserved)
+    padded = list(nibbles) + [0] * (16 - len(nibbles))
+    for m in range(8):
+        body += bytes([padded[2 * m] | (padded[2 * m + 1] << 4)])
+    fmt = struct.pack("<HHIIHHHH", 17, 1, 8000, 5647, 12, 4, 2, 17)
+    n = 17 if fact is None else fact
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", 4) + struct.pack("<I", n)
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_adpcm_single_steps_match_ima_reference_points():
+    """Pinned single-nibble transitions from the IMA recommendation:
+    delta accumulation per bit, sign-bit subtraction, both predictor
+    clamps (note |−32768| = 32768 as a peak), and both index clamps."""
+    # pred 0, idx 0 (step 7), code 2: diff = 7//8 + 7//2 = 3 -> sample 3
+    f = mm.decode_wav(_adpcm_one_block(0, 0, [2], fact=2))
+    assert (f["n_samples"], f["peak"], f["energy"]) == (2, 3, 9)
+    # code 7 from idx 88 (step 32767): diff = 4095+8191+16383+32767 =
+    # 61436 -> predictor clamps at +32767 from pred0 32000
+    f = mm.decode_wav(_adpcm_one_block(32000, 88, [7], fact=2))
+    assert f["peak"] == 32767
+    assert f["energy"] == 32000 * 32000 + 32767 * 32767
+    # code 15 (sign bit) from the same state clamps at -32768
+    f = mm.decode_wav(_adpcm_one_block(-32000, 88, [15], fact=2))
+    assert f["peak"] == 32768
+    assert f["energy"] == 32000 * 32000 + 32768 * 32768
+    # index clamps: idx 0 with code 0 stays 0 (not -1); a second code-0
+    # nibble therefore reuses step 7 -> both samples are pred0
+    f = mm.decode_wav(_adpcm_one_block(100, 0, [0, 0], fact=3))
+    assert f["energy"] == 100 * 100 + 100 * 100 + 100 * 100
+
+
+def test_adpcm_decode_matches_independent_replay():
+    """decode_wav's format-17 branch equals an independently coded
+    textbook IMA loop over the synthesized corpus, sample for sample
+    (via energy/peak), including block re-seeding and fact truncation."""
+
+    def replay(mid):
+        n, _sr = mm._adpcm_params(mid)
+        out = []
+        for b in range((n + 16) // 17):
+            pred = mm._adpcm_pred0(mid, b)
+            sidx = mm._adpcm_idx0(mid, b)
+            out.append(pred)
+            for j in range(16):
+                c = mm._adpcm_nibble(mid, b, j)
+                step = mm._ADPCM_STEPS[sidx]
+                diff = (step >> 3) + (step >> 2 if c & 1 else 0) \
+                    + (step >> 1 if c & 2 else 0) + (step if c & 4 else 0)
+                pred = pred + (-diff if c & 8 else diff)
+                pred = min(32767, max(-32768, pred))
+                sidx = min(88, max(0, sidx + mm._ADPCM_INDEX_DELTA[c & 7]))
+                out.append(pred)
+        return out[:n]
+
+    clamps_hit = 0
+    for mid in range(120):
+        want = replay(mid)
+        f = mm.decode_wav(mm.synthesize_wav_adpcm(mid))
+        assert f["n_samples"] == len(want) == mm._adpcm_params(mid)[0]
+        assert f["peak"] == max(abs(x) for x in want)
+        assert f["energy"] == sum(x * x for x in want)
+        if 32767 in want or -32768 in want:
+            clamps_hit += 1
+    # the corpus genuinely exercises the int16 clamps
+    assert clamps_hit > 0
+
+
+def test_adpcm_fact_truncation_is_load_bearing():
+    """Two files differing only in the fact count decode to different
+    energies — the padded tail of the last block must be dropped."""
+    full = mm.decode_wav(_adpcm_one_block(500, 30, list(range(16)), fact=17))
+    cut = mm.decode_wav(_adpcm_one_block(500, 30, list(range(16)), fact=9))
+    assert cut["n_samples"] == 9 and full["n_samples"] == 17
+    assert cut["energy"] != full["energy"]
+
+
+def test_adpcm_rejects_corruption():
+    good = _adpcm_one_block(0, 0, [2], fact=2)
+
+    def mutate(**kw):
+        return _adpcm_one_block(0, 0, [2], **kw)
+
+    with pytest.raises(ValueError):  # reserved byte must be zero
+        mm.decode_wav(mutate(fact=2, reserved=1))
+    with pytest.raises(ValueError):  # step index out of table
+        mm.decode_wav(_adpcm_one_block(0, 89, [2], fact=2))
+    with pytest.raises(ValueError):  # fact over-claims the block count
+        mm.decode_wav(mutate(fact=18))
+    with pytest.raises(ValueError):  # fact under-claims into prior block
+        mm.decode_wav(mutate(fact=0))
+    # locate the fact / data chunks by walking, then corrupt surgically
+    import struct
+
+    fact_off = good.index(b"fact")
+    data_off = good.index(b"data")
+    # missing fact chunk entirely
+    no_fact = good[:fact_off] + good[fact_off + 12 :]
+    no_fact = no_fact[:4] + struct.pack("<I", len(no_fact) - 8) + no_fact[8:]
+    with pytest.raises(ValueError):
+        mm.decode_wav(no_fact)
+    # ragged data (not a whole number of blocks): drop the final byte
+    # and shrink both the data-chunk and RIFF size fields to match
+    bad = bytearray(good[:-1])
+    bad[4:8] = struct.pack("<I", len(bad) - 8)
+    bad[data_off + 4 : data_off + 8] = struct.pack("<I", 11)
+    with pytest.raises(ValueError):
+        mm.decode_wav(bytes(bad))
+
+
+def test_adpcm_features_query_covers_all_docs(spark, sf_dir):
+    rows = {
+        r["media_id"]: r
+        for r in mm.multimodal_adpcm_features(spark, sf_dir).collect()
+    }
+    for mid in list(rows)[:10]:
+        n, sr = mm._adpcm_params(mid)
+        assert rows[mid]["n_samples"] == n
+        assert rows[mid]["bits_per_sample"] == 4
+        assert rows[mid]["sample_rate"] == sr
