@@ -84,15 +84,15 @@ if _unknown:
 # (1) all 30 entries whose latest driver row is r6 — they cross
 # ROTATION_MAX_AGE=4 the moment CORRECTNESS_r10.json lands; (2) entries
 # NEW this round (no driver row ever — the rotation test forces them
-# in — 12 slots: the KMV distinct sketch + its set-algebra report,
+# in — 13 slots: the KMV distinct sketch + its set-algebra report,
 # the Bloom prefilter join, the G.711 A-law expansion, the full JPEG
 # pixel decode, the AVI/MJPEG and MP4/ISO-BMFF video pipelines, the
 # approx-percentile quality gate, the sorted-neighborhood dedup, the
 # Aho-Corasick blocklist scan, the association-rule miner, the IMA
-# ADPCM predictive-codec decode); (3) fill the remaining 8 slots from
-# the 50-entry r7 pool, oldest-exposure-first (prior-round sample
-# count, ties in registry order — the 42 r7 leftovers are r11's load,
-# inside its 50 slots).
+# ADPCM predictive-codec decode, the Holt forecaster); (3) fill the
+# remaining 7 slots from the 50-entry r7 pool, oldest-exposure-first
+# (prior-round sample count, ties in registry order — the 43 r7
+# leftovers are r11's load, inside its 50 slots).
 # Everything past position 50 stays covered by the identical local
 # DuckDB hash-compare in tests/test_entry_contract.py.
 _FIRST_WINDOW = (
@@ -140,6 +140,7 @@ _FIRST_WINDOW = (
     "dedup_sorted_neighborhood",
     "doc_blocklist_hits",
     "multimodal_adpcm_features",
+    "events_holt_forecast",
     # (3) r7 pool fill, oldest-exposure-first
     "events_state_enrichment",
     "user_pagerank_weighted",
@@ -148,7 +149,6 @@ _FIRST_WINDOW = (
     "user_kcore",
     "cooc_degree_histogram",
     "events_dow_seasonality",
-    "events_rolling_wau",
 )
 
 _missing = [n for n in _FIRST_WINDOW if n not in QUERIES]

@@ -1179,6 +1179,73 @@ def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Fixed-point scale for the Holt smoother (micro-units).
+HOLT_SCALE = 1_000_000
+
+
+def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) over each
+    event type's daily counts, with α = β = 1/2 — the classic
+    short-horizon load forecaster ("how many errors tomorrow / next
+    week"). All arithmetic is EXACT micro-unit integer fixed point:
+    each update divides by 2 with truncation toward zero, which Spark's
+    ``DIV``, DuckDB's ``//`` and the trunc-div helper here all agree on
+    (floats would drift between engines; Python's ``//`` floors and
+    must NOT be used). Emits the final state, the 1-day and 7-day
+    forecasts (L + h·T), and the accumulated one-step-ahead |error| —
+    the model-quality number a dashboard would alarm on.
+
+    Shape at 100 TB: the corpus collapses to (type, day) counts in one
+    map-side-partial aggregate; the inherently sequential recurrence
+    then runs per key over a days-long series (applyInPandas), so the
+    state chain costs O(days) per type, never touches event grain, and
+    parallelizes across types. The oracle replays the identical
+    integer recurrence as a recursive CTE."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+
+    def tdiv2(a: int) -> int:
+        """Divide by 2 truncating toward zero (match SQL DIV, not //)."""
+        return -((-a) // 2) if a < 0 else a // 2
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        ys = [int(v) * HOLT_SCALE for v in pdf["y"]]
+        lvl, trd, abs_err = ys[0], 0, 0
+        for y in ys[1:]:
+            err = y - lvl - trd
+            abs_err += abs(err)
+            new_lvl = tdiv2(y + lvl + trd)
+            trd = tdiv2(trd + new_lvl - lvl)
+            lvl = new_lvl
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_days": [len(ys)],
+                "level_micro": [lvl],
+                "trend_micro": [trd],
+                "forecast_1_micro": [lvl + trd],
+                "forecast_7_micro": [lvl + 7 * trd],
+                "abs_err_sum_micro": [abs_err],
+            }
+        )
+
+    schema = (
+        "event_type string, n_days long, level_micro long, "
+        "trend_micro long, forecast_1_micro long, forecast_7_micro long, "
+        "abs_err_sum_micro long"
+    )
+    return (
+        daily.groupBy("event_type")
+        .applyInPandas(fit, schema=schema)
+        .orderBy("event_type")
+    )
+
+
 def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-of-week seasonal profile + per-day deviation from the
     type's own weekday mean — "is this Tuesday unusual FOR a Tuesday",
@@ -1633,6 +1700,45 @@ ORACLES: dict[str, str] = {
             SELECT 3, 'purchase', CAST(COALESCE(SUM(r2), 0) AS BIGINT) FROM reached
         )
         ORDER BY step_order
+    """,
+    # the oracle replays the IDENTICAL integer recurrence: micro-unit
+    # state, each update halved with truncation toward zero (DuckDB //
+    # == the operator's trunc-div helper; Python's floor // would
+    # diverge on negative trends), one recursion level per series day.
+    "events_holt_forecast": f"""
+        WITH RECURSIVE daily AS (
+            SELECT event_type, {_DAY} AS day, COUNT(*) AS y
+            FROM events GROUP BY 1, 2
+        ), ser AS (
+            SELECT event_type, CAST(y AS BIGINT) AS y,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                       AS t,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM daily
+        ), fit AS (
+            SELECT event_type, t, n,
+                   y * 1000000 AS lvl,
+                   CAST(0 AS BIGINT) AS trd,
+                   CAST(0 AS BIGINT) AS abs_err
+            FROM ser WHERE t = 1
+            UNION ALL
+            SELECT f.event_type, s.t, f.n,
+                   (s.y * 1000000 + f.lvl + f.trd) // 2,
+                   (f.trd + (s.y * 1000000 + f.lvl + f.trd) // 2 - f.lvl)
+                       // 2,
+                   f.abs_err + ABS(s.y * 1000000 - f.lvl - f.trd)
+            FROM fit f
+            JOIN ser s ON s.event_type = f.event_type AND s.t = f.t + 1
+        )
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n_days,
+               CAST(lvl AS BIGINT) AS level_micro,
+               CAST(trd AS BIGINT) AS trend_micro,
+               CAST(lvl + trd AS BIGINT) AS forecast_1_micro,
+               CAST(lvl + 7 * trd AS BIGINT) AS forecast_7_micro,
+               CAST(abs_err AS BIGINT) AS abs_err_sum_micro
+        FROM fit WHERE t = n
+        ORDER BY event_type
     """,
     # Integer division: Spark DIV and DuckDB // both truncate toward
     # zero (verified on negative operands), so a negative slope
@@ -2337,6 +2443,7 @@ QUERIES = {
     "cooc_degree_histogram": cooc_degree_histogram,
     "events_cusum_changepoints": events_cusum_changepoints,
     "events_dow_seasonality": events_dow_seasonality,
+    "events_holt_forecast": events_holt_forecast,
     "user_decayed_activity": user_decayed_activity,
     "events_rolling_wau": events_rolling_wau,
     "event_trigram_paths": event_trigram_paths,

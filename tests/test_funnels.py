@@ -413,3 +413,50 @@ def test_association_rules_match_oracle_and_invariants(spark, sf_dir):
         assert 0 < r["conf_ab_ppm"] <= funnels.ASSOC_PPM
         assert 0 < r["conf_ba_ppm"] <= funnels.ASSOC_PPM
         assert r["basket_support"] > 0 and r["lift_ppm"] > 0
+
+
+def test_holt_forecast_matches_independent_replay(spark, sf_dir):
+    """events_holt_forecast equals a third, independently coded replay
+    of the fixed-point recurrence computed straight off the parquet —
+    including the trunc-toward-zero halving (Python's floor // would
+    diverge the moment the trend goes negative, which the corpus hits)."""
+    rows = {
+        r["event_type"]: r
+        for r in funnels.events_holt_forecast(spark, sf_dir).collect()
+    }
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("y"))
+        .orderBy("event_type", "day")
+        .collect()
+    )
+
+    def tdiv2(a):
+        q = abs(a) // 2
+        return q if a >= 0 else -q
+
+    series: dict[str, list[int]] = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append(
+            int(r["y"]) * funnels.HOLT_SCALE
+        )
+    negative_trend_seen = False
+    for et, ys in series.items():
+        lvl, trd, abs_err = ys[0], 0, 0
+        for y in ys[1:]:
+            abs_err += abs(y - lvl - trd)
+            new_lvl = tdiv2(y + lvl + trd)
+            trd = tdiv2(trd + new_lvl - lvl)
+            lvl = new_lvl
+            negative_trend_seen |= trd < 0
+        got = rows[et]
+        assert got["n_days"] == len(ys)
+        assert got["level_micro"] == lvl
+        assert got["trend_micro"] == trd
+        assert got["forecast_1_micro"] == lvl + trd
+        assert got["forecast_7_micro"] == lvl + 7 * trd
+        assert got["abs_err_sum_micro"] == abs_err
+    # the trunc-vs-floor distinction is genuinely load-bearing
+    assert negative_trend_seen
