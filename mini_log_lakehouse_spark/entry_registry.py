@@ -27,6 +27,7 @@ from mini_log_lakehouse_spark.operators import (
     textstats,
     vocab,
 )
+from mini_log_lakehouse_spark.sources import formats as sources_formats
 from mini_log_lakehouse_spark.sources import jsonl as sources_jsonl
 from mini_log_lakehouse_spark.streaming import ingest as streaming_ingest
 from mini_log_lakehouse_spark.streaming import joins as streaming_joins
@@ -50,6 +51,7 @@ _MODULES = (
     similarity,
     skew,
     sources_jsonl,
+    sources_formats,
     relational,
     bloom,
     events,
@@ -89,10 +91,11 @@ if _unknown:
 # pixel decode, the AVI/MJPEG and MP4/ISO-BMFF video pipelines, the
 # approx-percentile quality gate, the sorted-neighborhood dedup, the
 # Aho-Corasick blocklist scan, the association-rule miner, the IMA
-# ADPCM predictive-codec decode, the Holt forecaster); (3) fill the
-# remaining 7 slots from the 50-entry r7 pool, oldest-exposure-first
-# (prior-round sample count, ties in registry order — the 43 r7
-# leftovers are r11's load, inside its 50 slots).
+# ADPCM predictive-codec decode, the Holt forecaster, the ORC and
+# RFC-4180 CSV roundtrips); (3) fill the remaining 5 slots from the
+# 50-entry r7 pool, oldest-exposure-first (prior-round sample count,
+# ties in registry order — the 45 r7 leftovers are r11's load, inside
+# its 50 slots).
 # Everything past position 50 stays covered by the identical local
 # DuckDB hash-compare in tests/test_entry_contract.py.
 _FIRST_WINDOW = (
@@ -141,14 +144,14 @@ _FIRST_WINDOW = (
     "doc_blocklist_hits",
     "multimodal_adpcm_features",
     "events_holt_forecast",
+    "documents_orc_roundtrip",
+    "documents_csv_roundtrip",
     # (3) r7 pool fill, oldest-exposure-first
     "events_state_enrichment",
     "user_pagerank_weighted",
     "user_clustering_coefficient",
     "user_bfs_reach",
     "user_kcore",
-    "cooc_degree_histogram",
-    "events_dow_seasonality",
 )
 
 _missing = [n for n in _FIRST_WINDOW if n not in QUERIES]
