@@ -92,10 +92,10 @@ if _unknown:
 # approx-percentile quality gate, the sorted-neighborhood dedup, the
 # Aho-Corasick blocklist scan, the association-rule miner, the IMA
 # ADPCM predictive-codec decode, the Holt forecaster, the ORC and
-# RFC-4180 CSV roundtrips); (3) fill the remaining 5 slots from the
-# 50-entry r7 pool, oldest-exposure-first (prior-round sample count,
-# ties in registry order — the 45 r7 leftovers are r11's load, inside
-# its 50 slots).
+# RFC-4180 CSV roundtrips, the two-phase skyline); (3) fill the
+# remaining 4 slots from the 50-entry r7 pool, oldest-exposure-first
+# (prior-round sample count, ties in registry order — the 46 r7
+# leftovers are r11's load, inside its 50 slots).
 # Everything past position 50 stays covered by the identical local
 # DuckDB hash-compare in tests/test_entry_contract.py.
 _FIRST_WINDOW = (
@@ -146,12 +146,12 @@ _FIRST_WINDOW = (
     "events_holt_forecast",
     "documents_orc_roundtrip",
     "documents_csv_roundtrip",
+    "orders_skyline",
     # (3) r7 pool fill, oldest-exposure-first
     "events_state_enrichment",
     "user_pagerank_weighted",
     "user_clustering_coefficient",
     "user_bfs_reach",
-    "user_kcore",
 )
 
 _missing = [n for n in _FIRST_WINDOW if n not in QUERIES]

@@ -377,6 +377,54 @@ def top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of orders over (order day ↑,
+    total price ↑): the orders no other order beats on BOTH recency
+    and value — the multi-criteria "best offers" operator relational
+    engines bolt on as SKYLINE OF. Exact integer domain (day, cents).
+
+    Computed as the classic two-phase distributive reduction, NOT a
+    self-join: (1) the skyline is invariant under per-group local
+    pruning, and with day as one axis the per-day local skyline is
+    just the day's max price (plus tie count) — a plain groupBy
+    aggregate at event grain; (2) the global pass is a running-max
+    scan over the ~#days candidate rows in descending day order (a
+    day survives iff every LATER day's maximum is strictly below its
+    own). At 100 TB phase 1 is one map-side-partial shuffle and phase
+    2 touches days-grain rows only; the O(n²) dominance definition
+    never executes — it lives in the oracle, where the checker's
+    NOT EXISTS restatement is the *definition* of dominance.
+
+    Ties: equal (day, price) orders dominate neither each other nor
+    anything strictly — all survive together, reported as n_orders."""
+    o = load_table(spark, sf_dir, "orders")
+    pts = o.select(
+        F.to_date("o_orderdate").alias("day"),
+        _cents(F.col("o_totalprice")).alias("price_cents"),
+    )
+    daily = pts.groupBy("day", "price_cents").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    # phase 1: local skyline per day == the day's max price row(s)
+    wday = Window.partitionBy("day")
+    cand = daily.withColumn(
+        "_pmax", F.max("price_cents").over(wday)
+    ).filter(F.col("price_cents") == F.col("_pmax"))
+    # phase 2: days-grain running max from the most recent day back
+    wglob = Window.orderBy(F.col("day").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        cand.withColumn("_later_max", F.max("price_cents").over(wglob))
+        .filter(
+            F.col("_later_max").isNull()
+            | (F.col("_later_max") < F.col("price_cents"))
+        )
+        .select("day", "price_cents", "n_orders")
+        .orderBy("day")
+    )
+
+
 def daily_order_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic window (lag) over pre-aggregated daily counts.
 
@@ -1478,6 +1526,27 @@ ORACLES: dict[str, str] = {
         WHERE rn <= 3
         ORDER BY c_nationkey, rn
     """,
+    # the oracle is the O(n²) DEFINITION of dominance (NOT EXISTS a
+    # point ≥ on both axes and > on one), executed at order grain —
+    # deliberately the semantic primitive the two-phase Spark plan
+    # must reproduce, not a restatement of that plan.
+    "orders_skyline": """
+        WITH pts AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS price_cents
+            FROM orders
+        ), sky AS (
+            SELECT day, price_cents FROM pts p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM pts q
+                WHERE q.day >= p.day AND q.price_cents >= p.price_cents
+                  AND (q.day > p.day OR q.price_cents > p.price_cents)
+            )
+        )
+        SELECT day, price_cents, COUNT(*) AS n_orders
+        FROM sky GROUP BY 1, 2 ORDER BY 1
+    """,
     "daily_order_lag": """
         WITH daily AS (
             SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS orders
@@ -1920,6 +1989,7 @@ QUERIES = {
     "orders_with_prompt_lines": orders_with_prompt_lines,
     "top3_customers_per_nation": top3_customers_per_nation,
     "daily_order_lag": daily_order_lag,
+    "orders_skyline": orders_skyline,
     "orders_running_share": orders_running_share,
     "orders_rolling_quarter": orders_rolling_quarter,
     "customer_balance_quartiles": customer_balance_quartiles,

@@ -68,3 +68,83 @@ def test_bloom_prefilter_never_drops_a_true_match(spark, fact_keys, dim_keys):
         bloom.bloom_bitmap(dim.select(F.col("d")), "d").count()
         <= bloom.BLOOM_BITS // 64
     )
+
+
+points = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 8)),
+    min_size=0,
+    max_size=40,
+)
+
+
+def _naive_skyline(pts):
+    """Definitional O(n²) dominance — mirrors the DuckDB oracle."""
+    sky = [
+        p
+        for p in pts
+        if not any(
+            q[0] >= p[0] and q[1] >= p[1] and (q[0] > p[0] or q[1] > p[1])
+            for q in pts
+        )
+    ]
+    out = {}
+    for p in sky:
+        out[p] = out.get(p, 0) + 1
+    return out
+
+
+def _two_phase_skyline(pts):
+    """Pure-python mirror of orders_skyline's reduction: per-x max,
+    then a descending-x running-max scan."""
+    per_x: dict[int, int] = {}
+    for x, y in pts:
+        per_x[x] = max(per_x.get(x, -1), y)
+    later_max = -1
+    keep = set()
+    for x in sorted(per_x, reverse=True):
+        if per_x[x] > later_max:
+            keep.add((x, per_x[x]))
+            later_max = per_x[x]
+    out = {}
+    for p in pts:
+        if p in keep:
+            out[p] = out.get(p, 0) + 1
+    return out
+
+
+@given(pts=points)
+@settings(max_examples=300, deadline=None)
+def test_two_phase_skyline_equals_definitional_dominance(pts):
+    """For ANY point multiset — ties on either or both axes included —
+    the distributive two-phase reduction produces exactly the
+    definitional Pareto frontier with tie counts."""
+    assert _two_phase_skyline(pts) == _naive_skyline(pts)
+
+
+def test_orders_skyline_matches_bruteforce(spark, sf_dir):
+    """The Spark plan agrees with the definitional dominance check on
+    the real corpus, and its invariants hold: strictly increasing
+    price as day decreases, one row per surviving day."""
+    from pyspark.sql import functions as F
+
+    from mini_log_lakehouse_spark.operators import relational
+    from mini_log_lakehouse_spark.sources.registry import load_table
+
+    got = relational.orders_skyline(spark, sf_dir).collect()
+    pts = [
+        (r["day"].toordinal(), r["pc"])
+        for r in load_table(spark, sf_dir, "orders")
+        .select(
+            F.to_date("o_orderdate").alias("day"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).alias("pc"),
+        )
+        .collect()
+    ]
+    want = _naive_skyline(pts)
+    assert {
+        (r["day"].toordinal(), r["price_cents"]): r["n_orders"] for r in got
+    } == want
+    days = [r["day"] for r in got]
+    assert days == sorted(days) and len(set(days)) == len(days)
+    prices = [r["price_cents"] for r in got]
+    assert prices == sorted(prices, reverse=True)
