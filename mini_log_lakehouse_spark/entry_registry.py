@@ -27,6 +27,7 @@ from mini_log_lakehouse_spark.operators import (
     textstats,
     vocab,
 )
+from mini_log_lakehouse_spark.sources import archives as sources_archives
 from mini_log_lakehouse_spark.sources import formats as sources_formats
 from mini_log_lakehouse_spark.sources import jsonl as sources_jsonl
 from mini_log_lakehouse_spark.streaming import ingest as streaming_ingest
@@ -52,6 +53,7 @@ _MODULES = (
     skew,
     sources_jsonl,
     sources_formats,
+    sources_archives,
     relational,
     bloom,
     events,
@@ -92,10 +94,11 @@ if _unknown:
 # approx-percentile quality gate, the sorted-neighborhood dedup, the
 # Aho-Corasick blocklist scan, the association-rule miner, the IMA
 # ADPCM predictive-codec decode, the Holt forecaster, the ORC and
-# RFC-4180 CSV roundtrips, the two-phase skyline); (3) fill the
-# remaining 4 slots from the 50-entry r7 pool, oldest-exposure-first
-# (prior-round sample count, ties in registry order — the 46 r7
-# leftovers are r11's load, inside its 50 slots).
+# RFC-4180 CSV roundtrips, the two-phase skyline, the distributed ZIP
+# expansion); (3) fill the remaining 3 slots from the 50-entry r7
+# pool, oldest-exposure-first (prior-round sample count, ties in
+# registry order — the 47 r7 leftovers are r11's load, inside its 50
+# slots).
 # Everything past position 50 stays covered by the identical local
 # DuckDB hash-compare in tests/test_entry_contract.py.
 _FIRST_WINDOW = (
@@ -147,11 +150,11 @@ _FIRST_WINDOW = (
     "documents_orc_roundtrip",
     "documents_csv_roundtrip",
     "orders_skyline",
+    "documents_zip_roundtrip",
     # (3) r7 pool fill, oldest-exposure-first
     "events_state_enrichment",
     "user_pagerank_weighted",
     "user_clustering_coefficient",
-    "user_bfs_reach",
 )
 
 _missing = [n for n in _FIRST_WINDOW if n not in QUERIES]
