@@ -88,7 +88,7 @@ if _unknown:
 # (1) all 30 entries whose latest driver row is r6 — they cross
 # ROTATION_MAX_AGE=4 the moment CORRECTNESS_r10.json lands; (2) entries
 # NEW this round (no driver row ever — the rotation test forces them
-# in — 13 slots: the KMV distinct sketch + its set-algebra report,
+# in — 17 slots: the KMV distinct sketch + its set-algebra report,
 # the Bloom prefilter join, the G.711 A-law expansion, the full JPEG
 # pixel decode, the AVI/MJPEG and MP4/ISO-BMFF video pipelines, the
 # approx-percentile quality gate, the sorted-neighborhood dedup, the

@@ -30,7 +30,6 @@ from __future__ import annotations
 
 import io
 import os
-import tempfile
 import zipfile
 from typing import Iterator
 
@@ -72,11 +71,17 @@ def read_zip_members(spark: SparkSession, path: str) -> DataFrame:
                             ".txt"
                         ):
                             continue
+                        try:
+                            doc_id = int(stem[4:-4])
+                            text = zf.read(name).decode("utf-8")
+                        except (ValueError, UnicodeDecodeError):
+                            # doc_index.txt / non-UTF-8 payloads are
+                            # foreign members too: skip, never fail
+                            # the task (tolerant-source contract)
+                            continue
                         out["archive"].append(label)
-                        out["doc_id"].append(int(stem[4:-4]))
-                        out["text"].append(
-                            zf.read(name).decode("utf-8")
-                        )
+                        out["doc_id"].append(doc_id)
+                        out["text"].append(text)
             yield pd.DataFrame(out)
 
     return raw.mapInPandas(expand, schema=ZIP_MEMBERS_SCHEMA)
@@ -97,24 +102,19 @@ def write_zip_archives(df_pandas: pd.DataFrame, path: str) -> None:
                 )
 
 
-#: One materialized archive export per (session, sf_dir).
-_EXPORT_CACHE: dict[tuple[str, str], str] = {}
-
-
 def _exported_archives(spark: SparkSession, sf_dir: str) -> str:
-    from mini_log_lakehouse_spark.session import evict_stale
+    """Session-memoized zip export, sharing the formats._export cache
+    (one memo implementation for every interchange tier)."""
+    from mini_log_lakehouse_spark.sources.formats import _export
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    evict_stale(_EXPORT_CACHE, key[0], unpersist=False)
-    if key not in _EXPORT_CACHE:
-        path = tempfile.mkdtemp(prefix="zip_export_")
+    def write(path: str) -> None:
         docs = pd.read_parquet(
             os.path.join(sf_dir, "documents.parquet"),
             columns=["doc_id", "text", "lang"],
         )
         write_zip_archives(docs, path)
-        _EXPORT_CACHE[key] = path
-    return _EXPORT_CACHE[key]
+
+    return _export(spark, sf_dir, "zip", write)
 
 
 def documents_zip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

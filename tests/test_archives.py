@@ -46,6 +46,8 @@ def test_zip_expansion_ignores_foreign_members(spark, tmp_path):
         zf.writestr("doc_7.txt", b"seven")
         zf.writestr("MANIFEST.txt", b"ignore me")
         zf.writestr("doc_bad.csv", b"ignore me too")
+        zf.writestr("doc_index.txt", b"name matches, id does not parse")
+        zf.writestr("doc_9.txt", b"\xff\xfe latin-1, not utf-8")
     rows = archives.read_zip_members(spark, path).collect()
     assert [(r["archive"], r["doc_id"], r["text"]) for r in rows] == [
         ("xx", 7, "seven")

@@ -1142,10 +1142,14 @@ def test_adpcm_rejects_corruption():
 
 
 def test_adpcm_features_query_covers_all_docs(spark, sf_dir):
+    from mini_log_lakehouse_spark.sources.registry import load_table
+
     rows = {
         r["media_id"]: r
         for r in mm.multimodal_adpcm_features(spark, sf_dir).collect()
     }
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
     for mid in list(rows)[:10]:
         n, sr = mm._adpcm_params(mid)
         assert rows[mid]["n_samples"] == n
