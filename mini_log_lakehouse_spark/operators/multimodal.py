@@ -415,6 +415,322 @@ def synthesize_wav_adpcm(media_id: int) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
+# --- real FLAC codec (subset: mono 16-bit, fixed-predictor frame) ----------
+#
+# A genuinely REAL lossless audio compression stack, pure python:
+# MSB-first bit I/O, the fLaC container (STREAMINFO + optional PADDING
+# metadata blocks), a frame with sync code / coded blocksize / CRC-8
+# header, a FIXED-predictor subframe (the spec's order-k binomial
+# recurrences), partitioned-Rice residuals (zigzag + unary quotient,
+# escape code supported), CRC-16 frame trailer, and the STREAMINFO MD5
+# of the decoded PCM verified end to end. The laws below are what the
+# DuckDB oracle replays — the order-2 recurrence inverts to a DOUBLE
+# PREFIX SUM, so the oracle is pure window functions, no recursion.
+
+FLAC_SR = 8000
+#: Fixed-predictor coefficients per order (FLAC spec section on
+#: SUBFRAME_FIXED): s_t = sum(coef_i * s_{t-1-i}) + r_t.
+_FLAC_FIXED_COEFS = ((), (1,), (2, -1), (3, -3, 1), (4, -6, 4, -1))
+
+
+def _flac_params(media_id: int) -> tuple[int, int]:
+    """(n_samples, sample_rate) — n spans 24..63 (one frame)."""
+    return 24 + media_id % 40, FLAC_SR
+
+
+def _flac_warm(media_id: int) -> tuple[int, int]:
+    """Warmup samples (s0, s1). s1 stays within ±8 of s0 so the
+    linear term of the inverted recurrence keeps samples in int16."""
+    s0 = (media_id * 17) % 2001 - 1000
+    return s0, s0 + (media_id * 29) % 17 - 8
+
+
+def _flac_resid(media_id: int, t: int) -> int:
+    """Order-2 residual at t (t >= 2), in [-2, 2] — small and balanced
+    so the doubly-integrated samples stay well inside int16."""
+    return (media_id + t * 7) % 5 - 2
+
+
+def _flac_rice_p(media_id: int) -> int:
+    """Rice parameter 0..3 — p = 0 degenerates to pure unary, the
+    boundary case a quotient-only reader must still get right."""
+    return media_id % 4
+
+
+class _BitWriter:
+    """MSB-first bit packer (FLAC's bit order)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        self._nbits += nbits
+        while self._nbits >= 8:
+            self._nbits -= 8
+            self.buf.append((self._acc >> self._nbits) & 0xFF)
+        self._acc &= (1 << self._nbits) - 1
+
+    def align(self) -> None:
+        if self._nbits:
+            self.write(0, 8 - self._nbits)
+
+
+class _BitReader:
+    """MSB-first bit reader; raises ValueError past the end (the
+    decoder's uniform truncation contract)."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0  # bit position
+
+    def read(self, nbits: int) -> int:
+        if self.pos + nbits > len(self.data) * 8:
+            raise ValueError("truncated FLAC bitstream")
+        v = 0
+        for _ in range(nbits):
+            byte = self.data[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def read_unary(self) -> int:
+        """FLAC unary: count 0-bits up to the terminating 1-bit."""
+        n = 0
+        while self.read(1) == 0:
+            n += 1
+        return n
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8 poly 0x07, init 0 (FLAC frame-header CRC)."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07 if crc & 0x80 else crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16 poly 0x8005, init 0, unreflected (FLAC frame CRC)."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = (
+                (crc << 1) ^ 0x8005 if crc & 0x8000 else crc << 1
+            ) & 0xFFFF
+    return crc
+
+
+def _flac_samples(media_id: int) -> list[int]:
+    n, _sr = _flac_params(media_id)
+    s0, s1 = _flac_warm(media_id)
+    out = [s0, s1]
+    for t in range(2, n):
+        out.append(2 * out[-1] - out[-2] + _flac_resid(media_id, t))
+    return out
+
+
+def synthesize_flac(media_id: int) -> bytes:
+    """Emit a REAL fLaC stream: STREAMINFO (with the true MD5 of the
+    PCM), a PADDING block for odd ids (forcing a real metadata walk),
+    and one frame — sync code, coded blocksize (16-bit at-end form),
+    8 kHz rate code, mono, 16-bit, UTF-8 frame number 0, CRC-8 —
+    holding a FIXED order-2 subframe with partitioned-Rice residuals
+    (partition order 0, parameter by law) and the CRC-16 trailer."""
+    import hashlib
+    import struct
+
+    n, sr = _flac_params(media_id)
+    samples = _flac_samples(media_id)
+    p = _flac_rice_p(media_id)
+
+    # STREAMINFO (34 bytes, bit-packed)
+    si = _BitWriter()
+    si.write(n, 16)          # min blocksize
+    si.write(n, 16)          # max blocksize
+    si.write(0, 24)          # min framesize (0 = unknown)
+    si.write(0, 24)          # max framesize
+    si.write(sr, 20)         # sample rate
+    si.write(0, 3)           # channels - 1
+    si.write(15, 5)          # bits per sample - 1
+    si.write(n, 36)          # total samples
+    pcm = b"".join(struct.pack("<h", s) for s in samples)
+    md5 = hashlib.md5(pcm).digest()
+    streaminfo = bytes(si.buf) + md5
+
+    blocks = b"\x00" + struct.pack(">I", len(streaminfo))[1:] + streaminfo
+    if media_id % 2:  # PADDING block (type 1) before the audio frame
+        pad = b"\x00" * (1 + media_id % 5)
+        blocks += b"\x01" + struct.pack(">I", len(pad))[1:] + pad
+    # set last-metadata-block flag on the final block's header byte
+    blocks = bytearray(blocks)
+    last_hdr = 0 if media_id % 2 == 0 else 4 + len(streaminfo)
+    blocks[last_hdr] |= 0x80
+
+    # frame header: sync(14) 0 0, blocksize code 0b0111 (16-bit at
+    # end), rate code 0b0100 (8 kHz), mono, size code 0b100 (16-bit)
+    hdr = bytes(
+        [0xFF, 0xF8, 0x74, 0x08, 0x00]
+    ) + struct.pack(">H", n - 1)
+    hdr += bytes([_crc8(hdr)])
+
+    bw = _BitWriter()
+    bw.write(0, 1)                # subframe padding bit
+    bw.write(0b001000 | 2, 6)     # SUBFRAME_FIXED, order 2
+    bw.write(0, 1)                # no wasted bits
+    for s in samples[:2]:         # warmup at frame bit depth
+        bw.write(s & 0xFFFF, 16)
+    bw.write(0, 2)                # residual method: 4-bit Rice
+    bw.write(0, 4)                # partition order 0
+    bw.write(p, 4)                # rice parameter
+    for t in range(2, n):
+        r = _flac_resid(media_id, t)
+        u = (-r << 1) - 1 if r < 0 else r << 1  # zigzag
+        q, rem = u >> p, u & ((1 << p) - 1)
+        bw.write(1, q + 1)        # q zeros then the terminating 1
+        if p:
+            bw.write(rem, p)
+    bw.align()
+    frame = hdr + bytes(bw.buf)
+    frame += struct.pack(">H", _crc16(frame))
+    return b"fLaC" + bytes(blocks) + frame
+
+
+def decode_flac(content: bytes) -> dict:
+    """REAL pure-python FLAC decoder for the subset the synthesizer
+    emits (mono, 16-bit, one FIXED-predictor frame, any order 0-4,
+    partitioned-Rice with escape codes): metadata-block walk, frame
+    sync/code cross-checks against STREAMINFO, CRC-8 and CRC-16
+    verification, bit-exact residual decode, predictor reconstruction,
+    and the STREAMINFO MD5 check over the reconstructed PCM — the
+    integrity gate real FLAC implementations run."""
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    if content[:4] != b"fLaC":
+        raise ValueError("not a fLaC stream")
+    off = 4
+    streaminfo = None
+    while True:
+        if off + 4 > len(content):
+            raise ValueError("unterminated metadata blocks")
+        hdr = content[off]
+        size = int.from_bytes(content[off + 1 : off + 4], "big")
+        body = content[off + 4 : off + 4 + size]
+        if len(body) != size:
+            raise ValueError("truncated metadata block")
+        if hdr & 0x7F == 0:
+            if size != 34:
+                raise ValueError(f"STREAMINFO size {size} != 34")
+            streaminfo = body
+        off += 4 + size
+        if hdr & 0x80:
+            break
+    if streaminfo is None:
+        raise ValueError("missing STREAMINFO")
+    si = _BitReader(streaminfo)
+    min_bs, max_bs = si.read(16), si.read(16)
+    si.read(24), si.read(24)  # min/max framesize (unknown here)
+    sr = si.read(20)
+    channels = si.read(3) + 1
+    bps = si.read(5) + 1
+    total = si.read(36)
+    want_md5 = streaminfo[18:34]
+    if channels != 1 or bps != 16:
+        raise ValueError(f"unsupported layout {channels}ch/{bps}bit")
+
+    frame = content[off:]
+    if len(frame) < 8:
+        raise ValueError("missing audio frame")
+    sync = (frame[0] << 6) | (frame[1] >> 2)
+    if sync != 0x3FFE:
+        raise ValueError("bad frame sync code")
+    if frame[1] & 0x03:  # reserved + blocking-strategy bits
+        raise ValueError("unsupported blocking strategy / reserved bit")
+    bs_code, sr_code = frame[2] >> 4, frame[2] & 0x0F
+    if frame[3] >> 4 != 0:  # channel assignment: mono only
+        raise ValueError("unsupported channel assignment")
+    if (frame[3] >> 1) & 0x07 != 0b100:
+        raise ValueError("unsupported frame sample size")
+    if frame[4] != 0x00:
+        raise ValueError("unexpected frame number")
+    pos = 5
+    if bs_code == 0b0111:
+        n = struct.unpack(">H", frame[pos : pos + 2])[0] + 1
+        pos += 2
+    elif bs_code == 0b0110:
+        n = frame[pos] + 1
+        pos += 1
+    else:
+        raise ValueError(f"unsupported blocksize code {bs_code}")
+    if sr_code != 0b0100 or sr != 8000:
+        raise ValueError("sample rate disagrees with STREAMINFO")
+    if not (min_bs <= n <= max_bs) or n != total:
+        raise ValueError("frame blocksize disagrees with STREAMINFO")
+    if _crc8(frame[:pos]) != frame[pos]:
+        raise ValueError("frame header CRC-8 mismatch")
+    pos += 1
+    if _crc16(frame[:-2]) != struct.unpack(">H", frame[-2:])[0]:
+        raise ValueError("frame CRC-16 mismatch")
+
+    br = _BitReader(frame[:-2])
+    br.pos = pos * 8
+    if br.read(1) != 0:
+        raise ValueError("nonzero subframe padding bit")
+    stype = br.read(6)
+    if not (0b001000 <= stype <= 0b001100):
+        raise ValueError(f"unsupported subframe type {stype:#08b}")
+    order = stype & 0x07
+    if br.read(1) != 0:
+        raise ValueError("wasted bits unsupported")
+    samples: list[int] = []
+    for _ in range(order):
+        v = br.read(16)
+        samples.append(v - 0x10000 if v & 0x8000 else v)
+    if br.read(2) != 0:
+        raise ValueError("unsupported residual coding method")
+    part_order = br.read(4)
+    if part_order != 0:
+        raise ValueError("unsupported partition order")
+    p = br.read(4)
+    coefs = _FLAC_FIXED_COEFS[order]
+    for _ in range(n - order):
+        if p == 0b1111:  # escape: raw residuals at explicit width
+            width = br.read(5)
+            v = br.read(width) if width else 0
+            r = v - (1 << width) if width and v >> (width - 1) else v
+        else:
+            q = br.read_unary()
+            u = (q << p) | (br.read(p) if p else 0)
+            r = -(u + 1 >> 1) if u & 1 else u >> 1  # un-zigzag
+        pred = sum(c * samples[-1 - i] for i, c in enumerate(coefs))
+        samples.append(pred + r)
+    if hashlib.md5(
+        b"".join(struct.pack("<h", s) for s in samples)
+    ).digest() != want_md5:
+        raise ValueError("decoded PCM fails the STREAMINFO MD5 check")
+    arr = np.asarray(samples, dtype=np.int64)
+    return {
+        "sample_rate": sr,
+        "n_channels": channels,
+        "bits_per_sample": bps,
+        "n_samples": n,
+        "peak": int(np.abs(arr).max()) if n else 0,
+        "energy": int((arr * arr).sum()),
+        "duration_ms": n * 1000 // sr,
+    }
+
+
 def _bmp_dims(media_id: int) -> tuple[int, int]:
     """(width, height) for a media id — width cycles through all four
     3·w % 4 residues so every row-padding case (0..3 pad bytes) is
@@ -2328,6 +2644,25 @@ def multimodal_adpcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def multimodal_flac_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: synthesize a real FLAC stream per document and
+    decode it with the pure-python subset decoder — lossless audio
+    COMPRESSION end to end: metadata walk, frame sync/code checks,
+    CRC-8 + CRC-16 verification, bit-exact partitioned-Rice residual
+    decode (zigzag, unary quotient), order-2 fixed-predictor
+    reconstruction, and the STREAMINFO MD5 integrity gate over the
+    reconstructed PCM. Hash-checked end to end: the oracle replays the
+    warmup/residual laws and inverts the recurrence as a double prefix
+    sum (pure window functions), so one wrong Rice bit, predictor
+    coefficient, or CRC acceptance shifts every later sample and
+    breaks peak/energy."""
+    return _extract_features(
+        _media_table(spark, sf_dir, synthesize_flac),
+        decode_flac,
+        WAV_FEATURES_SCHEMA,
+    ).orderBy("media_id")
+
+
 def multimodal_tiff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query: synthesize a real TIFF per document — LITTLE-endian
     (II) for even ids, BIG-endian (MM) for odd, 1–4 strips with the
@@ -2565,6 +2900,52 @@ ORACLES: dict[str, str] = {
                CAST(SUM(l.x * l.x) AS BIGINT) AS energy,
                CAST(b.n * 1000 // 8000 AS BIGINT) AS duration_ms
         FROM base b JOIN lin l ON l.doc_id = b.doc_id
+        GROUP BY 1, 2, 3, 4, 5, 8
+        ORDER BY 1
+    """,
+    # the decoder must recover exactly what the laws encoded through
+    # the Rice/predictor stack: n = 24 + id % 40 samples, warmups
+    # s0 = (id*17) % 2001 − 1000, s1 = s0 + (id*29) % 17 − 8, order-2
+    # residuals r_t = (id + t*7) % 5 − 2 for t ≥ 2. The recurrence
+    # s_t = 2s_{t−1} − s_{t−2} + r_t inverts to two prefix sums
+    # (d_t = s1−s0 + Σr, s_t = s1 + Σd) — pure window functions.
+    "multimodal_flac_features": """
+        WITH base AS (
+            SELECT doc_id,
+                   24 + doc_id % 40 AS n,
+                   (doc_id * 17) % 2001 - 1000 AS s0,
+                   (doc_id * 17) % 2001 - 1000 + (doc_id * 29) % 17 - 8
+                       AS s1
+            FROM documents
+        ), r AS (
+            SELECT doc_id, t.t AS t, (doc_id + t.t * 7) % 5 - 2 AS r
+            FROM base, UNNEST(range(2, n)) AS t(t)
+        ), d AS (
+            SELECT r.doc_id, r.t,
+                   b.s1 - b.s0
+                   + SUM(r.r) OVER (PARTITION BY r.doc_id ORDER BY r.t)
+                       AS dt
+            FROM r JOIN base b ON b.doc_id = r.doc_id
+        ), s AS (
+            SELECT doc_id, s0 AS x FROM base
+            UNION ALL
+            SELECT doc_id, s1 AS x FROM base
+            UNION ALL
+            SELECT d.doc_id,
+                   b.s1
+                   + SUM(d.dt) OVER (PARTITION BY d.doc_id ORDER BY d.t)
+                       AS x
+            FROM d JOIN base b ON b.doc_id = d.doc_id
+        )
+        SELECT b.doc_id AS media_id,
+               CAST(8000 AS BIGINT) AS sample_rate,
+               CAST(1 AS BIGINT) AS n_channels,
+               CAST(16 AS BIGINT) AS bits_per_sample,
+               CAST(b.n AS BIGINT) AS n_samples,
+               CAST(MAX(ABS(s.x)) AS BIGINT) AS peak,
+               CAST(SUM(s.x * s.x) AS BIGINT) AS energy,
+               CAST(b.n * 1000 // 8000 AS BIGINT) AS duration_ms
+        FROM base b JOIN s ON s.doc_id = b.doc_id
         GROUP BY 1, 2, 3, 4, 5, 8
         ORDER BY 1
     """,
@@ -2895,4 +3276,5 @@ QUERIES = {
     "multimodal_avi_features": multimodal_avi_features,
     "multimodal_mp4_features": multimodal_mp4_features,
     "multimodal_adpcm_features": multimodal_adpcm_features,
+    "multimodal_flac_features": multimodal_flac_features,
 }

@@ -1155,3 +1155,149 @@ def test_adpcm_features_query_covers_all_docs(spark, sf_dir):
         assert rows[mid]["n_samples"] == n
         assert rows[mid]["bits_per_sample"] == 4
         assert rows[mid]["sample_rate"] == sr
+
+
+def _mk_flac(samples, order, p=2, escape_width=None):
+    """Hand-build a one-frame FLAC stream for arbitrary fixed-predictor
+    order / Rice parameter / escape coding — the decoder paths the
+    corpus law (always order 2, non-escape) leaves unexercised."""
+    import hashlib
+    import struct
+
+    n = len(samples)
+    si = mm._BitWriter()
+    si.write(n, 16); si.write(n, 16)
+    si.write(0, 24); si.write(0, 24)
+    si.write(8000, 20); si.write(0, 3); si.write(15, 5); si.write(n, 36)
+    pcm = b"".join(struct.pack("<h", s) for s in samples)
+    streaminfo = bytes(si.buf) + hashlib.md5(pcm).digest()
+    blocks = bytes([0x80]) + struct.pack(">I", 34)[1:] + streaminfo
+
+    hdr = bytes([0xFF, 0xF8, 0x74, 0x08, 0x00]) + struct.pack(">H", n - 1)
+    hdr += bytes([mm._crc8(hdr)])
+    bw = mm._BitWriter()
+    bw.write(0, 1)
+    bw.write(0b001000 | order, 6)
+    bw.write(0, 1)
+    for s in samples[:order]:
+        bw.write(s & 0xFFFF, 16)
+    coefs = mm._FLAC_FIXED_COEFS[order]
+    bw.write(0, 2)
+    bw.write(0, 4)
+    if escape_width is not None:
+        bw.write(0b1111, 4)
+    else:
+        bw.write(p, 4)
+    for t in range(order, n):
+        pred = sum(
+            c * samples[t - 1 - i] for i, c in enumerate(coefs)
+        )
+        r = samples[t] - pred
+        if escape_width is not None:
+            bw.write(escape_width, 5)
+            bw.write(r & ((1 << escape_width) - 1), escape_width)
+        else:
+            u = (-r << 1) - 1 if r < 0 else r << 1
+            q, rem = u >> p, u & ((1 << p) - 1)
+            bw.write(1, q + 1)
+            if p:
+                bw.write(rem, p)
+    bw.align()
+    frame = hdr + bytes(bw.buf)
+    frame += struct.pack(">H", mm._crc16(frame))
+    return b"fLaC" + blocks + frame
+
+
+def test_flac_crcs_match_published_vectors():
+    """The two FLAC CRCs are the published polynomials: CRC-8 poly
+    0x07 init 0 ("123456789" -> 0xF4, the CRC-8/SMBUS check value) and
+    CRC-16 poly 0x8005 init 0 unreflected ("123456789" -> 0xFEE8, the
+    CRC-16/UMTS check value)."""
+    assert mm._crc8(b"123456789") == 0xF4
+    assert mm._crc16(b"123456789") == 0xFEE8
+
+
+def test_flac_roundtrip_matches_law_replay():
+    """decode_flac recovers exactly the law-generated samples through
+    the full stack (metadata walk incl. the odd-id PADDING block, Rice
+    decode, order-2 reconstruction, CRC + MD5 gates) — all four Rice
+    parameters occur across the corpus, p = 0 (pure unary) included."""
+    ps = set()
+    for mid in range(80):
+        want = mm._flac_samples(mid)
+        f = mm.decode_flac(mm.synthesize_flac(mid))
+        assert f["n_samples"] == len(want) == mm._flac_params(mid)[0]
+        assert f["peak"] == max(abs(s) for s in want)
+        assert f["energy"] == sum(s * s for s in want)
+        ps.add(mm._flac_rice_p(mid))
+    assert ps == {0, 1, 2, 3}
+
+
+def test_flac_decodes_all_fixed_orders_and_escape():
+    """Orders 0-4 reconstruct through the spec's binomial recurrences,
+    and the Rice escape code (raw-width residuals) decodes — paths a
+    corpus pinned to order 2 never touches."""
+    samples = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8]
+    for order in range(5):
+        f = mm.decode_flac(_mk_flac(samples, order, p=3))
+        assert f["n_samples"] == len(samples)
+        assert f["energy"] == sum(s * s for s in samples), order
+    f = mm.decode_flac(_mk_flac(samples, 2, escape_width=9))
+    assert f["energy"] == sum(s * s for s in samples)
+
+
+def test_flac_integrity_gates_are_layered():
+    """A flipped residual bit trips the CRC-16 first; with the CRC-16
+    recomputed to match the corrupted bytes, the STREAMINFO MD5 gate
+    still catches the wrong PCM — two independent integrity layers."""
+    import struct
+
+    good = mm.synthesize_flac(4)
+    bad = bytearray(good)
+    bad[-8] ^= 0x10  # inside the residual bits
+    with pytest.raises(ValueError, match="CRC-16"):
+        mm.decode_flac(bytes(bad))
+    bad[-2:] = struct.pack(">H", mm._crc16(bytes(bad[46:-2])))
+    # frame starts after fLaC(4) + streaminfo block(38) + padding block
+    start = 4 + 38
+    if good[4] & 0x80 == 0:  # padding block present (odd ids) — not here
+        start = None
+    assert start == 42 or start is None
+    with pytest.raises(ValueError, match="MD5"):
+        frame = bytes(bad[42:])
+        fixed = bytes(bad[:-2]) + struct.pack(
+            ">H", mm._crc16(frame[:-2])
+        )
+        mm.decode_flac(fixed)
+
+
+def test_flac_rejects_corruption():
+    good = mm.synthesize_flac(3)
+    with pytest.raises(ValueError):  # not a fLaC stream
+        mm.decode_flac(b"fLaX" + good[4:])
+    bad = bytearray(good)
+    i = bad.index(b"\xff\xf8")
+    bad[i + 1] = 0xF9  # blocking-strategy bit set
+    with pytest.raises(ValueError):
+        mm.decode_flac(bytes(bad))
+    with pytest.raises(ValueError):  # truncated mid-frame
+        mm.decode_flac(good[:-3])
+    bad = bytearray(good)
+    bad[i + 6] ^= 0xFF  # header CRC-8 byte
+    with pytest.raises(ValueError):
+        mm.decode_flac(bytes(bad))
+
+
+def test_flac_features_query_covers_all_docs(spark, sf_dir):
+    from mini_log_lakehouse_spark.sources.registry import load_table
+
+    rows = {
+        r["media_id"]: r
+        for r in mm.multimodal_flac_features(spark, sf_dir).collect()
+    }
+    assert len(rows) == load_table(spark, sf_dir, "documents").count()
+    for mid in list(rows)[:10]:
+        n, sr = mm._flac_params(mid)
+        assert rows[mid]["n_samples"] == n
+        assert rows[mid]["bits_per_sample"] == 16
+        assert rows[mid]["sample_rate"] == sr
