@@ -88,17 +88,19 @@ if _unknown:
 # (1) all 30 entries whose latest driver row is r6 — they cross
 # ROTATION_MAX_AGE=4 the moment CORRECTNESS_r10.json lands; (2) entries
 # NEW this round (no driver row ever — the rotation test forces them
-# in — 18 slots: the KMV distinct sketch + its set-algebra report,
+# in — 19 slots: the KMV distinct sketch + its set-algebra report,
 # the Bloom prefilter join, the G.711 A-law expansion, the full JPEG
 # pixel decode, the AVI/MJPEG and MP4/ISO-BMFF video pipelines, the
 # approx-percentile quality gate, the sorted-neighborhood dedup, the
 # Aho-Corasick blocklist scan, the association-rule miner, the IMA
 # ADPCM predictive-codec decode, the Holt forecaster, the ORC and
 # RFC-4180 CSV roundtrips, the two-phase skyline, the distributed ZIP
-# expansion, the FLAC lossless-compression decode); (3) fill the
-# remaining 2 slots from the 50-entry r7 pool, oldest-exposure-first
-# (prior-round sample count, ties in registry order — the 48 r7
-# leftovers are r11's load, inside its 50 slots).
+# expansion, the FLAC lossless-compression decode, the sequential-
+# pattern miner); (3) fill the remaining 1 slot from the 50-entry r7
+# pool, oldest-exposure-first (prior-round sample count, ties in
+# registry order — the 49 r7 leftovers are r11's load, inside its 50
+# slots; r11 therefore has ONE spare slot, so new-entry additions in
+# r11 must be at most one or the r7 tail slips a round).
 # Everything past position 50 stays covered by the identical local
 # DuckDB hash-compare in tests/test_entry_contract.py.
 _FIRST_WINDOW = (
@@ -152,9 +154,9 @@ _FIRST_WINDOW = (
     "orders_skyline",
     "documents_zip_roundtrip",
     "multimodal_flac_features",
+    "user_sequence_patterns",
     # (3) r7 pool fill, oldest-exposure-first
     "events_state_enrichment",
-    "user_pagerank_weighted",
 )
 
 _missing = [n for n in _FIRST_WINDOW if n not in QUERIES]

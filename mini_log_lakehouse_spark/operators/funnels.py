@@ -1570,6 +1570,71 @@ def event_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining (PrefixSpan's problem, exact): for
+    every ORDERED event-type triple ⟨t1 → t2 → t3⟩, the number of
+    users whose event stream contains it as a subsequence (∃ i < j < k
+    with those types — gaps allowed, the defining difference from the
+    adjacency-based transition matrix), plus exact ppm support of the
+    user base. Ordering is (ts, event_id) so ties are deterministic.
+
+    Scale shape: the naive definition is an O(n³) per-user self-join —
+    it runs ONLY in the oracle, as the semantic primitive. The plan
+    uses the greedy first-after-first reduction instead: a subsequence
+    ⟨t1,t2,t3⟩ exists iff the FIRST t2 after the FIRST t1 still has a
+    t3 after it, so three bounded passes suffice — (user, type)
+    min/max positions (map-side partial at event grain), the
+    first-t2-after-first-t1 table via one |T|-bounded join (≤ |T|×
+    events intermediate, |T| = 5), and a (user, t1, t2) × (user, t3)
+    grain join. Nothing downstream of the first pass is event-sized,
+    and pattern rows are ≤ |T|³."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    occ = ev.select(
+        "user_id",
+        F.col("event_type").alias("t"),
+        F.row_number().over(w).alias("rn"),
+    )
+    mm = occ.groupBy("user_id", "t").agg(
+        F.min("rn").alias("mi"), F.max("rn").alias("ma")
+    )
+    # first t2 strictly after the first t1, per user
+    fba = (
+        occ.join(
+            mm.select("user_id", F.col("t").alias("t1"), "mi"), "user_id"
+        )
+        .filter(F.col("rn") > F.col("mi"))
+        .groupBy("user_id", "t1", F.col("t").alias("t2"))
+        .agg(F.min("rn").alias("fb"))
+    )
+    trips = (
+        fba.join(
+            mm.select("user_id", F.col("t").alias("t3"), "ma"), "user_id"
+        )
+        .filter(F.col("ma") > F.col("fb"))
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("support_users"))
+    )
+    nu = ev.groupBy().agg(F.count_distinct("user_id").alias("n_users"))
+    return (
+        trips.crossJoin(F.broadcast(nu))
+        .select(
+            "t1",
+            "t2",
+            "t3",
+            "support_users",
+            F.expr(
+                f"CAST(support_users * {ASSOC_PPM} DIV n_users AS BIGINT)"
+            ).alias("support_ppm"),
+        )
+        .orderBy("t1", "t2", "t3")
+    )
+
+
 _ASSOC_ORACLE = f"""
         WITH b AS (
             SELECT DISTINCT user_id AS u,
@@ -1700,6 +1765,35 @@ ORACLES: dict[str, str] = {
             SELECT 3, 'purchase', CAST(COALESCE(SUM(r2), 0) AS BIGINT) FROM reached
         )
         ORDER BY step_order
+    """,
+    # the oracle is the O(n³) DEFINITION of subsequence containment
+    # (∃ i < j < k via two inequality self-joins, then DISTINCT per
+    # user) — deliberately the semantic primitive, not the plan's
+    # greedy first-after-first reduction; ppm via truncating //.
+    "user_sequence_patterns": f"""
+        WITH e AS (
+            SELECT user_id, event_type AS t,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ) AS rn
+            FROM events WHERE user_id IS NOT NULL
+        ), trip AS (
+            SELECT DISTINCT x.user_id, x.t AS t1, y.t AS t2, z.t AS t3
+            FROM e x
+            JOIN e y ON y.user_id = x.user_id AND y.rn > x.rn
+            JOIN e z ON z.user_id = x.user_id AND z.rn > y.rn
+        ), nu AS (
+            SELECT COUNT(DISTINCT user_id) AS n_users
+            FROM events WHERE user_id IS NOT NULL
+        )
+        SELECT t1, t2, t3,
+               COUNT(*) AS support_users,
+               CAST(COUNT(*) * {ASSOC_PPM} // MAX(n_users) AS BIGINT)
+                   AS support_ppm
+        FROM trip CROSS JOIN nu
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
     """,
     # the oracle replays the IDENTICAL integer recurrence: micro-unit
     # state, each update halved with truncation toward zero (DuckDB //
@@ -2444,6 +2538,7 @@ QUERIES = {
     "events_cusum_changepoints": events_cusum_changepoints,
     "events_dow_seasonality": events_dow_seasonality,
     "events_holt_forecast": events_holt_forecast,
+    "user_sequence_patterns": user_sequence_patterns,
     "user_decayed_activity": user_decayed_activity,
     "events_rolling_wau": events_rolling_wau,
     "event_trigram_paths": event_trigram_paths,

@@ -148,3 +148,48 @@ def test_orders_skyline_matches_bruteforce(spark, sf_dir):
     assert days == sorted(days) and len(set(days)) == len(days)
     prices = [r["price_cents"] for r in got]
     assert prices == sorted(prices, reverse=True)
+
+
+seqs = st.lists(st.sampled_from("abcde"), min_size=0, max_size=14)
+
+
+def _naive_subseq_triples(seq):
+    """Definitional ∃ i<j<k — mirrors the DuckDB oracle."""
+    n = len(seq)
+    return {
+        (seq[i], seq[j], seq[k])
+        for i in range(n)
+        for j in range(i + 1, n)
+        for k in range(j + 1, n)
+    }
+
+
+def _greedy_subseq_triples(seq):
+    """Pure-python mirror of user_sequence_patterns' reduction: first
+    t2 after the FIRST t1, then any t3 after that."""
+    mi: dict[str, int] = {}
+    ma: dict[str, int] = {}
+    for i, t in enumerate(seq):
+        mi.setdefault(t, i)
+        ma[t] = i
+    out = set()
+    for t1, m1 in mi.items():
+        fb: dict[str, int] = {}
+        for j in range(m1 + 1, len(seq)):
+            fb.setdefault(seq[j], j)
+        for t2, j in fb.items():
+            for t3, m3 in ma.items():
+                if m3 > j:
+                    out.add((t1, t2, t3))
+    return out
+
+
+@given(seq=seqs)
+@settings(max_examples=400, deadline=None)
+def test_greedy_triple_reduction_equals_subsequence_definition(seq):
+    """For ANY sequence — repeated types (t1 = t2 = t3 included), all
+    gaps — the first-after-first reduction finds exactly the ordered
+    triples present as subsequences. The greedy step is sound because
+    taking the FIRST t1 and then the FIRST t2 after it only loosens
+    the constraint on t3."""
+    assert _greedy_subseq_triples(seq) == _naive_subseq_triples(seq)
