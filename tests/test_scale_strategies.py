@@ -278,3 +278,33 @@ def test_kmv_sketch_pushes_window_group_limit(spark, sf_dir):
 
     plan = _plan(extensions.lineitem_kmv_distinct_orders(spark, sf_dir))
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_skyline_plan_is_join_free_and_days_grain(spark, sf_dir):
+    """orders_skyline never joins: the only SinglePartition exchange
+    feeds the global window AFTER the per-day collapse, so the serial
+    section sees days-grain candidate rows, not orders."""
+    from mini_log_lakehouse_spark.operators.relational import orders_skyline
+
+    plan = _plan(orders_skyline(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange SinglePartition") == 1
+    # the plan string prints top-down, so everything AFTER the single-
+    # partition marker is upstream of it: the (day, price) collapse
+    # must happen there, before any serial section
+    upstream = plan.split("Exchange SinglePartition")[1]
+    assert "HashAggregate" in upstream
+
+
+def test_sequence_patterns_event_grain_is_one_pass(spark, sf_dir):
+    """user_sequence_patterns touches event grain once (the occurrence
+    window + min/max aggregate); the pattern joins run at user-grain
+    inputs and the user-count probe is a broadcast nested loop of a
+    single-row aggregate, never a data-sized cartesian."""
+    from mini_log_lakehouse_spark.operators.funnels import (
+        user_sequence_patterns,
+    )
+
+    plan = _plan(user_sequence_patterns(spark, sf_dir))
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
