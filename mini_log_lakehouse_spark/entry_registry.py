@@ -82,81 +82,79 @@ if _unknown:
 
 # The verification driver samples the FIRST 50 registry entries per round,
 # so this explicit window decides which queries get a driver-side
-# CORRECTNESS row. Round-10 priority (computed from the committed
+# CORRECTNESS row. Round-11 priority (computed from the committed
 # CORRECTNESS_r*.json artifacts — tests/test_rotation.py re-derives the
 # same staleness table and fails if this window drifts):
-# (1) all 30 entries whose latest driver row is r6 — they cross
-# ROTATION_MAX_AGE=4 the moment CORRECTNESS_r10.json lands; (2) entries
-# NEW this round (no driver row ever — the rotation test forces them
-# in — 19 slots: the KMV distinct sketch + its set-algebra report,
-# the Bloom prefilter join, the G.711 A-law expansion, the full JPEG
-# pixel decode, the AVI/MJPEG and MP4/ISO-BMFF video pipelines, the
-# approx-percentile quality gate, the sorted-neighborhood dedup, the
-# Aho-Corasick blocklist scan, the association-rule miner, the IMA
-# ADPCM predictive-codec decode, the Holt forecaster, the ORC and
-# RFC-4180 CSV roundtrips, the two-phase skyline, the distributed ZIP
-# expansion, the FLAC lossless-compression decode, the sequential-
-# pattern miner); (3) fill the remaining 1 slot from the 50-entry r7
-# pool, oldest-exposure-first (prior-round sample count, ties in
-# registry order — the 49 r7 leftovers are r11's load, inside its 50
-# slots; r11 therefore has ONE spare slot, so new-entry additions in
-# r11 must be at most one or the r7 tail slips a round).
+# (1) all 49 entries whose latest driver row is r7 — they cross
+# ROTATION_MAX_AGE=4 the moment CORRECTNESS_r11.json lands. This set
+# includes the four ANN tiers: ann_lsh_topk / ann_ivf_topk /
+# ann_ivfpq_topk rotate in for the first time since gaining per-tier
+# DuckDB oracles (ann_tier_topk_sql — VERDICT r10 ask 1), so they are
+# now hash-gated rows, not no_oracle. approx_distinct_users, r6-stale
+# in r10's window, is RETIRED from the registry entirely (VERDICT r10
+# ask 2: engine-private HLL can never hash-match; its quality gate
+# approx_distinct_quality_report carries the driver surface).
+# (2) fill the remaining 1 slot from the pool, oldest-exposure-first
+# (prior-round sample count, ties in registry order): every pool entry
+# with a single lifetime sample is a multimodal codec from r8+;
+# multimodal_wav_features (1 sample, r8, earliest in registry order)
+# takes the slot. r11 adds NO new entries, so the 49+1 fits exactly;
+# any r12 additions are new-entry-forced and must displace pool fills.
 # Everything past position 50 stays covered by the identical local
 # DuckDB hash-compare in tests/test_entry_contract.py.
 _FIRST_WINDOW = (
-    # (1) latest driver row r6 — due before r11
-    "approx_distinct_users",
-    "doc_bpe_merge_table",
-    "user_cooccurrence_triangles",
-    "ann_rp_topk",
-    "stg_events",
-    "fct_events_hourly",
-    "errors_by_type",
-    "top_event_types",
-    "available_days",
-    "kpi_totals",
-    "hourly_trend",
-    "dim_event_type",
-    "props_k_histogram",
-    "value_stats_by_type",
-    "doc_word_histogram",
-    "doc_bpe_token_counts",
-    "doc_fingerprints",
-    "doc_quality_scores",
-    "doc_lang_id",
-    "doc_chunks",
-    "doc_repetition_stats",
-    "doc_pii_signals",
-    "doc_normalized_fingerprints",
-    "doc_curation_summary",
-    "dedup_exact_summary",
-    "dedup_minhash_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
-    "dedup_clusters",
-    "dedup_cluster_representatives",
-    # (2) new this round (no driver row ever)
-    "lineitem_kmv_distinct_orders",
-    "orders_kmv_set_report",
-    "event_association_rules",
-    "orders_bloom_prefilter_revenue",
-    "multimodal_alaw_features",
-    "multimodal_jpeg_pixel_features",
-    "multimodal_avi_features",
-    "multimodal_mp4_features",
-    "approx_percentile_quality_report",
-    "dedup_sorted_neighborhood",
-    "doc_blocklist_hits",
-    "multimodal_adpcm_features",
-    "events_holt_forecast",
-    "documents_orc_roundtrip",
-    "documents_csv_roundtrip",
-    "orders_skyline",
-    "documents_zip_roundtrip",
-    "multimodal_flac_features",
-    "user_sequence_patterns",
-    # (3) r7 pool fill, oldest-exposure-first
-    "events_state_enrichment",
+    # (1) latest driver row r7 — due before r12
+    "doc_train_test_split",
+    "doc_stratified_sample",
+    "doc_pack_sequences",
+    "doc_reservoir_per_source",
+    "doc_global_shuffle",
+    "benchmark_contamination",
+    "user_sessions",
+    "user_session_summary",
+    "multimodal_byte_features",
+    "multimodal_media_features",
+    "multimodal_frame_stats",
+    "daily_distinct_users",
+    "orders_cube_status_priority",
+    "scalar_function_battery",
+    "events_hour_pivot",
+    "grouping_sets_status_day",
+    "user_last_event",
+    "asof_error_attribution",
+    "incident_window_events",
+    "streaming_hourly_fact",
+    "streaming_sliding_fact",
+    "streaming_session_window",
+    "streaming_error_followups",
+    "streaming_static_enrichment",
+    "user_pagerank_weighted",
+    "user_clustering_coefficient",
+    "user_bfs_reach",
+    "user_kcore",
+    "cooc_degree_histogram",
+    "events_dow_seasonality",
+    "events_rolling_wau",
+    "event_interarrival_stats",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "events_hot_bucket_join",
+    "tpch_q1_pricing_summary",
+    "lineitem_price_quantiles",
+    "region_customer_rollup",
+    "top_customers_by_revenue",
+    "nation_customer_counts",
+    "orders_with_prompt_lines",
+    "top3_customers_per_nation",
+    "daily_order_lag",
+    "orders_running_share",
+    "orders_rolling_quarter",
+    "customer_balance_quartiles",
+    "doc_length_histogram",
+    # (2) pool fill, oldest-exposure-first
+    "multimodal_wav_features",
 )
 
 _missing = [n for n in _FIRST_WINDOW if n not in QUERIES]

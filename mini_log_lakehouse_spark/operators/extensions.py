@@ -222,8 +222,10 @@ def daily_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ sketch vs exact, corpus-wide (rows-only: sketch estimates are
-    engine-specific; tests assert the relative error bound instead)."""
+    """HLL++ sketch vs exact, corpus-wide. Not a driver entry (sketch
+    estimates are engine-private and can never hash-match — VERDICT r10
+    ask 2); tests assert the relative error bound, and the hash-gated
+    driver surface is approx_distinct_quality_report."""
     ev = load_table(spark, sf_dir, "events")
     return ev.agg(
         F.countDistinct("user_id").alias("exact_users"),
@@ -245,7 +247,7 @@ def approx_distinct_quality_report(spark: SparkSession, sf_dir: str) -> DataFram
     ann_recall_report pattern): per day, the exact COUNT(DISTINCT) and
     whether the approx_count_distinct estimate lands within
     HLL_BOUND_X_RSD × rsd of it. The estimate itself is engine-specific
-    (which is why approx_distinct_users is rows-only by design), but
+    (which is why approx_distinct_users is not a driver entry at all), but
     the BOUND CHECK is deterministic on fixed data — the oracle
     restates the exact side relationally and asserts ``TRUE`` for every
     group, so a sketch that drifts outside its error contract turns a
@@ -1183,7 +1185,14 @@ QUERIES = {
     "lakehouse_change_feed": lakehouse_change_feed,
     "events_heavy_hitters": events_heavy_hitters,
     "daily_distinct_users": daily_distinct_users,
-    "approx_distinct_users": approx_distinct_users,
+    # approx_distinct_users is deliberately NOT a driver entry (VERDICT
+    # r10 ask 2): Spark's HLL++ registers are engine-private, so the raw
+    # estimate can never hash-match DuckDB and would re-emit a red
+    # rows-only row every rotation. The function stays (callers get the
+    # sketch), its error envelope stays behaviorally tested
+    # (tests/test_extensions.py::test_approx_distinct_within_rsd), and
+    # its driver-facing gate is approx_distinct_quality_report below —
+    # hash-green because it exposes only deterministic columns.
     "approx_distinct_quality_report": approx_distinct_quality_report,
     "lineitem_kmv_distinct_orders": lineitem_kmv_distinct_orders,
     "orders_kmv_set_report": orders_kmv_set_report,

@@ -12,27 +12,28 @@ Search tiers, per the scale plan (plus the embedding toolbox below):
    k) rows leave the map stage after the window... at 100 TB corpus this
    is THE pattern: queries are small, corpus is huge, so broadcast the
    queries, not the corpus.
-3. **LSH-bucketed ANN** (scale path, rows-only): sign-random-projection
+3. **LSH-bucketed ANN** (scale path): sign-random-projection
    buckets from md5-parity ±1 planes over the FIXED_POINT lattice,
    computed vectorized in numpy via mapInArrow (zero-copy Arrow
    batches); queries probe only their bucket (+ hamming-1 multiprobe).
    Sub-linear candidate sets at the cost of recall.
-4. **IVF-flat ANN** (scale path, rows-only): a coarse INTEGER-LATTICE
+4. **IVF-flat ANN** (scale path): a coarse INTEGER-LATTICE
    k-means quantizer trained on a driver-held sample partitions the
    corpus into cells; queries probe the nprobe nearest cells (exact
    int64 L2) and rerank exactly. The data-adaptive counterpart to
    tier 3's data-oblivious hyperplanes.
-5. **Two-stage reduced-space ANN** (scale path, rows-only): coarse scan
+5. **Two-stage reduced-space ANN** (scale path): coarse scan
    by exact int64 dot in a JL-projected space sized from a measured
    recall curve, exact rerank of the candidate set only.
-6. **IVF-PQ with ADC** (scale path, rows-only): the production index
+6. **IVF-PQ with ADC** (scale path): the production index
    shape — coarse cells (tier 4's quantizer) + PQ codes scored by
    per-subspace integer lookup tables, exact rerank of the short-list.
 
 Every approximate tier is float-free up to the final rounded-cosine
-rerank, so ``ann_recall_report`` hash-gates recall@TOP_K of ALL tiers
-against tier 1 cross-engine (``ann_recall_sql`` rebuilds each tier
-relationally); local tests additionally pin per-tier recall floors.
+rerank, so each tier's own top-k rows are hash-gated cross-engine
+(``ann_tier_topk_sql`` rebuilds each tier relationally — VERDICT r10
+ask 1) and ``ann_recall_report`` additionally hash-gates recall@TOP_K
+of ALL tiers against tier 1; local tests pin per-tier recall floors.
 
 Embedding toolbox: JL random projection (exact fixed-point GEMM,
 oracle-checked), per-label centroids, symmetric int8 quantization, and
@@ -283,8 +284,9 @@ def lsh_bucketed(df: DataFrame, vec_col: str = "embedding", dim: int = 64) -> Da
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tier 3: approximate top-k for the same query as ann_cosine_topk,
-    searching only the query's LSH bucket (rows-only check; recall vs the
-    exact tier is asserted in tests)."""
+    searching only the query's LSH bucket (hash-gated against
+    ann_tier_topk_sql("lsh10"); recall vs the exact tier is additionally
+    asserted in tests)."""
     e = load_table(spark, sf_dir, "embeddings")
     b = lsh_bucketed(e)
     # multi-probe: search the query's bucket plus all hamming-1 buckets
@@ -403,8 +405,8 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str, e: DataFrame) -> np.ndarray
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tier 4: IVF-flat approximate top-k for the same query as
     ann_cosine_topk — search only the IVF_N_PROBE cells nearest the
-    query (rows-only check; recall vs the exact tier is asserted in
-    tests).
+    query (hash-gated against ann_tier_topk_sql("ivf10"); recall vs the
+    exact tier is additionally asserted in tests).
 
     100 TB shape: cell assignment is a map-only pass; the corpus is then
     *partitioned by cell* (here: filtered — on a cluster you'd write the
@@ -1145,9 +1147,9 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stand in for vectors inside them, and the query scores codes via
     per-subspace lookup tables — Σ_s LUT_s[code_s], a pure array-index
     expression per row, no vector math in the scan. The IVFPQ_RERANK
-    best ADC candidates get an exact cosine rerank. Rows-only for the
-    driver gate (approximate by construction); recall vs the exact
-    tier is pinned in tests.
+    best ADC candidates get an exact cosine rerank. Hash-gated against
+    ann_tier_topk_sql("ivfpq10"); recall vs the exact tier is pinned
+    in tests.
 
     Honest-shape notes: (a) codes here are computed for the probed
     subset per query because the testdata corpus is tiny — at scale the
@@ -1220,8 +1222,7 @@ def ann_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tier 5: two-stage ANN — coarse top-RP_CANDIDATES by exact int64
     dot product in the RP_SEARCH_DIM-dimensional JL space (24/64 of the
     data scanned per vector), exact cosine rerank of just the
-    candidates.
-    Rows-only for the driver gate (approximate by construction); recall
+    candidates. Hash-gated against ann_tier_topk_sql("rp10"); recall
     against the exact tier is pinned in tests.
 
     Scale shape: at 100 TB the projected corpus is materialized once
@@ -1307,23 +1308,35 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("tier")
 
 
-def ann_recall_sql() -> str:
-    """Unrolled DuckDB restatement of ann_recall_report: every tier's
-    candidate generation rebuilt relationally — SRP buckets from
-    md5-parity planes over the FIXED_POINT lattice, the IVF coarse
-    quantizer as a sample-trained integer-lattice k-means CTE chain
-    (kmeans_assign_cte_sql(train_max=...)), PQ codebooks as one chain
-    per subspace plus ADC lookup-table scoring, and the JL coarse pass
-    as exact int64 dots of md5-parity projections — then the identical
-    rounded-cosine rerank and intersection counts with the exact
-    top-k."""
-    Q, K, FP = QUERY_VEC_ID, TOP_K, FIXED_POINT
-    sub = PQ_ORACLE_DIM // PQ_M
-    cos = (
+def _ann_cos_expr() -> str:
+    """Rounded-cosine rerank expression against the fixed query vector —
+    shared by every tier CTE and by the per-tier oracle finals (must be
+    the literal same expression so ties round identically)."""
+    return (
         "ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
         "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings "
-        f"WHERE vec_id = {Q})), 6)"
+        f"WHERE vec_id = {QUERY_VEC_ID})), 6)"
     )
+
+
+def _ann_tier_ctes() -> str:
+    """Shared unrolled-CTE chain rebuilding EVERY ANN tier relationally
+    in DuckDB: SRP buckets from md5-parity planes over the FIXED_POINT
+    lattice (lsh10), the JL coarse pass as exact int64 dots of
+    md5-parity projections (rp10), the IVF coarse quantizer as a
+    sample-trained integer-lattice k-means CTE chain
+    (kmeans_assign_cte_sql(train_max=...), ivf10), and PQ codebooks as
+    one chain per subspace plus ADC lookup-table scoring (ivfpq10) —
+    each tier ending in its top-k row set after the identical
+    rounded-cosine rerank, plus the exact tier's set (exact10).
+
+    ann_recall_sql() appends the intersection-count report;
+    ann_tier_topk_sql() appends a per-tier (vec_id, cos_sim) final —
+    the VERDICT r10 ask 1 that promotes the approximate tiers from
+    rows-only to hash-gated driver entries."""
+    Q, K, FP = QUERY_VEC_ID, TOP_K, FIXED_POINT
+    sub = PQ_ORACLE_DIM // PQ_M
+    cos = _ann_cos_expr()
     parity = (
         "('0x' || substr(md5({salt}), 1, 12))::BIGINT % 2 = 0"
     )
@@ -1441,7 +1454,18 @@ def ann_recall_sql() -> str:
         ), ivfpq10 AS MATERIALIZED (
             SELECT e.vec_id FROM embeddings e JOIN ivfpq_pre c ON c.vec_id = e.vec_id
             ORDER BY {cos} DESC, e.vec_id LIMIT {K}
-        )
+        )"""
+    return head + ", " + ivf_chain + "".join(", " + c for c in pq_chains) + tail
+
+
+def ann_recall_sql() -> str:
+    """Unrolled DuckDB restatement of ann_recall_report: the shared
+    tier-CTE chain (_ann_tier_ctes) followed by per-tier returned-row
+    and exact-intersection counts."""
+    K = TOP_K
+    return (
+        _ann_tier_ctes()
+        + f"""
         SELECT tier,
                CAST(top_k AS BIGINT) AS top_k,
                CAST(n_returned AS BIGINT) AS n_returned,
@@ -1463,7 +1487,26 @@ def ann_recall_sql() -> str:
             SELECT 'rp', {K}, (SELECT COUNT(*) FROM rp10),
                    (SELECT COUNT(*) FROM rp10 a JOIN exact10 x ON x.vec_id = a.vec_id)
         ) ORDER BY tier"""
-    return head + ", " + ivf_chain + "".join(", " + c for c in pq_chains) + tail
+    )
+
+
+def ann_tier_topk_sql(tier_cte: str) -> str:
+    """Per-tier DuckDB oracle (VERDICT r10 ask 1): the shared tier-CTE
+    chain, then the named tier's top-k row set re-emitted with its
+    rounded-cosine score — the exact (vec_id, cos_sim) rows the Spark
+    tier returns, so ann_lsh_topk / ann_ivf_topk / ann_ivfpq_topk /
+    ann_rp_topk are hash-gated like every other entry instead of
+    rows-only. The rerank inside the CTE already ordered and limited;
+    re-computing the same rounded cosine here only surfaces the score
+    column (identical expression → identical ties)."""
+    cos = _ann_cos_expr()
+    return (
+        _ann_tier_ctes()
+        + f"""
+        SELECT e.vec_id, {cos} AS cos_sim
+        FROM embeddings e JOIN {tier_cte} t ON t.vec_id = e.vec_id
+        ORDER BY cos_sim DESC, e.vec_id"""
+    )
 
 
 ORACLES: dict[str, str] = {
@@ -1562,6 +1605,10 @@ ORACLES: dict[str, str] = {
     "embedding_kmeans_clusters": kmeans_oracle_sql(),
     "embedding_pq_codes": pq_oracle_sql(),
     "ann_recall_report": ann_recall_sql(),
+    "ann_lsh_topk": ann_tier_topk_sql("lsh10"),
+    "ann_ivf_topk": ann_tier_topk_sql("ivf10"),
+    "ann_ivfpq_topk": ann_tier_topk_sql("ivfpq10"),
+    "ann_rp_topk": ann_tier_topk_sql("rp10"),
 }
 
 QUERIES = {
