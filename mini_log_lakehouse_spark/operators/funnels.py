@@ -1515,10 +1515,15 @@ def event_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit-pair form is right for small catalogs; a 10^5-item
     catalog would switch to FP-growth-style prefix mining);
     everything downstream is type- or pair-grain (≤ |T|² rows), with
-    the item supports and the basket total broadcast. Lift's integer
-    form keeps the numerator ≤ sup_ab·n_baskets·10^6 — inside int64
-    through ~10^5 baskets per sup product; beyond that widen to
-    decimal."""
+    the item supports and the basket total broadcast. The ratio
+    numerators (sup_ab·n_baskets·10^6 for lift) are computed in
+    DECIMAL(38,0) on the Spark side and HUGEINT in the oracle — int64
+    would wrap silently in Spark (non-ANSI) while DuckDB raises, a
+    divergence that at ~10^6+ baskets would hit lift first (ADVICE
+    r10); the quotient is truncating integral division in both engines
+    and the emitted column stays BIGINT (lift caps at n_baskets·10^6 ≤
+    int64 for any corpus under 9·10^12 baskets, and a hash gate covers
+    the agreement)."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull()
     )
@@ -1555,15 +1560,17 @@ def event_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_a",
             "type_b",
             F.col("sup_ab").alias("basket_support"),
-            F.expr(f"CAST(sup_ab * {ASSOC_PPM} DIV sup_a AS BIGINT)").alias(
-                "conf_ab_ppm"
-            ),
-            F.expr(f"CAST(sup_ab * {ASSOC_PPM} DIV sup_b AS BIGINT)").alias(
-                "conf_ba_ppm"
-            ),
             F.expr(
-                f"CAST(sup_ab * n_baskets * {ASSOC_PPM} DIV (sup_a * sup_b)"
+                f"CAST(CAST(sup_ab AS DECIMAL(38,0)) * {ASSOC_PPM} DIV sup_a"
                 " AS BIGINT)"
+            ).alias("conf_ab_ppm"),
+            F.expr(
+                f"CAST(CAST(sup_ab AS DECIMAL(38,0)) * {ASSOC_PPM} DIV sup_b"
+                " AS BIGINT)"
+            ).alias("conf_ba_ppm"),
+            F.expr(
+                f"CAST(CAST(sup_ab AS DECIMAL(38,0)) * n_baskets * {ASSOC_PPM}"
+                " DIV (CAST(sup_a AS DECIMAL(38,0)) * sup_b) AS BIGINT)"
             ).alias("lift_ppm"),
         )
         .orderBy("type_a", "type_b")
@@ -1653,10 +1660,10 @@ _ASSOC_ORACLE = f"""
         )
         SELECT p.type_a, p.type_b,
                CAST(p.sup_ab AS BIGINT) AS basket_support,
-               CAST(p.sup_ab * {ASSOC_PPM} // sa.sup AS BIGINT) AS conf_ab_ppm,
-               CAST(p.sup_ab * {ASSOC_PPM} // sb.sup AS BIGINT) AS conf_ba_ppm,
-               CAST(p.sup_ab * n.n_baskets * {ASSOC_PPM}
-                    // (sa.sup * sb.sup) AS BIGINT) AS lift_ppm
+               CAST(CAST(p.sup_ab AS HUGEINT) * {ASSOC_PPM} // sa.sup AS BIGINT) AS conf_ab_ppm,
+               CAST(CAST(p.sup_ab AS HUGEINT) * {ASSOC_PPM} // sb.sup AS BIGINT) AS conf_ba_ppm,
+               CAST(CAST(p.sup_ab AS HUGEINT) * n.n_baskets * {ASSOC_PPM}
+                    // (CAST(sa.sup AS HUGEINT) * sb.sup) AS BIGINT) AS lift_ppm
         FROM pairs p
         JOIN sup sa ON sa.t = p.type_a
         JOIN sup sb ON sb.t = p.type_b

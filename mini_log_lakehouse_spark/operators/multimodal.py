@@ -703,10 +703,16 @@ def decode_flac(content: bytes) -> dict:
     if part_order != 0:
         raise ValueError("unsupported partition order")
     p = br.read(4)
+    # Escape partition (RFC 9639 §9.2.7.1): parameter 0b1111 is followed
+    # by a 5-bit raw-residual width ONCE per partition, then every
+    # residual of the partition at that width as two's-complement.
+    # (A pre-r11 revision read the width per residual — a layout no
+    # spec-conformant encoder emits; ADVICE r10.)
+    esc_width = br.read(5) if p == 0b1111 else None
     coefs = _FLAC_FIXED_COEFS[order]
     for _ in range(n - order):
-        if p == 0b1111:  # escape: raw residuals at explicit width
-            width = br.read(5)
+        if esc_width is not None:  # escape: raw residuals at partition width
+            width = esc_width
             v = br.read(width) if width else 0
             r = v - (1 << width) if width and v >> (width - 1) else v
         else:

@@ -1185,7 +1185,10 @@ def _mk_flac(samples, order, p=2, escape_width=None):
     bw.write(0, 2)
     bw.write(0, 4)
     if escape_width is not None:
+        # RFC 9639 escape layout: parameter 0b1111, then the 5-bit raw
+        # width ONCE for the partition, then all residuals at that width
         bw.write(0b1111, 4)
+        bw.write(escape_width, 5)
     else:
         bw.write(p, 4)
     for t in range(order, n):
@@ -1194,7 +1197,6 @@ def _mk_flac(samples, order, p=2, escape_width=None):
         )
         r = samples[t] - pred
         if escape_width is not None:
-            bw.write(escape_width, 5)
             bw.write(r & ((1 << escape_width) - 1), escape_width)
         else:
             u = (-r << 1) - 1 if r < 0 else r << 1
