@@ -1248,6 +1248,21 @@ def test_flac_decodes_all_fixed_orders_and_escape():
     assert f["energy"] == sum(s * s for s in samples)
 
 
+def test_flac_escape_edge_widths():
+    """RFC 9639 escape layout edges: the 5-bit width is read ONCE per
+    partition — width 0 encodes a run of all-zero residuals in zero
+    bits (samples follow the order-2 recurrence exactly), and a width
+    wide enough for negative residuals roundtrips two's-complement."""
+    # order-2 prediction 2a[t-1]-a[t-2]: arithmetic sequence -> residual 0
+    arith = [5 + 3 * t for t in range(10)]
+    f = mm.decode_flac(_mk_flac(arith, 2, escape_width=0))
+    assert f["energy"] == sum(s * s for s in arith)
+    # descending sequence forces negative residuals through the raw path
+    desc = [100, 90, 70, 30, 10, 5, 2, 1]
+    f = mm.decode_flac(_mk_flac(desc, 2, escape_width=8))
+    assert f["energy"] == sum(s * s for s in desc)
+
+
 def test_flac_integrity_gates_are_layered():
     """A flipped residual bit trips the CRC-16 first; with the CRC-16
     recomputed to match the corrupted bytes, the STREAMINFO MD5 gate
