@@ -197,6 +197,15 @@ def bench_spark(spark, sf_dir: str, iters: int, warmup: int, names=HEADLINE):
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             cold[name] = round(time.perf_counter() - t0, 4)
+            # The cold run itself re-persisted the signatures; drop them
+            # again (and GC) so the leg's baseline timing and isolation
+            # blocks run against a quiet heap — r11 run-2 measured the
+            # ISOLATED q1 at 3.85x (vs 1.16x in-suite) purely because
+            # the re-persisted 4.6 GB working set was resident by then
+            # (DuckDB's adjacent read of the same parquet stayed at
+            # 1.1 s, so the pages were cached — the stall was JVM-side).
+            _drop_pipeline_caches()
+            spark.sparkContext._jvm.System.gc()
     # re-emit in declared HEADLINE order so artifact diffs across rounds
     # stay column-stable
     results = {n: results[n] for n in names}
