@@ -195,14 +195,40 @@ def load_table_bucketed(
     tbl = f"bkt_{name}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{n}"
     if not spark.catalog.tableExists(tbl):
         # The in-memory catalog forgets tables across sessions while the
-        # warehouse directory persists; a stale location from a previous
-        # run (derived artifact — always rebuildable) must be cleared or
-        # the managed CTAS refuses with LOCATION_ALREADY_EXISTS.
+        # warehouse directory persists. A COMPLETE previous write (the
+        # _SUCCESS marker plus matching normalized schema) is reattached
+        # as an external bucketed table instead of rebuilt — "pay the
+        # shuffle once at write time" must mean once per CORPUS, not
+        # once per session (the sf30 CTAS costs ~250 s; Spark recovers
+        # the bucket id from the writer's file names, so the reattached
+        # scan reports the same hashpartitioning(key, N) and keeps the
+        # zero-exchange property — plan-tested). Anything else — a
+        # partial write, or a schema drifted from what load_table now
+        # normalizes to — is a stale derived artifact: cleared and
+        # rebuilt (the managed CTAS otherwise refuses with
+        # LOCATION_ALREADY_EXISTS).
         import shutil
 
         loc = os.path.join(
             spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), tbl
         )
+        if os.path.exists(os.path.join(loc, "_SUCCESS")):
+            prior = spark.read.parquet(loc).schema
+            want = load_table(spark, sf_dir, name).schema
+            if prior == want:
+                cols = ", ".join(
+                    f"`{f.name}` {f.dataType.simpleString()}" for f in want.fields
+                )
+                spark.sql(
+                    f"CREATE TABLE {tbl} ({cols}) USING parquet "
+                    f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                    f"INTO {n} BUCKETS LOCATION '{loc}'"
+                )
+                out = spark.table(tbl)
+                if _source_bytes(sf_dir, name) <= _BUCKETED_PERSIST_MAX_BYTES:
+                    out = out.persist()
+                _BUCKETED_CACHE[ck] = out
+                return out
         shutil.rmtree(loc, ignore_errors=True)
         # build from the NORMALIZED frame, never the raw parquet: the
         # events table ships in three ts flavors (nanos-as-long / NTZ /
