@@ -497,7 +497,11 @@ def main() -> None:
     if len(line) > 1950:
         # Last-resort shed (ADVICE r10): if future legs outgrow the three
         # named pops, print ONLY the fields the 2x judgment reads — a
-        # valid short line beats a front-truncated corrupt one.
+        # valid short line beats a front-truncated corrupt one. Keep
+        # shedding (iso_ratios, then whole legs) until it fits: an
+        # assert here would crash before ANY line prints (and vanish
+        # under python -O), which is strictly worse than a shorter
+        # valid line.
         keep = ("metric", "value", "unit", "sf", "iters", "ratio_total", "baseline_total", "detail")
         minimal = {k: compact[k] for k in keep if k in compact}
         for leg_name in ("scaled", "scaled_100", "scaled_300"):
@@ -509,7 +513,17 @@ def main() -> None:
                     if k in leg
                 }
         line = json.dumps(minimal, separators=(",", ":"))
-    assert len(line) <= 1950, f"bench line still {len(line)} chars after minimal shed"
+        for leg_name in ("scaled", "scaled_100", "scaled_300"):
+            if len(line) <= 1950:
+                break
+            if leg_name in minimal:
+                minimal[leg_name].pop("iso_ratios", None)
+                line = json.dumps(minimal, separators=(",", ":"))
+        for leg_name in ("scaled", "scaled_100", "scaled_300"):
+            if len(line) <= 1950:
+                break
+            minimal.pop(leg_name, None)
+            line = json.dumps(minimal, separators=(",", ":"))
     print(line)
     spark.stop()
 

@@ -147,6 +147,26 @@ def _source_bytes(sf_dir: str, name: str) -> int:
     return total
 
 
+def _source_fingerprint(sf_dir: str, name: str) -> str:
+    """Cheap identity of a source table's current bytes (total size +
+    newest mtime at ns resolution, file count) — recorded beside the
+    bucketed warehouse write and compared before reattaching it, so a
+    REGENERATED corpus at the same path invalidates the derived bucketed
+    copy instead of silently serving stale rows."""
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(p):
+        st = os.stat(p)
+        return f"{st.st_size}:{st.st_mtime_ns}:1"
+    total = mt = count = 0
+    for root, _dirs, files in os.walk(p):
+        for f in files:
+            st = os.stat(os.path.join(root, f))
+            total += st.st_size
+            mt = max(mt, st.st_mtime_ns)
+            count += 1
+    return f"{total}:{mt}:{count}"
+
+
 def bucketing_enabled() -> bool:
     """True when load_table_bucketed will return managed bucketed tables
     (warm/bench mode or explicit SPARK_GRAFT_BUCKETED=1)."""
@@ -196,61 +216,71 @@ def load_table_bucketed(
     if not spark.catalog.tableExists(tbl):
         # The in-memory catalog forgets tables across sessions while the
         # warehouse directory persists. A COMPLETE previous write (the
-        # _SUCCESS marker plus matching normalized schema) is reattached
-        # as an external bucketed table instead of rebuilt — "pay the
-        # shuffle once at write time" must mean once per CORPUS, not
-        # once per session (the sf30 CTAS costs ~250 s; Spark recovers
-        # the bucket id from the writer's file names, so the reattached
+        # _SUCCESS marker, a source fingerprint matching the CURRENT
+        # source files, and the normalized schema) is reattached as an
+        # external bucketed table instead of rebuilt — "pay the shuffle
+        # once at write time" must mean once per CORPUS, not once per
+        # session (the sf30 CTAS costs ~250 s; Spark recovers the
+        # bucket id from the writer's file names, so the reattached
         # scan reports the same hashpartitioning(key, N) and keeps the
         # zero-exchange property — plan-tested). Anything else — a
-        # partial write, or a schema drifted from what load_table now
-        # normalizes to — is a stale derived artifact: cleared and
-        # rebuilt (the managed CTAS otherwise refuses with
-        # LOCATION_ALREADY_EXISTS).
+        # partial write, a REGENERATED source at the same path (the
+        # table name keys on the path, so without the fingerprint a
+        # same-schema refresh would silently serve stale rows), or a
+        # schema drifted from what load_table now normalizes to — is a
+        # stale derived artifact: cleared and rebuilt (the managed CTAS
+        # otherwise refuses with LOCATION_ALREADY_EXISTS).
         import shutil
 
         loc = os.path.join(
             spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), tbl
         )
-        if os.path.exists(os.path.join(loc, "_SUCCESS")):
-            prior = spark.read.parquet(loc).schema
-            want = load_table(spark, sf_dir, name).schema
-            if prior == want:
-                cols = ", ".join(
-                    f"`{f.name}` {f.dataType.simpleString()}" for f in want.fields
-                )
-                spark.sql(
-                    f"CREATE TABLE {tbl} ({cols}) USING parquet "
-                    f"CLUSTERED BY ({key}) SORTED BY ({key}) "
-                    f"INTO {n} BUCKETS LOCATION '{loc}'"
-                )
-                out = spark.table(tbl)
-                if _source_bytes(sf_dir, name) <= _BUCKETED_PERSIST_MAX_BYTES:
-                    out = out.persist()
-                _BUCKETED_CACHE[ck] = out
-                return out
-        shutil.rmtree(loc, ignore_errors=True)
-        # build from the NORMALIZED frame, never the raw parquet: the
-        # events table ships in three ts flavors (nanos-as-long / NTZ /
-        # UTC) that load_table reconciles — a bucketed copy built from
-        # the raw file would persist the raw type and diverge from what
-        # every other consumer sees
-        df = load_table(spark, sf_dir, name)
-        # repartition on the bucket key BEFORE the bucketed write:
-        # bucket ids use the same murmur3 hash partitioning, so each
-        # task then writes exactly ONE bucket file. Without it every
-        # input task opens n parquet writers (tasks × n write buffers —
-        # OOM'd the 16g bench JVM at the sf30 leg with 65 × 32 of
-        # them); with it writer memory is one buffer per task. Same
-        # shuffle a production backfill into a bucketed layout pays.
-        (
-            df.repartition(n, F.col(key))
-            .write.mode("overwrite")
-            .bucketBy(n, key)
-            .sortBy(key)
-            .format("parquet")
-            .saveAsTable(tbl)
-        )
+        fp_path = os.path.join(loc, "_SRC_FINGERPRINT")
+        fp = _source_fingerprint(sf_dir, name)
+        reattach = False
+        if os.path.exists(os.path.join(loc, "_SUCCESS")) and os.path.exists(
+            fp_path
+        ):
+            with open(fp_path) as fh:
+                if fh.read().strip() == fp:
+                    want = load_table(spark, sf_dir, name).schema
+                    if spark.read.parquet(loc).schema == want:
+                        cols = ", ".join(
+                            f"`{f.name}` {f.dataType.simpleString()}"
+                            for f in want.fields
+                        )
+                        spark.sql(
+                            f"CREATE TABLE {tbl} ({cols}) USING parquet "
+                            f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                            f"INTO {n} BUCKETS LOCATION '{loc}'"
+                        )
+                        reattach = True
+        if not reattach:
+            shutil.rmtree(loc, ignore_errors=True)
+            # build from the NORMALIZED frame, never the raw parquet:
+            # the events table ships in three ts flavors (nanos-as-long
+            # / NTZ / UTC) that load_table reconciles — a bucketed copy
+            # built from the raw file would persist the raw type and
+            # diverge from what every other consumer sees
+            df = load_table(spark, sf_dir, name)
+            # repartition on the bucket key BEFORE the bucketed write:
+            # bucket ids use the same murmur3 hash partitioning, so each
+            # task then writes exactly ONE bucket file. Without it every
+            # input task opens n parquet writers (tasks × n write
+            # buffers — OOM'd the 16g bench JVM at the sf30 leg with
+            # 65 × 32 of them); with it writer memory is one buffer per
+            # task. Same shuffle a production backfill into a bucketed
+            # layout pays.
+            (
+                df.repartition(n, F.col(key))
+                .write.mode("overwrite")
+                .bucketBy(n, key)
+                .sortBy(key)
+                .format("parquet")
+                .saveAsTable(tbl)
+            )
+            with open(fp_path, "w") as fh:
+                fh.write(fp + "\n")
     # Lazy persist: the InMemoryTableScan reports the bucketed
     # FileScan's hashpartitioning(key, N), so the cached copy keeps the
     # zero-exchange agg/join property (plan-tested) while warm
@@ -275,13 +305,18 @@ def load_events_range(
 
     In warm-cache mode the table is already in memory — filter the cached
     (converted) copy instead; there is no parquet scan left to prune.
+    When the table is too big for the pin (_TABLE_CACHE_MAX_BYTES),
+    load_table memoizes an UNPERSISTED frame whose converted ts column
+    would defeat pushdown — fall through to the raw-column path instead,
+    which is the point of the cap (big facts scan pruned parquet).
     """
     if os.environ.get("SPARK_GRAFT_CACHE_TABLES") == "1":
         df = load_table(spark, sf_dir, "events")
-        return df.filter(
-            (F.col("ts") >= F.timestamp_micros(F.lit(start_ns // 1000)))
-            & (F.col("ts") < F.timestamp_micros(F.lit(end_ns // 1000)))
-        )
+        if df.storageLevel.useMemory or df.storageLevel.useDisk:
+            return df.filter(
+                (F.col("ts") >= F.timestamp_micros(F.lit(start_ns // 1000)))
+                & (F.col("ts") < F.timestamp_micros(F.lit(end_ns // 1000)))
+            )
     tune(spark)
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     if dict(df.dtypes).get("ts") == "bigint":
