@@ -82,80 +82,97 @@ if _unknown:
 
 # The verification driver samples the FIRST 50 registry entries per round,
 # so this explicit window decides which queries get a driver-side
-# CORRECTNESS row. Round-11 priority (computed from the committed
+# CORRECTNESS row. Round-12 priority (computed from the committed
 # CORRECTNESS_r*.json artifacts — tests/test_rotation.py re-derives the
 # same staleness table and fails if this window drifts):
-# (1) all 49 entries whose latest driver row is r7 — they cross
-# ROTATION_MAX_AGE=4 the moment CORRECTNESS_r11.json lands. This set
-# includes the four ANN tiers: ann_lsh_topk / ann_ivf_topk /
-# ann_ivfpq_topk rotate in for the first time since gaining per-tier
-# DuckDB oracles (ann_tier_topk_sql — VERDICT r10 ask 1), so they are
-# now hash-gated rows, not no_oracle. approx_distinct_users, r6-stale
-# in r10's window, is RETIRED from the registry entirely (VERDICT r10
-# ask 2: engine-private HLL can never hash-match; its quality gate
-# approx_distinct_quality_report carries the driver surface).
-# (2) fill the remaining 1 slot from the pool, oldest-exposure-first
-# (prior-round sample count, ties in registry order): every pool entry
-# with a single lifetime sample is a multimodal codec from r8+;
-# multimodal_wav_features (1 sample, r8, earliest in registry order)
-# takes the slot. r11 adds NO new entries, so the 49+1 fits exactly;
-# any r12 additions are new-entry-forced and must displace pool fills.
+# (1) all 49 entries whose latest driver row is r8 — they sit exactly at
+# ROTATION_MAX_AGE=4 when CORRECTNESS_r12 lands, so they must refresh
+# this round or fail test_rotation at r13.
+# (2) the single remaining slot goes to ann_rp_topk (VERDICT r11 ask 1):
+# it is the ONLY entry in the registry whose latest driver row is
+# non-green (r10 `err: no_oracle`, recorded before its hash oracle
+# landed in similarity.py:ann_tier_topk_sql). Under the default
+# oldest-exposure-first fill rule a single-sample multimodal codec would
+# take the slot and the red latest-row would persist to ~r14; the judge
+# explicitly overrode the default for r12.
+# New-entry policy (r12): incremental_minhash_pairs ships this round but
+# CANNOT take a slot — both forcing sets are saturated (r12: 49 forced +
+# the judge-directed fill; r13: exactly the 50 r9-latest entries). It is
+# recorded in ENTRY_REGISTERED below with a mechanically-enforced
+# first-row deadline (tests/test_rotation.py): it MUST enter the r14
+# window, where the r10 pool shrinks to 48 forced entries (ann_rp_topk
+# refreshes to r12 here) and 2 slots open. Until then it carries the
+# same local DuckDB hash-compare as every past-position-50 entry.
+# r13 pre-stage: the forcing set is the 50 r9-latest entries exactly
+# (includes the five single-sample multimodal codecs from r9); no
+# discretionary slots.
 # Everything past position 50 stays covered by the identical local
 # DuckDB hash-compare in tests/test_entry_contract.py.
 _FIRST_WINDOW = (
-    # (1) latest driver row r7 — due before r12
-    "doc_train_test_split",
-    "doc_stratified_sample",
-    "doc_pack_sequences",
-    "doc_reservoir_per_source",
-    "doc_global_shuffle",
-    "benchmark_contamination",
-    "user_sessions",
-    "user_session_summary",
-    "multimodal_byte_features",
-    "multimodal_media_features",
-    "multimodal_frame_stats",
-    "daily_distinct_users",
-    "orders_cube_status_priority",
-    "scalar_function_battery",
-    "events_hour_pivot",
-    "grouping_sets_status_day",
-    "user_last_event",
-    "asof_error_attribution",
-    "incident_window_events",
-    "streaming_hourly_fact",
-    "streaming_sliding_fact",
-    "streaming_session_window",
-    "streaming_error_followups",
-    "streaming_static_enrichment",
-    "user_pagerank_weighted",
-    "user_clustering_coefficient",
-    "user_bfs_reach",
-    "user_kcore",
-    "cooc_degree_histogram",
-    "events_dow_seasonality",
-    "events_rolling_wau",
-    "event_interarrival_stats",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_ivfpq_topk",
-    "events_hot_bucket_join",
-    "tpch_q1_pricing_summary",
-    "lineitem_price_quantiles",
-    "region_customer_rollup",
-    "top_customers_by_revenue",
-    "nation_customer_counts",
-    "orders_with_prompt_lines",
-    "top3_customers_per_nation",
-    "daily_order_lag",
-    "orders_running_share",
-    "orders_rolling_quarter",
-    "customer_balance_quartiles",
-    "doc_length_histogram",
-    # (2) pool fill, oldest-exposure-first
-    "multimodal_wav_features",
+    # (1) latest driver row r8 — due now
+    "doc_domain_cap",
+    "multimodal_bmp_features",
+    "events_column_profile",
+    "user_hourly_gapfilled",
+    "lakehouse_change_feed",
+    "events_heavy_hitters",
+    "setop_union_all_counts",
+    "doc_bpe_first_merge",
+    "doc_bpe_encode",
+    "streaming_hourly_fact_p95",
+    "streaming_user_sessions",
+    "streaming_user_totals",
+    "events_funnel",
+    "events_retention_cohorts",
+    "session_funnel",
+    "events_daily_trend",
+    "user_sssp_weighted",
+    "user_wcc",
+    "user_link_prediction",
+    "user_event_salsa",
+    "embedding_random_projection",
+    "embedding_int8_quantize",
+    "embedding_kmeans_clusters",
+    "embedding_label_centroids",
+    "ann_knn_join",
+    "ann_recall_report",
+    "documents_jsonl_roundtrip",
+    "customers_with_orders",
+    "customers_without_orders",
+    "setop_union_nations",
+    "setop_intersect_nations",
+    "setop_except_nations",
+    "setop_except_all_nation_keys",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q10_returned_items",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_parts",
+    "tpch_q12_late_shipment_priority",
+    "doc_token_stats",
+    "doc_sparse_search",
+    "doc_unigram_lm_scores",
+    "doc_tfidf_top_terms",
+    "dedup_incremental_batch",
+    "part_fuzzy_name_pairs",
+    "dedup_embedding_cosine",
+    "dedup_substring_spans",
+    # (2) judge-directed fill (VERDICT r11 ask 1): clear the last red latest-row
+    "ann_rp_topk",
 )
+
+#: Entries that have shipped but never received a driver CORRECTNESS row,
+#: mapped to the round they were registered in. tests/test_rotation.py
+#: enforces a hard first-row deadline: a registered entry must be sampled
+#: (or scheduled in the current window) within NEW_ENTRY_MAX_WAIT rounds
+#: of registration; an unregistered never-sampled entry is overdue
+#: IMMEDIATELY (the strict r6 rule is unchanged for the undocumented
+#: case). Once an entry has a driver row, remove it from this dict.
+ENTRY_REGISTERED = {
+    "incremental_minhash_pairs": 12,
+}
 
 _missing = [n for n in _FIRST_WINDOW if n not in QUERIES]
 if _missing:

@@ -727,6 +727,227 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- incremental MinHash (persisted signature index) -------------------------
+
+#: Bump when the signature computation changes (hash family, shingle
+#: width, modulus): the version is part of the index fingerprint, so a
+#: persisted index built under old semantics is rebuilt, never reused.
+_MINHASH_INDEX_VERSION = 1
+
+
+def minhash_signature_index(
+    spark: SparkSession,
+    old_docs: DataFrame,
+    index_id: str,
+    fingerprint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = MINHASH_BANDS,
+    rows: int = MINHASH_ROWS,
+    n_buckets: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The persisted side of incremental near-dup dedup: MinHash
+    signatures + LSH band buckets of the ALREADY-INGESTED corpus as two
+    bucketed warehouse tables, built once per corpus and reattached
+    across sessions (same fingerprint-gated pattern as the raw-table
+    warehouse — sources/registry.py attach_or_build_bucketed).
+
+    - ``mhsig_*`` (id, sig array<bigint>) bucketed+sorted by id: the
+      estimate join fetches old signatures co-located by id, so the
+      index side never shuffles no matter how the candidate side is
+      planned.
+    - ``mhband_*`` (id, band, band_key, bh) bucketed+sorted by ``bh``
+      (64-bit hash of (band, band_key)): the candidate join against a
+      new batch either broadcasts the batch (small increments — the
+      normal case) or shuffles ONLY the batch onto the index's existing
+      hashpartitioning(bh, N). The band table derives from the
+      *warehouse signature table*, so old text is shingle-hashed exactly
+      once per corpus, at index-build time.
+
+    At 100 TB this is the "new shard arrives" workflow: the index is a
+    write-once artifact per corpus snapshot (append = union the new
+    batch's signatures in, a bucketed insert), and each increment costs
+    O(|batch|) signature work + one narrow join — never a re-scan of
+    the corpus text. ``fingerprint`` must identify the old corpus bytes
+    (and split rule); the signature dial and algorithm version are mixed
+    in here so a re-dialed or re-versioned pipeline rebuilds.
+    """
+    from mini_log_lakehouse_spark.session import default_parallelism
+    from mini_log_lakehouse_spark.sources.registry import (
+        attach_or_build_bucketed,
+    )
+
+    k = bands * rows
+    n = n_buckets or default_parallelism()
+    fp = f"{fingerprint}:v{_MINHASH_INDEX_VERSION}:{bands}x{rows}:{_MERSENNE31}"
+    sig_tbl = f"mhsig_{index_id}_{bands}x{rows}_{n}"
+    band_tbl = f"mhband_{index_id}_{bands}x{rows}_{n}"
+
+    def _build_sigs() -> DataFrame:
+        base_expr = _cached_expr(
+            ("minhash_base", text_col), lambda: minhash_base_hashes(F.col(text_col))
+        )
+        sig_expr = _cached_expr(
+            ("minhash_sig", "_base", k), lambda: minhash_from_base(F.col("_base"), k)
+        )
+        return old_docs.select(F.col(id_col), base_expr.alias("_base")).select(
+            id_col, sig_expr.alias("sig")
+        )
+
+    attach_or_build_bucketed(spark, sig_tbl, fp, id_col, n, _build_sigs)
+
+    def _build_bands() -> DataFrame:
+        banded = _banded(spark.table(sig_tbl), id_col, bands=bands, rows=rows)
+        return banded.withColumn("bh", F.xxhash64("band", "band_key"))
+
+    attach_or_build_bucketed(spark, band_tbl, fp, "bh", n, _build_bands)
+    return spark.table(sig_tbl), spark.table(band_tbl)
+
+
+def minhash_pairs_vs_index(
+    new_docs: DataFrame,
+    index_sigs: DataFrame,
+    index_bands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_est: float | None = None,
+    bands: int = MINHASH_BANDS,
+    rows: int = MINHASH_ROWS,
+) -> DataFrame:
+    """Near-dup candidate pairs TOUCHING a new batch — (old, new) pairs
+    against the persisted index plus (new, new) pairs within the batch —
+    with the MinHash Jaccard estimate, row-identical to running
+    minhash_candidate_pairs over old ∪ new and keeping pairs with ≥1 new
+    id (tested; the oracle restates exactly that).
+
+    Only the BATCH is signature-hashed here; the old corpus contributes
+    through its index tables alone (no text column is ever read from it
+    — plan-tested). Execution shape:
+
+    1. batch signatures: one codegen'd map pass, session-persisted
+       (the production increment would append them to the index);
+    2. candidate join: narrow batch band rows against the bh-bucketed
+       index band table — broadcast when the batch is small (the index
+       streams map-side, zero exchange anywhere), SHUFFLE_HASH of the
+       batch side otherwise (the index side reads its existing
+       hashpartitioning(bh, N) buckets, still no index shuffle);
+    3. batch-internal pairs reuse the size-adaptive LSH pairing of the
+       batch path (_pair_candidates);
+    4. estimate joins re-read signatures from the id-bucketed sig index
+       (old side) and the persisted batch table (new side).
+
+    Doc-grain, no exact-duplicate collapse: the index stores one
+    signature per ingested doc id. A boilerplate-heavy deployment would
+    key the index at rep grain (fingerprint → signature) exactly like
+    minhash_candidate_pairs' collapsed path; the increment math is
+    unchanged.
+    """
+    k = bands * rows
+    base_expr = _cached_expr(
+        ("minhash_base", text_col), lambda: minhash_base_hashes(F.col(text_col))
+    )
+    sig_expr = _cached_expr(
+        ("minhash_sig", "_base", k), lambda: minhash_from_base(F.col("_base"), k)
+    )
+    new_sigs = _persist_sigs(
+        f"minhash_incr_new_{bands}x{rows}",
+        new_docs.select(F.col(id_col), base_expr.alias("_base")).select(
+            id_col, sig_expr.alias("sig")
+        ),
+    )
+    # Cheap: the persisted batch table is the thing being counted, and
+    # the count decides broadcast-vs-shuffle for BOTH candidate joins.
+    n_new = new_sigs.count()
+    small = n_new <= _PAIR_JOIN_MAX_KEYS
+    new_banded = _banded(new_sigs, id_col, bands=bands, rows=rows).withColumn(
+        "bh", F.xxhash64("band", "band_key")
+    )
+    probe = (
+        F.broadcast(new_banded) if small else new_banded.hint("shuffle_hash")
+    )
+    # bh functionally determines nothing (it's a hash) — band/band_key
+    # equality is the real predicate; bh is IN the key set so the
+    # bucketed index scan's hashpartitioning(bh, N) satisfies the join's
+    # distribution and the index never exchanges.
+    cross = (
+        index_bands.join(probe, ["bh", "band", "band_key"])
+        .select(
+            index_bands[id_col].alias("_ido"),
+            probe[id_col].alias("_idn"),
+        )
+        .distinct()
+    )
+    intra = (
+        _pair_candidates(new_banded, id_col, small)
+        .select(
+            F.col(f"{id_col}_a").alias("id_a"), F.col(f"{id_col}_b").alias("id_b")
+        )
+        .distinct()
+    )
+    agree = _cached_expr(
+        ("minhash_agree",),
+        lambda: F.aggregate(
+            F.zip_with(
+                F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    est = F.round(agree / F.lit(k), 6).alias("est_jaccard")
+    so = index_sigs.select(F.col(id_col).alias("_ido"), F.col("sig").alias("sig_a"))
+    sn = new_sigs.select(F.col(id_col).alias("_idn"), F.col("sig").alias("sig_b"))
+    cross_pairs = (
+        cross.join(so, "_ido")
+        .join(F.broadcast(sn) if small else sn.hint("shuffle_hash"), "_idn")
+        .select(
+            F.least("_ido", "_idn").alias("id_a"),
+            F.greatest("_ido", "_idn").alias("id_b"),
+            est,
+        )
+    )
+    sa = new_sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = new_sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    if not small:
+        sa, sb = sa.hint("shuffle_hash"), sb.hint("shuffle_hash")
+    intra_pairs = intra.join(sa, "id_a").join(sb, "id_b").select("id_a", "id_b", est)
+    pairs = cross_pairs.unionByName(intra_pairs)
+    if min_est is not None:
+        pairs = pairs.filter(F.col("est_jaccard") >= min_est)
+    return pairs
+
+
+def incremental_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: incremental near-dup dedup. Docs with
+    doc_id % 10 == 0 are the incoming batch (same split as
+    dedup_incremental_batch); the rest are the already-ingested corpus,
+    reachable ONLY through its persisted MinHash signature index
+    (minhash_signature_index — built once per corpus, fingerprint-gated
+    reattach across sessions). Emits candidate pairs touching ≥1 batch
+    doc with est_jaccard ≥ 0.5 — the "new shard arrives, find its
+    near-dups without re-minhashing 100 TB" workflow.
+
+    Same unordered-output rationale as dedup_minhash_pairs (the gate
+    sorts before hashing; a global orderBy would add a range exchange
+    whose sampling pass re-executes the estimate joins)."""
+    import hashlib
+
+    from mini_log_lakehouse_spark.sources.registry import _source_fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 10 == 0
+    fp = _source_fingerprint(sf_dir, "documents") + ":old=doc_id%10!=0"
+    sigs, bands_t = minhash_signature_index(
+        spark,
+        d.filter(~is_batch),
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_split10",
+        fp,
+    )
+    return minhash_pairs_vs_index(
+        d.filter(is_batch), sigs, bands_t, min_est=0.5
+    ).sortWithinPartitions("id_a", "id_b")
+
+
 # --- exact n-gram Jaccard verification ---------------------------------------
 
 def ngram_jaccard_pairs(
@@ -1506,6 +1727,29 @@ ORACLES["dedup_minhash_pairs"] = f"""
         ORDER BY id_a, id_b
 """
 
+# Incremental restated relationally: signatures over old ∪ new (the
+# oracle has no index; recomputing is its job), the same band-match +
+# estimate predicates, filtered to pairs touching ≥1 batch doc
+# (doc_id % 10 = 0 — the driver entry's split). Exactly the set the
+# index path must reproduce without re-reading old text.
+ORACLES["incremental_minhash_pairs"] = f"""
+        WITH {_SQL_SHINGLES},
+        base AS (
+            SELECT doc_id, {_SQL_MINHASH_BASE} AS b FROM sh
+        ),
+        sigs AS (
+            SELECT doc_id, {_SQL_MINHASH_SIG} AS sig FROM base
+        )
+        SELECT a.doc_id AS id_a,
+               b.doc_id AS id_b,
+               ROUND({_SQL_SIG_AGREE} / {MINHASH_K}.0, 6) AS est_jaccard
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE {_SQL_BAND_MATCH}
+          AND {_SQL_SIG_AGREE} * 2 >= {MINHASH_K}
+          AND (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)
+        ORDER BY id_a, id_b
+"""
+
 #: SimHash oracle: recompute both 48-bit vote words per doc with list
 #: folds, then all-pairs (driver scale) with the ≥2-equal-blocks
 #: candidate rule — provably the same pair set as the 66 block-pair
@@ -1615,6 +1859,7 @@ QUERIES = {
     "dedup_incremental_batch": dedup_incremental_batch,
     "part_fuzzy_name_pairs": part_fuzzy_name_pairs,
     "dedup_minhash_pairs": dedup_minhash_pairs,
+    "incremental_minhash_pairs": incremental_minhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_embedding_cosine": dedup_embedding_cosine,

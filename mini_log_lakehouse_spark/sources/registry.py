@@ -67,12 +67,12 @@ _TABLE_CACHE_MAX_BYTES = int(
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table with normalized column types."""
-    cache = os.environ.get("SPARK_GRAFT_CACHE_TABLES") == "1"
-    key = (id(spark), sf_dir, name)
-    if cache and key in _TABLE_CACHE:
-        return _TABLE_CACHE[key]
+def _load_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One testdata table with normalized column types, NO caching or
+    persistence — the shared scan both load_table and schema-only
+    probes (bucketed-warehouse reattach) build on. Keeping the probe on
+    this path matters in warm mode: load_table would persist/pin the
+    raw table even when only the bucketed copy is read afterward."""
     tune(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
@@ -88,6 +88,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # pinned to UTC (session.py:31) so this cast is value-preserving
             # and matches DuckDB reading the same file as plain TIMESTAMP.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table with normalized column types."""
+    cache = os.environ.get("SPARK_GRAFT_CACHE_TABLES") == "1"
+    key = (id(spark), sf_dir, name)
+    if cache and key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
+    df = _load_raw(spark, sf_dir, name)
     if cache:
         # The testdata files are single-row-group parquet, so a cold scan
         # is one task no matter the cluster size; spread the cached copy
@@ -147,24 +157,137 @@ def _source_bytes(sf_dir: str, name: str) -> int:
     return total
 
 
+def _file_tail_md5(path: str, nbytes: int = 65536) -> str:
+    """md5 of a file's last ``nbytes`` — for parquet this covers the
+    footer (schema + row-group metadata + column statistics), which
+    changes whenever the data does. One 64 KiB read per file, so the
+    whole fingerprint stays O(file count), not O(bytes)."""
+    import hashlib
+
+    h = hashlib.md5()
+    with open(path, "rb") as fh:
+        size = os.fstat(fh.fileno()).st_size
+        fh.seek(max(0, size - nbytes))
+        h.update(fh.read(nbytes))
+    return h.hexdigest()
+
+
 def _source_fingerprint(sf_dir: str, name: str) -> str:
-    """Cheap identity of a source table's current bytes (total size +
-    newest mtime at ns resolution, file count) — recorded beside the
-    bucketed warehouse write and compared before reattaching it, so a
-    REGENERATED corpus at the same path invalidates the derived bucketed
-    copy instead of silently serving stale rows."""
+    """Cheap identity of a source table's current bytes — recorded
+    beside the bucketed warehouse write and compared before reattaching
+    it, so a REGENERATED corpus at the same path invalidates the derived
+    bucketed copy instead of silently serving stale rows.
+
+    Mixes size + newest mtime_ns + file count with CONTENT identity (md5
+    of each file's 64 KiB tail, i.e. the parquet footer): a corpus
+    regenerated with preserved timestamps (``cp -p``, archive
+    extraction) and coincidentally identical sizes would pass a pure
+    stat gate; different data means different row-group stats in the
+    footer, so the tail digest catches it."""
+    import hashlib
+
     p = os.path.join(sf_dir, f"{name}.parquet")
     if os.path.isfile(p):
         st = os.stat(p)
-        return f"{st.st_size}:{st.st_mtime_ns}:1"
+        return f"{st.st_size}:{st.st_mtime_ns}:1:{_file_tail_md5(p)}"
     total = mt = count = 0
+    digests: list[str] = []
     for root, _dirs, files in os.walk(p):
-        for f in files:
-            st = os.stat(os.path.join(root, f))
+        for f in sorted(files):
+            fp = os.path.join(root, f)
+            st = os.stat(fp)
             total += st.st_size
             mt = max(mt, st.st_mtime_ns)
             count += 1
-    return f"{total}:{mt}:{count}"
+            digests.append(f"{os.path.relpath(fp, p)}:{_file_tail_md5(fp)}")
+    content = hashlib.md5("\n".join(sorted(digests)).encode()).hexdigest()
+    return f"{total}:{mt}:{count}:{content}"
+
+
+def attach_or_build_bucketed(
+    spark: SparkSession,
+    tbl: str,
+    fingerprint: str,
+    key: str,
+    n: int,
+    build,
+) -> None:
+    """Ensure catalog table ``tbl`` exists as an EXTERNAL bucketed+sorted
+    parquet table on ``key`` whose content matches ``fingerprint``; no-op
+    if already cataloged this session.
+
+    The in-memory catalog forgets tables across sessions while the
+    warehouse directory persists. A COMPLETE previous write (the
+    _SUCCESS marker, a source fingerprint matching the CURRENT
+    ``fingerprint``, and the expected schema) is reattached instead of
+    rebuilt — "pay the shuffle once at write time" must mean once per
+    CORPUS, not once per session (the sf30 CTAS costs ~250 s; Spark
+    recovers the bucket id from the writer's file names, so the
+    reattached scan reports the same hashpartitioning(key, N) and keeps
+    the zero-exchange property — plan-tested). Anything else — a partial
+    write, a REGENERATED source at the same path (table names key on the
+    path, so without the fingerprint a same-schema refresh would
+    silently serve stale rows), or a drifted schema — is a stale derived
+    artifact: cleared and rebuilt.
+
+    Both branches create the table EXTERNAL at the same explicit
+    LOCATION (the rebuild passes ``path`` to saveAsTable), so DROP TABLE
+    uniformly leaves the files on disk — the pre-r12 rebuild path
+    created a MANAGED table whose DROP deleted them, an asymmetry
+    cleanup code kept having to special-case (ADVICE r11).
+
+    ``build`` is called lazily: on reattach only its SCHEMA is read (no
+    job, no persist); on rebuild the frame is shuffled once into the
+    bucket layout.
+    """
+    if spark.catalog.tableExists(tbl):
+        return
+    import shutil
+
+    loc = os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), tbl
+    )
+    fp_path = os.path.join(loc, "_SRC_FINGERPRINT")
+    if os.path.exists(os.path.join(loc, "_SUCCESS")) and os.path.exists(fp_path):
+        with open(fp_path) as fh:
+            current = fh.read().strip() == fingerprint
+        if current:
+            want = build().schema
+            # simpleString: names + types (incl. nested), nullability
+            # excluded — a COMPUTED build plan often carries
+            # non-nullable fields (literals, hash outputs) that parquet
+            # read-back necessarily reports as nullable, and nullability
+            # of a derived copy can't change values.
+            if spark.read.parquet(loc).schema.simpleString() == want.simpleString():
+                cols = ", ".join(
+                    f"`{f.name}` {f.dataType.simpleString()}" for f in want.fields
+                )
+                spark.sql(
+                    f"CREATE TABLE {tbl} ({cols}) USING parquet "
+                    f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                    f"INTO {n} BUCKETS LOCATION '{loc}'"
+                )
+                return
+    shutil.rmtree(loc, ignore_errors=True)
+    # repartition on the bucket key BEFORE the bucketed write: bucket
+    # ids use the same murmur3 hash partitioning, so each task then
+    # writes exactly ONE bucket file. Without it every input task opens
+    # n parquet writers (tasks × n write buffers — OOM'd the 16g bench
+    # JVM at the sf30 leg with 65 × 32 of them); with it writer memory
+    # is one buffer per task. Same shuffle a production backfill into a
+    # bucketed layout pays.
+    (
+        build()
+        .repartition(n, F.col(key))
+        .write.mode("overwrite")
+        .bucketBy(n, key)
+        .sortBy(key)
+        .option("path", loc)
+        .format("parquet")
+        .saveAsTable(tbl)
+    )
+    with open(fp_path, "w") as fh:
+        fh.write(fingerprint + "\n")
 
 
 def bucketing_enabled() -> bool:
@@ -185,7 +308,7 @@ def load_table_bucketed(
     key: str,
     n_buckets: int | None = None,
 ) -> DataFrame:
-    """A testdata table as a bucketed+sorted managed table on ``key`` —
+    """A testdata table as a bucketed+sorted external table on ``key`` —
     the lakehouse pre-partitioning story for REPEATED fact-fact joins:
     pay the shuffle once at write time, after which every join or
     aggregation keyed on the bucket column reads co-located buckets with
@@ -213,74 +336,21 @@ def load_table_bucketed(
     tune(spark)
     n = n_buckets or default_parallelism()
     tbl = f"bkt_{name}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{n}"
-    if not spark.catalog.tableExists(tbl):
-        # The in-memory catalog forgets tables across sessions while the
-        # warehouse directory persists. A COMPLETE previous write (the
-        # _SUCCESS marker, a source fingerprint matching the CURRENT
-        # source files, and the normalized schema) is reattached as an
-        # external bucketed table instead of rebuilt — "pay the shuffle
-        # once at write time" must mean once per CORPUS, not once per
-        # session (the sf30 CTAS costs ~250 s; Spark recovers the
-        # bucket id from the writer's file names, so the reattached
-        # scan reports the same hashpartitioning(key, N) and keeps the
-        # zero-exchange property — plan-tested). Anything else — a
-        # partial write, a REGENERATED source at the same path (the
-        # table name keys on the path, so without the fingerprint a
-        # same-schema refresh would silently serve stale rows), or a
-        # schema drifted from what load_table now normalizes to — is a
-        # stale derived artifact: cleared and rebuilt (the managed CTAS
-        # otherwise refuses with LOCATION_ALREADY_EXISTS).
-        import shutil
-
-        loc = os.path.join(
-            spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), tbl
-        )
-        fp_path = os.path.join(loc, "_SRC_FINGERPRINT")
-        fp = _source_fingerprint(sf_dir, name)
-        reattach = False
-        if os.path.exists(os.path.join(loc, "_SUCCESS")) and os.path.exists(
-            fp_path
-        ):
-            with open(fp_path) as fh:
-                if fh.read().strip() == fp:
-                    want = load_table(spark, sf_dir, name).schema
-                    if spark.read.parquet(loc).schema == want:
-                        cols = ", ".join(
-                            f"`{f.name}` {f.dataType.simpleString()}"
-                            for f in want.fields
-                        )
-                        spark.sql(
-                            f"CREATE TABLE {tbl} ({cols}) USING parquet "
-                            f"CLUSTERED BY ({key}) SORTED BY ({key}) "
-                            f"INTO {n} BUCKETS LOCATION '{loc}'"
-                        )
-                        reattach = True
-        if not reattach:
-            shutil.rmtree(loc, ignore_errors=True)
-            # build from the NORMALIZED frame, never the raw parquet:
-            # the events table ships in three ts flavors (nanos-as-long
-            # / NTZ / UTC) that load_table reconciles — a bucketed copy
-            # built from the raw file would persist the raw type and
-            # diverge from what every other consumer sees
-            df = load_table(spark, sf_dir, name)
-            # repartition on the bucket key BEFORE the bucketed write:
-            # bucket ids use the same murmur3 hash partitioning, so each
-            # task then writes exactly ONE bucket file. Without it every
-            # input task opens n parquet writers (tasks × n write
-            # buffers — OOM'd the 16g bench JVM at the sf30 leg with
-            # 65 × 32 of them); with it writer memory is one buffer per
-            # task. Same shuffle a production backfill into a bucketed
-            # layout pays.
-            (
-                df.repartition(n, F.col(key))
-                .write.mode("overwrite")
-                .bucketBy(n, key)
-                .sortBy(key)
-                .format("parquet")
-                .saveAsTable(tbl)
-            )
-            with open(fp_path, "w") as fh:
-                fh.write(fp + "\n")
+    attach_or_build_bucketed(
+        spark,
+        tbl,
+        _source_fingerprint(sf_dir, name),
+        key,
+        n,
+        # build from the NORMALIZED frame, never the raw parquet: the
+        # events table ships in three ts flavors (nanos-as-long / NTZ /
+        # UTC) that load_table reconciles — a bucketed copy built from
+        # the raw file would persist the raw type and diverge from what
+        # every other consumer sees. _load_raw (not load_table): in warm
+        # mode load_table would persist/pin a raw copy that nothing
+        # reads again once the bucketed table exists.
+        lambda: _load_raw(spark, sf_dir, name),
+    )
     # Lazy persist: the InMemoryTableScan reports the bucketed
     # FileScan's hashpartitioning(key, N), so the cached copy keeps the
     # zero-exchange agg/join property (plan-tested) while warm

@@ -862,3 +862,138 @@ def test_blocklist_is_border_free_so_oracle_counts_agree(spark, sf_dir):
         sf_dir,
         "doc_blocklist_hits",
     )
+
+
+# --- incremental MinHash (persisted signature index) -------------------------
+
+
+def test_incremental_minhash_matches_full_restatement(spark, sf_dir):
+    """The index path must emit exactly the full-corpus LSH pair set
+    restricted to pairs touching >=1 batch doc — same ids, same
+    estimates — even though it never recomputes old signatures."""
+    from mini_log_lakehouse_spark.sources.registry import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    full = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dedup.minhash_candidate_pairs(d, min_est=0.5).collect()
+        if r["id_a"] % 10 == 0 or r["id_b"] % 10 == 0
+    }
+    incr = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dedup.incremental_minhash_pairs(spark, sf_dir).collect()
+    }
+    assert incr == full
+
+
+def test_incremental_minhash_never_rereads_old_text(spark, tmp_path):
+    """The 100 TB contract: once the signature index is persisted, an
+    increment must be computable WITHOUT the old corpus — (a) the
+    executed plan scans only the warehouse index tables and the batch,
+    and (b) the pairs still compute after the old corpus' files are
+    DELETED (a re-read would crash)."""
+    import os
+    import shutil
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the rain falls softly outside"
+    )
+    old_rows = [(i, base.replace("rain", f"w{i}")) for i in range(1, 8)]
+    old_dir = str(tmp_path / "old_docs.parquet")
+    spark.createDataFrame(old_rows, ["doc_id", "text"]).write.parquet(old_dir)
+    old = spark.read.parquet(old_dir)
+
+    sigs, bands = dedup.minhash_signature_index(
+        spark, old, "t_norereads", "fp-test-1"
+    )
+    new = spark.createDataFrame(
+        [(100, base), (101, "completely unrelated content about query planning")],
+        ["doc_id", "text"],
+    )
+    pairs = dedup.minhash_pairs_vs_index(new, sigs, bands, min_est=0.5)
+
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "old_docs.parquet" not in plan, (
+        "incremental pair plan must not scan the old corpus"
+    )
+    assert "mhsig_t_norereads" in plan and "mhband_t_norereads" in plan
+
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # doc 100 is a near-dup of every old doc (one word differs)
+    assert got == {(i, 100) for i in range(1, 8)}
+
+    # delete the old corpus, drop result caches, recompute end-to-end
+    shutil.rmtree(old_dir)
+    assert not os.path.exists(old_dir)
+    got2 = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_pairs_vs_index(
+            new, sigs, bands, min_est=0.5
+        ).collect()
+    }
+    assert got2 == got
+
+    # cleanup: external tables — drop catalog entries AND files
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in [x.name for x in spark.catalog.listTables() if "t_norereads" in x.name]:
+        spark.sql(f"DROP TABLE {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+
+
+def test_incremental_minhash_index_reattaches(spark, tmp_path):
+    """Same pay-the-shuffle-once contract as the raw-table warehouse:
+    a fresh session (catalog forgets, files survive) reattaches the
+    signature index iff the corpus fingerprint matches, and a CHANGED
+    fingerprint forces a rebuild instead of serving stale signatures."""
+    import os
+    import shutil
+
+    rows = [(i, f"document number {i} with some shared text body") for i in range(5)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs, _bands = dedup.minhash_signature_index(
+        spark, docs, "t_reattach", "fp-A"
+    )
+    n = sigs.count()
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    tbls = [x.name for x in spark.catalog.listTables() if "t_reattach" in x.name]
+    assert len(tbls) == 2
+    mtimes = {}
+    for t in tbls:
+        spark.sql(f"DROP TABLE {t}")  # external: files survive
+        loc = os.path.join(wh, t)
+        mtimes[t] = {
+            f: os.path.getmtime(os.path.join(loc, f))
+            for f in os.listdir(loc)
+            if f.endswith(".parquet")
+        }
+        assert mtimes[t]
+
+    # matching fingerprint -> reattach (identical files, untouched mtimes)
+    sigs2, _ = dedup.minhash_signature_index(spark, docs, "t_reattach", "fp-A")
+    assert sigs2.count() == n
+    for t in tbls:
+        loc = os.path.join(wh, t)
+        after = {
+            f: os.path.getmtime(os.path.join(loc, f))
+            for f in os.listdir(loc)
+            if f.endswith(".parquet")
+        }
+        assert after == mtimes[t]
+
+    # changed fingerprint (regenerated corpus) -> rebuild, not stale reuse
+    for t in tbls:
+        spark.sql(f"DROP TABLE {t}")
+    sigs3, _ = dedup.minhash_signature_index(spark, docs, "t_reattach", "fp-B")
+    assert sigs3.count() == n
+    loc = os.path.join(wh, tbls[0])
+    rebuilt = {
+        f: os.path.getmtime(os.path.join(loc, f))
+        for f in os.listdir(loc)
+        if f.endswith(".parquet")
+    }
+    assert rebuilt != mtimes[tbls[0]]
+
+    for t in tbls:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)

@@ -366,15 +366,16 @@ def test_bucketed_table_reattaches_across_sessions(spark, sf_dir, monkeypatch):
         if f.endswith(".parquet")
     }
     assert files_before
-    # simulate a fresh session: catalog forgets, files survive (DROP on
-    # the managed table would delete them, so stash the dir around it)
-    import shutil, tempfile
-
-    stash = tempfile.mkdtemp()
-    shutil.copytree(loc, os.path.join(stash, "t"))
+    # simulate a fresh session: catalog forgets, files survive — both
+    # write paths now create the table EXTERNAL at an explicit LOCATION,
+    # so DROP TABLE uniformly leaves the warehouse files in place (the
+    # pre-r12 managed rebuild path deleted them on DROP, which this test
+    # had to stash around)
     df1.unpersist()
     spark.sql(f"DROP TABLE {tbl}")
-    shutil.copytree(os.path.join(stash, "t"), loc)
+    assert os.path.exists(os.path.join(loc, "_SUCCESS")), (
+        "external bucketed table files must survive DROP TABLE"
+    )
     registry._BUCKETED_CACHE.clear()
 
     df2 = registry.load_table_bucketed(spark, sf_dir, name, key)
@@ -394,4 +395,6 @@ def test_bucketed_table_reattaches_across_sessions(spark, sf_dir, monkeypatch):
     df2.unpersist()
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     registry._BUCKETED_CACHE.clear()
-    shutil.rmtree(stash, ignore_errors=True)
+    import shutil
+
+    shutil.rmtree(loc, ignore_errors=True)
