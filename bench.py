@@ -376,6 +376,76 @@ def scaled_leg(
     return leg
 
 
+#: Hard stdout budget: the driver keeps only the LAST ~2000 chars of
+#: stdout, and an over-long line truncates at the FRONT, breaking the
+#: JSON (round 3 lost its bench artifact exactly this way).
+_LINE_BUDGET = 1950
+
+
+def compact_line(payload: dict, budget: int = _LINE_BUDGET) -> str:
+    """The single JSON line the driver parses, shed to fit ``budget``.
+
+    Pure function of the full bench payload (unit-tested with oversized
+    inputs — tests/test_bench_line.py): if the compact form outgrows the
+    budget, shed per-query second dicts of the middle legs first (they
+    are diagnostics; BENCH_DETAIL.json keeps all) — never the ratio/iso
+    fields the 2x judgment reads. The last-resort shed (ADVICE r10)
+    rebuilds the line from only those judged fields and, if even that
+    overflows, drops iso_ratios then whole legs: a valid short line
+    beats a front-truncated corrupt one (an assert would crash before
+    ANY line prints, and vanish under python -O — strictly worse).
+    """
+    compact = _compact(payload)
+    legs = [
+        leg for leg in ("scaled", "scaled_100", "scaled_300") if leg in compact
+    ]
+    # per-query ratios ride the compact line only for the last leg (the
+    # 2000-char stdout-tail budget: r7's line was already 1626 chars);
+    # every leg keeps ratio_total + iso_ratios, BENCH_DETAIL has all
+    for leg in legs:
+        compact[leg] = _compact(
+            compact[leg], keep_ratios=(leg == legs[-1]), keep_cold=False
+        )
+    compact["detail"] = "BENCH_DETAIL.json"
+    line = json.dumps(compact, separators=(",", ":"))
+    for leg_name, key in (
+        ("scaled", "queries"),
+        ("scaled_100", "queries"),
+        (None, "queries_cold"),
+    ):
+        if len(line) <= budget:
+            break
+        target = compact.get(leg_name) if leg_name else compact
+        if target is None:
+            continue
+        target.pop(key, None)
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > budget:
+        keep = ("metric", "value", "unit", "sf", "iters", "ratio_total", "baseline_total", "detail")
+        minimal = {k: compact[k] for k in keep if k in compact}
+        for leg_name in ("scaled", "scaled_100", "scaled_300"):
+            leg = compact.get(leg_name)
+            if leg:
+                minimal[leg_name] = {
+                    k: leg[k]
+                    for k in ("factor", "sf", "value", "ratio_total", "iso_ratio_total", "iso_ratios")
+                    if k in leg
+                }
+        line = json.dumps(minimal, separators=(",", ":"))
+        for leg_name in ("scaled", "scaled_100", "scaled_300"):
+            if len(line) <= budget:
+                break
+            if leg_name in minimal:
+                minimal[leg_name].pop("iso_ratios", None)
+                line = json.dumps(minimal, separators=(",", ":"))
+        for leg_name in ("scaled", "scaled_100", "scaled_300"):
+            if len(line) <= budget:
+                break
+            minimal.pop(leg_name, None)
+            line = json.dumps(minimal, separators=(",", ":"))
+    return line
+
+
 def _compact(full: dict, keep_ratios: bool = False, keep_cold: bool = True) -> dict:
     """2-decimal summary of a leg payload with per-query baselines folded
     to a total — the printed line must fit the driver's ~2000-char stdout
@@ -463,68 +533,7 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump(payload, fh, indent=1)
 
-    compact = _compact(payload)
-    legs = [
-        leg for leg in ("scaled", "scaled_100", "scaled_300") if leg in compact
-    ]
-    # per-query ratios ride the compact line only for the last leg (the
-    # 2000-char stdout-tail budget: r7's line was already 1626 chars);
-    # every leg keeps ratio_total + iso_ratios, BENCH_DETAIL has all
-    for leg in legs:
-        compact[leg] = _compact(
-            compact[leg], keep_ratios=(leg == legs[-1]), keep_cold=False
-        )
-    compact["detail"] = "BENCH_DETAIL.json"
-    # Hard budget: the driver keeps only the LAST ~2000 chars of stdout,
-    # and an over-long line truncates at the FRONT, breaking the JSON
-    # (round 3 lost its bench artifact exactly this way). If the line
-    # outgrows the budget, shed per-query second dicts of the middle
-    # legs first (they are diagnostics; BENCH_DETAIL.json keeps all) —
-    # never the ratio/iso fields the 2x judgment reads.
-    line = json.dumps(compact, separators=(",", ":"))
-    for leg_name, key in (
-        ("scaled", "queries"),
-        ("scaled_100", "queries"),
-        (None, "queries_cold"),
-    ):
-        if len(line) <= 1950:
-            break
-        target = compact.get(leg_name) if leg_name else compact
-        if target is None:
-            continue
-        target.pop(key, None)
-        line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1950:
-        # Last-resort shed (ADVICE r10): if future legs outgrow the three
-        # named pops, print ONLY the fields the 2x judgment reads — a
-        # valid short line beats a front-truncated corrupt one. Keep
-        # shedding (iso_ratios, then whole legs) until it fits: an
-        # assert here would crash before ANY line prints (and vanish
-        # under python -O), which is strictly worse than a shorter
-        # valid line.
-        keep = ("metric", "value", "unit", "sf", "iters", "ratio_total", "baseline_total", "detail")
-        minimal = {k: compact[k] for k in keep if k in compact}
-        for leg_name in ("scaled", "scaled_100", "scaled_300"):
-            leg = compact.get(leg_name)
-            if leg:
-                minimal[leg_name] = {
-                    k: leg[k]
-                    for k in ("factor", "sf", "value", "ratio_total", "iso_ratio_total", "iso_ratios")
-                    if k in leg
-                }
-        line = json.dumps(minimal, separators=(",", ":"))
-        for leg_name in ("scaled", "scaled_100", "scaled_300"):
-            if len(line) <= 1950:
-                break
-            if leg_name in minimal:
-                minimal[leg_name].pop("iso_ratios", None)
-                line = json.dumps(minimal, separators=(",", ":"))
-        for leg_name in ("scaled", "scaled_100", "scaled_300"):
-            if len(line) <= 1950:
-                break
-            minimal.pop(leg_name, None)
-            line = json.dumps(minimal, separators=(",", ":"))
-    print(line)
+    print(compact_line(payload))
     spark.stop()
 
 
