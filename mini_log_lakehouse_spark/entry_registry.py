@@ -95,14 +95,16 @@ if _unknown:
 # oldest-exposure-first fill rule a single-sample multimodal codec would
 # take the slot and the red latest-row would persist to ~r14; the judge
 # explicitly overrode the default for r12.
-# New-entry policy (r12): incremental_minhash_pairs ships this round but
-# CANNOT take a slot — both forcing sets are saturated (r12: 49 forced +
-# the judge-directed fill; r13: exactly the 50 r9-latest entries). It is
-# recorded in ENTRY_REGISTERED below with a mechanically-enforced
-# first-row deadline (tests/test_rotation.py): it MUST enter the r14
-# window, where the r10 pool shrinks to 48 forced entries (ann_rp_topk
-# refreshes to r12 here) and 2 slots open. Until then it carries the
-# same local DuckDB hash-compare as every past-position-50 entry.
+# New-entry policy (r12): incremental_minhash_pairs and
+# incremental_ann_ivf_topk ship this round but CANNOT take a slot —
+# both forcing sets are saturated (r12: 49 forced + the judge-directed
+# fill; r13: exactly the 50 r9-latest entries). They are recorded in
+# ENTRY_REGISTERED below with a mechanically-enforced first-row
+# deadline (tests/test_rotation.py): they MUST enter the r14 window,
+# where the r10 pool shrinks to 48 forced entries (ann_rp_topk
+# refreshes to r12 here) and exactly 2 slots open (48 + 2 = 50). Until
+# then they carry the same local DuckDB hash-compare as every
+# past-position-50 entry.
 # r13 pre-stage: the forcing set is the 50 r9-latest entries exactly
 # (includes the five single-sample multimodal codecs from r9); no
 # discretionary slots.
@@ -172,6 +174,7 @@ _FIRST_WINDOW = (
 #: case). Once an entry has a driver row, remove it from this dict.
 ENTRY_REGISTERED = {
     "incremental_minhash_pairs": 12,
+    "incremental_ann_ivf_topk": 12,
 }
 
 _missing = [n for n in _FIRST_WINDOW if n not in QUERIES]

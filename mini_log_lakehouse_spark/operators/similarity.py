@@ -624,6 +624,208 @@ def random_project_wide(
     return vectors.mapInArrow(project, schema=schema)
 
 
+# --- incremental ANN: batch queries vs a persisted IVF cell index ------------
+
+#: The incoming batch for the incremental entry: the IVF_BATCH highest
+#: vec_ids play "the vectors appended since the index was built" (ids
+#: are append-ordered, so this is the natural increment under an
+#: append-only id space). Must stay well above IVF_TRAIN_SAMPLE + the
+#: batch so the quantizer's training sample (the IVF_TRAIN_SAMPLE
+#: lowest ids) is entirely inside the OLD corpus — which is what lets
+#: the oracle reuse the plain full-corpus k-means CTE chain: the fit
+#: never sees a batch vector in either engine.
+IVF_BATCH = 32
+
+#: Bump when the IVF assignment semantics change — part of the index
+#: fingerprint, so a persisted index under old semantics rebuilds.
+_IVF_INDEX_VERSION = 1
+
+#: Session-memoized max vec_id per (applicationId, sf_dir): the batch
+#: cutoff is data-derived; one tiny agg per corpus per session.
+_MAX_VEC_ID: dict[tuple[str, str], int] = {}
+
+
+def _embeddings_max_id(spark: SparkSession, sf_dir: str, e: DataFrame) -> int:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _MAX_VEC_ID.get(key)
+    if got is None:
+        session.evict_stale(_MAX_VEC_ID, key[0], unpersist=False)
+        got = _MAX_VEC_ID[key] = int(e.agg(F.max("vec_id")).first()[0])
+    return got
+
+
+def _append_arrow_list_column(
+    df: DataFrame, vec_col: str, out_col: str, width: int, compute
+) -> DataFrame:
+    """_append_arrow_column for LIST outputs: ``compute(mat)`` returns an
+    (n, width) int64 ndarray appended as ``array<bigint>`` — one numpy
+    pass per Arrow batch, map-only (the probe-cell assignment shape)."""
+    import pyarrow as pa
+
+    schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.ArrayType(T.LongType()))]
+    )
+
+    def assign(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                out = pa.ListArray.from_arrays(
+                    pa.array([0], pa.int32()), pa.array([], pa.int64())
+                )
+            else:
+                idx = batch.schema.get_field_index(vec_col)
+                mat = (
+                    batch.column(idx)
+                    .flatten()
+                    .to_numpy(zero_copy_only=False)
+                    .reshape(n, -1)
+                )
+                vals = compute(mat).astype("int64").ravel()
+                offsets = pa.array(
+                    np.arange(0, (n + 1) * width, width, dtype="int32"), pa.int32()
+                )
+                out = pa.ListArray.from_arrays(offsets, pa.array(vals, pa.int64()))
+            yield batch.append_column(out_col, out)
+
+    return df.mapInArrow(assign, schema=schema)
+
+
+def ivf_cell_index(
+    spark: SparkSession,
+    old_vectors: DataFrame,
+    centroids: "np.ndarray",
+    index_id: str,
+    fingerprint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """The persisted side of incremental ANN: the ALREADY-INGESTED
+    corpus with its IVF cell assignment, as a cell-bucketed external
+    warehouse table — built once per corpus, fingerprint-gated reattach
+    across sessions (sources/registry.py attach_or_build_bucketed, the
+    same pattern as the raw-table warehouse and the MinHash signature
+    index).
+
+    At 100 TB this is how a vector corpus lives behind an ANN serving
+    layer: assignment is a one-time map-only GEMM pass (ivf_assign_cells),
+    the table is clustered by cell so a probe of nprobe/ncells cells
+    reads co-located buckets, and a new batch NEVER re-assigns or even
+    re-reads the old corpus — it joins this table (quantizer training
+    is O(sample) and deterministic, so centroids re-derive bit-identically
+    from the unchanged training sample at attach time; the O(corpus)
+    artifact is what's persisted)."""
+    from mini_log_lakehouse_spark.session import default_parallelism
+    from mini_log_lakehouse_spark.sources.registry import attach_or_build_bucketed
+
+    n = n_buckets or default_parallelism()
+    fp = f"{fingerprint}:v{_IVF_INDEX_VERSION}:{IVF_N_CELLS}c"
+    tbl = f"ivfcell_{index_id}_{IVF_N_CELLS}_{n}"
+    attach_or_build_bucketed(
+        spark,
+        tbl,
+        fp,
+        "cell",
+        n,
+        lambda: ivf_assign_cells(old_vectors, centroids, vec_col).select(
+            id_col, "cell", vec_col
+        ),
+    )
+    return spark.table(tbl)
+
+
+def ann_ivf_index_topk(
+    batch: DataFrame,
+    index: DataFrame,
+    centroids: "np.ndarray",
+    k: int = TOP_K,
+    nprobe: int = IVF_N_PROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k old-corpus neighbors for EVERY vector of a new batch,
+    against the persisted cell index only — (query_id, neighbor_id,
+    cos_sim, rank), the batched form of ann_ivf_topk.
+
+    Execution shape (the one that survives 100 TB):
+
+    1. probe assignment is a map-only pass over the BATCH (one numpy
+       GEMM per Arrow batch + stable argsort → the nprobe nearest
+       cells, ties to the lowest cell — the exact int64 metric the
+       index assignment used);
+    2. the candidate join broadcasts the exploded (query, probe-cell)
+       rows against the cell-bucketed index — the index streams
+       map-side, no shuffle, and reads only rows whose cell matches a
+       probe (with cell-partition pruning on a cluster layout);
+    3. the exact rerank runs on candidate rows only
+       (~batch × nprobe/ncells of the corpus), one window per query.
+
+    The batch is assumed small enough to broadcast (a crawl increment);
+    a bulk re-query would chunk batches through this same path."""
+    from pyspark.sql import Window
+
+    def probe_cells(mat):
+        d = _sq_dists(_quantize_mat(mat), centroids)
+        return np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+
+    probes = (
+        _append_arrow_list_column(batch, vec_col, "_probes", nprobe, probe_cells)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qvec"),
+            F.explode("_probes").alias("cell"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        index.join(F.broadcast(probes), "cell")
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def incremental_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: incremental ANN. The IVF_BATCH highest vec_ids are
+    the newly-arrived batch; the rest of the corpus is reachable ONLY
+    through its persisted IVF cell index (ivf_cell_index — built once
+    per corpus, fingerprint-gated reattach). Each batch vector gets its
+    TOP_K nearest OLD vectors by rounded cosine — the "new embeddings
+    arrive, dedup/link them against the indexed corpus without
+    re-assigning 100 TB" workflow, the ANN mirror of
+    incremental_minhash_pairs.
+
+    Oracle: the full-corpus k-means CTE chain (fit == old-corpus fit,
+    because the training sample is the IVF_TRAIN_SAMPLE lowest ids and
+    the batch is the IVF_BATCH highest — see IVF_BATCH), per-query
+    probe selection by exact int64 distance, candidates restricted to
+    old ids, identical rounded-cosine rerank."""
+    import hashlib
+
+    from mini_log_lakehouse_spark.sources.registry import _source_fingerprint
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = _ivf_centroids(spark, sf_dir, e)
+    lo = _embeddings_max_id(spark, sf_dir, e) - IVF_BATCH + 1
+    fp = _source_fingerprint(sf_dir, "embeddings") + f":old=vec_id<{lo}"
+    idx = ivf_cell_index(
+        spark,
+        e.filter(F.col("vec_id") < lo),
+        cent,
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_tail{IVF_BATCH}",
+        fp,
+    )
+    return ann_ivf_index_topk(e.filter(F.col("vec_id") >= lo), idx, cent)
+
+
 #: Full-corpus k-means: clusters and Lloyd iterations for the driver
 #: query. (Distinct from the IVF coarse quantizer, which trains on a
 #: driver-held SAMPLE — this is the distributed full-data loop.)
@@ -1611,6 +1813,64 @@ ORACLES: dict[str, str] = {
     "ann_rp_topk": ann_tier_topk_sql("rp10"),
 }
 
+
+def incremental_ann_ivf_sql() -> str:
+    """Relational restatement of incremental_ann_ivf_topk: the oracle
+    has no index, so it re-derives the IVF structure — the sample-
+    trained k-means CTE chain over `embeddings` (identical to the
+    old-corpus fit: the training sample is the IVF_TRAIN_SAMPLE lowest
+    ids, the batch the IVF_BATCH highest — IVF_BATCH's invariant), then
+    per-BATCH-query probe selection by the same exact int64 distance,
+    candidates restricted to old ids, and the identical rounded-cosine
+    rerank with ROW_NUMBER ties to the lowest neighbor id."""
+    chain, final = kmeans_assign_cte_sql(
+        k=IVF_N_CELLS,
+        iters=IVF_LLOYD_ITERS,
+        prefix="iivf_",
+        with_kw=True,
+        train_max=IVF_TRAIN_SAMPLE,
+    )
+    cents = f"iivf_c{IVF_LLOYD_ITERS}"
+    cos = (
+        "ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), "
+        "CAST(qe.embedding AS DOUBLE[])), 6)"
+    )
+    return f"""
+        {chain}
+        , iivf_cut AS (
+            SELECT MAX(vec_id) - {IVF_BATCH} + 1 AS lo FROM embeddings
+        ), iivf_qd AS (
+            SELECT q.vec_id, c.cluster,
+                   CAST(SUM((q.qv - c.cv) * (q.qv - c.cv)) AS BIGINT) AS d
+            FROM iivf_q q JOIN {cents} c ON q.pos = c.pos
+            WHERE q.vec_id >= (SELECT lo FROM iivf_cut)
+            GROUP BY 1, 2
+        ), iivf_probe AS (
+            SELECT vec_id, cluster FROM (
+                SELECT vec_id, cluster,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY d, cluster) AS rn
+                FROM iivf_qd
+            ) WHERE rn <= {IVF_N_PROBE}
+        ), iivf_cand AS (
+            SELECT p.vec_id AS query_id, s.vec_id AS neighbor_id
+            FROM iivf_probe p JOIN {final} s ON s.cluster = p.cluster
+            WHERE s.vec_id < (SELECT lo FROM iivf_cut)
+        )
+        SELECT query_id, neighbor_id, cos_sim, rank FROM (
+            SELECT query_id, neighbor_id, {cos} AS cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY {cos} DESC, neighbor_id) AS rank
+            FROM iivf_cand
+            JOIN embeddings c ON c.vec_id = neighbor_id
+            JOIN embeddings qe ON qe.vec_id = query_id
+        ) WHERE rank <= {TOP_K}
+        ORDER BY query_id, rank
+"""
+
+
+ORACLES["incremental_ann_ivf_topk"] = incremental_ann_ivf_sql()
+
 QUERIES = {
     "embedding_random_projection": embedding_random_projection,
     "embedding_int8_quantize": embedding_int8_quantize,
@@ -1624,4 +1884,5 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_recall_report": ann_recall_report,
+    "incremental_ann_ivf_topk": incremental_ann_ivf_topk,
 }

@@ -997,3 +997,93 @@ def test_incremental_minhash_index_reattaches(spark, tmp_path):
     for t in tbls:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+
+
+# --- incremental ANN (persisted IVF cell index) -------------------------------
+
+
+def _toy_vectors(spark, ids, seed_shift=0):
+    import math
+
+    rows = []
+    for i in ids:
+        # deterministic, non-degenerate unit-circle-ish vectors in dim 6
+        rows.append(
+            (
+                i,
+                [
+                    math.cos(0.37 * (i + seed_shift) + 0.11 * d) for d in range(6)
+                ],
+            )
+        )
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_ivf_index_full_probe_equals_exact_knn(spark):
+    """With nprobe == ncells the candidate set is the whole index, so
+    the index path must reproduce the exact brute-force kNN join
+    bit-for-bit (same rounded cosines, same tie order)."""
+    import numpy as np
+
+    old = _toy_vectors(spark, range(40))
+    batch = _toy_vectors(spark, range(100, 106), seed_shift=3)
+    sample = np.array(
+        [r["embedding"] for r in old.orderBy("vec_id").collect()], dtype="float64"
+    )
+    cents = similarity.ivf_train_centroids(sample, n_cells=4, iters=2)
+    idx = similarity.ivf_assign_cells(old, cents).select(
+        "vec_id", "cell", "embedding"
+    )
+    got = similarity.ann_ivf_index_topk(batch, idx, cents, k=5, nprobe=4).collect()
+    want = similarity.knn_join(old, batch, k=5).collect()
+    as_set = lambda rows: {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rank"]) for r in rows
+    }
+    assert as_set(got) == as_set(want)
+    assert len(got) == 6 * 5
+
+
+def test_ivf_index_never_rereads_old_corpus(spark, tmp_path):
+    """Once the cell index is persisted, a batch query must be
+    computable WITHOUT the old corpus: the executed plan scans only the
+    warehouse index table (plus the batch), and the query still runs
+    after the old corpus' files are deleted."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    old_dir = str(tmp_path / "old_emb.parquet")
+    _toy_vectors(spark, range(300)).write.parquet(old_dir)
+    old = spark.read.parquet(old_dir)
+    sample = np.array(
+        [
+            r["embedding"]
+            for r in old.filter(F.col("vec_id") < 256).orderBy("vec_id").collect()
+        ],
+        dtype="float64",
+    )
+    cents = similarity.ivf_train_centroids(sample)
+    idx = similarity.ivf_cell_index(spark, old, cents, "t_ivfnoreread", "fp-ivf-1")
+    batch = _toy_vectors(spark, range(1000, 1004), seed_shift=7)
+    topk = similarity.ann_ivf_index_topk(batch, idx, cents, k=3)
+
+    plan = topk._jdf.queryExecution().executedPlan().toString()
+    assert "old_emb.parquet" not in plan, (
+        "batch ANN plan must not scan the old corpus"
+    )
+    assert "ivfcell_t_ivfnoreread" in plan
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in topk.collect()}
+    assert len(got) == 4 * 3
+
+    shutil.rmtree(old_dir)
+    got2 = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.ann_ivf_index_topk(batch, idx, cents, k=3).collect()
+    }
+    assert got2 == got
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in [x.name for x in spark.catalog.listTables() if "t_ivfnoreread" in x.name]:
+        spark.sql(f"DROP TABLE {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
