@@ -729,10 +729,14 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- incremental MinHash (persisted signature index) -------------------------
 
-#: Bump when the signature computation changes (hash family, shingle
-#: width, modulus): the version is part of the index fingerprint, so a
-#: persisted index built under old semantics is rebuilt, never reused.
-_MINHASH_INDEX_VERSION = 1
+#: Bump when the signature computation or index layout changes: the
+#: version is part of the index fingerprint, so a persisted index built
+#: under old semantics is rebuilt, never reused. v2: rep-grain index
+#: (fingerprint -> signature, plus a member map) replacing the v1
+#: doc-grain layout, whose estimate join was quadratic in
+#: exact-duplicate class size (measured at the sf30 replica-heavy
+#: corpus: 74 s/increment doc-grain vs the collapsed layout below).
+_MINHASH_INDEX_VERSION = 2
 
 
 def minhash_signature_index(
@@ -745,32 +749,46 @@ def minhash_signature_index(
     bands: int = MINHASH_BANDS,
     rows: int = MINHASH_ROWS,
     n_buckets: int | None = None,
-) -> tuple[DataFrame, DataFrame]:
-    """The persisted side of incremental near-dup dedup: MinHash
-    signatures + LSH band buckets of the ALREADY-INGESTED corpus as two
-    bucketed warehouse tables, built once per corpus and reattached
-    across sessions (same fingerprint-gated pattern as the raw-table
-    warehouse — sources/registry.py attach_or_build_bucketed).
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The persisted side of incremental near-dup dedup: the
+    ALREADY-INGESTED corpus as three bucketed warehouse tables, built
+    once per corpus and reattached across sessions (same
+    fingerprint-gated pattern as the raw-table warehouse —
+    sources/registry.py attach_or_build_bucketed). Returns
+    ``(members, sigs, bands)``.
 
-    - ``mhsig_*`` (id, sig array<bigint>) bucketed+sorted by id: the
-      estimate join fetches old signatures co-located by id, so the
-      index side never shuffles no matter how the candidate side is
-      planned.
-    - ``mhband_*`` (id, band, band_key, bh) bucketed+sorted by ``bh``
+    REP GRAIN, exactly like minhash_candidate_pairs' collapse path: one
+    signature per DISTINCT text (keyed by its md5 fingerprint), plus
+    the fingerprint -> doc-id member map. Identical texts have
+    identical signatures, so the LSH result at doc grain is fully
+    determined by the rep-grain result + the member map — and a
+    replica-heavy corpus (mirrors, boilerplate — normal at 100 TB)
+    costs one signature per distinct text instead of a signature join
+    quadratic in class size (the v1 doc-grain layout measured
+    74 s/increment at sf30; see _MINHASH_INDEX_VERSION).
+
+    - ``mhmem_*`` (_fp, id) bucketed+sorted by _fp: the doc-grain
+      expansion map, co-located for the final expansion joins.
+    - ``mhsig_*`` (_fp, sig array<bigint>) bucketed+sorted by _fp: the
+      estimate join fetches old rep signatures co-located by _fp, so
+      the index side never shuffles no matter how the candidate side
+      is planned.
+    - ``mhband_*`` (_fp, band, band_key, bh) bucketed+sorted by ``bh``
       (64-bit hash of (band, band_key)): the candidate join against a
       new batch either broadcasts the batch (small increments — the
       normal case) or shuffles ONLY the batch onto the index's existing
       hashpartitioning(bh, N). The band table derives from the
-      *warehouse signature table*, so old text is shingle-hashed exactly
-      once per corpus, at index-build time.
+      *warehouse signature table*, so old text is shingle-hashed
+      exactly once per corpus, at index-build time.
 
     At 100 TB this is the "new shard arrives" workflow: the index is a
     write-once artifact per corpus snapshot (append = union the new
-    batch's signatures in, a bucketed insert), and each increment costs
-    O(|batch|) signature work + one narrow join — never a re-scan of
-    the corpus text. ``fingerprint`` must identify the old corpus bytes
-    (and split rule); the signature dial and algorithm version are mixed
-    in here so a re-dialed or re-versioned pipeline rebuilds.
+    batch's members/signatures in, a bucketed insert), and each
+    increment costs O(|batch|) signature work + narrow joins — never a
+    re-scan of the corpus text. ``fingerprint`` must identify the old
+    corpus bytes (and split rule); the signature dial and algorithm
+    version are mixed in here so a re-dialed or re-versioned pipeline
+    rebuilds.
     """
     from mini_log_lakehouse_spark.session import default_parallelism
     from mini_log_lakehouse_spark.sources.registry import (
@@ -780,32 +798,48 @@ def minhash_signature_index(
     k = bands * rows
     n = n_buckets or default_parallelism()
     fp = f"{fingerprint}:v{_MINHASH_INDEX_VERSION}:{bands}x{rows}:{_MERSENNE31}"
+    mem_tbl = f"mhmem_{index_id}_{bands}x{rows}_{n}"
     sig_tbl = f"mhsig_{index_id}_{bands}x{rows}_{n}"
     band_tbl = f"mhband_{index_id}_{bands}x{rows}_{n}"
 
+    attach_or_build_bucketed(
+        spark,
+        mem_tbl,
+        fp,
+        "_fp",
+        n,
+        lambda: old_docs.select(
+            F.md5(F.col(text_col)).alias("_fp"), F.col(id_col)
+        ),
+    )
+
     def _build_sigs() -> DataFrame:
+        reps = old_docs.select(
+            F.md5(F.col(text_col)).alias("_fp"), F.col(text_col).alias("_rtext")
+        ).dropDuplicates(["_fp"])
         base_expr = _cached_expr(
-            ("minhash_base", text_col), lambda: minhash_base_hashes(F.col(text_col))
+            ("minhash_base", "_rtext"), lambda: minhash_base_hashes(F.col("_rtext"))
         )
         sig_expr = _cached_expr(
             ("minhash_sig", "_base", k), lambda: minhash_from_base(F.col("_base"), k)
         )
-        return old_docs.select(F.col(id_col), base_expr.alias("_base")).select(
-            id_col, sig_expr.alias("sig")
+        return reps.select("_fp", base_expr.alias("_base")).select(
+            "_fp", sig_expr.alias("sig")
         )
 
-    attach_or_build_bucketed(spark, sig_tbl, fp, id_col, n, _build_sigs)
+    attach_or_build_bucketed(spark, sig_tbl, fp, "_fp", n, _build_sigs)
 
     def _build_bands() -> DataFrame:
-        banded = _banded(spark.table(sig_tbl), id_col, bands=bands, rows=rows)
+        banded = _banded(spark.table(sig_tbl), "_fp", bands=bands, rows=rows)
         return banded.withColumn("bh", F.xxhash64("band", "band_key"))
 
     attach_or_build_bucketed(spark, band_tbl, fp, "bh", n, _build_bands)
-    return spark.table(sig_tbl), spark.table(band_tbl)
+    return spark.table(mem_tbl), spark.table(sig_tbl), spark.table(band_tbl)
 
 
 def minhash_pairs_vs_index(
     new_docs: DataFrame,
+    index_members: DataFrame,
     index_sigs: DataFrame,
     index_bands: DataFrame,
     id_col: str = "doc_id",
@@ -822,27 +856,36 @@ def minhash_pairs_vs_index(
 
     Only the BATCH is signature-hashed here; the old corpus contributes
     through its index tables alone (no text column is ever read from it
-    — plan-tested). Execution shape:
+    — plan-tested). Everything runs at REP grain until the very last
+    step (see minhash_signature_index): candidate generation, the
+    estimate joins, and the min_est filter all touch one row per
+    distinct text, and only the surviving pairs expand through the
+    member maps to doc grain. Execution shape:
 
-    1. batch signatures: one codegen'd map pass, session-persisted
-       (the production increment would append them to the index);
+    1. batch fingerprints + rep signatures: one codegen'd map pass over
+       distinct batch texts, session-persisted (the production
+       increment would append them to the index);
     2. candidate join: narrow batch band rows against the bh-bucketed
        index band table — broadcast when the batch is small (the index
        streams map-side, zero exchange anywhere), SHUFFLE_HASH of the
        batch side otherwise (the index side reads its existing
-       hashpartitioning(bh, N) buckets, still no index shuffle);
-    3. batch-internal pairs reuse the size-adaptive LSH pairing of the
-       batch path (_pair_candidates);
-    4. estimate joins re-read signatures from the id-bucketed sig index
-       (old side) and the persisted batch table (new side).
-
-    Doc-grain, no exact-duplicate collapse: the index stores one
-    signature per ingested doc id. A boilerplate-heavy deployment would
-    key the index at rep grain (fingerprint → signature) exactly like
-    minhash_candidate_pairs' collapsed path; the increment math is
-    unchanged.
+       hashpartitioning(bh, N) buckets, still no index shuffle). A
+       same-fingerprint (old, new) pair is an ordinary candidate here:
+       identical signatures share every band;
+    3. batch-internal rep pairs reuse the size-adaptive LSH pairing of
+       the batch path (_pair_candidates); same-fingerprint batch pairs
+       (est exactly 1.0) come straight off the member map;
+    4. estimate joins re-read rep signatures from the _fp-bucketed sig
+       index (old side) and the persisted batch table (new side), and
+       min_est filters BEFORE the expansion multiplies rows.
     """
     k = bands * rows
+    fpd = new_docs.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("_fp"), F.col(text_col)
+    )
+    new_members = _persist_sigs(
+        f"minhash_incr_mem_{bands}x{rows}", fpd.select("_fp", id_col)
+    )
     base_expr = _cached_expr(
         ("minhash_base", text_col), lambda: minhash_base_hashes(F.col(text_col))
     )
@@ -851,15 +894,16 @@ def minhash_pairs_vs_index(
     )
     new_sigs = _persist_sigs(
         f"minhash_incr_new_{bands}x{rows}",
-        new_docs.select(F.col(id_col), base_expr.alias("_base")).select(
-            id_col, sig_expr.alias("sig")
-        ),
+        fpd.dropDuplicates(["_fp"])
+        .select("_fp", base_expr.alias("_base"))
+        .select("_fp", sig_expr.alias("sig")),
     )
-    # Cheap: the persisted batch table is the thing being counted, and
-    # the count decides broadcast-vs-shuffle for BOTH candidate joins.
+    # Cheap: the persisted batch rep table is the thing being counted,
+    # and the count decides broadcast-vs-shuffle for BOTH candidate
+    # joins.
     n_new = new_sigs.count()
     small = n_new <= _PAIR_JOIN_MAX_KEYS
-    new_banded = _banded(new_sigs, id_col, bands=bands, rows=rows).withColumn(
+    new_banded = _banded(new_sigs, "_fp", bands=bands, rows=rows).withColumn(
         "bh", F.xxhash64("band", "band_key")
     )
     probe = (
@@ -869,19 +913,17 @@ def minhash_pairs_vs_index(
     # equality is the real predicate; bh is IN the key set so the
     # bucketed index scan's hashpartitioning(bh, N) satisfies the join's
     # distribution and the index never exchanges.
-    cross = (
+    cross_cand = (
         index_bands.join(probe, ["bh", "band", "band_key"])
         .select(
-            index_bands[id_col].alias("_ido"),
-            probe[id_col].alias("_idn"),
+            index_bands["_fp"].alias("_fpo"),
+            probe["_fp"].alias("_fpn"),
         )
         .distinct()
     )
-    intra = (
-        _pair_candidates(new_banded, id_col, small)
-        .select(
-            F.col(f"{id_col}_a").alias("id_a"), F.col(f"{id_col}_b").alias("id_b")
-        )
+    intra_cand = (
+        _pair_candidates(new_banded, "_fp", small)
+        .select(F.col("_fp_a"), F.col("_fp_b"))
         .distinct()
     )
     agree = _cached_expr(
@@ -895,26 +937,63 @@ def minhash_pairs_vs_index(
         ),
     )
     est = F.round(agree / F.lit(k), 6).alias("est_jaccard")
-    so = index_sigs.select(F.col(id_col).alias("_ido"), F.col("sig").alias("sig_a"))
-    sn = new_sigs.select(F.col(id_col).alias("_idn"), F.col("sig").alias("sig_b"))
+    so = index_sigs.select(F.col("_fp").alias("_fpo"), F.col("sig").alias("sig_a"))
+    sn = new_sigs.select(F.col("_fp").alias("_fpn"), F.col("sig").alias("sig_b"))
+    sa = new_sigs.select(F.col("_fp").alias("_fp_a"), F.col("sig").alias("sig_a"))
+    sb = new_sigs.select(F.col("_fp").alias("_fp_b"), F.col("sig").alias("sig_b"))
+    if not small:
+        sn, sa, sb = sn.hint("shuffle_hash"), sa.hint("shuffle_hash"), sb.hint("shuffle_hash")
+    cross_rep = cross_cand.join(so, "_fpo").join(sn, "_fpn").select(
+        "_fpo", "_fpn", est
+    )
+    intra_rep = intra_cand.join(sa, "_fp_a").join(sb, "_fp_b").select(
+        "_fp_a", "_fp_b", est
+    )
+    if min_est is not None:
+        # At rep-pair grain, BEFORE expansion multiplies rows.
+        cross_rep = cross_rep.filter(F.col("est_jaccard") >= min_est)
+        intra_rep = intra_rep.filter(F.col("est_jaccard") >= min_est)
+    mo = index_members.select(F.col("_fp").alias("_fpo"), F.col(id_col).alias("_ido"))
+    mn = new_members.select(F.col("_fp").alias("_fpn"), F.col(id_col).alias("_idn"))
+    ma = new_members.select(F.col("_fp").alias("_fp_a"), F.col(id_col).alias("_ida"))
+    mb = new_members.select(F.col("_fp").alias("_fp_b"), F.col(id_col).alias("_idb"))
     cross_pairs = (
-        cross.join(so, "_ido")
-        .join(F.broadcast(sn) if small else sn.hint("shuffle_hash"), "_idn")
+        cross_rep.join(mo, "_fpo")
+        .join(mn, "_fpn")
         .select(
             F.least("_ido", "_idn").alias("id_a"),
             F.greatest("_ido", "_idn").alias("id_b"),
-            est,
+            "est_jaccard",
         )
     )
-    sa = new_sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = new_sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
-    if not small:
-        sa, sb = sa.hint("shuffle_hash"), sb.hint("shuffle_hash")
-    intra_pairs = intra.join(sa, "id_a").join(sb, "id_b").select("id_a", "id_b", est)
-    pairs = cross_pairs.unionByName(intra_pairs)
-    if min_est is not None:
-        pairs = pairs.filter(F.col("est_jaccard") >= min_est)
-    return pairs
+    intra_pairs = (
+        intra_rep.join(ma, "_fp_a")
+        .join(mb, "_fp_b")
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            "est_jaccard",
+        )
+    )
+    # Same-fingerprint pairs WITHIN the batch: identical signatures
+    # agree everywhere — est exactly 1.0, straight off the member map.
+    # (Old-new same-fingerprint pairs are ordinary cross candidates.)
+    intra_same = (
+        new_members.alias("x")
+        .join(
+            new_members.alias("y"),
+            (F.col("x._fp") == F.col("y._fp"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            F.lit(1.0).alias("est_jaccard"),
+        )
+    )
+    if min_est is not None and min_est > 1.0:
+        intra_same = intra_same.filter(F.lit(False))
+    return cross_pairs.unionByName(intra_pairs).unionByName(intra_same)
 
 
 def incremental_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -937,14 +1016,14 @@ def incremental_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     is_batch = F.col("doc_id") % 10 == 0
     fp = _source_fingerprint(sf_dir, "documents") + ":old=doc_id%10!=0"
-    sigs, bands_t = minhash_signature_index(
+    members, sigs, bands_t = minhash_signature_index(
         spark,
         d.filter(~is_batch),
         f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_split10",
         fp,
     )
     return minhash_pairs_vs_index(
-        d.filter(is_batch), sigs, bands_t, min_est=0.5
+        d.filter(is_batch), members, sigs, bands_t, min_est=0.5
     ).sortWithinPartitions("id_a", "id_b")
 
 

@@ -904,20 +904,21 @@ def test_incremental_minhash_never_rereads_old_text(spark, tmp_path):
     spark.createDataFrame(old_rows, ["doc_id", "text"]).write.parquet(old_dir)
     old = spark.read.parquet(old_dir)
 
-    sigs, bands = dedup.minhash_signature_index(
+    members, sigs, bands = dedup.minhash_signature_index(
         spark, old, "t_norereads", "fp-test-1"
     )
     new = spark.createDataFrame(
         [(100, base), (101, "completely unrelated content about query planning")],
         ["doc_id", "text"],
     )
-    pairs = dedup.minhash_pairs_vs_index(new, sigs, bands, min_est=0.5)
+    pairs = dedup.minhash_pairs_vs_index(new, members, sigs, bands, min_est=0.5)
 
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "old_docs.parquet" not in plan, (
         "incremental pair plan must not scan the old corpus"
     )
     assert "mhsig_t_norereads" in plan and "mhband_t_norereads" in plan
+    assert "mhmem_t_norereads" in plan
 
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     # doc 100 is a near-dup of every old doc (one word differs)
@@ -929,7 +930,7 @@ def test_incremental_minhash_never_rereads_old_text(spark, tmp_path):
     got2 = {
         (r["id_a"], r["id_b"])
         for r in dedup.minhash_pairs_vs_index(
-            new, sigs, bands, min_est=0.5
+            new, members, sigs, bands, min_est=0.5
         ).collect()
     }
     assert got2 == got
@@ -951,13 +952,13 @@ def test_incremental_minhash_index_reattaches(spark, tmp_path):
 
     rows = [(i, f"document number {i} with some shared text body") for i in range(5)]
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
-    sigs, _bands = dedup.minhash_signature_index(
+    _mem, sigs, _bands = dedup.minhash_signature_index(
         spark, docs, "t_reattach", "fp-A"
     )
     n = sigs.count()
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     tbls = [x.name for x in spark.catalog.listTables() if "t_reattach" in x.name]
-    assert len(tbls) == 2
+    assert len(tbls) == 3
     mtimes = {}
     for t in tbls:
         spark.sql(f"DROP TABLE {t}")  # external: files survive
@@ -970,7 +971,7 @@ def test_incremental_minhash_index_reattaches(spark, tmp_path):
         assert mtimes[t]
 
     # matching fingerprint -> reattach (identical files, untouched mtimes)
-    sigs2, _ = dedup.minhash_signature_index(spark, docs, "t_reattach", "fp-A")
+    _m2, sigs2, _ = dedup.minhash_signature_index(spark, docs, "t_reattach", "fp-A")
     assert sigs2.count() == n
     for t in tbls:
         loc = os.path.join(wh, t)
@@ -984,7 +985,7 @@ def test_incremental_minhash_index_reattaches(spark, tmp_path):
     # changed fingerprint (regenerated corpus) -> rebuild, not stale reuse
     for t in tbls:
         spark.sql(f"DROP TABLE {t}")
-    sigs3, _ = dedup.minhash_signature_index(spark, docs, "t_reattach", "fp-B")
+    _m3, sigs3, _ = dedup.minhash_signature_index(spark, docs, "t_reattach", "fp-B")
     assert sigs3.count() == n
     loc = os.path.join(wh, tbls[0])
     rebuilt = {
@@ -1073,6 +1074,9 @@ def test_ivf_index_never_rereads_old_corpus(spark, tmp_path):
         "batch ANN plan must not scan the old corpus"
     )
     assert "ivfcell_t_ivfnoreread" in plan
+    # the probe-cell union is pushed into the bucketed index scan:
+    # bucket pruning, not a full-index read
+    assert "SelectedBucketsCount" in plan
     got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in topk.collect()}
     assert len(got) == 4 * 3
 
