@@ -654,43 +654,6 @@ def _embeddings_max_id(spark: SparkSession, sf_dir: str, e: DataFrame) -> int:
     return got
 
 
-def _append_arrow_list_column(
-    df: DataFrame, vec_col: str, out_col: str, width: int, compute
-) -> DataFrame:
-    """_append_arrow_column for LIST outputs: ``compute(mat)`` returns an
-    (n, width) int64 ndarray appended as ``array<bigint>`` — one numpy
-    pass per Arrow batch, map-only (the probe-cell assignment shape)."""
-    import pyarrow as pa
-
-    schema = T.StructType(
-        df.schema.fields + [T.StructField(out_col, T.ArrayType(T.LongType()))]
-    )
-
-    def assign(batches):
-        for batch in batches:
-            n = batch.num_rows
-            if n == 0:
-                out = pa.ListArray.from_arrays(
-                    pa.array([0], pa.int32()), pa.array([], pa.int64())
-                )
-            else:
-                idx = batch.schema.get_field_index(vec_col)
-                mat = (
-                    batch.column(idx)
-                    .flatten()
-                    .to_numpy(zero_copy_only=False)
-                    .reshape(n, -1)
-                )
-                vals = compute(mat).astype("int64").ravel()
-                offsets = pa.array(
-                    np.arange(0, (n + 1) * width, width, dtype="int32"), pa.int32()
-                )
-                out = pa.ListArray.from_arrays(offsets, pa.array(vals, pa.int64()))
-            yield batch.append_column(out_col, out)
-
-    return df.mapInArrow(assign, schema=schema)
-
-
 def ivf_cell_index(
     spark: SparkSession,
     old_vectors: DataFrame,
@@ -823,16 +786,30 @@ def ann_ivf_index_topk(
                 .reshape(n, -1)
             )
             mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-            sims = mat @ q_unit.T  # (n, q)
+            sims = np.round(mat @ q_unit.T, 6)  # (n, q), ROUNDED
             sims[~mask[cell]] = -2.0  # only probed (cell, query) pairs count
             m = min(k, n)
-            top = np.argpartition(-sims, m - 1, axis=0)[:m]  # (m, q)
             out_q, out_n, out_s = [], [], []
             for j in range(sims.shape[1]):
-                rows_j = top[:, j]
+                # Exact tie-safe per-batch preselection: the oracle
+                # ranks by (rounded cos DESC, neighbor_id ASC), so the
+                # boundary value's ties must keep the LOWEST ids — a
+                # plain raw-sims argpartition could drop a tied row the
+                # final window would have ranked in. O(n) partition +
+                # a sort over only the tied rows.
+                s = sims[:, j]
+                if n <= m:
+                    rows_j = np.arange(n)
+                else:
+                    part = np.argpartition(-s, m - 1)
+                    thresh = s[part[m - 1]]
+                    above = np.nonzero(s > thresh)[0]
+                    tied = np.nonzero(s == thresh)[0]
+                    tied = tied[np.argsort(ids[tied], kind="stable")]
+                    rows_j = np.concatenate([above, tied[: m - len(above)]])
                 out_q.extend([q_ids[j]] * len(rows_j))
                 out_n.extend(ids[rows_j])
-                out_s.extend(np.round(sims[rows_j, j], 6))
+                out_s.extend(s[rows_j])
             yield pa.RecordBatch.from_pydict(
                 {
                     "query_id": pa.array(out_q, pa.int64()),

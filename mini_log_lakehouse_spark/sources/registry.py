@@ -257,8 +257,15 @@ def attach_or_build_bucketed(
             # excluded — a COMPUTED build plan often carries
             # non-nullable fields (literals, hash outputs) that parquet
             # read-back necessarily reports as nullable, and nullability
-            # of a derived copy can't change values.
-            if spark.read.parquet(loc).schema.simpleString() == want.simpleString():
+            # of a derived copy can't change values. An unreadable
+            # location (e.g. a zero-row write left _SUCCESS but no
+            # parquet part files) is a stale artifact, not an error:
+            # fall through to the rebuild.
+            try:
+                have = spark.read.parquet(loc).schema.simpleString()
+            except Exception:
+                have = None
+            if have == want.simpleString():
                 cols = ", ".join(
                     f"`{f.name}` {f.dataType.simpleString()}" for f in want.fields
                 )
