@@ -1091,3 +1091,38 @@ def test_ivf_index_never_rereads_old_corpus(spark, tmp_path):
     for t in [x.name for x in spark.catalog.listTables() if "t_ivfnoreread" in x.name]:
         spark.sql(f"DROP TABLE {t}")
         shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+
+
+def test_ivf_index_boundary_ties_keep_lowest_ids(spark):
+    """Rank-k boundary ties are the hash-gate hazard: with many
+    IDENTICAL corpus vectors every candidate ties at the same rounded
+    cosine, and the oracle's ROW_NUMBER keeps the LOWEST neighbor ids.
+    The per-batch preselection must agree bit-for-bit with the exact
+    brute-force join."""
+    import numpy as np
+
+    base = [1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125]
+    # 30 copies of the same vector (all tie), plus a few distinct ones
+    rows = [(i, base) for i in range(30)]
+    rows += [(100 + i, [v + 0.3 * (i + 1) for v in base]) for i in range(5)]
+    old = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    batch = spark.createDataFrame([(900, base)], ["vec_id", "embedding"])
+    sample = np.array([r[1] for r in rows], dtype="float64")
+    cents = similarity.ivf_train_centroids(sample, n_cells=4, iters=2)
+    idx = similarity.ivf_assign_cells(old, cents).select(
+        "vec_id", "cell", "embedding"
+    )
+    got = [
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rank"])
+        for r in similarity.ann_ivf_index_topk(
+            batch, idx, cents, k=7, nprobe=4
+        ).collect()
+    ]
+    want = [
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rank"])
+        for r in similarity.knn_join(old, batch, k=7).collect()
+    ]
+    assert got == want
+    # the ties really were exercised: top-7 must be ids 0..6 at cos 1.0
+    assert [g[1] for g in got] == list(range(7))
+    assert all(g[2] == 1.0 for g in got)
