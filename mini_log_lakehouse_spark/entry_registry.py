@@ -167,11 +167,14 @@ _FIRST_WINDOW = (
 
 #: Entries that have shipped but never received a driver CORRECTNESS row,
 #: mapped to the round they were registered in. tests/test_rotation.py
-#: enforces a hard first-row deadline: a registered entry must be sampled
-#: (or scheduled in the current window) within NEW_ENTRY_MAX_WAIT rounds
-#: of registration; an unregistered never-sampled entry is overdue
-#: IMMEDIATELY (the strict r6 rule is unchanged for the undocumented
-#: case). Once an entry has a driver row, remove it from this dict.
+#: enforces a hard first-row deadline: a registered entry may sit out at
+#: most NEW_ENTRY_MAX_WAIT build rounds after its registration round and
+#: is then FORCED into the window of round
+#: ``registered + NEW_ENTRY_MAX_WAIT + 1`` (registered r12, WAIT=1 →
+#: r12 and r13 may be saturated, the r14 window must carry it); an
+#: unregistered never-sampled entry is overdue IMMEDIATELY (the strict
+#: r6 rule is unchanged for the undocumented case). Once an entry has a
+#: driver row, remove it from this dict.
 ENTRY_REGISTERED = {
     "incremental_minhash_pairs": 12,
     "incremental_ann_ivf_topk": 12,

@@ -104,6 +104,25 @@ def knn_join(
     )
 
 
+def _topk_tie_safe(s: "np.ndarray", ids: "np.ndarray", m: int) -> "np.ndarray":
+    """Row indices of the top-m values of ``s`` (one query's ROUNDED
+    similarity column), keeping the LOWEST ids among rank-m boundary
+    ties — the preselection must agree with the final window's
+    (cos DESC, id ASC) order, or a per-batch argpartition on raw sims
+    could drop a tied row the oracle's ROW_NUMBER ranks in. O(n)
+    partition + a sort over only the tied rows; shared by every GEMM
+    rerank kernel (knn_join_vectorized, ann_ivf_index_topk)."""
+    n = len(s)
+    if n <= m:
+        return np.arange(n)
+    part = np.argpartition(-s, m - 1)
+    thresh = s[part[m - 1]]
+    above = np.nonzero(s > thresh)[0]
+    tied = np.nonzero(s == thresh)[0]
+    tied = tied[np.argsort(ids[tied], kind="stable")]
+    return np.concatenate([above, tied[: m - len(above)]])
+
+
 def knn_join_vectorized(
     corpus: DataFrame,
     queries: list[tuple[int, list[float]]],
@@ -160,16 +179,15 @@ def knn_join_vectorized(
                 .reshape(n, -1)
             )
             mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-            sims = mat @ q_unit.T  # (n, q)
+            sims = np.round(mat @ q_unit.T, 6)  # (n, q), ROUNDED
             sims[ids[:, None] == q_ids[None, :]] = -2.0  # mask self-matches
             m = min(k, n)
-            top = np.argpartition(-sims, m - 1, axis=0)[:m]  # (m, q)
             out_q, out_n, out_s = [], [], []
             for j in range(sims.shape[1]):
-                rows = top[:, j]
+                rows = _topk_tie_safe(sims[:, j], ids, m)
                 out_q.extend([q_ids[j]] * len(rows))
                 out_n.extend(ids[rows])
-                out_s.extend(np.round(sims[rows, j], 6))
+                out_s.extend(sims[rows, j])
             yield pa.RecordBatch.from_pydict(
                 {
                     "query_id": pa.array(out_q, pa.int64()),
@@ -679,11 +697,23 @@ def ivf_cell_index(
     is O(sample) and deterministic, so centroids re-derive bit-identically
     from the unchanged training sample at attach time; the O(corpus)
     artifact is what's persisted)."""
+    import hashlib
+
     from mini_log_lakehouse_spark.session import default_parallelism
     from mini_log_lakehouse_spark.sources.registry import attach_or_build_bucketed
 
     n = n_buckets or default_parallelism()
-    fp = f"{fingerprint}:v{_IVF_INDEX_VERSION}:{IVF_N_CELLS}c"
+    # The QUANTIZER is part of the index identity: the cell assignment
+    # is meaningless under different centroids, so the fingerprint
+    # digests the centroid matrix itself (which transitively pins the
+    # training sample, iteration count, and FIXED_POINT lattice) — a
+    # re-dialed or retrained quantizer rebuilds instead of silently
+    # reattaching stale cells (mirrors the bands×rows dial folded into
+    # the MinHash index fingerprint).
+    cent_id = hashlib.md5(
+        np.ascontiguousarray(centroids, dtype=np.int64).tobytes()
+    ).hexdigest()[:16]
+    fp = f"{fingerprint}:v{_IVF_INDEX_VERSION}:{centroids.shape[0]}c:{cent_id}"
     tbl = f"ivfcell_{index_id}_{IVF_N_CELLS}_{n}"
     attach_or_build_bucketed(
         spark,
@@ -791,25 +821,12 @@ def ann_ivf_index_topk(
             m = min(k, n)
             out_q, out_n, out_s = [], [], []
             for j in range(sims.shape[1]):
-                # Exact tie-safe per-batch preselection: the oracle
-                # ranks by (rounded cos DESC, neighbor_id ASC), so the
-                # boundary value's ties must keep the LOWEST ids — a
-                # plain raw-sims argpartition could drop a tied row the
-                # final window would have ranked in. O(n) partition +
-                # a sort over only the tied rows.
-                s = sims[:, j]
-                if n <= m:
-                    rows_j = np.arange(n)
-                else:
-                    part = np.argpartition(-s, m - 1)
-                    thresh = s[part[m - 1]]
-                    above = np.nonzero(s > thresh)[0]
-                    tied = np.nonzero(s == thresh)[0]
-                    tied = tied[np.argsort(ids[tied], kind="stable")]
-                    rows_j = np.concatenate([above, tied[: m - len(above)]])
+                # tie-safe: see _topk_tie_safe (the oracle ranks by
+                # rounded cos DESC, neighbor_id ASC)
+                rows_j = _topk_tie_safe(sims[:, j], ids, m)
                 out_q.extend([q_ids[j]] * len(rows_j))
                 out_n.extend(ids[rows_j])
-                out_s.extend(s[rows_j])
+                out_s.extend(sims[rows_j, j])
             yield pa.RecordBatch.from_pydict(
                 {
                     "query_id": pa.array(out_q, pa.int64()),
