@@ -1126,3 +1126,27 @@ def test_ivf_index_boundary_ties_keep_lowest_ids(spark):
     # the ties really were exercised: top-7 must be ids 0..6 at cos 1.0
     assert [g[1] for g in got] == list(range(7))
     assert all(g[2] == 1.0 for g in got)
+
+
+def test_topk_tie_safe_matches_full_sort():
+    """Property: _topk_tie_safe must select exactly the first m rows of
+    the full (value DESC, id ASC) sort, under heavy ties (few distinct
+    values) and any m — the pure-numpy contract every GEMM rerank
+    kernel's correctness rests on."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    for trial in range(200):
+        n = int(rng.randint(1, 60))
+        m = int(rng.randint(1, 20))
+        # few distinct values -> dense ties; ids shuffled, unique
+        s = rng.choice([0.1, 0.25, 0.25, 0.5, 0.9], size=n)
+        ids = rng.permutation(1000 + np.arange(n)).astype("int64")
+        got = similarity._topk_tie_safe(s, ids, m)
+        order = np.lexsort((ids, -s))
+        want = order[: min(m, n)]
+        # same SET of rows, and every kept row survives the final
+        # window's (value DESC, id ASC) cut
+        assert sorted(zip(-s[got], ids[got])) == sorted(zip(-s[want], ids[want])), (
+            trial, n, m,
+        )
