@@ -739,6 +739,21 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_INDEX_VERSION = 2
 
 
+def _minhash_index_fp(fingerprint: str, bands: int, rows: int) -> str:
+    """Full stored fingerprint: caller's corpus identity + algorithm
+    version + the signature dial — shared by build and append so the
+    reattach gate always compares like with like."""
+    return f"{fingerprint}:v{_MINHASH_INDEX_VERSION}:{bands}x{rows}:{_MERSENNE31}"
+
+
+def _minhash_index_tables(index_id: str, bands: int, rows: int, n: int):
+    return (
+        f"mhmem_{index_id}_{bands}x{rows}_{n}",
+        f"mhsig_{index_id}_{bands}x{rows}_{n}",
+        f"mhband_{index_id}_{bands}x{rows}_{n}",
+    )
+
+
 def minhash_signature_index(
     spark: SparkSession,
     old_docs: DataFrame,
@@ -797,10 +812,8 @@ def minhash_signature_index(
 
     k = bands * rows
     n = n_buckets or default_parallelism()
-    fp = f"{fingerprint}:v{_MINHASH_INDEX_VERSION}:{bands}x{rows}:{_MERSENNE31}"
-    mem_tbl = f"mhmem_{index_id}_{bands}x{rows}_{n}"
-    sig_tbl = f"mhsig_{index_id}_{bands}x{rows}_{n}"
-    band_tbl = f"mhband_{index_id}_{bands}x{rows}_{n}"
+    fp = _minhash_index_fp(fingerprint, bands, rows)
+    mem_tbl, sig_tbl, band_tbl = _minhash_index_tables(index_id, bands, rows, n)
 
     attach_or_build_bucketed(
         spark,
@@ -835,6 +848,85 @@ def minhash_signature_index(
 
     attach_or_build_bucketed(spark, band_tbl, fp, "bh", n, _build_bands)
     return spark.table(mem_tbl), spark.table(sig_tbl), spark.table(band_tbl)
+
+
+def minhash_index_append(
+    spark: SparkSession,
+    ingested_docs: DataFrame,
+    index_id: str,
+    new_fingerprint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = MINHASH_BANDS,
+    rows: int = MINHASH_ROWS,
+    n_buckets: int | None = None,
+) -> None:
+    """Fold a just-ingested batch INTO the persisted signature index —
+    the second half of the incremental loop (query the index with
+    minhash_pairs_vs_index, keep what survives dedup, then append it
+    here so the NEXT shard sees it). After the append the index is
+    row-identical to one built from old ∪ batch (tested):
+
+    - members gains every (fingerprint, id) of the batch;
+    - sigs/bands gain only fingerprints the index has NEVER seen (a
+      left-anti join against the sig table — re-ingested boilerplate
+      costs member rows, not signature work);
+    - all three appends honor the tables' bucket specs, so the
+      zero-exchange scan properties survive (plan-tested), and the
+      stored fingerprint is replaced with ``new_fingerprint`` (the
+      identity of the GROWN corpus) so cross-session reattach stays
+      truthful.
+
+    At 100 TB this is the steady-state ingest path: each shard costs
+    O(|shard|) signature work + three bucketed inserts, and compaction
+    of small appended files is ordinary parquet maintenance. Appends
+    are sequenced by the caller (not idempotent in-session); across
+    sessions the fingerprint gate refuses a stale index."""
+    from mini_log_lakehouse_spark.session import default_parallelism
+    from mini_log_lakehouse_spark.sources.registry import append_bucketed
+
+    k = bands * rows
+    n = n_buckets or default_parallelism()
+    fp = _minhash_index_fp(new_fingerprint, bands, rows)
+    mem_tbl, sig_tbl, band_tbl = _minhash_index_tables(index_id, bands, rows, n)
+    for t in (mem_tbl, sig_tbl, band_tbl):
+        if not spark.catalog.tableExists(t):
+            raise ValueError(
+                f"minhash_index_append: index table {t} does not exist — "
+                "build it first with minhash_signature_index"
+            )
+    fpd = ingested_docs.select(
+        F.md5(F.col(text_col)).alias("_fp"), F.col(id_col), F.col(text_col)
+    )
+    append_bucketed(spark, mem_tbl, fpd.select("_fp", id_col), "_fp", n, fp)
+    base_expr = _cached_expr(
+        ("minhash_base", text_col), lambda: minhash_base_hashes(F.col(text_col))
+    )
+    sig_expr = _cached_expr(
+        ("minhash_sig", "_base", k), lambda: minhash_from_base(F.col("_base"), k)
+    )
+    fresh = (
+        fpd.dropDuplicates(["_fp"])
+        .join(spark.table(sig_tbl), "_fp", "left_anti")
+        .select("_fp", base_expr.alias("_base"))
+        .select("_fp", sig_expr.alias("sig"))
+    )
+    # One narrow pass feeds two inserts: materialize the genuinely-new
+    # signatures once (the left-anti probe re-reads the sig table
+    # otherwise — and the band insert must see the PRE-append sig set,
+    # not re-derive it after the sig insert lands).
+    fresh = fresh.localCheckpoint(eager=True)
+    append_bucketed(spark, sig_tbl, fresh, "_fp", n, fp)
+    append_bucketed(
+        spark,
+        band_tbl,
+        _banded(fresh, "_fp", bands=bands, rows=rows).withColumn(
+            "bh", F.xxhash64("band", "band_key")
+        ),
+        "bh",
+        n,
+        fp,
+    )
 
 
 def minhash_pairs_vs_index(

@@ -672,6 +672,23 @@ def _embeddings_max_id(spark: SparkSession, sf_dir: str, e: DataFrame) -> int:
     return got
 
 
+def _ivf_index_fp(fingerprint: str, centroids: "np.ndarray") -> str:
+    """Full stored fingerprint. The QUANTIZER is part of the index
+    identity: the cell assignment is meaningless under different
+    centroids, so this digests the centroid matrix itself (which
+    transitively pins the training sample, iteration count, and
+    FIXED_POINT lattice) — a re-dialed or retrained quantizer rebuilds
+    instead of silently reattaching stale cells (mirrors the bands×rows
+    dial folded into the MinHash index fingerprint). Shared by build
+    and append so the reattach gate always compares like with like."""
+    import hashlib
+
+    cent_id = hashlib.md5(
+        np.ascontiguousarray(centroids, dtype=np.int64).tobytes()
+    ).hexdigest()[:16]
+    return f"{fingerprint}:v{_IVF_INDEX_VERSION}:{centroids.shape[0]}c:{cent_id}"
+
+
 def ivf_cell_index(
     spark: SparkSession,
     old_vectors: DataFrame,
@@ -697,23 +714,11 @@ def ivf_cell_index(
     is O(sample) and deterministic, so centroids re-derive bit-identically
     from the unchanged training sample at attach time; the O(corpus)
     artifact is what's persisted)."""
-    import hashlib
-
     from mini_log_lakehouse_spark.session import default_parallelism
     from mini_log_lakehouse_spark.sources.registry import attach_or_build_bucketed
 
     n = n_buckets or default_parallelism()
-    # The QUANTIZER is part of the index identity: the cell assignment
-    # is meaningless under different centroids, so the fingerprint
-    # digests the centroid matrix itself (which transitively pins the
-    # training sample, iteration count, and FIXED_POINT lattice) — a
-    # re-dialed or retrained quantizer rebuilds instead of silently
-    # reattaching stale cells (mirrors the bands×rows dial folded into
-    # the MinHash index fingerprint).
-    cent_id = hashlib.md5(
-        np.ascontiguousarray(centroids, dtype=np.int64).tobytes()
-    ).hexdigest()[:16]
-    fp = f"{fingerprint}:v{_IVF_INDEX_VERSION}:{centroids.shape[0]}c:{cent_id}"
+    fp = _ivf_index_fp(fingerprint, centroids)
     tbl = f"ivfcell_{index_id}_{IVF_N_CELLS}_{n}"
     attach_or_build_bucketed(
         spark,
@@ -726,6 +731,48 @@ def ivf_cell_index(
         ),
     )
     return spark.table(tbl)
+
+
+def ivf_index_append(
+    spark: SparkSession,
+    ingested_vectors: DataFrame,
+    centroids: "np.ndarray",
+    index_id: str,
+    new_fingerprint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_buckets: int | None = None,
+) -> None:
+    """Fold just-ingested vectors INTO the persisted cell index — the
+    second half of the incremental loop (query with ann_ivf_index_topk,
+    keep the novel vectors, append them here so the next batch sees
+    them). Cell assignment uses the SAME centroids the index was built
+    with (standard IVF practice: the quantizer is trained once and
+    kept; a drifted corpus eventually warrants a retrain, which changes
+    the fingerprint — _ivf_index_fp digests the centroids — and
+    rebuilds). The append honors the table's bucket spec, so cell
+    co-location and bucket pruning survive (plan-tested); the stored
+    fingerprint is replaced with the grown corpus' identity."""
+    from mini_log_lakehouse_spark.session import default_parallelism
+    from mini_log_lakehouse_spark.sources.registry import append_bucketed
+
+    n = n_buckets or default_parallelism()
+    tbl = f"ivfcell_{index_id}_{IVF_N_CELLS}_{n}"
+    if not spark.catalog.tableExists(tbl):
+        raise ValueError(
+            f"ivf_index_append: index table {tbl} does not exist — build it "
+            "first with ivf_cell_index"
+        )
+    append_bucketed(
+        spark,
+        tbl,
+        ivf_assign_cells(ingested_vectors, centroids, vec_col).select(
+            id_col, "cell", vec_col
+        ),
+        "cell",
+        n,
+        _ivf_index_fp(new_fingerprint, centroids),
+    )
 
 
 def ann_ivf_index_topk(

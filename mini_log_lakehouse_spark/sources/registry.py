@@ -297,6 +297,37 @@ def attach_or_build_bucketed(
         fh.write(fingerprint + "\n")
 
 
+def append_bucketed(
+    spark: SparkSession, tbl: str, df: DataFrame, key: str, n: int, fingerprint: str
+) -> None:
+    """Append rows to an existing bucketed warehouse table (the
+    incremental-ingest half of attach_or_build_bucketed): the writer
+    honors the table's bucket spec, so appended files carry correct
+    bucket ids and the scan keeps reporting hashpartitioning(key, N) —
+    zero-exchange aggs/joins survive the append (plan-tested). The
+    repartition keeps writer memory at one buffer per task, same as the
+    initial build.
+
+    ``fingerprint`` must identify the GROWN corpus: it replaces the
+    table's _SRC_FINGERPRINT so a later session reattaches iff its
+    sources still match the post-append state (an append is not
+    idempotent — the fingerprint gate is what prevents double-ingest
+    across sessions; in-session, the caller sequences appends)."""
+    (
+        df.repartition(n, F.col(key))
+        .write.mode("append")
+        .bucketBy(n, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(tbl)
+    )
+    loc = os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), tbl
+    )
+    with open(os.path.join(loc, "_SRC_FINGERPRINT"), "w") as fh:
+        fh.write(fingerprint + "\n")
+
+
 def bucketing_enabled() -> bool:
     """True when load_table_bucketed will return managed bucketed tables
     (warm/bench mode or explicit SPARK_GRAFT_BUCKETED=1)."""
