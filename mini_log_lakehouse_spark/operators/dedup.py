@@ -533,6 +533,9 @@ def minhash_candidate_pairs(
             n_fps, n_docs, max_class = classes.agg(
                 F.count(F.lit(1)), F.sum("_c"), F.max("_c")
             ).first()
+            # SUM/MAX over zero groups are NULL (an empty corpus slice is
+            # a routine shape at scale); COUNT is already 0
+            n_docs, max_class = int(n_docs or 0), int(max_class or 0)
             do_collapse = bool(
                 (n_docs - n_fps) > _COLLAPSE_DUP_FRACTION * n_docs
                 or max_class > _COLLAPSE_MAX_CLASS

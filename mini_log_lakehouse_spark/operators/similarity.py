@@ -123,6 +123,24 @@ def _topk_tie_safe(s: "np.ndarray", ids: "np.ndarray", m: int) -> "np.ndarray":
     return np.concatenate([above, tied[: m - len(above)]])
 
 
+#: Result schema shared by every batched kNN path (knn_join_vectorized,
+#: ann_ivf_index_topk, incremental_ann_ivf_topk) — also the shape their
+#: empty short-circuits must reproduce exactly, so downstream consumers
+#: that bind columns before data arrives never see schema drift.
+_KNN_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("cos_sim", T.DoubleType()),
+        T.StructField("rank", T.LongType()),
+    ]
+)
+
+
+def _empty_knn_frame(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], _KNN_RESULT_SCHEMA)
+
+
 def knn_join_vectorized(
     corpus: DataFrame,
     queries: list[tuple[int, list[float]]],
@@ -152,6 +170,13 @@ def knn_join_vectorized(
     import numpy as np
     import pyarrow as pa
     from pyspark.sql import Window
+
+    if not queries:
+        # empty query set (an empty corpus slice / a prune that matched
+        # nothing — routine at scale): the join of nothing is nothing.
+        # Short-circuit with the exact result schema instead of letting
+        # numpy build a 0-d query matrix the GEMM kernel can't use.
+        return _empty_knn_frame(corpus.sparkSession)
 
     q_ids = np.array([qid for qid, _ in queries], dtype="int64")
     q_mat = np.array([v for _, v in queries], dtype="float64")
@@ -359,6 +384,11 @@ def ivf_train_centroids(
     built in practice: the quantizer is trained on a tiny sample (FAISS
     default: 30-256 vectors/cell), then the full corpus is *assigned*
     distributively — training is O(sample), never O(corpus)."""
+    if len(sample) == 0:
+        # empty training sample → empty quantizer (0 cells). Callers
+        # short-circuit before assignment, so the (0, 0) shape is never
+        # fed to an argmin; returning it keeps the trainer total.
+        return np.zeros((0, 0), dtype=np.int64)
     qmat = _quantize_mat(sample.astype(np.float64))
     cents = qmat[:n_cells].copy()
     for _ in range(iters):
@@ -432,15 +462,19 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     each query touch nprobe/ncells of the data); the exact rerank runs
     over ~nprobe × corpus/ncells rows."""
     e = load_table(spark, sf_dir, "embeddings")
-    cent = _ivf_centroids(spark, sf_dir, e)
-    cells = ivf_assign_cells(e, cent)
     # Fetch the query vector from the SOURCE table: reading it through
     # `cells` would run the corpus-wide Arrow cell-assignment pass just
     # to surface one row (the probe cells come from the centroids,
-    # driver-side — the query's own cell is never needed).
+    # driver-side — the query's own cell is never needed). Fetched
+    # BEFORE quantizer training so an empty/degenerate corpus (no row
+    # with the query id) degrades to an empty result — the standard
+    # serving semantics for a lookup that misses — instead of crashing
+    # the trainer on a zero-row sample.
     q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").collect()
     if not q:
-        raise ValueError(f"query vector vec_id={QUERY_VEC_ID} not found in embeddings")
+        return spark.createDataFrame([], "vec_id long, cos_sim double")
+    cent = _ivf_centroids(spark, sf_dir, e)
+    cells = ivf_assign_cells(e, cent)
     qvec = np.array(q[0]["embedding"], dtype="float64")
     # exact int64 probe selection (ties to the lowest cell — matches the
     # oracle's ROW_NUMBER ORDER BY dist, cluster)
@@ -663,12 +697,17 @@ _IVF_INDEX_VERSION = 1
 _MAX_VEC_ID: dict[tuple[str, str], int] = {}
 
 
-def _embeddings_max_id(spark: SparkSession, sf_dir: str, e: DataFrame) -> int:
+def _embeddings_max_id(spark: SparkSession, sf_dir: str, e: DataFrame) -> int | None:
+    """Max vec_id, or None on an empty corpus (None is never cached —
+    an empty dir may be mid-population and the probe is one tiny agg)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     got = _MAX_VEC_ID.get(key)
     if got is None:
         session.evict_stale(_MAX_VEC_ID, key[0], unpersist=False)
-        got = _MAX_VEC_ID[key] = int(e.agg(F.max("vec_id")).first()[0])
+        raw = e.agg(F.max("vec_id")).first()[0]
+        if raw is None:
+            return None
+        got = _MAX_VEC_ID[key] = int(raw)
     return got
 
 
@@ -818,15 +857,7 @@ def ann_ivf_index_topk(
 
     rows = batch.select(id_col, vec_col).collect()
     if not rows:
-        empty = T.StructType(
-            [
-                T.StructField("query_id", T.LongType()),
-                T.StructField("neighbor_id", T.LongType()),
-                T.StructField("cos_sim", T.DoubleType()),
-                T.StructField("rank", T.LongType()),
-            ]
-        )
-        return batch.sparkSession.createDataFrame([], empty)
+        return _empty_knn_frame(batch.sparkSession)
     q_ids = np.array([r[0] for r in rows], dtype="int64")
     q_mat = np.array([list(r[1]) for r in rows], dtype="float64")
     qd = _sq_dists(_quantize_mat(q_mat), centroids)
@@ -916,8 +947,14 @@ def incremental_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mini_log_lakehouse_spark.sources.registry import _source_fingerprint
 
     e = load_table(spark, sf_dir, "embeddings")
+    mx = _embeddings_max_id(spark, sf_dir, e)
+    if mx is None:
+        # empty corpus: nothing ingested, nothing indexed, no batch —
+        # probed before quantizer training so the trainer never sees a
+        # zero-row sample
+        return _empty_knn_frame(spark)
     cent = _ivf_centroids(spark, sf_dir, e)
-    lo = _embeddings_max_id(spark, sf_dir, e) - IVF_BATCH + 1
+    lo = mx - IVF_BATCH + 1
     fp = _source_fingerprint(sf_dir, "embeddings") + f":old=vec_id<{lo}"
     idx = ivf_cell_index(
         spark,
@@ -1041,6 +1078,12 @@ def kmeans_fit(
     exact inertia history list)."""
     base = vectors.select(id_col, vec_col)
     init_rows = base.orderBy(id_col).limit(k).select(vec_col).collect()
+    if not init_rows:
+        # degenerate corpus: no rows to seed centroids. The fit of an
+        # empty corpus is an empty model — 0 centroids, an empty
+        # assignment with the contract schema, no inertia history.
+        cents = np.zeros((0, 0), dtype=np.int64)
+        return kmeans_assign(base, cents, vec_col), cents, []
     cents = _quantize_mat(np.array([list(r[0]) for r in init_rows], dtype=np.float64))
     inertia_hist: list[int] = []
     assigned = None
@@ -1380,7 +1423,12 @@ def _pq_codebooks(
     books = _PQ_CODEBOOKS.get(key)
     if books is None:
         session.evict_stale(_PQ_CODEBOOKS, key[0], unpersist=False)
-        dim = len(e.select("embedding").first()[0])
+        probe = e.select("embedding").first()
+        if probe is None:
+            # empty corpus: no codebooks to train. Not cached — an empty
+            # dir may be mid-population; the probe costs one cheap job.
+            return None
+        dim = len(probe[0])
         # honest gate: pq_oracle_sql() bakes dim=64 into the unrolled
         # CTEs at import time; a regenerated corpus with another width
         # must fail HERE with the cause named, not hash-red mysteriously
@@ -1402,7 +1450,17 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled CTE chains (one per subspace, namespaced) and joins their
     final assignments."""
     e = load_table(spark, sf_dir, "embeddings")
-    return pq_encode(e, _pq_codebooks(spark, sf_dir, e)).orderBy("vec_id")
+    books = _pq_codebooks(spark, sf_dir, e)
+    if books is None:  # empty corpus: no fit, empty code table
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [T.StructField("vec_id", T.LongType())]
+                + [T.StructField(f"code_{s}", T.LongType()) for s in range(PQ_M)]
+                + [T.StructField("recon_err_fixed", T.LongType())]
+            ),
+        )
+    return pq_encode(e, books).orderBy("vec_id")
 
 
 def pq_oracle_sql(
@@ -1465,11 +1523,14 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximations are repaired by the exact rerank, and the recall
     test is the evidence they're repaired enough."""
     e = load_table(spark, sf_dir, "embeddings")
-    cent = _ivf_centroids(spark, sf_dir, e)
-    books = _pq_codebooks(spark, sf_dir, e)
+    # query fetched BEFORE quantizer/codebook training: a corpus without
+    # the query id (empty slice, degenerate shard) degrades to an empty
+    # result instead of crashing a model fit on zero training rows
     q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").collect()
     if not q:
-        raise ValueError(f"query vector vec_id={QUERY_VEC_ID} not found")
+        return spark.createDataFrame([], "vec_id long, cos_sim double")
+    cent = _ivf_centroids(spark, sf_dir, e)
+    books = _pq_codebooks(spark, sf_dir, e)
     qvec = np.array(q[0]["embedding"], dtype="float64")
     # same exact int64 probe selection as ann_ivf_topk (shared quantizer)
     qdist = _sq_dists(_quantize_mat(qvec[None, :]), cent)[0]

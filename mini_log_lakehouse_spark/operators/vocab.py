@@ -189,8 +189,10 @@ def doc_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer fit."""
     merges = corpus_merges(spark, sf_dir)
     rows = [(i, a, b, a + b) for i, (a, b) in enumerate(merges)]
+    # explicit DDL schema: an empty corpus learns zero merges, and
+    # schema inference cannot type an empty local list
     return spark.createDataFrame(
-        rows, ["rank", "left_sym", "right_sym", "merged"]
+        rows, "rank long, left_sym string, right_sym string, merged string"
     ).orderBy("rank")
 
 

@@ -26,6 +26,8 @@ lakehouse's lateness SLA.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -93,6 +95,13 @@ def stream_ingest_logs(
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the events table as a stream (per-file microbatches)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        # directory-shaped table (scaled replicas; any real multi-file
+        # corpus — at 100 TB every table is a directory): stream the
+        # directory itself. pathGlobFilter matches FILE names, so the
+        # single-file glob below would match nothing inside it.
+        return events_stream(spark, path)
     # file-stream sources take a directory; select just the events table
     return events_stream(spark, sf_dir, glob="events.parquet")
 
@@ -337,9 +346,19 @@ def _weekly_replay(spark: SparkSession, sf_dir: str):
         "b", F.when(late, F.lit(9999)).otherwise(week)
     ).select("ts", "event_type", "b")
     n_batches = batched.select("b").distinct().count()
-    batched.repartition(n_batches, F.col("b")).write.partitionBy("b").parquet(
-        replay_dir, mode="overwrite"
-    )
+    if n_batches == 0:
+        # degenerate corpus (no events at all): a partitioned write of an
+        # empty frame leaves no b= directories and the replay glob would
+        # have nothing to read. Write ONE empty file so the stream has a
+        # valid zero-row source; it contributes no data batches, matching
+        # the recorded n_batches of 0.
+        batched.select("ts", "event_type").coalesce(1).write.parquet(
+            os.path.join(replay_dir, "b=0"), mode="overwrite"
+        )
+    else:
+        batched.repartition(n_batches, F.col("b")).write.partitionBy("b").parquet(
+            replay_dir, mode="overwrite"
+        )
     part_dirs = sorted(
         (d for d in os.listdir(replay_dir) if d.startswith("b=")),
         key=lambda d: int(d.split("=")[1]),
