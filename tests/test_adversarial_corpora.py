@@ -1,0 +1,222 @@
+"""Oracle parity under adversarial DATA DISTRIBUTIONS.
+
+The driver corpus is statistically tame: 15 users share the events
+evenly, documents are near-unique. Two distribution shapes that routinely
+break pipelines at 100 TB are pinned here, each with the full
+driver-style exact compare against the DuckDB oracles:
+
+1. **Hot-key skew** (`skew_sf_dir`): one user owns ~86% of all events
+   and one event type ~73% of all rows. This drives the graph suite's
+   bucket-capped pair enumeration, the sessionizers, window batteries
+   and streaming watermarks through their skew paths — where a cap or
+   salting step that changes SEMANTICS (instead of just layout) would
+   diverge from the uncapped relational oracle.
+
+2. **Duplicate-heavy corpus** (`dup_sf_dir`): an 84-document exact-dup
+   class (far above dedup's _COLLAPSE_MAX_CLASS = 32) plus a 25-doc
+   class. This FLIPS minhash_candidate_pairs' collapse pre-pass ON —
+   the representatives-then-expand code path the tame corpus never
+   executes — and stresses curation (caps, splits, packing, shuffle)
+   with heavy key collisions. A test below asserts the collapse
+   actually engaged, so a re-dialed threshold cannot silently retire
+   the coverage.
+
+Both corpora are deterministic transforms of sf0.001 (CASE on ids, no
+RNG). Three dedup entries are exercised only in exploratory runs, not
+pinned: dedup_clusters / dedup_cluster_representatives /
+dedup_ngram_jaccard carry definitional O(n²)-per-class oracles that
+take 87–171 s each on an 84-dup class (verified green 2026-08-16);
+everything else runs in low seconds.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.oracle_harness import compare
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+SOURCE_SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+EVENTS_PREFIXES = (
+    "events_",
+    "user_",
+    "session",
+    "stg_events",
+    "errors_by_type",
+    "fct_events_hourly",
+    "hourly_trend",
+    "kpi_totals",
+    "top_event_types",
+    "value_stats_by_type",
+    "available_days",
+    "dim_event_type",
+    "daily_distinct_users",
+    "event_",
+    "cooc_",
+    "incident_window_events",
+    "asof_error_attribution",
+    "props_",
+    "streaming_",
+)
+SKEW_ENTRIES = sorted(n for n in ORACLES if n.startswith(EVENTS_PREFIXES))
+
+#: dup-corpus subset: every entry whose CODE PATH changes under heavy
+#: duplication (the collapse pre-pass, exact dedup, incremental index,
+#: curation under key collisions) — see module docstring for the three
+#: slow-oracle exclusions
+DUP_ENTRIES = (
+    "benchmark_contamination",
+    "dedup_embedding_cosine",
+    "dedup_exact_summary",
+    "dedup_incremental_batch",
+    "dedup_minhash_pairs",
+    "dedup_semantic_pairs",
+    "dedup_simhash_pairs",
+    "dedup_sorted_neighborhood",
+    "dedup_substring_spans",
+    "doc_curation_summary",
+    "doc_domain_cap",
+    "doc_fingerprints",
+    "doc_global_shuffle",
+    "doc_normalized_fingerprints",
+    "doc_pack_sequences",
+    "doc_reservoir_per_source",
+    "doc_train_test_split",
+    "incremental_minhash_pairs",
+)
+
+
+def _copy_except(out: str, *, skip: str) -> None:
+    for t in TABLES:
+        if t != skip:
+            shutil.copy(
+                os.path.join(SOURCE_SF_DIR, f"{t}.parquet"),
+                os.path.join(out, f"{t}.parquet"),
+            )
+
+
+@pytest.fixture(scope="session")
+def skew_sf_dir(tmp_path_factory) -> str:
+    out = str(tmp_path_factory.mktemp("sf_skew"))
+    _copy_except(out, skip="events")
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"""
+            COPY (SELECT event_id, ts,
+              CASE WHEN event_id % 20 < 17 THEN 7 ELSE user_id END AS user_id,
+              CASE WHEN event_id % 10 < 7 THEN 'click' ELSE event_type END
+                AS event_type,
+              value, props
+              FROM read_parquet('{SOURCE_SF_DIR}/events.parquet'))
+            TO '{out}/events.parquet' (FORMAT PARQUET)"""
+        )
+    finally:
+        con.close()
+    return out
+
+
+@pytest.fixture(scope="session")
+def dup_sf_dir(tmp_path_factory) -> str:
+    out = str(tmp_path_factory.mktemp("sf_dup"))
+    _copy_except(out, skip="documents")
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"""
+            COPY (
+              WITH d AS (SELECT *
+                         FROM read_parquet('{SOURCE_SF_DIR}/documents.parquet')),
+              t0 AS (SELECT text AS x0 FROM d WHERE doc_id = 0),
+              t1 AS (SELECT text AS x1 FROM d WHERE doc_id = 1)
+              SELECT doc_id,
+                CASE WHEN doc_id % 6 = 0 THEN (SELECT x0 FROM t0)
+                     WHEN doc_id % 17 = 1 THEN (SELECT x1 FROM t1)
+                     ELSE text END AS text,
+                lang, source,
+                length(CASE WHEN doc_id % 6 = 0 THEN (SELECT x0 FROM t0)
+                            WHEN doc_id % 17 = 1 THEN (SELECT x1 FROM t1)
+                            ELSE text END) AS n_chars
+              FROM d)
+            TO '{out}/documents.parquet' (FORMAT PARQUET)"""
+        )
+    finally:
+        con.close()
+    return out
+
+
+def test_skew_corpus_is_actually_skewed(skew_sf_dir):
+    con = duckdb.connect()
+    try:
+        top_share, type_share = con.execute(
+            f"""SELECT
+              (SELECT max(c) FROM (SELECT count(*) c
+                 FROM read_parquet('{skew_sf_dir}/events.parquet')
+                 GROUP BY user_id)) / count(*)::DOUBLE,
+              (SELECT max(c) FROM (SELECT count(*) c
+                 FROM read_parquet('{skew_sf_dir}/events.parquet')
+                 GROUP BY event_type)) / count(*)::DOUBLE
+              FROM read_parquet('{skew_sf_dir}/events.parquet')"""
+        ).fetchone()
+    finally:
+        con.close()
+    assert top_share > 0.8, top_share
+    assert type_share > 0.6, type_share
+
+
+def test_dup_corpus_has_an_over_cap_class(dup_sf_dir):
+    from mini_log_lakehouse_spark.operators.dedup import _COLLAPSE_MAX_CLASS
+
+    con = duckdb.connect()
+    try:
+        (max_class,) = con.execute(
+            f"""SELECT max(c) FROM (SELECT count(*) c
+                FROM read_parquet('{dup_sf_dir}/documents.parquet')
+                GROUP BY md5(text))"""
+        ).fetchone()
+    finally:
+        con.close()
+    assert max_class > _COLLAPSE_MAX_CLASS, (max_class, _COLLAPSE_MAX_CLASS)
+
+
+@pytest.mark.parametrize("name", SKEW_ENTRIES)
+def test_events_entry_matches_oracle_under_skew(spark, skew_sf_dir, name):
+    compare(QUERIES[name](spark, skew_sf_dir), ORACLES[name], skew_sf_dir, name)
+
+
+@pytest.mark.parametrize("name", DUP_ENTRIES)
+def test_doc_entry_matches_oracle_under_duplication(spark, dup_sf_dir, name):
+    compare(QUERIES[name](spark, dup_sf_dir), ORACLES[name], dup_sf_dir, name)
+
+
+def test_collapse_path_engaged_on_dup_corpus(spark, dup_sf_dir):
+    """The dup corpus must actually flip the minhash collapse pre-pass
+    ON (the code path this file exists to cover). Runs the entry, then
+    inspects the memoized decision."""
+    from mini_log_lakehouse_spark.operators import dedup
+
+    QUERIES["dedup_minhash_pairs"](spark, dup_sf_dir).collect()
+    assert any(v[0] for v in dedup._COLLAPSE_CACHE.values()), (
+        "no corpus engaged the collapse pre-pass — raise the dup-class "
+        "size here or the coverage of the representatives path is gone"
+    )
