@@ -30,4 +30,13 @@ def norm(a) -> Column:
 
 
 def cosine(a, b) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity with DuckDB's zero-norm semantics: DuckDB's
+    ``list_cosine_similarity`` returns **-1.0** when either vector has
+    zero norm (measured, and pinned in tests/test_adversarial_corpora.py)
+    — a direction-less embedding ranks "farthest from everything".
+    Mirrored here with an explicit branch so ANSI mode never raises
+    DIVIDE_BY_ZERO on a zero vector and both engines rank such rows
+    identically (last, ties broken by id in every consumer's ORDER BY).
+    """
+    denom = norm(a) * norm(b)
+    return F.when(denom == F.lit(0.0), F.lit(-1.0)).otherwise(dot(a, b) / denom)

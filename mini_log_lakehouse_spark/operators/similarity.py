@@ -180,7 +180,15 @@ def knn_join_vectorized(
 
     q_ids = np.array([qid for qid, _ in queries], dtype="int64")
     q_mat = np.array([v for _, v in queries], dtype="float64")
-    q_unit = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    # zero-norm rows (query or corpus side) take cos = -1.0, the measured
+    # list_cosine_similarity semantics the shared cosine() helper mirrors
+    # — a plain /= would turn them into NaN rows that silently vanish
+    # from the candidate set while the oracle still ranks them
+    q_norms = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_zero = (q_norms == 0).ravel()
+    q_unit = np.divide(
+        q_mat, q_norms, out=np.zeros_like(q_mat), where=q_norms != 0
+    )
 
     cand_schema = T.StructType(
         [
@@ -203,8 +211,14 @@ def knn_join_vectorized(
                 .astype("float64")
                 .reshape(n, -1)
             )
-            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            zero_rows = (norms == 0).ravel()
+            mat = np.divide(mat, norms, out=np.zeros_like(mat), where=norms != 0)
             sims = np.round(mat @ q_unit.T, 6)  # (n, q), ROUNDED
+            if zero_rows.any():
+                sims[zero_rows, :] = -1.0
+            if q_zero.any():
+                sims[:, q_zero] = -1.0
             sims[ids[:, None] == q_ids[None, :]] = -2.0  # mask self-matches
             m = min(k, n)
             out_q, out_n, out_s = [], [], []
@@ -869,7 +883,11 @@ def ann_ivf_index_topk(
     if prune_cells:
         cells = sorted({int(c) for c in probe.ravel()})
         index = index.filter(F.col("cell").isin(cells))
-    q_unit = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    # zero-norm semantics as in knn_join_vectorized: cos = -1.0 (DuckDB's
+    # list_cosine_similarity behavior), never NaN fallout
+    q_norms = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_zero = (q_norms == 0).ravel()
+    q_unit = np.divide(q_mat, q_norms, out=np.zeros_like(q_mat), where=q_norms != 0)
 
     cand_schema = T.StructType(
         [
@@ -893,8 +911,14 @@ def ann_ivf_index_topk(
                 .astype("float64")
                 .reshape(n, -1)
             )
-            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            zero_rows = (norms == 0).ravel()
+            mat = np.divide(mat, norms, out=np.zeros_like(mat), where=norms != 0)
             sims = np.round(mat @ q_unit.T, 6)  # (n, q), ROUNDED
+            if zero_rows.any():
+                sims[zero_rows, :] = -1.0
+            if q_zero.any():
+                sims[:, q_zero] = -1.0
             sims[~mask[cell]] = -2.0  # only probed (cell, query) pairs count
             m = min(k, n)
             out_q, out_n, out_s = [], [], []

@@ -21,7 +21,18 @@ driver-style exact compare against the DuckDB oracles:
    actually engaged, so a re-dialed threshold cannot silently retire
    the coverage.
 
-Both corpora are deterministic transforms of sf0.001 (CASE on ids, no
+3. **Adversarial vectors** (`vec_sf_dir`): two ZERO embeddings (no
+   direction — cosine is 0/0) and a 10-vector block of exact duplicates
+   (maximal ties at every rank boundary). Zero vectors crashed the
+   cosine tiers under ANSI mode (DIVIDE_BY_ZERO) and silently vanished
+   from the GEMM kernels as NaN rows while the oracle still ranked
+   them; the shared definition is now DuckDB's measured semantics —
+   zero-norm cosine = **-1.0** ("farthest from everything") — pinned
+   both in functions/vector.py:cosine and in the kernels, and asserted
+   against DuckDB itself below so an engine upgrade that changes it
+   fails loudly.
+
+All corpora are deterministic transforms of sf0.001 (CASE on ids, no
 RNG). Three dedup entries are exercised only in exploratory runs, not
 pinned: dedup_clusters / dedup_cluster_representatives /
 dedup_ngram_jaccard carry definitional O(n²)-per-class oracles that
@@ -106,6 +117,15 @@ DUP_ENTRIES = (
 )
 
 
+#: every embeddings-driven entry plus the two cosine-pair dedup entries
+VEC_ENTRIES = sorted(
+    n
+    for n in ORACLES
+    if n.startswith(("ann_", "embedding_", "incremental_ann"))
+    or n in ("dedup_embedding_cosine", "dedup_semantic_pairs")
+)
+
+
 def _copy_except(out: str, *, skip: str) -> None:
     for t in TABLES:
         if t != skip:
@@ -165,6 +185,49 @@ def dup_sf_dir(tmp_path_factory) -> str:
     return out
 
 
+@pytest.fixture(scope="session")
+def vec_sf_dir(tmp_path_factory) -> str:
+    out = str(tmp_path_factory.mktemp("sf_vec"))
+    _copy_except(out, skip="embeddings")
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"""
+            COPY (
+              WITH e AS (SELECT *
+                         FROM read_parquet('{SOURCE_SF_DIR}/embeddings.parquet')),
+              v2 AS (SELECT embedding AS x FROM e WHERE vec_id = 2)
+              SELECT vec_id,
+                CASE WHEN vec_id IN (13, 14)
+                       THEN (SELECT list_transform(x, a -> CAST(0.0 AS FLOAT))
+                             FROM v2)
+                     WHEN vec_id BETWEEN 20 AND 29 THEN (SELECT x FROM v2)
+                     ELSE embedding END AS embedding,
+                label
+              FROM e)
+            TO '{out}/embeddings.parquet' (FORMAT PARQUET)"""
+        )
+    finally:
+        con.close()
+    return out
+
+
+def test_duckdb_zero_norm_cosine_is_minus_one():
+    """The contract functions/vector.py:cosine mirrors. If a DuckDB
+    upgrade changes the guarded 0/0 result, every zero-vector row's rank
+    shifts and this names the cause before a hash gate goes red."""
+    con = duckdb.connect()
+    try:
+        assert con.execute(
+            "SELECT list_cosine_similarity([0.0, 0.0], [1.0, 2.0])"
+        ).fetchone()[0] == -1.0
+        assert con.execute(
+            "SELECT list_cosine_similarity([0.0, 0.0], [0.0, 0.0])"
+        ).fetchone()[0] == -1.0
+    finally:
+        con.close()
+
+
 def test_skew_corpus_is_actually_skewed(skew_sf_dir):
     con = duckdb.connect()
     try:
@@ -207,6 +270,13 @@ def test_events_entry_matches_oracle_under_skew(spark, skew_sf_dir, name):
 @pytest.mark.parametrize("name", DUP_ENTRIES)
 def test_doc_entry_matches_oracle_under_duplication(spark, dup_sf_dir, name):
     compare(QUERIES[name](spark, dup_sf_dir), ORACLES[name], dup_sf_dir, name)
+
+
+@pytest.mark.parametrize("name", VEC_ENTRIES)
+def test_vector_entry_matches_oracle_with_zero_and_tied_vectors(
+    spark, vec_sf_dir, name
+):
+    compare(QUERIES[name](spark, vec_sf_dir), ORACLES[name], vec_sf_dir, name)
 
 
 def test_collapse_path_engaged_on_dup_corpus(spark, dup_sf_dir):
