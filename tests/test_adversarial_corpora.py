@@ -5,12 +5,18 @@ evenly, documents are near-unique. Two distribution shapes that routinely
 break pipelines at 100 TB are pinned here, each with the full
 driver-style exact compare against the DuckDB oracles:
 
-1. **Hot-key skew** (`skew_sf_dir`): one user owns ~86% of all events
-   and one event type ~73% of all rows. This drives the graph suite's
-   bucket-capped pair enumeration, the sessionizers, window batteries
-   and streaming watermarks through their skew paths — where a cap or
-   salting step that changes SEMANTICS (instead of just layout) would
-   diverge from the uncapped relational oracle.
+1. **Hot-key skew + tied timestamps** (`skew_sf_dir`): one user owns
+   ~86% of all events, one event type ~73% of all rows, and every ts is
+   truncated to the hour — collapsing 1000 events onto ~530 distinct
+   timestamps. The skew drives the graph suite's bucket-capped pair
+   enumeration, the sessionizers, window batteries and streaming
+   watermarks through their hot-key paths — where a cap or salting step
+   that changes SEMANTICS (instead of just layout) would diverge from
+   the uncapped relational oracle. The ties attack every window ordered
+   by ts: without a total-order tiebreak, lag/lead/row_number results
+   become partition-layout-dependent and drift from the oracle's
+   ROW_NUMBER (both axes also verified green separately in exploratory
+   runs before being combined here to keep suite runtime flat).
 
 2. **Duplicate-heavy corpus** (`dup_sf_dir`): an 84-document exact-dup
    class (far above dedup's _COLLAPSE_MAX_CLASS = 32) plus a 25-doc
@@ -143,7 +149,7 @@ def skew_sf_dir(tmp_path_factory) -> str:
     try:
         con.execute(
             f"""
-            COPY (SELECT event_id, ts,
+            COPY (SELECT event_id, date_trunc('hour', ts) AS ts,
               CASE WHEN event_id % 20 < 17 THEN 7 ELSE user_id END AS user_id,
               CASE WHEN event_id % 10 < 7 THEN 'click' ELSE event_type END
                 AS event_type,
@@ -245,6 +251,16 @@ def test_skew_corpus_is_actually_skewed(skew_sf_dir):
         con.close()
     assert top_share > 0.8, top_share
     assert type_share > 0.6, type_share
+    con = duckdb.connect()
+    try:
+        n, dts = con.execute(
+            f"""SELECT count(*), count(DISTINCT ts)
+                FROM read_parquet('{skew_sf_dir}/events.parquet')"""
+        ).fetchone()
+    finally:
+        con.close()
+    # the tie axis: many events must share an exact timestamp
+    assert dts < n * 0.6, (n, dts)
 
 
 def test_dup_corpus_has_an_over_cap_class(dup_sf_dir):
