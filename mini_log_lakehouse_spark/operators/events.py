@@ -433,7 +433,13 @@ ORACLES: dict[str, str] = {
     """,
     "dim_event_type": "SELECT DISTINCT event_type FROM events",
     "props_k_histogram": """
-        SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        -- json_valid guard: Spark's get_json_object is tolerant (NULL on
+        -- malformed/empty JSON) while DuckDB's bare json_extract_string
+        -- ERRORS on it — found by the props-adversary probe; the guard
+        -- states the same tolerant contract the VARIANT oracle below uses
+        SELECT CAST(CASE WHEN json_valid(props)
+                         THEN json_extract_string(props, '$.k')
+                    END AS INT) AS k,
                COUNT(*) AS n
         FROM events
         GROUP BY 1

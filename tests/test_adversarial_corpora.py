@@ -38,6 +38,16 @@ driver-style exact compare against the DuckDB oracles:
    against DuckDB itself below so an engine upgrade that changes it
    fails loudly.
 
+4. **Adversarial JSON** (`json_sf_dir`): the events ``props`` column
+   carries malformed JSON, NULL, the empty string, valid JSON without
+   the ``k`` field, and a bare array — while keeping ``k`` strictly
+   integer where present (the documented cross-engine coercion
+   boundary; see the props_variant_stats oracle). This found a real
+   oracle defect: DuckDB's bare json_extract_string ERRORS on
+   malformed JSON while Spark's get_json_object tolerantly yields
+   NULL — the props_k_histogram oracle now carries a json_valid guard
+   stating the same tolerant contract.
+
 All corpora are deterministic transforms of sf0.001 (CASE on ids, no
 RNG). Three dedup entries are exercised only in exploratory runs, not
 pinned: dedup_clusters / dedup_cluster_representatives /
@@ -122,6 +132,16 @@ DUP_ENTRIES = (
     "incremental_minhash_pairs",
 )
 
+
+#: every entry that reads the events ``props`` JSON column (plus the
+#: full-row passthrough and the scalar battery, which scan it)
+JSON_ENTRIES = (
+    "events_column_profile",
+    "props_k_histogram",
+    "props_variant_stats",
+    "scalar_function_battery",
+    "stg_events",
+)
 
 #: every embeddings-driven entry plus the two cosine-pair dedup entries
 VEC_ENTRIES = sorted(
@@ -218,6 +238,31 @@ def vec_sf_dir(tmp_path_factory) -> str:
     return out
 
 
+@pytest.fixture(scope="session")
+def json_sf_dir(tmp_path_factory) -> str:
+    out = str(tmp_path_factory.mktemp("sf_json"))
+    _copy_except(out, skip="events")
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"""
+            COPY (SELECT event_id, ts, user_id, event_type, value,
+              CASE event_id % 7
+                WHEN 0 THEN '{{"k": 3, "extra": [1,2,{{"deep": true}}]}}'
+                WHEN 1 THEN '{{broken json'
+                WHEN 2 THEN NULL
+                WHEN 3 THEN ''
+                WHEN 4 THEN '{{"other": "no k here"}}'
+                WHEN 5 THEN '[]'
+                ELSE props END AS props
+              FROM read_parquet('{SOURCE_SF_DIR}/events.parquet'))
+            TO '{out}/events.parquet' (FORMAT PARQUET)"""
+        )
+    finally:
+        con.close()
+    return out
+
+
 def test_duckdb_zero_norm_cosine_is_minus_one():
     """The contract functions/vector.py:cosine mirrors. If a DuckDB
     upgrade changes the guarded 0/0 result, every zero-vector row's rank
@@ -293,6 +338,11 @@ def test_vector_entry_matches_oracle_with_zero_and_tied_vectors(
     spark, vec_sf_dir, name
 ):
     compare(QUERIES[name](spark, vec_sf_dir), ORACLES[name], vec_sf_dir, name)
+
+
+@pytest.mark.parametrize("name", JSON_ENTRIES)
+def test_props_entry_matches_oracle_on_adversarial_json(spark, json_sf_dir, name):
+    compare(QUERIES[name](spark, json_sf_dir), ORACLES[name], json_sf_dir, name)
 
 
 def test_collapse_path_engaged_on_dup_corpus(spark, dup_sf_dir):
