@@ -234,10 +234,18 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The top-K is taken on the custkey-grain revenue table BEFORE the
     customer join: the ordering (revenue desc, custkey) is fully
-    determined there, and o_custkey → customer is a 1:1 FK (every order
-    references an existing customer), so limiting first selects the
-    same 10 rows while turning the customer join into a 10-row
-    broadcast probe. At any scale the plan is then: one
+    determined there, and o_custkey → customer is a FK (every non-NULL
+    custkey references an existing customer — verified on this corpus
+    by tpch_integrity_audit), so limiting first selects the same 10
+    rows while turning the customer join into a 10-row broadcast probe.
+    NULL custkeys are filtered BEFORE the aggregate (a NULL key can
+    never survive the inner join, but unfiltered it would occupy a
+    top-10 slot and shrink the result — pinned by the null-planted
+    corpus in tests/test_adversarial_corpora.py). Dangling non-NULL
+    keys remain a declared precondition: making the plan
+    dangling-proof would need a semi join against customer before the
+    top-K, and customer is a billion-row table at 100 TB — the audit
+    entry is the honest guard, not a hidden shuffle. At any scale the plan is then: one
     TakeOrderedAndProject (per-partition partial top-10, no extra
     shuffle) + one broadcast join — the name lookup never shuffles
     customer, which at 100 TB is itself a billion-row table.
@@ -273,6 +281,7 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_hinted = o.hint("merge") if bucketed else o.hint("shuffle_hash")
     top10 = (
         per_order.join(o_hinted, per_order.l_orderkey == o.o_orderkey)
+        .filter(F.col("o_custkey").isNotNull())
         .groupBy("o_custkey")
         .agg(
             _to_money2(_split_combine(F.sum("_hi"), F.sum("_lo")), 4).alias(
@@ -396,9 +405,18 @@ def orders_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT EXISTS restatement is the *definition* of dominance.
 
     Ties: equal (day, price) orders dominate neither each other nor
-    anything strictly — all survive together, reported as n_orders."""
+    anything strictly — all survive together, reported as n_orders.
+
+    NULL coordinates are excluded on BOTH sides (pinned by the
+    null-planted corpus in tests/test_adversarial_corpora.py): a row
+    with no day or no price is incomparable under dominance — the
+    oracle's NOT-EXISTS restatement would otherwise pass EVERY row
+    (NULL comparisons are never true), silently turning the frontier
+    into the whole table."""
     o = load_table(spark, sf_dir, "orders")
-    pts = o.select(
+    pts = o.filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+    ).select(
         F.to_date("o_orderdate").alias("day"),
         _cents(F.col("o_totalprice")).alias("price_cents"),
     )
@@ -429,10 +447,17 @@ def daily_order_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic window (lag) over pre-aggregated daily counts.
 
     The global-order window runs on ~2500 daily rows regardless of input
-    scale — aggregate first, window second."""
+    scale — aggregate first, window second.
+
+    The daily series is defined over rows WITH a date (NULL o_orderdate
+    filtered on both sides — pinned by the null-planted corpus): the
+    engines disagree on window NULL ordering (Spark ASC sorts NULLs
+    first, DuckDB last), so an undated bucket would take a
+    position-dependent lag value."""
     o = load_table(spark, sf_dir, "orders")
     daily = (
-        o.groupBy(F.to_date("o_orderdate").alias("day"))
+        o.filter(F.col("o_orderdate").isNotNull())
+        .groupBy(F.to_date("o_orderdate").alias("day"))
         .agg(F.count(F.lit(1)).alias("orders"))
     )
     w = Window.orderBy("day")
@@ -447,10 +472,14 @@ def daily_order_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def orders_running_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-based window: running total within a partition (rowsBetween)."""
+    """Frame-based window: running total within a partition (rowsBetween).
+
+    Monthly series over rows WITH a date (same engine null-ordering
+    divergence as daily_order_lag; pinned by the null-planted corpus)."""
     o = load_table(spark, sf_dir, "orders")
     monthly = (
-        o.groupBy(
+        o.filter(F.col("o_orderdate").isNotNull())
+        .groupBy(
             F.col("o_orderpriority").alias("priority"),
             F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
         ).agg(F.count(F.lit(1)).alias("orders"))
@@ -799,7 +828,10 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-20 is a TakeOrderedAndProject on that aggregate (the ordering is
     fully determined by (revenue, custkey)), and only then do the 20
     surviving keys broadcast-probe the customer table — at 100 TB the
-    name/balance lookup never shuffles a billion-row dimension."""
+    name/balance lookup never shuffles a billion-row dimension. NULL
+    custkeys are filtered before the aggregate and dangling keys are a
+    declared audited precondition — same contract as
+    top_customers_by_revenue (see its docstring)."""
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
@@ -808,6 +840,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     top20 = (
         l.join(o.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("o_custkey").isNotNull())
         .groupBy("o_custkey")
         .agg(
             _to_money2(
@@ -1536,6 +1569,9 @@ ORACLES: dict[str, str] = {
                    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
                        AS price_cents
             FROM orders
+            -- NULL coordinates are incomparable under dominance; without
+            -- this the NOT EXISTS below passes every row (see Spark side)
+            WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
         ), sky AS (
             SELECT day, price_cents FROM pts p
             WHERE NOT EXISTS (
@@ -1550,7 +1586,7 @@ ORACLES: dict[str, str] = {
     "daily_order_lag": """
         WITH daily AS (
             SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS orders
-            FROM orders GROUP BY 1
+            FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
         )
         SELECT day, orders, LAG(orders) OVER (ORDER BY day) AS prev_orders
         FROM daily
@@ -1561,7 +1597,7 @@ ORACLES: dict[str, str] = {
             SELECT o_orderpriority AS priority,
                    CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
                    COUNT(*) AS orders
-            FROM orders GROUP BY 1, 2
+            FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2
         )
         SELECT priority, month, orders,
                CAST(SUM(orders) OVER (

@@ -48,6 +48,23 @@ driver-style exact compare against the DuckDB oracles:
    NULL — the props_k_histogram oracle now carries a json_valid guard
    stating the same tolerant contract.
 
+5. **NULL-planted keys and dates** (`null_sf_dir`): ~8% of orders lose
+   o_custkey, ~6% lose o_orderdate; lineitems lose l_suppkey /
+   l_discount / l_shipdate on coprime strides. This exposed two real
+   defect classes, both fixed and pinned: (a) the engines DISAGREE on
+   window NULL ordering (Spark ASC sorts NULLs first, DuckDB last), so
+   every date-ordered series now defines itself over rows WITH a date
+   on both sides (daily_order_lag, orders_running_share,
+   orders_skyline — whose NOT-EXISTS dominance oracle otherwise passed
+   EVERY row, NULL comparisons never being true); (b) top-K taken
+   before a dimension join silently assumed key integrity — a NULL
+   fact key occupied a top-K slot Spark-side then dropped at the join
+   while the oracle joined first and filled all K slots
+   (top_customers_by_revenue, tpch_q10); NULL keys are now filtered
+   before the aggregate, and DANGLING keys are a documented audited
+   precondition (tpch_integrity_audit) because a dangling-proof plan
+   would semi-join against a billion-row dimension.
+
 All corpora are deterministic transforms of sf0.001 (CASE on ids, no
 RNG). Three dedup entries are exercised only in exploratory runs, not
 pinned: dedup_clusters / dedup_cluster_representatives /
@@ -132,6 +149,30 @@ DUP_ENTRIES = (
     "incremental_minhash_pairs",
 )
 
+
+#: every orders/lineitem-driven relational entry (TPC-H suite, windows,
+#: set ops, top-K joins) — the surface NULL keys and NULL dates attack
+NULL_ENTRIES = sorted(
+    n
+    for n in ORACLES
+    if n.startswith(
+        (
+            "tpch_",
+            "orders_",
+            "lineitem_",
+            "top_customers",
+            "top3_customers",
+            "region_customer",
+            "nation_customer",
+            "customers_",
+            "daily_order_lag",
+            "customer_balance",
+            "setop_",
+            "grouping_sets",
+            "kpi",
+        )
+    )
+)
 
 #: every entry that reads the events ``props`` JSON column (plus the
 #: full-row passthrough and the scalar battery, which scan it)
@@ -263,6 +304,48 @@ def json_sf_dir(tmp_path_factory) -> str:
     return out
 
 
+@pytest.fixture(scope="session")
+def null_sf_dir(tmp_path_factory) -> str:
+    out = str(tmp_path_factory.mktemp("sf_null"))
+    for t in TABLES:
+        if t not in ("orders", "lineitem"):
+            shutil.copy(
+                os.path.join(SOURCE_SF_DIR, f"{t}.parquet"),
+                os.path.join(out, f"{t}.parquet"),
+            )
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"""
+            COPY (SELECT o_orderkey,
+              CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_custkey END
+                AS o_custkey,
+              o_orderstatus, o_totalprice,
+              CASE WHEN o_orderkey % 17 = 0 THEN NULL ELSE o_orderdate END
+                AS o_orderdate,
+              o_orderpriority
+              FROM read_parquet('{SOURCE_SF_DIR}/orders.parquet'))
+            TO '{out}/orders.parquet' (FORMAT PARQUET)"""
+        )
+        con.execute(
+            f"""
+            COPY (SELECT l_orderkey, l_partkey,
+              CASE WHEN (l_orderkey*10+l_linenumber) % 19 = 0 THEN NULL
+                   ELSE l_suppkey END AS l_suppkey,
+              l_linenumber, l_quantity, l_extendedprice,
+              CASE WHEN (l_orderkey*10+l_linenumber) % 23 = 0 THEN NULL
+                   ELSE l_discount END AS l_discount,
+              l_tax, l_returnflag, l_linestatus,
+              CASE WHEN (l_orderkey*10+l_linenumber) % 29 = 0 THEN NULL
+                   ELSE l_shipdate END AS l_shipdate
+              FROM read_parquet('{SOURCE_SF_DIR}/lineitem.parquet'))
+            TO '{out}/lineitem.parquet' (FORMAT PARQUET)"""
+        )
+    finally:
+        con.close()
+    return out
+
+
 def test_duckdb_zero_norm_cosine_is_minus_one():
     """The contract functions/vector.py:cosine mirrors. If a DuckDB
     upgrade changes the guarded 0/0 result, every zero-vector row's rank
@@ -343,6 +426,11 @@ def test_vector_entry_matches_oracle_with_zero_and_tied_vectors(
 @pytest.mark.parametrize("name", JSON_ENTRIES)
 def test_props_entry_matches_oracle_on_adversarial_json(spark, json_sf_dir, name):
     compare(QUERIES[name](spark, json_sf_dir), ORACLES[name], json_sf_dir, name)
+
+
+@pytest.mark.parametrize("name", NULL_ENTRIES)
+def test_relational_entry_matches_oracle_with_null_keys(spark, null_sf_dir, name):
+    compare(QUERIES[name](spark, null_sf_dir), ORACLES[name], null_sf_dir, name)
 
 
 def test_collapse_path_engaged_on_dup_corpus(spark, dup_sf_dir):
