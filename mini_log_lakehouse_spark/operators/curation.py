@@ -53,7 +53,11 @@ def curate_documents(docs: DataFrame) -> DataFrame:
     """Per-document curation verdict: input columns plus ``split`` and
     ``outcome`` ∈ {kept, duplicate, pii, low_quality}. Library-surface
     form — callers filter ``outcome = 'kept'`` for the surviving corpus."""
-    t = F.col("text")
+    # NULL contract: missing text is the empty document — symmetric
+    # with the oracle's _SQL_NORM/SQL_QUALITY (both COALESCE), so every
+    # null-text doc lands in the md5('')-fingerprint duplicate class
+    # instead of a Spark-only NULL class
+    t = F.coalesce(F.col("text"), F.lit(""))
     fp = F.md5(normalize_text(t))
     rep = F.min("doc_id").over(Window.partitionBy("_fp"))
     outcome = (

@@ -1668,10 +1668,16 @@ def sorted_neighborhood_pairs(docs: DataFrame, window: int = SN_WINDOW) -> DataF
     equi-join on rank+d after a map-side explode of d ∈ 1..W−1, and
     the verifier is row-local. Window pairs cross range-partition
     boundaries for free because the join is on the GLOBAL rank."""
+    # NULL contract (pinned by the null-text adversarial corpus): a
+    # missing text is the empty document and a missing n_chars is 0 —
+    # without it the blocking key's NULL sorts first in Spark but last
+    # in DuckDB, scrambling every window rank after it
     keyed = docs.select(
         "doc_id",
-        "n_chars",
-        F.substring_index(F.col("text"), " ", SN_KEY_WORDS).alias("sn_key"),
+        F.coalesce(F.col("n_chars"), F.lit(0)).alias("n_chars"),
+        F.substring_index(
+            F.coalesce(F.col("text"), F.lit("")), " ", SN_KEY_WORDS
+        ).alias("sn_key"),
     )
     ranked = _global_sort_ranks(keyed, ["sn_key", "doc_id"])
     left = ranked.select(
@@ -2007,10 +2013,10 @@ ORACLES["dedup_semantic_pairs"] = _semantic_pairs_oracle_sql()
 
 ORACLES["dedup_sorted_neighborhood"] = f"""
         WITH ranked AS (
-            SELECT doc_id, n_chars,
+            SELECT doc_id, COALESCE(n_chars, 0) AS n_chars,
                    ROW_NUMBER() OVER (
                        ORDER BY array_to_string(
-                                    (string_split(text, ' '))[1:{SN_KEY_WORDS}],
+                                    (string_split(COALESCE(text, ''), ' '))[1:{SN_KEY_WORDS}],
                                     ' '),
                                 doc_id) AS rank
             FROM documents

@@ -64,7 +64,13 @@ def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a media table over the documents testdata: the utf-8 bytes of
     ``text`` play the opaque payload, so every downstream byte-level
     operator has a DuckDB-checkable ground truth."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        # NULL contract: a missing text is an EMPTY payload, never a NULL
+        # content the byte kernels crash on (len(None)) — symmetric with
+        # the COALESCE in the byte/media-features oracles
+        "text",
+        F.coalesce(F.col("text"), F.lit("")),
+    )
     kind = F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio")
     return d.select(
         F.col("doc_id").alias("media_id"),
@@ -3227,10 +3233,10 @@ ORACLES: dict[str, str] = {
     # side's empty-payload sentinel.
     "multimodal_byte_features": """
         SELECT doc_id AS media_id,
-               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-               md5(text) AS checksum,
-               CASE WHEN text = '' THEN -1
-                    ELSE ('0x' || substring(hex(encode(text)), 1, 2))::BIGINT
+               CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS n_bytes,
+               md5(COALESCE(text, '')) AS checksum,
+               CASE WHEN COALESCE(text, '') = '' THEN -1
+                    ELSE ('0x' || substring(hex(encode(COALESCE(text, ''))), 1, 2))::BIGINT
                END AS first_byte
         FROM documents
         ORDER BY media_id
@@ -3241,9 +3247,9 @@ ORACLES: dict[str, str] = {
     "multimodal_media_features": """
         SELECT doc_id AS media_id,
                CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
-               CAST(16 + ('0x' || substring(md5(text), 1, 2))::INT % 64 AS INT) AS width,
-               CAST(16 + ('0x' || substring(md5(text), 3, 2))::INT % 64 AS INT) AS height,
-               CAST(1 + ('0x' || substring(md5(text), 5, 2))::INT % 3 AS INT) AS channels
+               CAST(16 + ('0x' || substring(md5(COALESCE(text, '')), 1, 2))::INT % 64 AS INT) AS width,
+               CAST(16 + ('0x' || substring(md5(COALESCE(text, '')), 3, 2))::INT % 64 AS INT) AS height,
+               CAST(1 + ('0x' || substring(md5(COALESCE(text, '')), 5, 2))::INT % 3 AS INT) AS channels
         FROM documents
         ORDER BY media_id
     """,
@@ -3253,8 +3259,8 @@ ORACLES: dict[str, str] = {
     "multimodal_frame_stats": """
         WITH m AS (
             SELECT doc_id AS media_id,
-                   octet_length(encode(text)) AS nb,
-                   greatest(octet_length(encode(text)) // 64, 1) AS nf
+                   octet_length(encode(COALESCE(text, ''))) AS nb,
+                   greatest(octet_length(encode(COALESCE(text, ''))) // 64, 1) AS nf
             FROM documents
         )
         SELECT media_id,

@@ -100,7 +100,7 @@ def pack_documents(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    toks = token_count(F.col("text"))
+    toks = token_count(F.coalesce(F.col("text"), F.lit("")))
     sized = docs.select("doc_id", "source", toks.alias("n_tokens"))
     offset = F.sum("n_tokens").over(w) - F.col("n_tokens")  # exclusive prefix sum
     packed = sized.select(
@@ -127,7 +127,11 @@ def doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return (
         assign_split(d)
-        .select("split", "lang", token_count(F.col("text")).alias("_t"))
+        .select(
+            "split",
+            "lang",
+            token_count(F.coalesce(F.col("text"), F.lit(""))).alias("_t"),
+        )
         .groupBy("split", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -380,7 +384,7 @@ def doc_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the exchange), so at 100 TB the shuffle carries ~CAP rows
     per domain, not the corpus."""
     d = load_table(spark, sf_dir, "documents")
-    q = quality_score(F.col("text"))
+    q = quality_score(F.coalesce(F.col("text"), F.lit("")))
     w = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
     return (
         d.select("doc_id", "source", q.alias("quality"))
@@ -391,7 +395,7 @@ def doc_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TOKS = "string_split(text, ' ')"
+_TOKS = "string_split(COALESCE(text, ''), ' ')"  # NULL text = empty doc
 _NTOK = f"len({_TOKS})"
 _SPLIT_BUCKET = _sql_bucket("doc_id", "split:")
 #: The one SQL statement of assign_split — shared with the curation

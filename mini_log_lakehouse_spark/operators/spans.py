@@ -61,7 +61,7 @@ def doc_frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     grams = d.select(
         "doc_id",
-        F.explode(token_shingles(F.col("text"), N_GRAM)).alias("gram"),
+        F.explode(token_shingles(F.coalesce(F.col("text"), F.lit("")), N_GRAM)).alias("gram"),
     ).distinct()
     return (
         grams.groupBy("gram")
@@ -85,7 +85,7 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     grams = d.select(
         "doc_id",
-        F.explode(token_shingles(F.col("text"), N_GRAM)).alias("gram"),
+        F.explode(token_shingles(F.coalesce(F.col("text"), F.lit("")), N_GRAM)).alias("gram"),
     ).distinct()
     first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     return (
@@ -112,7 +112,7 @@ def doc_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = d.select(
         "doc_id",
         "source",
-        F.explode(token_shingles(F.col("text"), N_GRAM)).alias("gram"),
+        F.explode(token_shingles(F.coalesce(F.col("text"), F.lit("")), N_GRAM)).alias("gram"),
     )
     frequent = (
         grams.select("doc_id", "gram")
@@ -122,17 +122,21 @@ def doc_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= MIN_DOC_FREQ)
         .select("gram")
     )
-    flagged = grams.join(F.broadcast(frequent), "gram", "left_semi")
-    totals = grams.groupBy("source").agg(F.count(F.lit(1)).alias("total_grams"))
-    boiler = flagged.groupBy("source").agg(
-        F.count(F.lit(1)).alias("boilerplate_grams")
+    # one broadcast marker join + ONE aggregate: the previous
+    # semi-join/totals/boiler/left-join shape paid two shuffles AND
+    # silently dropped a NULL source's boilerplate count (the re-join on
+    # source is an equi-join, and NULL never equals NULL — found by the
+    # null-text adversarial corpus)
+    marked = grams.join(
+        F.broadcast(frequent.withColumn("_b", F.lit(1))), "gram", "left"
     )
     return (
-        totals.join(boiler, "source", "left")
-        .select(
-            "source",
-            "total_grams",
-            F.coalesce("boilerplate_grams", F.lit(0)).alias("boilerplate_grams"),
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_grams"),
+            F.coalesce(F.sum("_b"), F.lit(0))
+            .cast("long")
+            .alias("boilerplate_grams"),
         )
         .orderBy("source")
     )
@@ -295,7 +299,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_GRAMS = f"""
         SELECT doc_id, source,
                array_to_string(list_slice(t, i, i + {N_GRAM - 1}), ' ') AS gram
-        FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        FROM (SELECT doc_id, source, string_split(COALESCE(text, ''), ' ') AS t FROM documents),
              unnest(range(1, greatest(len(t) - {N_GRAM - 1}, 1) + 1)) AS r(i)
 """
 

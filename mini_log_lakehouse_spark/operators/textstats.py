@@ -45,6 +45,17 @@ LANG_LEXICONS: dict[str, tuple[str, ...]] = {
 _STAGED_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
+def _docs(spark, sf_dir: str):
+    """The documents table with the module's NULL contract applied: a
+    missing text is the EMPTY document (symmetric with _TXT on the
+    oracle side). Keeps every text expression total — regex counts,
+    shingles, fingerprints — instead of letting NULL propagate into
+    engine-specific corners (see _TXT's comment)."""
+    return load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce(F.col("text"), F.lit(""))
+    )
+
+
 def load_documents_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Silver ``documents``: raw columns plus ``n_tokens`` materialized
     once — the lakehouse answer to "text-function throughput dominates
@@ -67,7 +78,7 @@ def load_documents_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if cache and key in _STAGED_CACHE:
         return _STAGED_CACHE[key]
-    d = load_table(spark, sf_dir, "documents").withColumn(
+    d = _docs(spark, sf_dir).withColumn(
         "n_tokens", token_count(F.col("text")).cast("long")
     )
     if cache:
@@ -145,7 +156,7 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def doc_word_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide token frequency top-20 (explode + count + top-K)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return (
         d.select(F.explode(ws_tokens(F.col("text"))).alias("token"))
         .groupBy("token")
@@ -157,7 +168,7 @@ def doc_word_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish regex token counts per source (regexp_extract_all)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return (
         d.groupBy("source")
         .agg(
@@ -170,7 +181,7 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document fingerprint + size stats (md5 content hash)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
         F.md5("text").alias("fingerprint"),
@@ -182,7 +193,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality heuristic: unique-token ratio + length score."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
         "lang",
@@ -212,7 +223,7 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     over computed starts — a pure map-side explode, no shuffle until the
     final sort; at 100 TB this is a single scan producing ~len/stride
     rows per doc."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     toks = ws_tokens(F.col("text"))
     n = F.array_size(toks)
     # 1-based starts: 1, 1+S, ... up to last = max(n-T+1, 1), plus the
@@ -268,7 +279,7 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines; thresholds are the survey defaults, rational arithmetic
     only so the oracle reproduces doubles bit-for-bit). All signals are
     per-row array expressions — a map-only pass at any scale."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     toks = ws_tokens(F.col("text"))
     g2 = token_shingles(F.col("text"), 2)
     g3 = token_shingles(F.col("text"), 3)
@@ -346,7 +357,7 @@ def doc_pii_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document PII scrub signals: per-type match counts, the
     redacted-content fingerprint (what a curation pipeline would store in
     place of raw text), and a ``clean`` flag. One map-only scan."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     t = F.col("text")
     counts = {k: pii_count(t, k).cast("long") for k in PII_REDACTION_ORDER}
     clean = (
@@ -377,7 +388,7 @@ def doc_normalized_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw-vs-normalized accounting per document: lengths on both sides
     and the normalized fingerprint (the exact-dedup key after
     normalization)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     norm = normalize_text(F.col("text"))
     return d.select(
         "doc_id",
@@ -391,7 +402,7 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexicon-hit language ID: score = |tokens ∩ lexicon(lang)| per
     language, predict the argmax (alphabetical tiebreak), compare with the
     labeled ``lang``. One map-only pass + tiny aggregate."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     toks = F.array_distinct(ws_tokens(F.col("text")))
     scored = d.select(
         "doc_id",
@@ -464,7 +475,7 @@ def _doc_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the explode itself is map-only, so at 100 TB this is a single
     corpus scan whose shuffle rows are DISTINCT doc-term pairs (already
     collapsed by the partial agg), not raw token occurrences."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return (
         d.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("token"))
         .groupBy("doc_id", "token")
@@ -527,7 +538,7 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab-scale df table (broadcastable), then once on doc_id for the
     rank window; the rank ≤ K predicate pushes a WindowGroupLimit so
     each task keeps K rows per doc before the final sort."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     tf = _doc_term_freq(spark, sf_dir)
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
@@ -583,7 +594,7 @@ def doc_lm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle agree bit-for-bit. Shape: same two shuffles as
     doc_unigram_lm_scores (token-grain join + doc-grain agg); the
     corpus-total T is a broadcast scalar."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     tf = _doc_term_freq(spark, sf_dir)
     vocab = tf.groupBy("token").agg(F.sum("tf").alias("c"))
     total = tf.agg(F.sum("tf").cast("decimal(38,0)").alias("total_tokens"))
@@ -625,7 +636,7 @@ def sparse_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieval.doc_hybrid_search (which rank-fuses it with the dense
     tier). See doc_sparse_search for the semantics and scale shape."""
     tf = _doc_term_freq(spark, sf_dir)
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     # idf_milli: one exact integer quantization per token (same
@@ -670,7 +681,7 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-tie hazard); documents with n_chars < 1 would fall in no
     bucket and are excluded by construction (none exist in this
     corpus, and zero-length docs have no length to histogram)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     buckets = spark.range(31).select(
         F.col("id").cast("int").alias("bucket"),
         F.expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))").alias("lo"),
@@ -711,7 +722,14 @@ def doc_sparse_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TOKS = "string_split(text, ' ')"
+#: NULL-text convention, module-wide and SYMMETRIC with the Spark side
+#: (_docs below): a document with no text is the EMPTY document. Without
+#: it the engines drift on hard nulls — e.g. Spark's greatest() skips
+#: NULLs while DuckDB's propagates, so token_shingles(NULL) emitted one
+#: empty gram Spark-side and none oracle-side (found by the null-text
+#: corpus in tests/test_adversarial_corpora.py).
+_TXT = "COALESCE(text, '')"
+_TOKS = f"string_split({_TXT}, ' ')"
 
 #: The one SQL statement of functions/text.quality_score — shared by the
 #: doc_quality_scores and curation oracles so the threshold compare and
@@ -808,7 +826,7 @@ def doc_blocklist_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     on ababa) — the restriction is the oracle's, not the scanner's."""
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
     goto, fail, out = build_aho_corasick(BLOCKLIST)
     npat = len(BLOCKLIST)
 
@@ -858,7 +876,7 @@ ORACLES: dict[str, str] = {
     """,
     "doc_bpe_token_counts": f"""
         SELECT source,
-               CAST(SUM(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))) AS BIGINT) AS bpe_tokens,
+               CAST(SUM(len(regexp_extract_all({_TXT}, '{BPE_ISH_PATTERN}'))) AS BIGINT) AS bpe_tokens,
                COUNT(*) AS n_docs
         FROM documents
         GROUP BY 1
@@ -866,9 +884,9 @@ ORACLES: dict[str, str] = {
     """,
     "doc_fingerprints": f"""
         SELECT doc_id,
-               md5(text) AS fingerprint,
+               md5({_TXT}) AS fingerprint,
                len({_TOKS}) AS n_tokens,
-               length(text) AS text_len
+               length({_TXT}) AS text_len
         FROM documents
         ORDER BY doc_id
     """,
@@ -877,7 +895,7 @@ ORACLES: dict[str, str] = {
                lang,
                len({_TOKS}) AS n_tokens,
                len(list_distinct({_TOKS})) AS n_unique_tokens,
-               ROUND(length(replace(text, ' ', '')) * 1.0 / len({_TOKS}), 6) AS avg_token_len,
+               ROUND(length(replace({_TXT}, ' ', '')) * 1.0 / len({_TOKS}), 6) AS avg_token_len,
                {SQL_QUALITY} AS quality
         FROM documents
         ORDER BY doc_id
@@ -984,7 +1002,7 @@ ORACLES: dict[str, str] = {
 #: Sequential redaction chain, innermost-first — same order as
 #: PII_REDACTION_ORDER ('g' flag: DuckDB replaces only the first match
 #: by default, Spark replaces all).
-_SQL_REDACTED = "text"
+_SQL_REDACTED = _TXT
 for _kind in PII_REDACTION_ORDER:
     _SQL_REDACTED = (
         f"regexp_replace({_SQL_REDACTED}, '{PII_PATTERNS[_kind]}', "
@@ -992,13 +1010,13 @@ for _kind in PII_REDACTION_ORDER:
     )
 
 _SQL_PII_COUNTS = " + ".join(
-    f"len(regexp_extract_all(text, '{PII_PATTERNS[k]}'))" for k in PII_REDACTION_ORDER
+    f"len(regexp_extract_all({_TXT}, '{PII_PATTERNS[k]}'))" for k in PII_REDACTION_ORDER
 )
 
 ORACLES["doc_pii_signals"] = f"""
         SELECT doc_id,
                {", ".join(
-                   f"CAST(len(regexp_extract_all(text, '{PII_PATTERNS[k]}')) AS BIGINT) AS n_{k}"
+                   f"CAST(len(regexp_extract_all({_TXT}, '{PII_PATTERNS[k]}')) AS BIGINT) AS n_{k}"
                    for k in PII_REDACTION_ORDER
                )},
                md5({_SQL_REDACTED}) AS redacted_fingerprint,
@@ -1007,11 +1025,11 @@ ORACLES["doc_pii_signals"] = f"""
         ORDER BY doc_id
 """
 
-_SQL_NORM = f"lower(trim(regexp_replace(text, '{_WS_RUN}', ' ', 'g')))"
+_SQL_NORM = f"lower(trim(regexp_replace({_TXT}, '{_WS_RUN}', ' ', 'g')))"
 
 ORACLES["doc_normalized_fingerprints"] = f"""
         SELECT doc_id,
-               length(text) AS raw_len,
+               length({_TXT}) AS raw_len,
                length({_SQL_NORM}) AS norm_len,
                md5({_SQL_NORM}) AS norm_fingerprint
         FROM documents
@@ -1132,7 +1150,7 @@ ORACLES["doc_blocklist_hits"] = f"""
         WITH pats(pattern) AS (VALUES {_SQL_BLOCKLIST_VALUES}),
         hits AS (
             SELECT d.doc_id, p.pattern,
-                   (length(d.text) - length(replace(d.text, p.pattern, '')))
+                   (length(COALESCE(d.text, '')) - length(replace(COALESCE(d.text, ''), p.pattern, '')))
                        // length(p.pattern) AS hits
             FROM documents d, pats p
         )

@@ -447,9 +447,12 @@ def bpe_encode_documents(
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
-        encode_batches, schema=_ENCODE_SCHEMA
-    )
+    # NULL text encodes as the empty document (the oracle's LEFT JOIN +
+    # COALESCE already keeps explicit zero rows for it); without the
+    # coalesce the kernel's text.split crashes the Python worker
+    return docs.select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    ).mapInPandas(encode_batches, schema=_ENCODE_SCHEMA)
 
 
 def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:

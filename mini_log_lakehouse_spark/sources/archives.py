@@ -91,6 +91,15 @@ def write_zip_archives(df_pandas: pd.DataFrame, path: str) -> None:
     """One DEFLATE zip per lang under ``path`` (driver-side export
     prep; deterministic member order by doc_id)."""
     os.makedirs(path, exist_ok=True)
+    # NULL contract (found by the null-text corpus): a missing/empty
+    # lang shards into the visible 'unknown' archive — pandas groupby
+    # silently DROPS the NULL group, and a ''-named shard would write
+    # ".zip", a dotfile Hadoop file sources ignore; missing text is the
+    # empty member (str(None) wrote the literal string "None")
+    lang_filled = df_pandas["lang"].fillna("").replace("", "unknown")
+    df_pandas = df_pandas.assign(
+        lang=lang_filled, text=df_pandas["text"].fillna("")
+    )
     for lang, g in df_pandas.groupby("lang"):
         with zipfile.ZipFile(
             os.path.join(path, f"{lang}.zip"), "w", zipfile.ZIP_DEFLATED
@@ -140,10 +149,10 @@ def documents_zip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES: dict[str, str] = {
     "documents_zip_roundtrip": """
-        SELECT lang,
+        SELECT CASE WHEN lang IS NULL OR lang = '' THEN 'unknown' ELSE lang END AS lang,
                COUNT(*) AS n_docs,
-               CAST(SUM(length(text)) AS BIGINT) AS total_chars,
-               COUNT(DISTINCT md5(text)) AS n_distinct_texts,
+               CAST(SUM(length(COALESCE(text, ''))) AS BIGINT) AS total_chars,
+               COUNT(DISTINCT md5(COALESCE(text, ''))) AS n_distinct_texts,
                CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
         FROM documents
         GROUP BY 1

@@ -65,6 +65,21 @@ driver-style exact compare against the DuckDB oracles:
    precondition (tpch_integrity_audit) because a dangling-proof plan
    would semi-join against a billion-row dimension.
 
+6. **NULL / empty text and metadata** (`nulltext_sf_dir`): documents
+   lose text (NULL and ''), lang, source, and n_chars on coprime
+   strides. This forced a module-wide pinned convention — "a missing
+   text is the EMPTY document" (COALESCE(text,'') symmetric on both
+   sides: textstats._TXT/_docs, spans, vocab encode, sampling _NTOK,
+   curation, multimodal payloads) — and exposed four defect classes:
+   Python-worker crashes on None text (blocklist scan, BPE encode,
+   media payloads), a NULL-key re-join silently zeroing a NULL
+   source's boilerplate count, pandas groupby DROPPING the NULL-lang
+   group in the ZIP exporter (plus str(None) writing the literal
+   string "None" into members, and a ''-named shard becoming a
+   Hadoop-invisible dotfile — NULL/'' lang now shards to 'unknown'),
+   and asymmetric NULL propagation between each engine's expression
+   corners.
+
 All corpora are deterministic transforms of sf0.001 (CASE on ids, no
 RNG). Three dedup entries are exercised only in exploratory runs, not
 pinned: dedup_clusters / dedup_cluster_representatives /
@@ -149,6 +164,23 @@ DUP_ENTRIES = (
     "incremental_minhash_pairs",
 )
 
+
+#: every documents-driven entry plus the three media-payload entries
+#: derived from document text
+NULLTEXT_ENTRIES = sorted(
+    n
+    for n in ORACLES
+    if n.startswith(
+        ("doc_", "dedup_", "documents_", "benchmark_", "incremental_minhash")
+    )
+    or n
+    in (
+        "source_lang_drift",
+        "multimodal_byte_features",
+        "multimodal_media_features",
+        "multimodal_frame_stats",
+    )
+)
 
 #: every orders/lineitem-driven relational entry (TPC-H suite, windows,
 #: set ops, top-K joins) — the surface NULL keys and NULL dates attack
@@ -346,6 +378,29 @@ def null_sf_dir(tmp_path_factory) -> str:
     return out
 
 
+@pytest.fixture(scope="session")
+def nulltext_sf_dir(tmp_path_factory) -> str:
+    out = str(tmp_path_factory.mktemp("sf_nulltext"))
+    _copy_except(out, skip="documents")
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"""
+            COPY (SELECT doc_id,
+              CASE WHEN doc_id % 21 = 0 THEN NULL
+                   WHEN doc_id % 23 = 0 THEN '' ELSE text END AS text,
+              CASE WHEN doc_id % 27 = 0 THEN NULL ELSE lang END AS lang,
+              CASE WHEN doc_id % 29 = 0 THEN NULL ELSE source END AS source,
+              CASE WHEN doc_id % 21 = 0 THEN NULL
+                   WHEN doc_id % 23 = 0 THEN 0 ELSE n_chars END AS n_chars
+              FROM read_parquet('{SOURCE_SF_DIR}/documents.parquet'))
+            TO '{out}/documents.parquet' (FORMAT PARQUET)"""
+        )
+    finally:
+        con.close()
+    return out
+
+
 def test_duckdb_zero_norm_cosine_is_minus_one():
     """The contract functions/vector.py:cosine mirrors. If a DuckDB
     upgrade changes the guarded 0/0 result, every zero-vector row's rank
@@ -431,6 +486,13 @@ def test_props_entry_matches_oracle_on_adversarial_json(spark, json_sf_dir, name
 @pytest.mark.parametrize("name", NULL_ENTRIES)
 def test_relational_entry_matches_oracle_with_null_keys(spark, null_sf_dir, name):
     compare(QUERIES[name](spark, null_sf_dir), ORACLES[name], null_sf_dir, name)
+
+
+@pytest.mark.parametrize("name", NULLTEXT_ENTRIES)
+def test_doc_entry_matches_oracle_with_null_text(spark, nulltext_sf_dir, name):
+    compare(
+        QUERIES[name](spark, nulltext_sf_dir), ORACLES[name], nulltext_sf_dir, name
+    )
 
 
 def test_collapse_path_engaged_on_dup_corpus(spark, dup_sf_dir):
