@@ -50,7 +50,12 @@ driver-style exact compare against the DuckDB oracles:
 
 5. **NULL-planted keys and dates** (`null_sf_dir`): ~8% of orders lose
    o_custkey, ~6% lose o_orderdate; lineitems lose l_suppkey /
-   l_discount / l_shipdate on coprime strides. This exposed two real
+   l_discount / l_shipdate on coprime strides; dimension tables lose
+   c_nationkey / c_acctbal / c_name, s_nationkey, and p_brand / p_size
+   (dim-side NULLs needed no code change — the broadcast dim chains,
+   NTILE (DESC ordering, where the engines agree on NULLS LAST), and
+   COUNT(col) semantics already matched — but are pinned so they stay
+   matched). This exposed two real
    defect classes, both fixed and pinned: (a) the engines DISAGREE on
    window NULL ordering (Spark ASC sorts NULLs first, DuckDB last), so
    every date-ordered series now defines itself over rows WITH a date
@@ -202,6 +207,7 @@ NULL_ENTRIES = sorted(
             "setop_",
             "grouping_sets",
             "kpi",
+            "part_fuzzy",
         )
     )
 )
@@ -372,6 +378,37 @@ def null_sf_dir(tmp_path_factory) -> str:
                    ELSE l_shipdate END AS l_shipdate
               FROM read_parquet('{SOURCE_SF_DIR}/lineitem.parquet'))
             TO '{out}/lineitem.parquet' (FORMAT PARQUET)"""
+        )
+        con.execute(
+            f"""
+            COPY (SELECT c_custkey,
+              CASE WHEN c_custkey % 31 = 0 THEN NULL ELSE c_name END AS c_name,
+              CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_nationkey END
+                AS c_nationkey,
+              CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END
+                AS c_acctbal,
+              c_mktsegment
+              FROM read_parquet('{SOURCE_SF_DIR}/customer.parquet'))
+            TO '{out}/customer.parquet' (FORMAT PARQUET)"""
+        )
+        con.execute(
+            f"""
+            COPY (SELECT s_suppkey, s_name,
+              CASE WHEN s_suppkey % 9 = 0 THEN NULL ELSE s_nationkey END
+                AS s_nationkey,
+              s_acctbal
+              FROM read_parquet('{SOURCE_SF_DIR}/supplier.parquet'))
+            TO '{out}/supplier.parquet' (FORMAT PARQUET)"""
+        )
+        con.execute(
+            f"""
+            COPY (SELECT p_partkey, p_name,
+              CASE WHEN p_partkey % 13 = 0 THEN NULL ELSE p_brand END AS p_brand,
+              p_type,
+              CASE WHEN p_partkey % 17 = 0 THEN NULL ELSE p_size END AS p_size,
+              p_retailprice
+              FROM read_parquet('{SOURCE_SF_DIR}/part.parquet'))
+            TO '{out}/part.parquet' (FORMAT PARQUET)"""
         )
     finally:
         con.close()
