@@ -16,6 +16,18 @@ from pyspark.sql import functions as F
 BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
 
+def text_or_empty(col="text") -> Column:
+    """The repo-wide NULL contract for document text: a missing text is
+    the EMPTY document — the ONE Spark-side body of the convention the
+    oracles state as COALESCE(text, ''), pinned by the null-text corpus
+    in tests/test_adversarial_corpora.py. Every operator reading
+    documents.text goes through this (or textstats._docs, which applies
+    it at the loader) so the next operator cannot silently reintroduce
+    the NULL-divergence class it closed."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(col, F.lit(""))
+
+
 def ws_tokens(col) -> Column:
     """Whitespace tokenization (reference-style split, stg_logs.sql:11 idiom)."""
     return F.split(col, " ")

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mini_log_lakehouse_spark.functions.text import quality_score
+from mini_log_lakehouse_spark.functions.text import quality_score, text_or_empty
 from mini_log_lakehouse_spark.operators.sampling import (
     SQL_SPLIT_CASE,
     assign_split,
@@ -57,7 +57,7 @@ def curate_documents(docs: DataFrame) -> DataFrame:
     # with the oracle's _SQL_NORM/SQL_QUALITY (both COALESCE), so every
     # null-text doc lands in the md5('')-fingerprint duplicate class
     # instead of a Spark-only NULL class
-    t = F.coalesce(F.col("text"), F.lit(""))
+    t = text_or_empty()
     fp = F.md5(normalize_text(t))
     rep = F.min("doc_id").over(Window.partitionBy("_fp"))
     outcome = (

@@ -33,7 +33,7 @@ from mini_log_lakehouse_spark.functions.hashing import (
     sql_portable_hash48,
 )
 from mini_log_lakehouse_spark import session
-from mini_log_lakehouse_spark.functions.text import char_shingles
+from mini_log_lakehouse_spark.functions.text import char_shingles, text_or_empty
 from mini_log_lakehouse_spark.functions.vector import cosine
 from mini_log_lakehouse_spark.sources.registry import load_table
 
@@ -1675,9 +1675,7 @@ def sorted_neighborhood_pairs(docs: DataFrame, window: int = SN_WINDOW) -> DataF
     keyed = docs.select(
         "doc_id",
         F.coalesce(F.col("n_chars"), F.lit(0)).alias("n_chars"),
-        F.substring_index(
-            F.coalesce(F.col("text"), F.lit("")), " ", SN_KEY_WORDS
-        ).alias("sn_key"),
+        F.substring_index(text_or_empty(), " ", SN_KEY_WORDS).alias("sn_key"),
     )
     ranked = _global_sort_ranks(keyed, ["sn_key", "doc_id"])
     left = ranked.select(

@@ -240,7 +240,10 @@ def props_k_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     get_json_object on the ``props`` string column, grouped histogram."""
     return (
         load_table(spark, sf_dir, "events")
-        .select(F.get_json_object("props", "$.k").cast("int").alias("k"))
+        # try_cast, matching the oracle's TRY_CAST: a non-numeric k
+        # ('{"k": "abc"}') must bucket under NULL, not raise
+        # CAST_INVALID_INPUT under ANSI mode
+        .select(F.get_json_object("props", "$.k").try_cast("int").alias("k"))
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("k")
@@ -435,11 +438,16 @@ ORACLES: dict[str, str] = {
     "props_k_histogram": """
         -- json_valid guard: Spark's get_json_object is tolerant (NULL on
         -- malformed/empty JSON) while DuckDB's bare json_extract_string
-        -- ERRORS on it — found by the props-adversary probe; the guard
-        -- states the same tolerant contract the VARIANT oracle below uses
-        SELECT CAST(CASE WHEN json_valid(props)
-                         THEN json_extract_string(props, '$.k')
-                    END AS INT) AS k,
+        -- ERRORS on it — found by the props-adversary probe. TRY_CAST,
+        -- matching the Spark side's try_cast: a non-numeric k yields
+        -- NULL in both engines instead of a cast error in either.
+        -- (Numeric-but-non-integer k like "3.5" remains out of the
+        -- documented contract: DuckDB rounds the string to 4 where
+        -- Spark's try_cast rejects it — same boundary the VARIANT
+        -- oracle documents.)
+        SELECT TRY_CAST(CASE WHEN json_valid(props)
+                             THEN json_extract_string(props, '$.k')
+                        END AS INT) AS k,
                COUNT(*) AS n
         FROM events
         GROUP BY 1

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from mini_log_lakehouse_spark.functions.text import text_or_empty
 from mini_log_lakehouse_spark.sources.registry import load_table
 
 MEDIA_SCHEMA = T.StructType(
@@ -69,7 +70,7 @@ def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         # content the byte kernels crash on (len(None)) — symmetric with
         # the COALESCE in the byte/media-features oracles
         "text",
-        F.coalesce(F.col("text"), F.lit("")),
+        text_or_empty(),
     )
     kind = F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio")
     return d.select(

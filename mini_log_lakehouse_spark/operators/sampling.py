@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from mini_log_lakehouse_spark.functions.text import (
     quality_score,
+    text_or_empty,
     token_count,
     ws_tokens,
 )
@@ -100,7 +101,7 @@ def pack_documents(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    toks = token_count(F.coalesce(F.col("text"), F.lit("")))
+    toks = token_count(text_or_empty())
     sized = docs.select("doc_id", "source", toks.alias("n_tokens"))
     offset = F.sum("n_tokens").over(w) - F.col("n_tokens")  # exclusive prefix sum
     packed = sized.select(
@@ -130,7 +131,7 @@ def doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "split",
             "lang",
-            token_count(F.coalesce(F.col("text"), F.lit(""))).alias("_t"),
+            token_count(text_or_empty()).alias("_t"),
         )
         .groupBy("split", "lang")
         .agg(
@@ -384,7 +385,7 @@ def doc_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the exchange), so at 100 TB the shuffle carries ~CAP rows
     per domain, not the corpus."""
     d = load_table(spark, sf_dir, "documents")
-    q = quality_score(F.coalesce(F.col("text"), F.lit("")))
+    q = quality_score(text_or_empty())
     w = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
     return (
         d.select("doc_id", "source", q.alias("quality"))

@@ -141,6 +141,20 @@ def _empty_knn_frame(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], _KNN_RESULT_SCHEMA)
 
 
+def _unit_rows(mat: "np.ndarray") -> tuple["np.ndarray", "np.ndarray"]:
+    """Row-normalize a (n, d) matrix; returns (unit, zero_mask). The
+    ONE body for the zero-norm discipline shared by both kNN GEMM
+    kernels (query and corpus sides): zero-norm rows come back as ZERO
+    rows and are flagged in the mask so the caller can pin their
+    similarities to -1.0 (the measured DuckDB list_cosine_similarity
+    semantics that functions/vector.py:cosine mirrors) — a plain /=
+    would turn them into NaN rows that silently vanish from the
+    candidate set while the oracle still ranks them."""
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    zero = (norms == 0).ravel()
+    return np.divide(mat, norms, out=np.zeros_like(mat), where=norms != 0), zero
+
+
 def knn_join_vectorized(
     corpus: DataFrame,
     queries: list[tuple[int, list[float]]],
@@ -180,15 +194,7 @@ def knn_join_vectorized(
 
     q_ids = np.array([qid for qid, _ in queries], dtype="int64")
     q_mat = np.array([v for _, v in queries], dtype="float64")
-    # zero-norm rows (query or corpus side) take cos = -1.0, the measured
-    # list_cosine_similarity semantics the shared cosine() helper mirrors
-    # — a plain /= would turn them into NaN rows that silently vanish
-    # from the candidate set while the oracle still ranks them
-    q_norms = np.linalg.norm(q_mat, axis=1, keepdims=True)
-    q_zero = (q_norms == 0).ravel()
-    q_unit = np.divide(
-        q_mat, q_norms, out=np.zeros_like(q_mat), where=q_norms != 0
-    )
+    q_unit, q_zero = _unit_rows(q_mat)
 
     cand_schema = T.StructType(
         [
@@ -211,9 +217,7 @@ def knn_join_vectorized(
                 .astype("float64")
                 .reshape(n, -1)
             )
-            norms = np.linalg.norm(mat, axis=1, keepdims=True)
-            zero_rows = (norms == 0).ravel()
-            mat = np.divide(mat, norms, out=np.zeros_like(mat), where=norms != 0)
+            mat, zero_rows = _unit_rows(mat)
             sims = np.round(mat @ q_unit.T, 6)  # (n, q), ROUNDED
             if zero_rows.any():
                 sims[zero_rows, :] = -1.0
@@ -266,7 +270,10 @@ def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "embedding")
             .collect()
         )
-        _KNN_QUERIES[key] = queries
+        if queries:
+            # never cache an empty query set (mid-population rule —
+            # see _MAX_VEC_ID)
+            _KNN_QUERIES[key] = queries
     return knn_join_vectorized(e, queries)
 
 
@@ -399,9 +406,11 @@ def ivf_train_centroids(
     default: 30-256 vectors/cell), then the full corpus is *assigned*
     distributively — training is O(sample), never O(corpus)."""
     if len(sample) == 0:
-        # empty training sample → empty quantizer (0 cells). Callers
-        # short-circuit before assignment, so the (0, 0) shape is never
-        # fed to an argmin; returning it keeps the trainer total.
+        # empty training sample → empty quantizer (0 cells). Every
+        # entry-level caller checks for the 0-row shape (query-fetch
+        # guards in the single-query tiers; an explicit shape check in
+        # incremental_ann_ivf_topk) before any assignment, so (0, 0)
+        # never reaches an argmin; returning it keeps the trainer total.
         return np.zeros((0, 0), dtype=np.int64)
     qmat = _quantize_mat(sample.astype(np.float64))
     cents = qmat[:n_cells].copy()
@@ -460,7 +469,11 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str, e: DataFrame) -> np.ndarray
             ],
             dtype="float64",
         )
-        cent = _IVF_CENTROIDS[key] = ivf_train_centroids(sample)
+        cent = ivf_train_centroids(sample)
+        if cent.shape[0]:
+            # never cache an EMPTY quantizer: the dir may be
+            # mid-population (same rule as _MAX_VEC_ID / _PQ_CODEBOOKS)
+            _IVF_CENTROIDS[key] = cent
     return cent
 
 
@@ -883,11 +896,7 @@ def ann_ivf_index_topk(
     if prune_cells:
         cells = sorted({int(c) for c in probe.ravel()})
         index = index.filter(F.col("cell").isin(cells))
-    # zero-norm semantics as in knn_join_vectorized: cos = -1.0 (DuckDB's
-    # list_cosine_similarity behavior), never NaN fallout
-    q_norms = np.linalg.norm(q_mat, axis=1, keepdims=True)
-    q_zero = (q_norms == 0).ravel()
-    q_unit = np.divide(q_mat, q_norms, out=np.zeros_like(q_mat), where=q_norms != 0)
+    q_unit, q_zero = _unit_rows(q_mat)
 
     cand_schema = T.StructType(
         [
@@ -911,9 +920,7 @@ def ann_ivf_index_topk(
                 .astype("float64")
                 .reshape(n, -1)
             )
-            norms = np.linalg.norm(mat, axis=1, keepdims=True)
-            zero_rows = (norms == 0).ravel()
-            mat = np.divide(mat, norms, out=np.zeros_like(mat), where=norms != 0)
+            mat, zero_rows = _unit_rows(mat)
             sims = np.round(mat @ q_unit.T, 6)  # (n, q), ROUNDED
             if zero_rows.any():
                 sims[zero_rows, :] = -1.0
@@ -978,6 +985,11 @@ def incremental_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # zero-row sample
         return _empty_knn_frame(spark)
     cent = _ivf_centroids(spark, sf_dir, e)
+    if cent.shape[0] == 0:
+        # a non-empty corpus whose ids all sit above IVF_TRAIN_SAMPLE
+        # (e.g. a tail shard of an append-only id space) has no training
+        # sample — no quantizer means no index to probe
+        return _empty_knn_frame(spark)
     lo = mx - IVF_BATCH + 1
     fp = _source_fingerprint(sf_dir, "embeddings") + f":old=vec_id<{lo}"
     idx = ivf_cell_index(
@@ -1275,7 +1287,10 @@ def corpus_kmeans_centroids(
     if cents is None:
         session.evict_stale(_KMEANS_CENTS, key[0], unpersist=False)
         _, cents, _ = kmeans_fit(e)
-        _KMEANS_CENTS[key] = cents
+        if cents.shape[0]:
+            # never cache an empty-corpus model (mid-population rule —
+            # see _MAX_VEC_ID): a later non-empty read must refit
+            _KMEANS_CENTS[key] = cents
     return cents
 
 

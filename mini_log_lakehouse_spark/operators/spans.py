@@ -36,7 +36,11 @@ import re
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mini_log_lakehouse_spark.functions.text import token_shingles, ws_tokens
+from mini_log_lakehouse_spark.functions.text import (
+    text_or_empty,
+    token_shingles,
+    ws_tokens,
+)
 from mini_log_lakehouse_spark.sources.registry import load_table
 
 #: Span width for boilerplate mining. Real pipelines use sentence-to-
@@ -61,7 +65,7 @@ def doc_frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     grams = d.select(
         "doc_id",
-        F.explode(token_shingles(F.coalesce(F.col("text"), F.lit("")), N_GRAM)).alias("gram"),
+        F.explode(token_shingles(text_or_empty(), N_GRAM)).alias("gram"),
     ).distinct()
     return (
         grams.groupBy("gram")
@@ -85,7 +89,7 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     grams = d.select(
         "doc_id",
-        F.explode(token_shingles(F.coalesce(F.col("text"), F.lit("")), N_GRAM)).alias("gram"),
+        F.explode(token_shingles(text_or_empty(), N_GRAM)).alias("gram"),
     ).distinct()
     first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     return (
@@ -112,7 +116,7 @@ def doc_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = d.select(
         "doc_id",
         "source",
-        F.explode(token_shingles(F.coalesce(F.col("text"), F.lit("")), N_GRAM)).alias("gram"),
+        F.explode(token_shingles(text_or_empty(), N_GRAM)).alias("gram"),
     )
     frequent = (
         grams.select("doc_id", "gram")

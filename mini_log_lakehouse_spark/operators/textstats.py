@@ -23,6 +23,7 @@ from mini_log_lakehouse_spark.functions.text import (
     bpe_ish_tokens,
     distinct_token_count,
     quality_score,
+    text_or_empty,
     token_count,
     token_shingles,
     ws_tokens,
@@ -52,7 +53,7 @@ def _docs(spark, sf_dir: str):
     shingles, fingerprints — instead of letting NULL propagate into
     engine-specific corners (see _TXT's comment)."""
     return load_table(spark, sf_dir, "documents").withColumn(
-        "text", F.coalesce(F.col("text"), F.lit(""))
+        "text", text_or_empty()
     )
 
 

@@ -38,7 +38,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from mini_log_lakehouse_spark.functions.text import ws_tokens
+from mini_log_lakehouse_spark.functions.text import text_or_empty, ws_tokens
 from mini_log_lakehouse_spark.sources.registry import load_table
 
 #: Merge-table size for the driver query — small enough to keep the
@@ -451,7 +451,7 @@ def bpe_encode_documents(
     # COALESCE already keeps explicit zero rows for it); without the
     # coalesce the kernel's text.split crashes the Python worker
     return docs.select(
-        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+        "doc_id", text_or_empty().alias("text")
     ).mapInPandas(encode_batches, schema=_ENCODE_SCHEMA)
 
 

@@ -40,13 +40,17 @@ driver-style exact compare against the DuckDB oracles:
 
 4. **Adversarial JSON** (`json_sf_dir`): the events ``props`` column
    carries malformed JSON, NULL, the empty string, valid JSON without
-   the ``k`` field, and a bare array — while keeping ``k`` strictly
-   integer where present (the documented cross-engine coercion
-   boundary; see the props_variant_stats oracle). This found a real
-   oracle defect: DuckDB's bare json_extract_string ERRORS on
-   malformed JSON while Spark's get_json_object tolerantly yields
-   NULL — the props_k_histogram oracle now carries a json_valid guard
-   stating the same tolerant contract.
+   the ``k`` field, a bare array, and a NON-NUMERIC ``k``
+   ('{"k": "abc"}') — while keeping numeric ``k`` strictly integer
+   (the documented cross-engine coercion boundary; see the
+   props_variant_stats oracle: "3.5" would round to 4 in DuckDB's
+   TRY_CAST but reject to NULL in Spark's try_cast). This found two
+   real defects: DuckDB's bare json_extract_string ERRORS on malformed
+   JSON while Spark's get_json_object tolerantly yields NULL, and a
+   bare CAST of a non-numeric k crashed whichever engine hit it first
+   under ANSI — props_k_histogram now uses json_valid + TRY_CAST /
+   try_cast on both sides, the same tolerant contract as the VARIANT
+   entry.
 
 5. **NULL-planted keys and dates** (`null_sf_dir`): ~8% of orders lose
    o_custkey, ~6% lose o_orderdate; lineitems lose l_suppkey /
@@ -326,13 +330,14 @@ def json_sf_dir(tmp_path_factory) -> str:
         con.execute(
             f"""
             COPY (SELECT event_id, ts, user_id, event_type, value,
-              CASE event_id % 7
+              CASE event_id % 8
                 WHEN 0 THEN '{{"k": 3, "extra": [1,2,{{"deep": true}}]}}'
                 WHEN 1 THEN '{{broken json'
                 WHEN 2 THEN NULL
                 WHEN 3 THEN ''
                 WHEN 4 THEN '{{"other": "no k here"}}'
                 WHEN 5 THEN '[]'
+                WHEN 6 THEN '{{"k": "abc"}}'
                 ELSE props END AS props
               FROM read_parquet('{SOURCE_SF_DIR}/events.parquet'))
             TO '{out}/events.parquet' (FORMAT PARQUET)"""

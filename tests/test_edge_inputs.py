@@ -65,6 +65,48 @@ def tiny_sf_dir(spark, tmp_path_factory) -> str:
     return _build_variant(spark, str(tmp_path_factory.mktemp("sf_tiny")), 1)
 
 
+@pytest.fixture(scope="session")
+def tail_shard_sf_dir(spark, tmp_path_factory) -> str:
+    """Embeddings whose vec_ids ALL sit above IVF_TRAIN_SAMPLE and
+    KNN_QUERY_COUNT (ids shifted +1000) — a tail shard of an
+    append-only id space: no quantizer training sample, no query
+    vectors. Found in review: the empty-quantizer (0, 0) shape escaped
+    incremental_ann_ivf_topk's guards into a numpy matmul."""
+    import duckdb
+
+    out = str(tmp_path_factory.mktemp("sf_tail"))
+    for name in TABLES:
+        if name != "embeddings":
+            df = spark.read.parquet(f"{SOURCE_SF_DIR}/{name}.parquet")
+            df.coalesce(1).write.parquet(f"{out}/{name}.parquet")
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"""COPY (SELECT vec_id + 1000 AS vec_id, embedding, label
+                FROM read_parquet('{SOURCE_SF_DIR}/embeddings.parquet'))
+                TO '{out}/embeddings.parquet' (FORMAT PARQUET)"""
+        )
+    finally:
+        con.close()
+    return out
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "incremental_ann_ivf_topk",
+        "ann_ivf_topk",
+        "ann_ivfpq_topk",
+        "ann_knn_join",
+        "ann_cosine_topk",
+        "ann_recall_report",
+        "embedding_kmeans_clusters",
+    ],
+)
+def test_ann_entry_survives_tail_shard(spark, tail_shard_sf_dir, name):
+    QUERIES[name](spark, tail_shard_sf_dir).collect()
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_entry_survives_degenerate_corpora(
     spark, sf_dir, empty_sf_dir, tiny_sf_dir, name
