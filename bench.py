@@ -150,64 +150,91 @@ def _drop_pipeline_caches() -> None:
         dedup._SIG_CACHE.pop(key).unpersist(True)
 
 
-def bench_spark(spark, sf_dir: str, iters: int, warmup: int, names=HEADLINE):
-    # Leg-wide settle pass BEFORE any per-query timing: one execution of
-    # every query so the leg's startup transient — scaled-corpus write
-    # residue in the page cache, input-cache fill, bucketed-CTAS
-    # materialization, JIT ramp, the first full-GC wave — lands here
-    # instead of inside the first timed query's median. r9's sf30 leg
-    # measured top_customers_by_revenue at 20.7 s in-suite vs 4.8 s
-    # isolated (0.91x DuckDB) purely because its timed iterations ran
-    # while the leg was still settling; the per-query warmups alone
-    # don't absorb a transient that outlives them.
+def _quiet_heap(spark) -> None:
+    """Barrier between measurement blocks: evict pipeline caches the
+    previous block planted, flush dirty pages (the dedup cold run
+    writes GBs of shuffle/sig data whose writeback would otherwise land
+    inside the NEXT block's timings), and ask for the full-GC wave NOW."""
+    _drop_pipeline_caches()
+    try:
+        os.sync()
+    except OSError:
+        pass
+    spark.sparkContext._jvm.System.gc()
+
+
+def bench_comparable(spark, sf_dir: str, iters: int, warmup: int, names):
+    """Settle + time the baseline-covered (comparable) queries. The
+    settle pass — one execution of each — absorbs the leg's startup
+    transient (scaled-corpus write residue in the page cache,
+    input-cache fill, bucketed-CTAS materialization, JIT ramp, the
+    first full-GC wave) so it lands here instead of inside the first
+    timed query's median (r9's sf30 leg measured top_customers at
+    20.7 s in-suite vs 4.8 s isolated for exactly that reason).
+
+    Cache-bearing queries (COLD_ALSO) are deliberately NOT in this
+    group: r10 and r12 both shipped graded sf30 artifacts where the
+    comparable block ran slow (top_customers 2.16× in-suite vs 1.06×
+    isolated in r12) after the settle pass had executed the MinHash
+    pipeline — its multi-GB shuffle + persist churn degrades the
+    environment beyond what a drop+GC recovers. The fix is structural:
+    the comparable queries now settle AND time before any cache-bearing
+    query executes at all (bench_cache_bearing runs strictly after)."""
     for name in names:
         QUERIES[name](spark, sf_dir).collect()
-    # The settle pass itself was the r10 contaminator: it leaves the
-    # MinHash signature table persisted (4.6 GB at sf30), and the
-    # driver's r10 run measured top_customers_by_revenue at 21.0 s
-    # in-suite vs 4.44 s isolated with ALL THREE timed iterations slow —
-    # storage-memory/GC pressure from the resident working set, not a
-    # first-iteration transient (VERDICT r10 "what's wrong" 1). Fix is
-    # structural: (a) evict the pipeline caches the settle pass planted
-    # and ask for the full-GC wave NOW, so every other query times
-    # against a quiet heap; (b) time the cache-bearing queries LAST, so
-    # their warmups (which legitimately re-persist the signatures — the
-    # warm number is the banding join over precomputed signatures) can
-    # no longer sit resident under anyone else's median.
-    _drop_pipeline_caches()
     spark.sparkContext._jvm.System.gc()
-    ordered = [n for n in names if n not in COLD_ALSO] + [
-        n for n in names if n in COLD_ALSO
-    ]
     results: dict[str, float] = {}
-    cold: dict[str, float] = {}
-    for name in ordered:
+    for name in names:
         fn = QUERIES[name]
         results[name] = round(
             time_fn(lambda: fn(spark, sf_dir).collect(), warmup=warmup, iters=iters),
             4,
         )
-        if name in COLD_ALSO:
-            # Cold AFTER warm: the warm loop has JIT-compiled the whole
-            # pipeline, so this single drop-caches run isolates the
-            # signature recompute (hash→band→verify), not first-run JVM
-            # codegen compilation — the number a production re-ingest
-            # would actually pay.
-            _drop_pipeline_caches()
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
-            cold[name] = round(time.perf_counter() - t0, 4)
-            # The cold run itself re-persisted the signatures; drop them
-            # again (and GC) so the leg's baseline timing and isolation
-            # blocks run against a quiet heap — r11 run-2 measured the
-            # ISOLATED q1 at 3.85x (vs 1.16x in-suite) purely because
-            # the re-persisted 4.6 GB working set was resident by then
-            # (DuckDB's adjacent read of the same parquet stayed at
-            # 1.1 s, so the pages were cached — the stall was JVM-side).
-            _drop_pipeline_caches()
-            spark.sparkContext._jvm.System.gc()
-    # re-emit in declared HEADLINE order so artifact diffs across rounds
-    # stay column-stable
+    return results
+
+
+def bench_cache_bearing(spark, sf_dir: str, iters: int, warmup: int, names):
+    """Time the cache-bearing queries (persisted-intermediate reuse),
+    strictly AFTER the comparable block: their warmups legitimately
+    re-persist the signature tables (the warm number is the banding
+    join over precomputed signatures — the production shape), but that
+    working set must never sit resident under anyone else's median."""
+    results: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    for name in names:
+        fn = QUERIES[name]
+        results[name] = round(
+            time_fn(lambda: fn(spark, sf_dir).collect(), warmup=warmup, iters=iters),
+            4,
+        )
+        # Cold AFTER warm: the warm loop has JIT-compiled the whole
+        # pipeline, so this single drop-caches run isolates the
+        # signature recompute (hash→band→verify), not first-run JVM
+        # codegen compilation — the number a production re-ingest
+        # would actually pay.
+        _drop_pipeline_caches()
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        cold[name] = round(time.perf_counter() - t0, 4)
+        # The cold run itself re-persisted the signatures; quiet the
+        # heap so the isolation blocks run clean — r11 run-2 measured
+        # the ISOLATED q1 at 3.85x (vs 1.16x in-suite) purely because
+        # the re-persisted 4.6 GB working set was resident by then.
+        _quiet_heap(spark)
+    return results, cold
+
+
+def bench_spark(spark, sf_dir: str, iters: int, warmup: int, names=HEADLINE):
+    """Comparable block first, cache-bearing block second (see the two
+    helpers for why the order is load-bearing); results re-emitted in
+    declared ``names`` order so artifact diffs stay column-stable."""
+    comparable = [n for n in names if n not in COLD_ALSO]
+    bearing = [n for n in names if n in COLD_ALSO]
+    results = bench_comparable(spark, sf_dir, iters, warmup, comparable)
+    cold: dict[str, float] = {}
+    if bearing:
+        warm_b, cold = bench_cache_bearing(spark, sf_dir, iters, warmup, bearing)
+        results.update(warm_b)
     results = {n: results[n] for n in names}
     return results, cold
 
@@ -320,6 +347,29 @@ def isolation_runs(spark, con_dir: str, names, leg: dict) -> dict:
     return out
 
 
+def _bench_leg(spark, leg_dir: str, names, iters: int, warmup: int):
+    """One leg's full measurement order — load-bearing (r12's graded
+    sf30 artifact showed the contamination signature a third time):
+
+    1. comparable Spark queries settle + time (no cache-bearing query
+       has executed on this corpus yet);
+    2. DuckDB baselines time (same pre-dedup environment — a baseline
+       timed after the dedup block would read evicted page cache and
+       flatter our ratios);
+    3. cache-bearing Spark queries settle + time (warm + cold), then a
+       quiet-heap barrier for whatever runs next."""
+    comparable = [n for n in names if n not in COLD_ALSO]
+    bearing = [n for n in names if n in COLD_ALSO]
+    results = bench_comparable(spark, leg_dir, iters, warmup, comparable)
+    baseline = bench_duckdb(leg_dir, names, iters=iters)
+    cold: dict[str, float] = {}
+    if bearing:
+        warm_b, cold = bench_cache_bearing(spark, leg_dir, iters, warmup, bearing)
+        results.update(warm_b)
+    results = {n: results[n] for n in names}
+    return results, cold, baseline
+
+
 def scaled_leg(
     spark,
     sf_dir: str,
@@ -328,6 +378,7 @@ def scaled_leg(
     names=HEADLINE,
     iters: int = ITERS_SCALED,
     iso: bool = False,
+    incremental: bool = False,
 ) -> dict:
     from mini_log_lakehouse_spark.session import release_corpus_caches
     from mini_log_lakehouse_spark.sources.scaleup import materialize_scaled
@@ -340,7 +391,9 @@ def scaled_leg(
     # tables/signatures before warming this one (accumulated pins
     # measurably pressure storage memory by the 100x leg).
     release_corpus_caches(spark)
-    results, cold = bench_spark(spark, scaled_dir, iters, WARMUP_SCALED, names)
+    results, cold, baseline = _bench_leg(
+        spark, scaled_dir, names, iters, WARMUP_SCALED
+    )
     leg = _with_ratios(
         {
             "factor": factor,
@@ -348,7 +401,7 @@ def scaled_leg(
             "value": round(sum(results.values()), 4),
             "queries": results,
             "queries_cold": cold,
-            "baseline": bench_duckdb(scaled_dir, names, iters=iters),
+            "baseline": baseline,
             "iters": iters,
         }
     )
@@ -373,7 +426,56 @@ def scaled_leg(
             leg["iso_ratio_total"] = round(
                 sum(s for s, _ in iso_pairs) / sum(d for _, d in iso_pairs), 2
             )
+    if incremental:
+        # Strictly after the graded blocks (in-suite + isolation): the
+        # incremental entries build persisted warehouse indexes on first
+        # call, and that churn must not sit under anyone's median.
+        leg["incremental"] = incremental_block(spark, scaled_dir, leg)
     return leg
+
+
+#: The pay-once-index entries (VERDICT r12 ask 4): measured at the
+#: scaled legs against their natural full-recompute comparators, so the
+#: incremental-index story carries the same artifact-backed treatment
+#: as the bucketed warehouse. Comparators: near-dup increment vs the
+#: full MinHash pipeline warm over the same corpus; ANN increment vs
+#: the exact GEMM kNN join of a batch against the full corpus.
+INCREMENTAL_ENTRIES = (
+    ("incremental_minhash_pairs", "dedup_minhash_pairs"),
+    ("incremental_ann_ivf_topk", "ann_knn_join"),
+)
+ITERS_INC = int(os.environ.get("BENCH_ITERS_INC", "3"))
+
+
+def incremental_block(spark, leg_dir: str, leg: dict) -> dict:
+    out = {}
+    for name, comparator in INCREMENTAL_ENTRIES:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, leg_dir).collect()
+        first = round(time.perf_counter() - t0, 4)  # includes index build
+        warm = round(
+            time_fn(lambda: fn(spark, leg_dir).collect(), warmup=0, iters=ITERS_INC),
+            4,
+        )
+        comp = leg["queries"].get(comparator)
+        if comp is None:
+            cfn = QUERIES[comparator]
+            comp = round(
+                time_fn(
+                    lambda: cfn(spark, leg_dir).collect(), warmup=1, iters=ITERS_INC
+                ),
+                4,
+            )
+        out[name] = {
+            "increment_sec": warm,
+            "first_call_sec": first,
+            "comparator": comparator,
+            "comparator_warm_sec": comp,
+            "speedup": round(comp / warm, 2) if warm else None,
+        }
+    _quiet_heap(spark)
+    return out
 
 
 #: Hard stdout budget: the driver keeps only the LAST ~2000 chars of
@@ -412,6 +514,8 @@ def compact_line(payload: dict, budget: int = _LINE_BUDGET) -> str:
         ("scaled", "queries"),
         ("scaled_100", "queries"),
         (None, "queries_cold"),
+        ("scaled_100", "inc_speedup"),
+        ("scaled_300", "inc_speedup"),
     ):
         if len(line) <= budget:
             break
@@ -466,6 +570,10 @@ def _compact(full: dict, keep_ratios: bool = False, keep_cold: bool = True) -> d
             out["iso_ratios"] = {
                 q: d["ratio_isolated"] for q, d in v.items()
             }
+        elif k == "incremental":
+            # full increment-vs-recompute blocks live in
+            # BENCH_DETAIL.json; the line carries only the speedups
+            out["inc_speedup"] = {q: d["speedup"] for q, d in v.items()}
         elif k == "baseline":
             out["baseline_total"] = round(sum(v.values()), 2)
         elif k == "ratios":
@@ -492,7 +600,7 @@ def main() -> None:
     spark = get_spark(app_name="mini-log-lakehouse-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    results, cold = bench_spark(spark, sf_dir, ITERS, WARMUP)
+    results, cold, baseline = _bench_leg(spark, sf_dir, HEADLINE, ITERS, WARMUP)
 
     payload = _with_ratios(
         {
@@ -502,7 +610,7 @@ def main() -> None:
             "queries": results,
             "queries_cold": cold,
             "sf": sf,
-            "baseline": bench_duckdb(sf_dir, HEADLINE),
+            "baseline": baseline,
             "iters": ITERS,
         }
     )
@@ -511,7 +619,7 @@ def main() -> None:
         payload["scaled"] = scaled_leg(spark, sf_dir, sf, SCALE_FACTOR)
     if SCALE_FACTOR_100 > 1:
         payload["scaled_100"] = scaled_leg(
-            spark, sf_dir, sf, SCALE_FACTOR_100, iso=True
+            spark, sf_dir, sf, SCALE_FACTOR_100, iso=True, incremental=True
         )
     if SCALE_FACTOR_300 > 1:
         # heavy rows only; isolation auto-attaches to any >2x row, which
@@ -525,6 +633,7 @@ def main() -> None:
             names=HEADLINE_HEAVY,
             iters=ITERS_300,
             iso=True,
+            incremental=True,
         )
 
     detail_path = os.path.join(

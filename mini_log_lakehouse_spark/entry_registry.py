@@ -82,87 +82,74 @@ if _unknown:
 
 # The verification driver samples the FIRST 50 registry entries per round,
 # so this explicit window decides which queries get a driver-side
-# CORRECTNESS row. Round-12 priority (computed from the committed
+# CORRECTNESS row. Round-13 priority (computed from the committed
 # CORRECTNESS_r*.json artifacts — tests/test_rotation.py re-derives the
 # same staleness table and fails if this window drifts):
-# (1) all 49 entries whose latest driver row is r8 — they sit exactly at
-# ROTATION_MAX_AGE=4 when CORRECTNESS_r12 lands, so they must refresh
-# this round or fail test_rotation at r13.
-# (2) the single remaining slot goes to ann_rp_topk (VERDICT r11 ask 1):
-# it is the ONLY entry in the registry whose latest driver row is
-# non-green (r10 `err: no_oracle`, recorded before its hash oracle
-# landed in similarity.py:ann_tier_topk_sql). Under the default
-# oldest-exposure-first fill rule a single-sample multimodal codec would
-# take the slot and the red latest-row would persist to ~r14; the judge
-# explicitly overrode the default for r12.
-# New-entry policy (r12): incremental_minhash_pairs and
-# incremental_ann_ivf_topk ship this round but CANNOT take a slot —
-# both forcing sets are saturated (r12: 49 forced + the judge-directed
-# fill; r13: exactly the 50 r9-latest entries). They are recorded in
-# ENTRY_REGISTERED below with a mechanically-enforced first-row
-# deadline (tests/test_rotation.py): they MUST enter the r14 window,
-# where the r10 pool shrinks to 48 forced entries (ann_rp_topk
-# refreshes to r12 here) and exactly 2 slots open (48 + 2 = 50). Until
-# then they carry the same local DuckDB hash-compare as every
-# past-position-50 entry.
-# r13 pre-stage: the forcing set is the 50 r9-latest entries exactly
-# (includes the five single-sample multimodal codecs from r9); no
-# discretionary slots.
+# (1) 48 of the 50 entries whose latest driver row is r9 — they sit at
+# age 4 (the ROTATION_MAX_AGE boundary) when CORRECTNESS_r13 lands.
+# (2) the two r12-registered incrementals (incremental_minhash_pairs,
+# incremental_ann_ivf_topk — VERDICT r12 ask 3): their first-row
+# deadline is r14, but r14 could not fit them beside all 50 r9-latest
+# entries (52 > 50), so two R9 ENTRIES ARE DEFERRED INSTEAD —
+# tpch_q3_shipping_priority and tpch_q4_order_priority, chosen as the
+# lowest-risk deferrals (classic relational analogs, hash-green in
+# every sampled round since r3, code untouched for 9 rounds). The
+# deferral is legal under the rotation contract (age 4 == MAX_AGE, not
+# beyond) and they MUST lead the r14 window (age 5 forces them;
+# r14 = those 2 + the 48 r10-latest entries = exactly 50).
 # Everything past position 50 stays covered by the identical local
 # DuckDB hash-compare in tests/test_entry_contract.py.
 _FIRST_WINDOW = (
-    # (1) latest driver row r8 — due now
-    "doc_domain_cap",
-    "multimodal_bmp_features",
-    "events_column_profile",
-    "user_hourly_gapfilled",
-    "lakehouse_change_feed",
-    "events_heavy_hitters",
-    "setop_union_all_counts",
-    "doc_bpe_first_merge",
-    "doc_bpe_encode",
-    "streaming_hourly_fact_p95",
-    "streaming_user_sessions",
-    "streaming_user_totals",
-    "events_funnel",
-    "events_retention_cohorts",
-    "session_funnel",
-    "events_daily_trend",
-    "user_sssp_weighted",
-    "user_wcc",
-    "user_link_prediction",
-    "user_event_salsa",
-    "embedding_random_projection",
-    "embedding_int8_quantize",
-    "embedding_kmeans_clusters",
-    "embedding_label_centroids",
-    "ann_knn_join",
-    "ann_recall_report",
-    "documents_jsonl_roundtrip",
-    "customers_with_orders",
-    "customers_without_orders",
-    "setop_union_nations",
-    "setop_intersect_nations",
-    "setop_except_nations",
-    "setop_except_all_nation_keys",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q10_returned_items",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_parts",
-    "tpch_q12_late_shipment_priority",
-    "doc_token_stats",
-    "doc_sparse_search",
-    "doc_unigram_lm_scores",
-    "doc_tfidf_top_terms",
-    "dedup_incremental_batch",
-    "part_fuzzy_name_pairs",
-    "dedup_embedding_cosine",
-    "dedup_substring_spans",
-    # (2) judge-directed fill (VERDICT r11 ask 1): clear the last red latest-row
-    "ann_rp_topk",
+    "approx_distinct_quality_report",
+    "customers_without_urgent_orders",
+    "dedup_semantic_pairs",
+    "doc_boilerplate_share",
+    "doc_frequent_ngrams",
+    "doc_hybrid_search",
+    "doc_lang_mixture",
+    "doc_lm_quality_gate",
+    "doc_ngram_novelty",
+    "embedding_pq_codes",
+    "event_burst_runs",
+    "event_transition_counts",
+    "event_trigram_paths",
+    "events_bigram_lm_scores",
+    "events_cms_user_counts",
+    "events_cusum_changepoints",
+    "events_daily_anomalies",
+    "events_hour_unpivot",
+    "events_zorder_pruned",
+    "multimodal_gif_features",
+    "multimodal_jpeg_dc_features",
+    "multimodal_mulaw_features",
+    "multimodal_png_features",
+    "multimodal_tiff_features",
+    "orders_rollup_status_priority",
+    "orders_window_battery",
+    "props_variant_stats",
+    "session_attribution",
+    "source_lang_drift",
+    "streaming_append_hourly",
+    "streaming_daily_active_users",
+    "streaming_update_hourly",
+    "tpch_integrity_audit",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_excess_stock_suppliers",
+    "tpch_q21_waiting_orders",
+    "tpch_q22_lapsed_customers",
+    "tpch_q5_local_supplier_volume",
+    "user_communities",
+    "user_decayed_activity",
+    "user_pagerank",
+    "user_state_scd2",
+    "incremental_minhash_pairs",
+    "incremental_ann_ivf_topk",
 )
 
 #: Entries that have shipped but never received a driver CORRECTNESS row,
@@ -175,9 +162,12 @@ _FIRST_WINDOW = (
 #: unregistered never-sampled entry is overdue IMMEDIATELY (the strict
 #: r6 rule is unchanged for the undocumented case). Once an entry has a
 #: driver row, remove it from this dict.
-ENTRY_REGISTERED = {
-    "incremental_minhash_pairs": 12,
-    "incremental_ann_ivf_topk": 12,
+ENTRY_REGISTERED: dict[str, int] = {
+    # (empty) — the two r12-registered incrementals are scheduled in the
+    # r13 window above, which satisfies the rotation contract directly
+    # (a never-sampled entry passes by being in the window), and keeping
+    # them here would trip test_registration_ledger_is_tidy the moment
+    # CORRECTNESS_r13 lands with their first rows.
 }
 
 _missing = [n for n in _FIRST_WINDOW if n not in QUERIES]

@@ -58,6 +58,20 @@ _COLLAPSE_MAX_CLASS = 32
 #: shuffle, singletons dropped pre-pair) wins.
 _PAIR_JOIN_MAX_KEYS = 20_000
 
+#: Estimate-join middle tier: above _PAIR_JOIN_MAX_KEYS the candidate
+#: PAIRING is group-and-pair (right: the self-join would shuffle both
+#: sides), but the ESTIMATE join can still broadcast the signature table
+#: as long as it is broadcast-sized — a sig row is ~520 B in memory
+#: (K=64 ints + key), so 400k keys ≈ 200 MB, a routine broadcast. The
+#: shuffle it replaces is 2 × sig_bytes × n_candidates AT PAIR GRAIN,
+#: and candidate mass is data-borne: the heavy corpus profile (see
+#: SCALING.md "corpus profiles") emits ~40 candidates/doc, so the
+#: per-pair shuffle is ~25× the broadcast bytes at sf1 (measured
+#: 633 MB shuffled per warm run vs a 26 MB sig table). Above this tier
+#: (sig table > ~200 MB) SHUFFLE_HASH on the pair key is the 100 TB
+#: shape — never SortMergeJoin on wide signature rows.
+_EST_BROADCAST_MAX_KEYS = 400_000
+
 #: Memoized per-corpus decisions keyed by (applicationId, corpus plan
 #: semanticHash) → (collapse?, n_keys at pairing grain) — the decision
 #: aggregate runs once per corpus per session, never per invocation.
@@ -296,6 +310,28 @@ def _persist_sigs(op: str, sigs: DataFrame) -> DataFrame:
     sigs = sigs.persist()
     _SIG_CACHE[key] = sigs
     return sigs
+
+
+def _sig_agreement(k: int) -> Column:
+    """Count of positions where ``sig_a`` and ``sig_b`` agree (zip_with
+    + aggregate, memoized per K — the bands×rows dial). Formulation
+    note, measured at sf1 on the heavy corpus profile (2.4M candidate
+    pairs): this higher-order-function form evaluates interpreted
+    (~8.8 µs/pair) but an unrolled sum of K codegen'd comparisons is
+    3× SLOWER still (the 190-node expression overflows the generated
+    method budget and falls back to per-term interpreted eval with
+    per-access bound checks), so the HOF form stands."""
+
+    def _build() -> Column:
+        return F.aggregate(
+            F.zip_with(
+                F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+
+    return _cached_expr(("minhash_agree", k), _build)
 
 
 def _banded(
@@ -552,7 +588,7 @@ def minhash_candidate_pairs(
         # Memo-hit direct calls never even construct the fingerprint
         # plan — the warm path is exactly the signature pipeline.
         return _minhash_pairs_direct(
-            docs, id_col, text_col, min_est, small, bands, rows
+            docs, id_col, text_col, min_est, small, bands, rows, n_keys
         )
     members = _members()
     reps = docs.select(
@@ -575,29 +611,35 @@ def minhash_candidate_pairs(
             "_fp", sig_expr.alias("sig")
         ),
     )
+    bcast = (
+        not small and n_keys is not None and n_keys <= _EST_BROADCAST_MAX_KEYS
+    )
+    # Pair-dedup stays EARLY (before the estimate joins): moving it
+    # after the est filter was measured SLOWER on the broadcast tier
+    # (3.1 s vs 2.3 s warm at sf1) even at a ~1.03 duplicate factor —
+    # without the distinct's exchange the interpreted-HOF estimate runs
+    # fused into the group-and-pair aggregation stage and loses the
+    # post-exchange parallelism rebalance.
     cand = _pair_candidates(
         _banded(sigs, "_fp", bands=bands, rows=rows), "_fp", small
     ).distinct()
-    # Estimate-join strategy: small corpora let AQE broadcast the sig
-    # table; larger ones force SHUFFLE_HASH — the signature rows need no
-    # ordering, and the planner's static estimate of the (cand ⋈ sig_a)
-    # intermediate otherwise falls back to SortMergeJoin, paying a sort
-    # of the wide signature rows on BOTH est joins (measured at the 10×
-    # leg). At 100 TB shuffle-hash on the pair key is the right shape.
+    # Estimate-join strategy, three tiers (see _EST_BROADCAST_MAX_KEYS):
+    # tiny corpora let AQE broadcast on its own; broadcast-sized sig
+    # tables get an explicit broadcast (the per-pair alternative shuffles
+    # 2 × sig bytes × candidate count — measured 633 MB/run at sf1 on
+    # the heavy corpus profile, vs a 26 MB sig broadcast); above that,
+    # SHUFFLE_HASH — the signature rows need no ordering, and the
+    # planner's static estimate of the (cand ⋈ sig_a) intermediate
+    # otherwise falls back to SortMergeJoin, paying a sort of the wide
+    # signature rows on BOTH est joins (measured at the 10× leg).
     sa = sigs.select(F.col("_fp").alias("_fp_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("_fp").alias("_fp_b"), F.col("sig").alias("sig_b"))
     if not small:
-        sa, sb = sa.hint("shuffle_hash"), sb.hint("shuffle_hash")
-    agree = _cached_expr(
-        ("minhash_agree",),
-        lambda: F.aggregate(
-            F.zip_with(
-                F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")
-            ),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        ),
-    )
+        if bcast:
+            sa, sb = F.broadcast(sa), F.broadcast(sb)
+        else:
+            sa, sb = sa.hint("shuffle_hash"), sb.hint("shuffle_hash")
+    agree = _sig_agreement(k)
     rep_pairs = (
         cand.join(sa, "_fp_a")
         .join(sb, "_fp_b")
@@ -645,6 +687,7 @@ def _minhash_pairs_direct(
     small: bool = False,
     bands: int = MINHASH_BANDS,
     rows: int = MINHASH_ROWS,
+    n_keys: int | None = None,
 ) -> DataFrame:
     """Near-duplicate-free fast path: signatures at doc grain, candidate
     pairing per _pair_candidates, estimates re-read from the
@@ -667,6 +710,9 @@ def _minhash_pairs_direct(
             id_col, sig_expr.alias("sig")
         ),
     )
+    bcast = (
+        not small and n_keys is not None and n_keys <= _EST_BROADCAST_MAX_KEYS
+    )
     cand = (
         _pair_candidates(
             _banded(sigs, id_col, bands=bands, rows=rows), id_col, small
@@ -676,23 +722,17 @@ def _minhash_pairs_direct(
         )
         .distinct()
     )
-    # Same estimate-join strategy note as the collapsed path: SHJ when
-    # the sig table outgrows broadcast — never SortMergeJoin on wide
-    # signature rows.
+    # Same three-tier estimate-join strategy as the collapsed path:
+    # explicit broadcast while the sig table is broadcast-sized, SHJ
+    # beyond — never SortMergeJoin on wide signature rows.
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     if not small:
-        sa, sb = sa.hint("shuffle_hash"), sb.hint("shuffle_hash")
-    agree = _cached_expr(
-        ("minhash_agree",),
-        lambda: F.aggregate(
-            F.zip_with(
-                F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")
-            ),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        ),
-    )
+        if bcast:
+            sa, sb = F.broadcast(sa), F.broadcast(sb)
+        else:
+            sa, sb = sa.hint("shuffle_hash"), sb.hint("shuffle_hash")
+    agree = _sig_agreement(k)
     pairs = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
@@ -1021,16 +1061,7 @@ def minhash_pairs_vs_index(
         .select(F.col("_fp_a"), F.col("_fp_b"))
         .distinct()
     )
-    agree = _cached_expr(
-        ("minhash_agree",),
-        lambda: F.aggregate(
-            F.zip_with(
-                F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")
-            ),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        ),
-    )
+    agree = _sig_agreement(k)
     est = F.round(agree / F.lit(k), 6).alias("est_jaccard")
     so = index_sigs.select(F.col("_fp").alias("_fpo"), F.col("sig").alias("sig_a"))
     sn = new_sigs.select(F.col("_fp").alias("_fpn"), F.col("sig").alias("sig_b"))
