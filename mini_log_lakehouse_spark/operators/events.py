@@ -438,15 +438,19 @@ ORACLES: dict[str, str] = {
     "props_k_histogram": """
         -- json_valid guard: Spark's get_json_object is tolerant (NULL on
         -- malformed/empty JSON) while DuckDB's bare json_extract_string
-        -- ERRORS on it — found by the props-adversary probe. TRY_CAST,
-        -- matching the Spark side's try_cast: a non-numeric k yields
-        -- NULL in both engines instead of a cast error in either.
-        -- (Numeric-but-non-integer k like "3.5" remains out of the
-        -- documented contract: DuckDB rounds the string to 4 where
-        -- Spark's try_cast rejects it — same boundary the VARIANT
-        -- oracle documents.)
+        -- ERRORS on it — found by the props-adversary probe. The
+        -- integer-literal regex mirrors Spark's try_cast(string AS INT)
+        -- semantics EXACTLY (ADVICE r12): Spark accepts only an
+        -- optionally-signed digit string (after trim) and rejects
+        -- '3.5'/'3.0' to NULL, while DuckDB's bare TRY_CAST would round
+        -- '3.5' to 4 — so the oracle admits only integer literals
+        -- before casting (overflow past INT32 then NULLs identically
+        -- in both engines' TRY_CAST/try_cast).
         SELECT TRY_CAST(CASE WHEN json_valid(props)
-                             THEN json_extract_string(props, '$.k')
+                             AND regexp_matches(
+                                 trim(json_extract_string(props, '$.k')),
+                                 '^[+-]?[0-9]+$')
+                             THEN trim(json_extract_string(props, '$.k'))
                         END AS INT) AS k,
                COUNT(*) AS n
         FROM events

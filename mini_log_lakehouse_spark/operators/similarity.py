@@ -437,6 +437,15 @@ def ivf_assign_cells(
     squared-L2 argmin in q-space, ties to the lowest cell — the same
     metric the trainer used) — one numpy GEMM per Arrow batch
     (map-only, no shuffle), same shape as lsh_bucketed."""
+    if centroids.shape[0] == 0:
+        # the empty quantizer ivf_train_centroids returns for an empty
+        # training sample (ADVICE r12): fail with a named cause here
+        # instead of an opaque numpy matmul shape error inside a worker
+        raise ValueError(
+            "ivf_assign_cells: empty quantizer (0 centroids) — the "
+            "training sample was empty; callers must guard the 0-row "
+            "shape before assignment"
+        )
 
     def compute(mat):
         return _sq_dists(_quantize_mat(mat), centroids).argmin(axis=1)
@@ -1026,6 +1035,14 @@ def _sq_dists(qmat: "np.ndarray", cents: "np.ndarray") -> "np.ndarray":
     ||c||^2): no float rounding, so DuckDB can reproduce every distance
     bit-for-bit. Magnitude bound: d * (2 * FP * max|v|)^2 per entry —
     ~1e14 for unit-scale dim-64 embeddings, far inside int64."""
+    if cents.shape[0] == 0:
+        # the (0, 0) empty quantizer (ivf_train_centroids on an empty
+        # sample) must fail with a named cause, not a matmul dimension
+        # error — ADVICE r12
+        raise ValueError(
+            "_sq_dists: empty centroid set — the quantizer was trained "
+            "on an empty sample; guard the 0-row shape upstream"
+        )
     qq = (qmat * qmat).sum(axis=1)
     cc = (cents * cents).sum(axis=1)
     qc = qmat @ cents.T

@@ -94,7 +94,17 @@ def stream_ingest_logs(
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Replay the events table as a stream (per-file microbatches)."""
+    """Replay the events table as a stream (per-file microbatches).
+
+    LIMITATION (ADVICE r12): the directory-shape probe below is
+    ``os.path.isdir`` — local-filesystem only, matching the driver
+    contract's local ``sf_dir`` paths. For a remote warehouse
+    (hdfs://, s3a://) a directory-shaped table would silently fall to
+    the single-file glob and read nothing; a remote deployment should
+    probe through the JVM Hadoop FileSystem instead
+    (``spark._jvm.org.apache.hadoop.fs.FileSystem`` getFileStatus
+    isDirectory) — not wired here because remote inputs are out of the
+    driver contract and the dead branch would be untestable in CI."""
     path = os.path.join(sf_dir, "events.parquet")
     if os.path.isdir(path):
         # directory-shaped table (scaled replicas; any real multi-file

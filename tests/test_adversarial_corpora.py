@@ -525,9 +525,88 @@ def test_props_entry_matches_oracle_on_adversarial_json(spark, json_sf_dir, name
     compare(QUERIES[name](spark, json_sf_dir), ORACLES[name], json_sf_dir, name)
 
 
+@pytest.fixture(scope="session")
+def json_frac_sf_dir(tmp_path_factory) -> str:
+    """Numeric-but-NON-INTEGER k values — the one JSON shape json_sf_dir
+    deliberately excludes (it was a documented cross-engine boundary:
+    DuckDB's bare TRY_CAST rounds '3.5' to 4 where Spark's try_cast
+    yields NULL). props_k_histogram's oracle now normalizes the boundary
+    with an integer-literal regex (ADVICE r12), so this corpus pins it:
+    JSON-number 3.5, string "3.5", string "3.0" (integral VALUE but not
+    an integer LITERAL — Spark still rejects it), and a whitespace-padded
+    " 42 " (Spark's cast trims; the oracle must too)."""
+    out = str(tmp_path_factory.mktemp("sf_json_frac"))
+    _copy_except(out, skip="events")
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"""
+            COPY (SELECT event_id, ts, user_id, event_type, value,
+              CASE event_id % 5
+                WHEN 0 THEN '{{"k": 3.5}}'
+                WHEN 1 THEN '{{"k": "3.5"}}'
+                WHEN 2 THEN '{{"k": "3.0"}}'
+                WHEN 3 THEN '{{"k": " 42 "}}'
+                ELSE props END AS props
+              FROM read_parquet('{SOURCE_SF_DIR}/events.parquet'))
+            TO '{out}/events.parquet' (FORMAT PARQUET)"""
+        )
+    finally:
+        con.close()
+    return out
+
+
+def test_props_k_histogram_rejects_non_integer_k_identically(
+    spark, json_frac_sf_dir
+):
+    """Both engines must bucket every non-integer-literal k under NULL
+    and accept the whitespace-padded integer — the boundary that was
+    previously held off only by fixture discipline."""
+    name = "props_k_histogram"
+    compare(
+        QUERIES[name](spark, json_frac_sf_dir),
+        ORACLES[name],
+        json_frac_sf_dir,
+        name,
+    )
+    hist = {
+        r["k"]: r["n"]
+        for r in QUERIES[name](spark, json_frac_sf_dir).collect()
+    }
+    con = duckdb.connect()
+    try:
+        n_frac, n_pad = con.execute(
+            f"""SELECT count(*) FILTER (event_id % 5 IN (0, 1, 2)),
+                       count(*) FILTER (event_id % 5 = 3)
+                FROM read_parquet('{json_frac_sf_dir}/events.parquet')"""
+        ).fetchone()
+    finally:
+        con.close()
+    assert hist.get(42, 0) >= n_pad, (
+        "every whitespace-padded ' 42 ' literal must parse to 42"
+    )
+    assert hist.get(None, 0) >= n_frac, (
+        "all three non-integer-literal k shapes (3.5, '3.5', '3.0') must "
+        f"bucket under NULL, got {hist.get(None, 0)} < {n_frac}"
+    )
+
+
 @pytest.mark.parametrize("name", NULL_ENTRIES)
 def test_relational_entry_matches_oracle_with_null_keys(spark, null_sf_dir, name):
     compare(QUERIES[name](spark, null_sf_dir), ORACLES[name], null_sf_dir, name)
+
+
+def test_null_fixture_passes_integrity_audit(spark, null_sf_dir):
+    """ADVICE r12: top_customers_by_revenue / tpch_q10 take top-K BEFORE
+    the customer join under the audited precondition that non-NULL fact
+    keys never dangle (NULL keys are 'unknown', filtered pre-top-K, not
+    orphans). Any corpus fixture that rewrites FK-bearing tables must
+    therefore pass the audit — so a future dangling-key fixture fails
+    HERE with a named relationship instead of as a mysterious hash
+    mismatch inside a top-K entry."""
+    rows = QUERIES["tpch_integrity_audit"](spark, null_sf_dir).collect()
+    bad = {r["relationship"]: r["n_orphans"] for r in rows if r["n_orphans"]}
+    assert not bad, f"fixture violates the audited FK precondition: {bad}"
 
 
 @pytest.mark.parametrize("name", NULLTEXT_ENTRIES)
