@@ -347,13 +347,15 @@ def json_sf_dir(tmp_path_factory) -> str:
     return out
 
 
-@pytest.fixture(scope="session")
-def null_sf_dir(tmp_path_factory) -> str:
-    out = str(tmp_path_factory.mktemp("sf_null"))
+def _plant_null_keys(src_dir: str, out: str) -> str:
+    """Rewrite the FK-bearing tables of ``src_dir`` into ``out`` with
+    NULLs planted on coprime strides (keys, dates, dim attributes);
+    every other table is copied through. Shared by the sf0.001 fixture
+    and the bench-scale sf0.1 spot gate (VERDICT r12 ask 6)."""
     for t in TABLES:
         if t not in ("orders", "lineitem"):
             shutil.copy(
-                os.path.join(SOURCE_SF_DIR, f"{t}.parquet"),
+                os.path.join(src_dir, f"{t}.parquet"),
                 os.path.join(out, f"{t}.parquet"),
             )
     con = duckdb.connect()
@@ -367,7 +369,7 @@ def null_sf_dir(tmp_path_factory) -> str:
               CASE WHEN o_orderkey % 17 = 0 THEN NULL ELSE o_orderdate END
                 AS o_orderdate,
               o_orderpriority
-              FROM read_parquet('{SOURCE_SF_DIR}/orders.parquet'))
+              FROM read_parquet('{src_dir}/orders.parquet'))
             TO '{out}/orders.parquet' (FORMAT PARQUET)"""
         )
         con.execute(
@@ -381,7 +383,7 @@ def null_sf_dir(tmp_path_factory) -> str:
               l_tax, l_returnflag, l_linestatus,
               CASE WHEN (l_orderkey*10+l_linenumber) % 29 = 0 THEN NULL
                    ELSE l_shipdate END AS l_shipdate
-              FROM read_parquet('{SOURCE_SF_DIR}/lineitem.parquet'))
+              FROM read_parquet('{src_dir}/lineitem.parquet'))
             TO '{out}/lineitem.parquet' (FORMAT PARQUET)"""
         )
         con.execute(
@@ -393,7 +395,7 @@ def null_sf_dir(tmp_path_factory) -> str:
               CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END
                 AS c_acctbal,
               c_mktsegment
-              FROM read_parquet('{SOURCE_SF_DIR}/customer.parquet'))
+              FROM read_parquet('{src_dir}/customer.parquet'))
             TO '{out}/customer.parquet' (FORMAT PARQUET)"""
         )
         con.execute(
@@ -402,7 +404,7 @@ def null_sf_dir(tmp_path_factory) -> str:
               CASE WHEN s_suppkey % 9 = 0 THEN NULL ELSE s_nationkey END
                 AS s_nationkey,
               s_acctbal
-              FROM read_parquet('{SOURCE_SF_DIR}/supplier.parquet'))
+              FROM read_parquet('{src_dir}/supplier.parquet'))
             TO '{out}/supplier.parquet' (FORMAT PARQUET)"""
         )
         con.execute(
@@ -412,12 +414,20 @@ def null_sf_dir(tmp_path_factory) -> str:
               p_type,
               CASE WHEN p_partkey % 17 = 0 THEN NULL ELSE p_size END AS p_size,
               p_retailprice
-              FROM read_parquet('{SOURCE_SF_DIR}/part.parquet'))
+              FROM read_parquet('{src_dir}/part.parquet'))
             TO '{out}/part.parquet' (FORMAT PARQUET)"""
         )
     finally:
         con.close()
     return out
+
+
+
+@pytest.fixture(scope="session")
+def null_sf_dir(tmp_path_factory) -> str:
+    return _plant_null_keys(
+        SOURCE_SF_DIR, str(tmp_path_factory.mktemp("sf_null"))
+    )
 
 
 @pytest.fixture(scope="session")
@@ -627,3 +637,51 @@ def test_collapse_path_engaged_on_dup_corpus(spark, dup_sf_dir):
         "no corpus engaged the collapse pre-pass — raise the dup-class "
         "size here or the coverage of the representatives path is gone"
     )
+
+
+# --- bench-scale spot gate (VERDICT r12 ask 6) -------------------------------
+
+#: The five sf30 headline-heavy bench queries, parity-checked once at
+#: sf0.1 (the bench's base scale, 100× the other fixtures here) on a
+#: corpus with BOTH adversarial axes planted — NULL keys/dates/dim
+#: attributes AND NULL/empty document text — so the NULL guards are
+#: confirmed at bench scale, not only on the small fixtures.
+BENCH_SCALE_SF_DIR = "/root/testdata/sf0.1"
+BENCH_SCALE_ENTRIES = (
+    "tpch_q1_pricing_summary",
+    "top_customers_by_revenue",
+    "top3_customers_per_nation",
+    "errors_by_type",
+    "dedup_minhash_pairs",  # LSH-restated oracle: ~24 s in DuckDB at sf0.1
+)
+
+
+@pytest.fixture(scope="session")
+def null_sf01_dir(tmp_path_factory) -> str:
+    out = _plant_null_keys(
+        BENCH_SCALE_SF_DIR, str(tmp_path_factory.mktemp("sf01_null"))
+    )
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"""
+            COPY (SELECT doc_id,
+              CASE WHEN doc_id % 21 = 0 THEN NULL
+                   WHEN doc_id % 23 = 0 THEN '' ELSE text END AS text,
+              CASE WHEN doc_id % 27 = 0 THEN NULL ELSE lang END AS lang,
+              CASE WHEN doc_id % 29 = 0 THEN NULL ELSE source END AS source,
+              CASE WHEN doc_id % 21 = 0 THEN NULL
+                   WHEN doc_id % 23 = 0 THEN 0 ELSE n_chars END AS n_chars
+              FROM read_parquet('{BENCH_SCALE_SF_DIR}/documents.parquet'))
+            TO '{out}/documents.parquet' (FORMAT PARQUET)"""
+        )
+    finally:
+        con.close()
+    return out
+
+
+@pytest.mark.parametrize("name", BENCH_SCALE_ENTRIES)
+def test_headline_entry_matches_oracle_at_bench_scale_with_nulls(
+    spark, null_sf01_dir, name
+):
+    compare(QUERIES[name](spark, null_sf01_dir), ORACLES[name], null_sf01_dir, name)
