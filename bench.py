@@ -473,6 +473,10 @@ def incremental_block(spark, leg_dir: str, leg: dict) -> dict:
             "comparator": comparator,
             "comparator_warm_sec": comp,
             "speedup": round(comp / warm, 2) if warm else None,
+            # pay-once amortization: the first call on a fresh corpus
+            # pays the index build — this is what an increment saves vs
+            # rebuilding the index per batch
+            "amortization": round(first / warm, 2) if warm else None,
         }
     _quiet_heap(spark)
     return out
