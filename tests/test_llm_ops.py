@@ -1150,3 +1150,31 @@ def test_topk_tie_safe_matches_full_sort():
         assert sorted(zip(-s[got], ids[got])) == sorted(zip(-s[want], ids[want])), (
             trial, n, m,
         )
+
+
+def test_minhash_est_join_broadcasts_in_middle_tier(spark):
+    """The r13 estimate-join middle tier (_EST_BROADCAST_MAX_KEYS): at a
+    pairing-key count above _PAIR_JOIN_MAX_KEYS (group-and-pair pairing)
+    but a broadcast-sized signature table, the estimate joins must be
+    BROADCAST hash joins — the pair-grain alternative shuffles
+    2 x sig bytes x candidate count (measured 633 MB/run at the sf1
+    bench leg on the heavy corpus profile, vs a 26 MB broadcast)."""
+    from pyspark.sql import functions as F
+
+    n = dedup._PAIR_JOIN_MAX_KEYS + 1000
+    assert n <= dedup._EST_BROADCAST_MAX_KEYS
+    # per-doc md5 hex as the text: shingle sets are pairwise (near-)
+    # disjoint, so the candidate set stays tiny — a shared-prefix corpus
+    # here would qualify ALL ~220M pairs and run for minutes
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.md5(F.col("id").cast("string")).alias("text"),
+    )
+    pairs = dedup.minhash_candidate_pairs(docs, min_est=0.5)
+    pairs.collect()  # run so AQE finalizes the executed plan
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "ShuffledHashJoin" not in plan, (
+        "middle tier must broadcast the sig table, not shuffle at pair "
+        "grain:\n" + plan[:2000]
+    )
