@@ -82,6 +82,25 @@ def test_minhash_pair_strategies_identical(docs_with_dups):
     assert join_path == bucket_path and len(join_path) > 0
 
 
+def test_minhash_estimate_join_tiers_identical(docs_with_dups):
+    """The r13 estimate-join tiers (AQE-broadcast / explicit broadcast /
+    shuffle-hash — see _EST_BROADCAST_MAX_KEYS) are purely physical:
+    forcing each tier via n_keys must emit identical rows."""
+    def run(small, n_keys):
+        return sorted(
+            tuple(r)
+            for r in dedup._minhash_pairs_direct(
+                docs_with_dups, "doc_id", "text", None,
+                small=small, n_keys=n_keys,
+            ).collect()
+        )
+
+    tiny = run(True, None)                      # AQE broadcast (small path)
+    bcast = run(False, 1)                       # explicit broadcast tier
+    shj = run(False, dedup._EST_BROADCAST_MAX_KEYS + 1)  # shuffle-hash tier
+    assert tiny == bcast == shj and len(tiny) > 0
+
+
 def test_ngram_jaccard_verifies_exactly(docs_with_dups):
     pairs = {
         (r["id_a"], r["id_b"]): r["jaccard"]
