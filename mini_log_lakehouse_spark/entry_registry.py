@@ -163,11 +163,16 @@ _FIRST_WINDOW = (
 #: r6 rule is unchanged for the undocumented case). Once an entry has a
 #: driver row, remove it from this dict.
 ENTRY_REGISTERED: dict[str, int] = {
-    # (empty) — the two r12-registered incrementals are scheduled in the
-    # r13 window above, which satisfies the rotation contract directly
-    # (a never-sampled entry passes by being in the window), and keeping
-    # them here would trip test_registration_ledger_is_tidy the moment
+    # The two r12-registered incrementals are scheduled in the r13
+    # window above, which satisfies the rotation contract directly (a
+    # never-sampled entry passes by being in the window); keeping them
+    # here would trip test_registration_ledger_is_tidy the moment
     # CORRECTNESS_r13 lands with their first rows.
+    # incremental_dedup_clusters (r13): the third leg of the incremental
+    # dedup loop; its first-row deadline is the r15 window, whose
+    # forcing set (the 50 r11-latest entries) will need one documented
+    # deferral to fit it — same precedent as this round's two.
+    "incremental_dedup_clusters": 13,
 }
 
 _missing = [n for n in _FIRST_WINDOW if n not in QUERIES]

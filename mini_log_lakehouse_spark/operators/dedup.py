@@ -1528,6 +1528,142 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# --- incremental cluster maintenance (persisted assignment index) ------------
+
+#: Bump when the assignment layout or the underlying pair semantics
+#: change: the version is part of the index fingerprint, so a persisted
+#: assignment built by an older layout is rebuilt, never misread.
+_CLUSTER_INDEX_VERSION = 1
+
+
+def cluster_assignment_index(
+    spark: SparkSession,
+    old_docs: DataFrame,
+    index_id: str,
+    fingerprint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """The persisted third artifact of incremental dedup: the
+    already-ingested corpus' near-dup CLUSTER ASSIGNMENT (doc_id →
+    cluster_id, cluster_id = min member doc_id) over the MinHash
+    est ≥ 0.5 pair graph, as a doc-bucketed external warehouse table —
+    built once per corpus, fingerprint-gated reattach across sessions
+    (sources/registry.py attach_or_build_bucketed, the same pattern as
+    the signature and IVF indexes). At 100 TB the assignment is the
+    artifact a curation pipeline actually serves (keep/drop decisions);
+    recomputing components per batch would re-pay the whole pair graph."""
+    from mini_log_lakehouse_spark.session import default_parallelism
+    from mini_log_lakehouse_spark.sources.registry import attach_or_build_bucketed
+
+    n = n_buckets or default_parallelism()
+    fp = f"{fingerprint}:clu_v{_CLUSTER_INDEX_VERSION}:{MINHASH_BANDS}x{MINHASH_ROWS}"
+    tbl = f"mhclu_{index_id}_{MINHASH_BANDS}x{MINHASH_ROWS}_{n}"
+
+    def _build() -> DataFrame:
+        pairs = minhash_candidate_pairs(
+            old_docs, id_col, text_col, min_est=0.5
+        ).select("id_a", "id_b")
+        return connected_components(pairs, "id_a", "id_b").select(
+            F.col("node").alias(id_col), F.col("component").alias("cluster_id")
+        )
+
+    attach_or_build_bucketed(spark, tbl, fp, id_col, n, _build)
+    return spark.table(tbl)
+
+
+def merge_cluster_delta(
+    old_assign: DataFrame, new_pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Fold a batch's new near-dup pairs into a persisted cluster
+    assignment WITHOUT recomputing untouched components. Exactness (vs
+    a from-scratch WCC over the full pair graph) rests on min-label
+    confluence: an old component's stored label IS its minimum member
+    id, so contracting each old component to its label node preserves
+    every minimum — the delta graph's per-component minimum equals the
+    full graph's. Therefore:
+
+    1. map each new pair endpoint through the old assignment (an old
+       doc in no previous pair stands for itself — its singleton
+       component's min is itself);
+    2. run connected components on the DELTA graph only — its size is
+       bounded by the batch's pair count, never the corpus;
+    3. relabel old members via their component label (one broadcast-
+       sized map join: old_label → new_label), and emit delta nodes
+       that are not previously-assigned docs (batch docs and
+       previously-unpaired old docs) directly.
+
+    Untouched old components pass through the left join unchanged — the
+    old PAIR GRAPH is never re-read (it no longer even exists; only the
+    assignment does), which is the 100 TB point."""
+    oa = old_assign.select(F.col(id_col).alias("doc_id"), "cluster_id")
+    pe = (
+        new_pairs.select("id_a", "id_b")
+        .join(
+            oa.select(
+                F.col("doc_id").alias("id_a"), F.col("cluster_id").alias("_ca")
+            ),
+            "id_a",
+            "left",
+        )
+        .join(
+            oa.select(
+                F.col("doc_id").alias("id_b"), F.col("cluster_id").alias("_cb")
+            ),
+            "id_b",
+            "left",
+        )
+        .select(
+            F.coalesce("_ca", F.col("id_a")).alias("src"),
+            F.coalesce("_cb", F.col("id_b")).alias("dst"),
+        )
+    )
+    delta_cc = connected_components(pe, "src", "dst")  # (node, component)
+    remap = delta_cc.select(
+        F.col("node").alias("_old_label"), F.col("component").alias("_new_label")
+    )
+    merged_old = oa.join(
+        remap, oa.cluster_id == remap._old_label, "left"
+    ).select(
+        "doc_id", F.coalesce("_new_label", "cluster_id").alias("cluster_id")
+    )
+    fresh = delta_cc.join(
+        oa.select("doc_id"), delta_cc.node == F.col("doc_id"), "left_anti"
+    ).select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
+    return merged_old.unionByName(fresh)
+
+
+def incremental_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: incremental near-dup CLUSTER maintenance — the
+    third leg of the incremental dedup loop (signature index → batch
+    pairs → cluster assignment). Docs with doc_id % 10 == 0 are the
+    incoming batch (same split as incremental_minhash_pairs, whose
+    signature index this entry REUSES); the already-ingested corpus is
+    reachable only through its persisted artifacts — the MinHash
+    signature index for pairing and the cluster assignment table for
+    labels. Emits the full post-merge (doc_id, cluster_id) assignment
+    over every doc in ≥1 pair of the whole corpus' est ≥ 0.5 graph,
+    identical to a from-scratch WCC (see merge_cluster_delta for the
+    confluence argument); the oracle recomputes exactly that from
+    scratch."""
+    import hashlib
+
+    from mini_log_lakehouse_spark.sources.registry import _source_fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 10 == 0
+    fp = _source_fingerprint(sf_dir, "documents") + ":old=doc_id%10!=0"
+    iid = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_split10"
+    old = d.filter(~is_batch)
+    members, sigs, bands_t = minhash_signature_index(spark, old, iid, fp)
+    new_pairs = minhash_pairs_vs_index(
+        d.filter(is_batch), members, sigs, bands_t, min_est=0.5
+    ).select("id_a", "id_b")
+    old_assign = cluster_assignment_index(spark, old, iid, fp)
+    return merge_cluster_delta(old_assign, new_pairs).orderBy("doc_id")
+
+
 # --- embedding cosine near-dup ------------------------------------------------
 
 #: Library default: the production near-dup bar. Callers tune per
@@ -1959,6 +2095,46 @@ ORACLES["incremental_minhash_pairs"] = f"""
         ORDER BY id_a, id_b
 """
 
+# Incremental cluster maintenance restated from scratch: the oracle has
+# no index, so it recomputes signatures over the WHOLE corpus, takes the
+# full est ≥ 0.5 pair graph (old-old ∪ old-batch ∪ batch-batch — exactly
+# the union of what the persisted assignment encodes and what
+# minhash_pairs_vs_index emits), and labels components by minimum
+# member id via the same recursive-CTE reachability the exact-Jaccard
+# cluster oracles use. The index path must reproduce this without
+# re-reading old text or old pairs.
+ORACLES["incremental_dedup_clusters"] = f"""
+        WITH RECURSIVE {_SQL_SHINGLES},
+        base AS (
+            SELECT doc_id, {_SQL_MINHASH_BASE} AS b FROM sh
+        ),
+        sigs AS (
+            SELECT doc_id, {_SQL_MINHASH_SIG} AS sig FROM base
+        ),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+            WHERE {_SQL_BAND_MATCH}
+              AND {_SQL_SIG_AGREE} * 2 >= {MINHASH_K}
+        ),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION ALL
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(node, r) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+        ),
+        comp AS (
+            SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+        )
+        SELECT node AS doc_id, CAST(cluster_id AS BIGINT) AS cluster_id
+        FROM comp
+        ORDER BY doc_id
+"""
+
 #: SimHash oracle: recompute both 48-bit vote words per doc with list
 #: folds, then all-pairs (driver scale) with the ≥2-equal-blocks
 #: candidate rule — provably the same pair set as the 66 block-pair
@@ -2069,6 +2245,7 @@ QUERIES = {
     "part_fuzzy_name_pairs": part_fuzzy_name_pairs,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "incremental_minhash_pairs": incremental_minhash_pairs,
+    "incremental_dedup_clusters": incremental_dedup_clusters,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_embedding_cosine": dedup_embedding_cosine,

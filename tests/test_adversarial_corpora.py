@@ -171,6 +171,7 @@ DUP_ENTRIES = (
     "doc_reservoir_per_source",
     "doc_train_test_split",
     "incremental_minhash_pairs",
+    "incremental_dedup_clusters",
 )
 
 
@@ -180,7 +181,8 @@ NULLTEXT_ENTRIES = sorted(
     n
     for n in ORACLES
     if n.startswith(
-        ("doc_", "dedup_", "documents_", "benchmark_", "incremental_minhash")
+        ("doc_", "dedup_", "documents_", "benchmark_", "incremental_minhash",
+         "incremental_dedup")
     )
     or n
     in (

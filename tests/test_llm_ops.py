@@ -1197,3 +1197,113 @@ def test_minhash_est_join_broadcasts_in_middle_tier(spark):
         "middle tier must broadcast the sig table, not shuffle at pair "
         "grain:\n" + plan[:2000]
     )
+
+
+# --- incremental cluster maintenance (persisted assignment index) ------------
+
+
+def test_incremental_clusters_match_full_recompute(spark, sf_dir):
+    """merge_cluster_delta over the persisted artifacts must equal a
+    from-scratch min-label WCC over the full est >= 0.5 pair graph —
+    the confluence argument in its docstring, checked on real data."""
+    from mini_log_lakehouse_spark.sources.registry import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    full_pairs = dedup.minhash_candidate_pairs(d, min_est=0.5).select(
+        "id_a", "id_b"
+    )
+    full = sorted(
+        (r["node"], r["component"])
+        for r in dedup.connected_components(
+            full_pairs, "id_a", "id_b"
+        ).collect()
+    )
+    incr = sorted(
+        tuple(r)
+        for r in dedup.incremental_dedup_clusters(spark, sf_dir).collect()
+    )
+    assert incr == full and len(incr) > 0
+
+
+def test_incremental_clusters_merge_without_rereading_old_corpus(
+    spark, tmp_path
+):
+    """The 100 TB contract for the assignment index: (a) a batch doc
+    bridging two previously-UNPAIRED old docs merges them (min label),
+    (b) an untouched old cluster passes through unchanged, (c) the
+    merge plan scans only the warehouse tables + the batch, and (d) the
+    assignment still computes after the old corpus' files are DELETED."""
+    import os
+    import shutil
+
+    # three EQUAL-length segments: J(2,8) = |s2|/|s1∪s2∪s3| ≈ 1/3 (well
+    # below 0.5 — 2 and 8 must NOT pair in the old graph), while
+    # J(2,100) = J(8,100) ≈ 2/3 (well above — the batch doc bridges)
+    s1 = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu engine storage column vector partition shuffle "
+    )
+    s2 = (
+        "the quick brown fox jumps over the lazy dog near the river "
+        "while autumn leaves drift across the quiet water slowly "
+    )
+    s3 = (
+        "omega psi chi phi upsilon tau sigma rho pi omicron xi nu "
+        "catalog schema bucket replica segment index posting merge "
+    )
+    base_b = (
+        "completely different content about query planning and adaptive "
+        "execution in distributed analytical engines today"
+    )
+    old_rows = [
+        (2, s1 + s2),             # pairs with batch 100, not with 8
+        (8, s2 + s3),             # pairs with batch 100, not with 2
+        (3, base_b.replace("today", "w3")),   # old cluster {3, 4}
+        (4, base_b.replace("today", "w4")),
+    ]
+    old_dir = str(tmp_path / "old_clu_docs.parquet")
+    spark.createDataFrame(old_rows, ["doc_id", "text"]).write.parquet(old_dir)
+    old = spark.read.parquet(old_dir)
+
+    members, sigs, bands = dedup.minhash_signature_index(
+        spark, old, "t_cluinc", "fp-clu-1"
+    )
+    assign = dedup.cluster_assignment_index(spark, old, "t_cluinc", "fp-clu-1")
+    # precondition: 2 and 8 are NOT old near-dups (else the bridge case
+    # tests nothing); {3,4} is one old cluster
+    pre = {r["doc_id"]: r["cluster_id"] for r in assign.collect()}
+    assert pre.get(3) == 3 and pre.get(4) == 3
+    assert 2 not in pre and 8 not in pre, pre
+
+    batch = spark.createDataFrame(
+        [(100, s1 + s2 + s3), (101, "unrelated text with nothing shared")],
+        ["doc_id", "text"],
+    )
+    new_pairs = dedup.minhash_pairs_vs_index(
+        batch, members, sigs, bands, min_est=0.5
+    ).select("id_a", "id_b")
+    merged = dedup.merge_cluster_delta(assign, new_pairs)
+
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "old_clu_docs.parquet" not in plan, (
+        "incremental cluster plan must not scan the old corpus"
+    )
+    assert "mhclu_t_cluinc" in plan, plan[:1500]
+
+    got = {r["doc_id"]: r["cluster_id"] for r in merged.collect()}
+    # bridge: 2 and 8 merged through batch doc 100, min label 2;
+    # untouched cluster {3,4} passes through; 101 pairs nothing
+    assert got == {2: 2, 8: 2, 100: 2, 3: 3, 4: 3}, got
+
+    shutil.rmtree(old_dir)
+    assert not os.path.exists(old_dir)
+    got2 = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.merge_cluster_delta(assign, new_pairs).collect()
+    }
+    assert got2 == got
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in [x.name for x in spark.catalog.listTables() if "t_cluinc" in x.name]:
+        spark.sql(f"DROP TABLE {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)

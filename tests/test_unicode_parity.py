@@ -63,7 +63,10 @@ HOSTILE_TEXTS = (
 UNICODE_ENTRIES = sorted(
     n
     for n in ORACLES
-    if n.startswith(("doc_", "dedup_", "documents_", "benchmark_"))
+    if n.startswith(
+        ("doc_", "dedup_", "documents_", "benchmark_", "incremental_minhash",
+         "incremental_dedup")
+    )
     or n in ("source_lang_drift", "multimodal_byte_features")
 )
 
