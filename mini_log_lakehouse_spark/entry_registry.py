@@ -82,74 +82,72 @@ if _unknown:
 
 # The verification driver samples the FIRST 50 registry entries per round,
 # so this explicit window decides which queries get a driver-side
-# CORRECTNESS row. Round-13 priority (computed from the committed
+# CORRECTNESS row. Round-14 priority (computed from the committed
 # CORRECTNESS_r*.json artifacts — tests/test_rotation.py re-derives the
 # same staleness table and fails if this window drifts):
-# (1) 48 of the 50 entries whose latest driver row is r9 — they sit at
-# age 4 (the ROTATION_MAX_AGE boundary) when CORRECTNESS_r13 lands.
-# (2) the two r12-registered incrementals (incremental_minhash_pairs,
-# incremental_ann_ivf_topk — VERDICT r12 ask 3): their first-row
-# deadline is r14, but r14 could not fit them beside all 50 r9-latest
-# entries (52 > 50), so two R9 ENTRIES ARE DEFERRED INSTEAD —
-# tpch_q3_shipping_priority and tpch_q4_order_priority, chosen as the
-# lowest-risk deferrals (classic relational analogs, hash-green in
-# every sampled round since r3, code untouched for 9 rounds). The
-# deferral is legal under the rotation contract (age 4 == MAX_AGE, not
-# beyond) and they MUST lead the r14 window (age 5 forces them;
-# r14 = those 2 + the 48 r10-latest entries = exactly 50).
+# (1) tpch_q3_shipping_priority and tpch_q4_order_priority LEAD: their
+# latest driver row is r9 (age 5 > ROTATION_MAX_AGE=4) — they were the
+# two documented r13 deferrals that made room for the r12-registered
+# incrementals (both incrementals got green first rows in
+# CORRECTNESS_r13), and the rotation contract now forces them.
+# (2) the 48 registry entries whose latest driver row is r10 — they sit
+# at age 4 (the ROTATION_MAX_AGE boundary) when CORRECTNESS_r14 lands.
+# (49 entries have an r10-latest row in the artifacts; the 49th,
+# approx_distinct_users, was retired from the registry in r11.)
+# 2 + 48 = exactly 50, so the r14 window needs NO deferral.
 # Everything past position 50 stays covered by the identical local
 # DuckDB hash-compare in tests/test_entry_contract.py.
 _FIRST_WINDOW = (
-    "approx_distinct_quality_report",
-    "customers_without_urgent_orders",
-    "dedup_semantic_pairs",
-    "doc_boilerplate_share",
-    "doc_frequent_ngrams",
-    "doc_hybrid_search",
-    "doc_lang_mixture",
-    "doc_lm_quality_gate",
-    "doc_ngram_novelty",
-    "embedding_pq_codes",
-    "event_burst_runs",
-    "event_transition_counts",
-    "event_trigram_paths",
-    "events_bigram_lm_scores",
-    "events_cms_user_counts",
-    "events_cusum_changepoints",
-    "events_daily_anomalies",
-    "events_hour_unpivot",
-    "events_zorder_pruned",
-    "multimodal_gif_features",
-    "multimodal_jpeg_dc_features",
-    "multimodal_mulaw_features",
-    "multimodal_png_features",
-    "multimodal_tiff_features",
-    "orders_rollup_status_priority",
-    "orders_window_battery",
-    "props_variant_stats",
-    "session_attribution",
-    "source_lang_drift",
-    "streaming_append_hourly",
-    "streaming_daily_active_users",
-    "streaming_update_hourly",
-    "tpch_integrity_audit",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_excess_stock_suppliers",
-    "tpch_q21_waiting_orders",
-    "tpch_q22_lapsed_customers",
-    "tpch_q5_local_supplier_volume",
-    "user_communities",
-    "user_decayed_activity",
-    "user_pagerank",
-    "user_state_scd2",
-    "incremental_minhash_pairs",
-    "incremental_ann_ivf_topk",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "approx_percentile_quality_report",
+    "available_days",
+    "dedup_cluster_representatives",
+    "dedup_clusters",
+    "dedup_exact_summary",
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "dedup_sorted_neighborhood",
+    "dim_event_type",
+    "doc_blocklist_hits",
+    "doc_bpe_merge_table",
+    "doc_bpe_token_counts",
+    "doc_chunks",
+    "doc_curation_summary",
+    "doc_fingerprints",
+    "doc_lang_id",
+    "doc_normalized_fingerprints",
+    "doc_pii_signals",
+    "doc_quality_scores",
+    "doc_repetition_stats",
+    "doc_word_histogram",
+    "documents_csv_roundtrip",
+    "documents_orc_roundtrip",
+    "documents_zip_roundtrip",
+    "errors_by_type",
+    "event_association_rules",
+    "events_holt_forecast",
+    "events_state_enrichment",
+    "fct_events_hourly",
+    "hourly_trend",
+    "kpi_totals",
+    "lineitem_kmv_distinct_orders",
+    "multimodal_adpcm_features",
+    "multimodal_alaw_features",
+    "multimodal_avi_features",
+    "multimodal_flac_features",
+    "multimodal_jpeg_pixel_features",
+    "multimodal_mp4_features",
+    "orders_bloom_prefilter_revenue",
+    "orders_kmv_set_report",
+    "orders_skyline",
+    "props_k_histogram",
+    "stg_events",
+    "top_event_types",
+    "user_cooccurrence_triangles",
+    "user_sequence_patterns",
+    "value_stats_by_type",
 )
 
 #: Entries that have shipped but never received a driver CORRECTNESS row,
@@ -163,15 +161,19 @@ _FIRST_WINDOW = (
 #: r6 rule is unchanged for the undocumented case). Once an entry has a
 #: driver row, remove it from this dict.
 ENTRY_REGISTERED: dict[str, int] = {
-    # The two r12-registered incrementals are scheduled in the r13
-    # window above, which satisfies the rotation contract directly (a
-    # never-sampled entry passes by being in the window); keeping them
-    # here would trip test_registration_ledger_is_tidy the moment
-    # CORRECTNESS_r13 lands with their first rows.
     # incremental_dedup_clusters (r13): the third leg of the incremental
-    # dedup loop; its first-row deadline is the r15 window, whose
-    # forcing set (the 50 r11-latest entries) will need one documented
-    # deferral to fit it — same precedent as this round's two.
+    # dedup loop; its first-row deadline is the r15 window. r15's
+    # forcing set is the 50 r11-latest entries, which is over-full by
+    # one once this entry is added (51 > 50), so ONE r11 ENTRY IS
+    # PRE-ANNOUNCED AS THE r15 DEFERRAL: nation_customer_counts —
+    # chosen as the lowest-risk deferral (a plain dim⋈fact count
+    # aggregate, hash-green in every sampled round, code untouched
+    # since r4). The deferral is legal under the rotation contract
+    # (age 4 == ROTATION_MAX_AGE at r15, not beyond) and it MUST lead
+    # the r16 window (age 5 forces it; same precedent as the r13
+    # deferral of tpch_q3/q4, which led the r14 window above).
+    # r15 window = incremental_dedup_clusters + the other 49 r11-latest
+    # entries = exactly 50.
     "incremental_dedup_clusters": 13,
 }
 
