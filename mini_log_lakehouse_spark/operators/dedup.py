@@ -1596,7 +1596,25 @@ def merge_cluster_delta(
 
     Untouched old components pass through the left join unchanged — the
     old PAIR GRAPH is never re-read (it no longer even exists; only the
-    assignment does), which is the 100 TB point."""
+    assignment does), which is the 100 TB point.
+
+    PRECONDITIONS (both required for exactness — ADVICE r13):
+
+    * **min-label invariant**: ``old_assign.cluster_id`` is the minimum
+      member id of each stored component (what
+      ``cluster_assignment_index``'s from-scratch WCC produces).
+    * **id disjointness**: no BATCH doc id in ``new_pairs`` may equal an
+      OLD doc id absent from its pair's endpoints — concretely, batch
+      ids and previously-assigned ids must be disjoint sets. The step-1
+      coalesce cannot distinguish "batch doc standing for itself" from
+      "old doc whose id happens to equal some old cluster's label": a
+      new-pair endpoint whose id collides with an old cluster label
+      would enter the delta graph AS that label node, and step 3's
+      remap would relabel that ENTIRE untouched old cluster into the
+      batch's component. Callers with overlapping id spaces must
+      namespace batch ids (e.g. offset or tag them) before merging;
+      the driver entry's ``doc_id % 10`` split guarantees disjointness
+      structurally (a doc is either batch or corpus, never both)."""
     oa = old_assign.select(F.col(id_col).alias("doc_id"), "cluster_id")
     pe = (
         new_pairs.select("id_a", "id_b")

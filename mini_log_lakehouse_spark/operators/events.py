@@ -446,11 +446,25 @@ ORACLES: dict[str, str] = {
         -- '3.5' to 4 — so the oracle admits only integer literals
         -- before casting (overflow past INT32 then NULLs identically
         -- in both engines' TRY_CAST/try_cast).
+        -- Trim class (ADVICE r13): Spark's cast trims via
+        -- UTF8String.trimAll, which strips exactly the SINGLE-BYTE
+        -- chars where Java isWhitespace||isISOControl holds — i.e.
+        -- [\\x00-\\x20\\x7F] — so '\\t42'/'\\x0042' parse to 42 while
+        -- multi-byte whitespace/controls (U+00A0, U+2000, U+0085)
+        -- do NOT get trimmed and cast to NULL (probed empirically on
+        -- Spark 4.1). DuckDB's bare trim() strips only ASCII spaces,
+        -- so the oracle trims the exact class with regexp_replace.
         SELECT TRY_CAST(CASE WHEN json_valid(props)
                              AND regexp_matches(
-                                 trim(json_extract_string(props, '$.k')),
+                                 regexp_replace(
+                                     json_extract_string(props, '$.k'),
+                                     '^[\\x00-\\x20\\x7F]+|[\\x00-\\x20\\x7F]+$',
+                                     '', 'g'),
                                  '^[+-]?[0-9]+$')
-                             THEN trim(json_extract_string(props, '$.k'))
+                             THEN regexp_replace(
+                                     json_extract_string(props, '$.k'),
+                                     '^[\\x00-\\x20\\x7F]+|[\\x00-\\x20\\x7F]+$',
+                                     '', 'g')
                         END AS INT) AS k,
                COUNT(*) AS n
         FROM events

@@ -546,7 +546,13 @@ def json_frac_sf_dir(tmp_path_factory) -> str:
     with an integer-literal regex (ADVICE r12), so this corpus pins it:
     JSON-number 3.5, string "3.5", string "3.0" (integral VALUE but not
     an integer LITERAL — Spark still rejects it), and a whitespace-padded
-    " 42 " (Spark's cast trims; the oracle must too)."""
+    " 42 " (Spark's cast trims; the oracle must too). Two trim-class
+    boundary cases (ADVICE r13): "\\t42\\n" — tab/newline padding sits
+    inside Spark's [\\x00-\\x20\\x7F] trim class, so it MUST parse to 42
+    (DuckDB's bare trim() would have bucketed it under NULL) — and
+    "\\u00a042" — NBSP is Java-isWhitespace-adjacent but MULTI-BYTE in
+    UTF-8, so Spark's byte-wise trimAll does NOT strip it and both
+    engines must bucket it under NULL."""
     out = str(tmp_path_factory.mktemp("sf_json_frac"))
     _copy_except(out, skip="events")
     con = duckdb.connect()
@@ -554,11 +560,13 @@ def json_frac_sf_dir(tmp_path_factory) -> str:
         con.execute(
             f"""
             COPY (SELECT event_id, ts, user_id, event_type, value,
-              CASE event_id % 5
+              CASE event_id % 7
                 WHEN 0 THEN '{{"k": 3.5}}'
                 WHEN 1 THEN '{{"k": "3.5"}}'
                 WHEN 2 THEN '{{"k": "3.0"}}'
                 WHEN 3 THEN '{{"k": " 42 "}}'
+                WHEN 4 THEN '{{"k": "\\t42\\n"}}'
+                WHEN 5 THEN '{{"k": "\\u00a042"}}'
                 ELSE props END AS props
               FROM read_parquet('{SOURCE_SF_DIR}/events.parquet'))
             TO '{out}/events.parquet' (FORMAT PARQUET)"""
@@ -587,19 +595,22 @@ def test_props_k_histogram_rejects_non_integer_k_identically(
     }
     con = duckdb.connect()
     try:
-        n_frac, n_pad = con.execute(
-            f"""SELECT count(*) FILTER (event_id % 5 IN (0, 1, 2)),
-                       count(*) FILTER (event_id % 5 = 3)
+        n_frac, n_pad, n_nbsp = con.execute(
+            f"""SELECT count(*) FILTER (event_id % 7 IN (0, 1, 2)),
+                       count(*) FILTER (event_id % 7 IN (3, 4)),
+                       count(*) FILTER (event_id % 7 = 5)
                 FROM read_parquet('{json_frac_sf_dir}/events.parquet')"""
         ).fetchone()
     finally:
         con.close()
     assert hist.get(42, 0) >= n_pad, (
-        "every whitespace-padded ' 42 ' literal must parse to 42"
+        "every padded integer literal (' 42 ', '\\t42\\n') must parse to 42 "
+        "— tab/newline sit inside Spark's [\\x00-\\x20\\x7F] trim class"
     )
-    assert hist.get(None, 0) >= n_frac, (
-        "all three non-integer-literal k shapes (3.5, '3.5', '3.0') must "
-        f"bucket under NULL, got {hist.get(None, 0)} < {n_frac}"
+    assert hist.get(None, 0) >= n_frac + n_nbsp, (
+        "the three non-integer-literal k shapes (3.5, '3.5', '3.0') AND "
+        "the NBSP-padded '\\u00a042' (multi-byte, NOT in Spark's trim "
+        f"class) must bucket under NULL, got {hist.get(None, 0)}"
     )
 
 
