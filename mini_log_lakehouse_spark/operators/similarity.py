@@ -42,6 +42,8 @@ distributed Lloyd's k-means (bit-reproducible fixed-point updates).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -385,6 +387,55 @@ IVF_N_PROBE = 4
 IVF_TRAIN_SAMPLE = 256
 IVF_LLOYD_ITERS = 5
 
+#: Corpus-adaptive IVF layout for the INCREMENTAL entry (r13 VERDICT:
+#: the driver-measured 0.48× "speedup" at sf30): with a fixed 16-cell
+#: quantizer, a 32-query batch probing 4 cells each covers ALL 16
+#: cells, so the probe-union filter prunes NOTHING and the increment
+#: re-reads the whole index — structurally unable to beat the exact-kNN
+#: comparator at any scale (measured: probed cells 16/16, pruned rows
+#: 599,968/599,968 at sf30). Production IVF sizes ncells ~ sqrt(N)
+#: (FAISS guideline), which keeps the probe union a small fraction of
+#: the corpus; this step table approximates that, testable at bench
+#: scale. Tiers are (min_corpus_rows, ncells, train_max), scanned in
+#: order, first match wins — the SAME table generates the oracle's
+#: params CTE (incremental_ann_ivf_sql), so both engines always pick
+#: the same layout from the same COUNT(*). At 512 cells a 32×4 probe
+#: union covers ≤128 cells ≈ 25% of rows in expectation — the read
+#: fraction that lets the flat-batch increment undercut the linear
+#: full-corpus GEMM. The small tier keeps every test corpus (< 100k
+#: vectors) on the original 16/256 geometry, so the unrolled-SQL
+#: oracle stays cheap where it actually runs (driver sf0.01, pytest).
+IVF_ADAPTIVE_TIERS: tuple[tuple[int, int, int], ...] = (
+    (100_000, 512, 4096),
+    (0, IVF_N_CELLS, IVF_TRAIN_SAMPLE),
+)
+
+
+def _ivf_layout(corpus_rows: int) -> tuple[int, int]:
+    """(ncells, train_max) for a corpus of ``corpus_rows`` vectors —
+    the Python half of the shared IVF_ADAPTIVE_TIERS step function."""
+    for min_rows, ncells, train_max in IVF_ADAPTIVE_TIERS:
+        if corpus_rows >= min_rows:
+            return ncells, train_max
+    return IVF_N_CELLS, IVF_TRAIN_SAMPLE
+
+
+def _ivf_layout_case_sql(col: str) -> tuple[str, str]:
+    """(ncells_expr, train_max_expr) — the SQL half of
+    IVF_ADAPTIVE_TIERS: a CASE over ``col`` (the corpus COUNT(*)) that
+    picks the identical tier the Python side picks."""
+    tiers = list(IVF_ADAPTIVE_TIERS)
+    cells = " ".join(
+        f"WHEN {col} >= {m} THEN {c}" for m, c, _ in tiers[:-1]
+    )
+    train = " ".join(
+        f"WHEN {col} >= {m} THEN {t}" for m, _, t in tiers[:-1]
+    )
+    return (
+        f"CASE {cells} ELSE {tiers[-1][1]} END",
+        f"CASE {train} ELSE {tiers[-1][2]} END",
+    )
+
 
 def ivf_train_centroids(
     sample: np.ndarray, n_cells: int = IVF_N_CELLS, iters: int = IVF_LLOYD_ITERS
@@ -460,30 +511,45 @@ def ivf_assign_cells(
 _IVF_CENTROIDS: dict[tuple[str, str], np.ndarray] = {}
 
 
-def _ivf_centroids(spark: SparkSession, sf_dir: str, e: DataFrame) -> np.ndarray:
-    """Session-memoized coarse quantizer (see _IVF_CENTROIDS): trained
-    once per (session, corpus) on the driver-held sample; shared by the
-    IVF-flat and IVF-PQ tiers so both probe the SAME cell structure."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+def _ivf_centroids_for(
+    spark: SparkSession,
+    sf_dir: str,
+    e: DataFrame,
+    n_cells: int,
+    train_max: int,
+) -> np.ndarray:
+    """Session-memoized coarse quantizer for an explicit (n_cells,
+    train_max) geometry — the memo key carries the geometry so the
+    fixed-layout tiers (ann_ivf_topk/IVF-PQ at 16/256) and the
+    corpus-adaptive incremental entry can coexist in one session
+    without cross-talk."""
+    key = (spark.sparkContext.applicationId, sf_dir, n_cells, train_max)
     cent = _IVF_CENTROIDS.get(key)
     if cent is None:
         session.evict_stale(_IVF_CENTROIDS, key[0], unpersist=False)
         sample = np.array(
             [
                 list(r["embedding"])
-                for r in e.filter(F.col("vec_id") < IVF_TRAIN_SAMPLE)
+                for r in e.filter(F.col("vec_id") < train_max)
                 .select("embedding")
                 .orderBy("vec_id")
                 .collect()
             ],
             dtype="float64",
         )
-        cent = ivf_train_centroids(sample)
+        cent = ivf_train_centroids(sample, n_cells=n_cells)
         if cent.shape[0]:
             # never cache an EMPTY quantizer: the dir may be
             # mid-population (same rule as _MAX_VEC_ID / _PQ_CODEBOOKS)
             _IVF_CENTROIDS[key] = cent
     return cent
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str, e: DataFrame) -> np.ndarray:
+    """Session-memoized coarse quantizer (see _IVF_CENTROIDS): trained
+    once per (session, corpus) on the driver-held sample; shared by the
+    IVF-flat and IVF-PQ tiers so both probe the SAME cell structure."""
+    return _ivf_centroids_for(spark, sf_dir, e, IVF_N_CELLS, IVF_TRAIN_SAMPLE)
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -728,23 +794,39 @@ IVF_BATCH = 32
 #: fingerprint, so a persisted index under old semantics rebuilds.
 _IVF_INDEX_VERSION = 1
 
-#: Session-memoized max vec_id per (applicationId, sf_dir): the batch
-#: cutoff is data-derived; one tiny agg per corpus per session.
-_MAX_VEC_ID: dict[tuple[str, str], int] = {}
+#: Session-memoized incremental batch (list of (vec_id, embedding)) per
+#: (applicationId, sf_dir) — the batch is a pure function of the corpus
+#: (the IVF_BATCH highest vec_ids), so re-collecting it per call would
+#: re-scan the corpus for 32 rows; the comparator memoizes its query
+#: set the same way (_KNN_QUERIES).
+_INC_BATCH: dict[tuple[str, str], list] = {}
+
+#: Session-memoized (max vec_id, row count) per (applicationId,
+#: sf_dir): the batch cutoff and the adaptive IVF layout are both
+#: data-derived; ONE tiny agg per corpus per session serves both.
+_MAX_VEC_ID: dict[tuple[str, str], tuple[int, int]] = {}
 
 
-def _embeddings_max_id(spark: SparkSession, sf_dir: str, e: DataFrame) -> int | None:
-    """Max vec_id, or None on an empty corpus (None is never cached —
-    an empty dir may be mid-population and the probe is one tiny agg)."""
+def _embeddings_stats(
+    spark: SparkSession, sf_dir: str, e: DataFrame
+) -> tuple[int, int] | None:
+    """(max vec_id, corpus row count), or None on an empty corpus (None
+    is never cached — an empty dir may be mid-population and the probe
+    is one tiny agg)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     got = _MAX_VEC_ID.get(key)
     if got is None:
         session.evict_stale(_MAX_VEC_ID, key[0], unpersist=False)
-        raw = e.agg(F.max("vec_id")).first()[0]
-        if raw is None:
+        mx, cnt = e.agg(F.max("vec_id"), F.count(F.lit(1))).first()
+        if mx is None:
             return None
-        got = _MAX_VEC_ID[key] = int(raw)
+        got = _MAX_VEC_ID[key] = (int(mx), int(cnt))
     return got
+
+
+def _embeddings_max_id(spark: SparkSession, sf_dir: str, e: DataFrame) -> int | None:
+    stats = _embeddings_stats(spark, sf_dir, e)
+    return None if stats is None else stats[0]
 
 
 def _ivf_index_fp(fingerprint: str, centroids: "np.ndarray") -> str:
@@ -762,6 +844,18 @@ def _ivf_index_fp(fingerprint: str, centroids: "np.ndarray") -> str:
         np.ascontiguousarray(centroids, dtype=np.int64).tobytes()
     ).hexdigest()[:16]
     return f"{fingerprint}:v{_IVF_INDEX_VERSION}:{centroids.shape[0]}c:{cent_id}"
+
+
+#: Warm-mode (SPARK_GRAFT_CACHE_TABLES=1, the bench contract) pin of the
+#: attached IVF cell index, keyed (applicationId, table name) — the
+#: exact policy bucketed_table applies to the fact tables: the
+#: comparator the increment is measured against reads its corpus from
+#: the load_table RAM cache, so an unpinned index would hand the
+#: comparator a disk-vs-RAM head start that is NOT the thing being
+#: compared (index-probe fraction vs full-corpus GEMM is). Cold paths
+#: (tests, driver correctness) keep the bucketed FileScan — and its
+#: plan-tested SelectedBucketsCount bucket pruning — untouched.
+_IVF_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def ivf_cell_index(
@@ -794,7 +888,7 @@ def ivf_cell_index(
 
     n = n_buckets or default_parallelism()
     fp = _ivf_index_fp(fingerprint, centroids)
-    tbl = f"ivfcell_{index_id}_{IVF_N_CELLS}_{n}"
+    tbl = f"ivfcell_{index_id}_{centroids.shape[0]}_{n}"
     attach_or_build_bucketed(
         spark,
         tbl,
@@ -805,7 +899,18 @@ def ivf_cell_index(
             id_col, "cell", vec_col
         ),
     )
-    return spark.table(tbl)
+    out = spark.table(tbl)
+    if os.environ.get("SPARK_GRAFT_CACHE_TABLES") == "1":
+        ck = (spark.sparkContext.applicationId, tbl)
+        got = _IVF_INDEX_CACHE.get(ck)
+        if got is None:
+            session.evict_stale(_IVF_INDEX_CACHE, ck[0])
+            # the bucketed write SORTED BY (cell) keeps cached batches
+            # cell-clustered, so the probe IN-filter still prunes via
+            # in-memory batch stats instead of SelectedBucketsCount
+            got = _IVF_INDEX_CACHE[ck] = out.persist()
+        out = got
+    return out
 
 
 def ivf_index_append(
@@ -832,7 +937,7 @@ def ivf_index_append(
     from mini_log_lakehouse_spark.sources.registry import append_bucketed
 
     n = n_buckets or default_parallelism()
-    tbl = f"ivfcell_{index_id}_{IVF_N_CELLS}_{n}"
+    tbl = f"ivfcell_{index_id}_{centroids.shape[0]}_{n}"
     if not spark.catalog.tableExists(tbl):
         raise ValueError(
             f"ivf_index_append: index table {tbl} does not exist — build it "
@@ -848,10 +953,18 @@ def ivf_index_append(
         n,
         _ivf_index_fp(new_fingerprint, centroids),
     )
+    # a pinned warm-mode copy (ivf_cell_index) predates the append and
+    # would silently miss the new rows — drop it; the next attach re-pins
+    stale = _IVF_INDEX_CACHE.pop((spark.sparkContext.applicationId, tbl), None)
+    if stale is not None:
+        try:
+            stale.unpersist()
+        except Exception:
+            pass
 
 
 def ann_ivf_index_topk(
-    batch: DataFrame,
+    batch: "DataFrame | list[tuple[int, list[float]]]",
     index: DataFrame,
     centroids: "np.ndarray",
     k: int = TOP_K,
@@ -891,9 +1004,17 @@ def ann_ivf_index_topk(
     import pyarrow as pa
     from pyspark.sql import Window
 
-    rows = batch.select(id_col, vec_col).collect()
+    # ``batch`` may arrive pre-collected (list of (id, vector)) — the
+    # incremental entry memoizes its batch per corpus exactly like the
+    # comparator memoizes _KNN_QUERIES, so a warm call pays no extra
+    # corpus scan just to re-read a 32-row batch it already holds
+    rows = (
+        batch
+        if isinstance(batch, list)
+        else batch.select(id_col, vec_col).collect()
+    )
     if not rows:
-        return _empty_knn_frame(batch.sparkSession)
+        return _empty_knn_frame(index.sparkSession)
     q_ids = np.array([r[0] for r in rows], dtype="int64")
     q_mat = np.array([list(r[1]) for r in rows], dtype="float64")
     qd = _sq_dists(_quantize_mat(q_mat), centroids)
@@ -978,24 +1099,33 @@ def incremental_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental_minhash_pairs.
 
     Oracle: the full-corpus k-means CTE chain (fit == old-corpus fit,
-    because the training sample is the IVF_TRAIN_SAMPLE lowest ids and
-    the batch is the IVF_BATCH highest — see IVF_BATCH), per-query
-    probe selection by exact int64 distance, candidates restricted to
-    old ids, identical rounded-cosine rerank."""
+    because the training sample is the lowest ids and the batch is the
+    IVF_BATCH highest — see IVF_BATCH), per-query probe selection by
+    exact int64 distance, candidates restricted to old ids, identical
+    rounded-cosine rerank.
+
+    The quantizer geometry is CORPUS-ADAPTIVE (IVF_ADAPTIVE_TIERS,
+    r13 VERDICT ask 3): a fixed 16-cell layout let a 32-query batch's
+    probe union cover every cell, so nothing pruned and the increment
+    lost to the exact-kNN comparator at every scale. The layout is a
+    pure step function of COUNT(*) shared with the oracle's params CTE,
+    so both engines derive the identical cell structure."""
     import hashlib
 
     from mini_log_lakehouse_spark.sources.registry import _source_fingerprint
 
     e = load_table(spark, sf_dir, "embeddings")
-    mx = _embeddings_max_id(spark, sf_dir, e)
-    if mx is None:
+    stats = _embeddings_stats(spark, sf_dir, e)
+    if stats is None:
         # empty corpus: nothing ingested, nothing indexed, no batch —
         # probed before quantizer training so the trainer never sees a
         # zero-row sample
         return _empty_knn_frame(spark)
-    cent = _ivf_centroids(spark, sf_dir, e)
+    mx, cnt = stats
+    ncells, train_max = _ivf_layout(cnt)
+    cent = _ivf_centroids_for(spark, sf_dir, e, ncells, train_max)
     if cent.shape[0] == 0:
-        # a non-empty corpus whose ids all sit above IVF_TRAIN_SAMPLE
+        # a non-empty corpus whose ids all sit above the training cutoff
         # (e.g. a tail shard of an append-only id space) has no training
         # sample — no quantizer means no index to probe
         return _empty_knn_frame(spark)
@@ -1008,7 +1138,20 @@ def incremental_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_tail{IVF_BATCH}",
         fp,
     )
-    return ann_ivf_index_topk(e.filter(F.col("vec_id") >= lo), idx, cent)
+    bkey = (spark.sparkContext.applicationId, sf_dir)
+    brows = _INC_BATCH.get(bkey)
+    if brows is None:
+        session.evict_stale(_INC_BATCH, bkey[0], unpersist=False)
+        brows = [
+            (r[0], list(r[1]))
+            for r in e.filter(F.col("vec_id") >= lo)
+            .select("vec_id", "embedding")
+            .collect()
+        ]
+        if brows:
+            # never cache an empty batch (mid-population rule)
+            _INC_BATCH[bkey] = brows
+    return ann_ivf_index_topk(brows, idx, cent)
 
 
 #: Full-corpus k-means: clusters and Lloyd iterations for the driver
@@ -1178,14 +1321,14 @@ def kmeans_fit(
 
 
 def kmeans_assign_cte_sql(
-    k: int = KMEANS_K,
+    k: int | str = KMEANS_K,
     iters: int = KMEANS_ITERS,
     fp: int = FIXED_POINT,
     slice_lo: int = 0,
     slice_len: int | None = None,
     prefix: str = "",
     with_kw: bool = True,
-    train_max: int | None = None,
+    train_max: int | str | None = None,
 ) -> tuple[str, str]:
     """The unrolled k-means CTE chain (quantize -> (assign -> update) ×
     iters -> final assign), WITHOUT the final report SELECT — returns
@@ -1200,14 +1343,33 @@ def kmeans_assign_cte_sql(
     the full corpus — the final assignment always runs over every
     vector; init is unaffected because the k lowest vec_ids are inside
     any prefix sample with train_max >= k). fdiv(a, b) below is floor
-    division built from truncating ops: (a - ((a%b)+b)%b) // b."""
+    division built from truncating ops: (a - ((a%b)+b)%b) // b.
+
+    ``k`` and ``train_max`` may also be SQL scalar expressions
+    (strings, e.g. ``"(SELECT ncells FROM params)"``) so a chain can
+    pick its geometry from the DATA — the corpus-adaptive incremental
+    IVF oracle (IVF_ADAPTIVE_TIERS). A string ``k`` switches the init
+    from LIMIT to an equivalent ROW_NUMBER filter (same ordering, same
+    rows); the int path emits byte-identical SQL to before."""
     p = prefix
-    if train_max is not None and train_max < k:
+    if (
+        isinstance(train_max, int)
+        and isinstance(k, int)
+        and train_max < k
+    ):
         raise ValueError(f"train_max {train_max} < k {k}: init needs k sample rows")
     where = (
         f"WHERE u.pos >= {slice_lo} AND u.pos < {slice_lo + slice_len}"
         if slice_len is not None
         else ""
+    )
+    init = (
+        # int k: byte-identical to the historical LIMIT form
+        f"FROM embeddings ORDER BY vec_id LIMIT {k}"
+        if isinstance(k, int)
+        # expression k: same rows via the equivalent ROW_NUMBER filter
+        # (LIMIT takes only literals portably; rn ordering is identical)
+        else f"FROM embeddings QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= {k}"
     )
     sql = [
         f"""
@@ -1225,7 +1387,7 @@ def kmeans_assign_cte_sql(
             FROM (
                 SELECT vec_id,
                        CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster
-                FROM embeddings ORDER BY vec_id LIMIT {k}
+                {init}
             ) r JOIN {p}q q ON q.vec_id = r.vec_id
         )"""
     ]
@@ -2038,18 +2200,33 @@ def incremental_ann_ivf_sql() -> str:
     """Relational restatement of incremental_ann_ivf_topk: the oracle
     has no index, so it re-derives the IVF structure — the sample-
     trained k-means CTE chain over `embeddings` (identical to the
-    old-corpus fit: the training sample is the IVF_TRAIN_SAMPLE lowest
-    ids, the batch the IVF_BATCH highest — IVF_BATCH's invariant), then
-    per-BATCH-query probe selection by the same exact int64 distance,
-    candidates restricted to old ids, and the identical rounded-cosine
-    rerank with ROW_NUMBER ties to the lowest neighbor id."""
+    old-corpus fit: the training sample is the lowest ids, the batch
+    the IVF_BATCH highest — IVF_BATCH's invariant), then per-BATCH-query
+    probe selection by the same exact int64 distance, candidates
+    restricted to old ids, and the identical rounded-cosine rerank with
+    ROW_NUMBER ties to the lowest neighbor id.
+
+    The quantizer geometry comes from the iivf_params CTE — the SQL
+    image of IVF_ADAPTIVE_TIERS (both sides branch on the corpus
+    COUNT(*)), so the oracle picks the identical (ncells, train_max)
+    the Spark entry picks at any scale. Generated from the live module
+    constants: tests monkeypatch the tier table and re-call this to
+    verify the adaptive branch mechanically on a small corpus."""
+    ncells_expr, train_expr = _ivf_layout_case_sql("(SELECT n FROM iivf_n)")
+    params = f"""
+        WITH iivf_n AS (
+            SELECT COUNT(*) AS n FROM embeddings
+        ), iivf_params AS (
+            SELECT {ncells_expr} AS ncells, {train_expr} AS train_max
+        )"""
     chain, final = kmeans_assign_cte_sql(
-        k=IVF_N_CELLS,
+        k="(SELECT ncells FROM iivf_params)",
         iters=IVF_LLOYD_ITERS,
         prefix="iivf_",
-        with_kw=True,
-        train_max=IVF_TRAIN_SAMPLE,
+        with_kw=False,
+        train_max="(SELECT train_max FROM iivf_params)",
     )
+    chain = params + ", " + chain.lstrip()
     cents = f"iivf_c{IVF_LLOYD_ITERS}"
     cos = (
         "ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), "

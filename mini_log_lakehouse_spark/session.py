@@ -121,7 +121,7 @@ def release_corpus_caches(spark: SparkSession) -> None:
     memory. The memo dicts must clear together with the cache — a memo
     returning an unpersisted DataFrame would silently lose warm-mode
     caching for the rest of the session."""
-    from mini_log_lakehouse_spark.operators import dedup, textstats, vocab
+    from mini_log_lakehouse_spark.operators import dedup, similarity, textstats, vocab
     from mini_log_lakehouse_spark.sources import registry
 
     for cache in (
@@ -132,6 +132,7 @@ def release_corpus_caches(spark: SparkSession) -> None:
         textstats._STAGED_CACHE,
         textstats._DOC_FCT_CACHE,
         vocab._MERGES_CACHE,
+        similarity._IVF_INDEX_CACHE,
     ):
         cache.clear()
     spark.catalog.clearCache()
