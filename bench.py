@@ -198,15 +198,25 @@ def bench_cache_bearing(spark, sf_dir: str, iters: int, warmup: int, names):
     strictly AFTER the comparable block: their warmups legitimately
     re-persist the signature tables (the warm number is the banding
     join over precomputed signatures — the production shape), but that
-    working set must never sit resident under anyone else's median."""
+    working set must never sit resident under anyone else's median.
+
+    Also records each query's OUTPUT ROW COUNT (free — the timed runs
+    collect anyway) as the corpus-profile marker (VERDICT r13 ask 6):
+    the driver regenerates the corpus per session and its near-dup mass
+    can flip 10× between rounds (822,588 vs 81,732 qualifying pairs at
+    the 100× leg — the r12 'regression' that took a round to
+    root-cause); with the count in the artifact, the next apparent
+    dedup regression self-diagnoses as data or code at a glance."""
     results: dict[str, float] = {}
     cold: dict[str, float] = {}
+    out_rows: dict[str, int] = {}
     for name in names:
         fn = QUERIES[name]
-        results[name] = round(
-            time_fn(lambda: fn(spark, sf_dir).collect(), warmup=warmup, iters=iters),
-            4,
-        )
+
+        def run(fn=fn, name=name):
+            out_rows[name] = len(fn(spark, sf_dir).collect())
+
+        results[name] = round(time_fn(run, warmup=warmup, iters=iters), 4)
         # Cold AFTER warm: the warm loop has JIT-compiled the whole
         # pipeline, so this single drop-caches run isolates the
         # signature recompute (hash→band→verify), not first-run JVM
@@ -221,7 +231,7 @@ def bench_cache_bearing(spark, sf_dir: str, iters: int, warmup: int, names):
         # the ISOLATED q1 at 3.85x (vs 1.16x in-suite) purely because
         # the re-persisted 4.6 GB working set was resident by then.
         _quiet_heap(spark)
-    return results, cold
+    return results, cold, out_rows
 
 
 def bench_spark(spark, sf_dir: str, iters: int, warmup: int, names=HEADLINE):
@@ -233,7 +243,9 @@ def bench_spark(spark, sf_dir: str, iters: int, warmup: int, names=HEADLINE):
     results = bench_comparable(spark, sf_dir, iters, warmup, comparable)
     cold: dict[str, float] = {}
     if bearing:
-        warm_b, cold = bench_cache_bearing(spark, sf_dir, iters, warmup, bearing)
+        warm_b, cold, _rows = bench_cache_bearing(
+            spark, sf_dir, iters, warmup, bearing
+        )
         results.update(warm_b)
     results = {n: results[n] for n in names}
     return results, cold
@@ -347,6 +359,30 @@ def isolation_runs(spark, con_dir: str, names, leg: dict) -> dict:
     return out
 
 
+def attach_isolation(spark, leg_dir: str, names, leg: dict) -> None:
+    """Attach the isolation block + iso_ratio_total to a leg in place:
+    ISO_ALWAYS rows plus any row whose in-suite ratio exceeds the 2x
+    bar (a new regression always ships with its isolation evidence)."""
+    iso_names = [n for n in names if n in ISO_ALWAYS] + [
+        n for n, r in leg["ratios"].items() if r > 2.0 and n not in ISO_ALWAYS
+    ]
+    leg["isolation"] = isolation_runs(spark, leg_dir, iso_names, leg)
+    # the comparable-total ratio over the ISOLATED medians — the
+    # cleanest single number for the 2x bar at this leg (in-suite
+    # totals carry cross-query cache interference the isolation
+    # blocks exist to remove); only meaningful when every
+    # baseline-covered query was isolated, so guard on that
+    iso_pairs = [
+        (d["spark_isolated"], d["duck_isolated"])
+        for d in leg["isolation"].values()
+        if d["duck_isolated"]
+    ]
+    if len(iso_pairs) == len(leg["ratios"]):
+        leg["iso_ratio_total"] = round(
+            sum(s for s, _ in iso_pairs) / sum(d for _, d in iso_pairs), 2
+        )
+
+
 def _bench_leg(spark, leg_dir: str, names, iters: int, warmup: int):
     """One leg's full measurement order — load-bearing (r12's graded
     sf30 artifact showed the contamination signature a third time):
@@ -363,11 +399,14 @@ def _bench_leg(spark, leg_dir: str, names, iters: int, warmup: int):
     results = bench_comparable(spark, leg_dir, iters, warmup, comparable)
     baseline = bench_duckdb(leg_dir, names, iters=iters)
     cold: dict[str, float] = {}
+    out_rows: dict[str, int] = {}
     if bearing:
-        warm_b, cold = bench_cache_bearing(spark, leg_dir, iters, warmup, bearing)
+        warm_b, cold, out_rows = bench_cache_bearing(
+            spark, leg_dir, iters, warmup, bearing
+        )
         results.update(warm_b)
     results = {n: results[n] for n in names}
-    return results, cold, baseline
+    return results, cold, baseline, out_rows
 
 
 def scaled_leg(
@@ -391,7 +430,7 @@ def scaled_leg(
     # tables/signatures before warming this one (accumulated pins
     # measurably pressure storage memory by the 100x leg).
     release_corpus_caches(spark)
-    results, cold, baseline = _bench_leg(
+    results, cold, baseline, out_rows = _bench_leg(
         spark, scaled_dir, names, iters, WARMUP_SCALED
     )
     leg = _with_ratios(
@@ -405,27 +444,12 @@ def scaled_leg(
             "iters": iters,
         }
     )
+    if out_rows:
+        # output row counts of the cache-bearing (dedup) queries: the
+        # corpus-profile marker — see bench_cache_bearing's docstring
+        leg["corpus_profile"] = out_rows
     if iso:
-        iso_names = [n for n in names if n in ISO_ALWAYS] + [
-            n
-            for n, r in leg["ratios"].items()
-            if r > 2.0 and n not in ISO_ALWAYS
-        ]
-        leg["isolation"] = isolation_runs(spark, scaled_dir, iso_names, leg)
-        # the comparable-total ratio over the ISOLATED medians — the
-        # cleanest single number for the 2x bar at this leg (in-suite
-        # totals carry cross-query cache interference the isolation
-        # blocks exist to remove); only meaningful when every
-        # baseline-covered query was isolated, so guard on that
-        iso_pairs = [
-            (d["spark_isolated"], d["duck_isolated"])
-            for d in leg["isolation"].values()
-            if d["duck_isolated"]
-        ]
-        if len(iso_pairs) == len(leg["ratios"]):
-            leg["iso_ratio_total"] = round(
-                sum(s for s, _ in iso_pairs) / sum(d for _, d in iso_pairs), 2
-            )
+        attach_isolation(spark, scaled_dir, names, leg)
     if incremental:
         # Strictly after the graded blocks (in-suite + isolation): the
         # incremental entries build persisted warehouse indexes on first
@@ -604,7 +628,9 @@ def main() -> None:
     spark = get_spark(app_name="mini-log-lakehouse-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    results, cold, baseline = _bench_leg(spark, sf_dir, HEADLINE, ITERS, WARMUP)
+    results, cold, baseline, out_rows = _bench_leg(
+        spark, sf_dir, HEADLINE, ITERS, WARMUP
+    )
 
     payload = _with_ratios(
         {
@@ -618,9 +644,18 @@ def main() -> None:
             "iters": ITERS,
         }
     )
+    if out_rows:
+        payload["corpus_profile"] = out_rows
+    # Isolation at the SMALL legs too (VERDICT r13 ask 5): the driver's
+    # fresh-rebuild environment inflated the r13 sf0.1 leg ~2x uniformly
+    # across all nine queries (7.90 s vs 2.9-3.1 s builder-pinned at
+    # identical code) with no plan change to blame; per-query isolated
+    # medians in the artifact make that floor attributable (environment
+    # vs plan) instead of a per-round forensic exercise.
+    attach_isolation(spark, sf_dir, HEADLINE, payload)
 
     if SCALE_FACTOR > 1:
-        payload["scaled"] = scaled_leg(spark, sf_dir, sf, SCALE_FACTOR)
+        payload["scaled"] = scaled_leg(spark, sf_dir, sf, SCALE_FACTOR, iso=True)
     if SCALE_FACTOR_100 > 1:
         payload["scaled_100"] = scaled_leg(
             spark, sf_dir, sf, SCALE_FACTOR_100, iso=True, incremental=True

@@ -61,12 +61,15 @@ def test_comparables_and_baselines_run_before_any_cache_bearing_query(
         bench, "_drop_pipeline_caches", lambda: calls.append("DROP")
     )
 
-    results, cold, baseline = bench._bench_leg(
+    results, cold, baseline, out_rows = bench._bench_leg(
         _StubSpark(), "/tmp/nonexistent", names, iters=1, warmup=1
     )
 
     assert set(results) == set(names)
     assert "dedup_minhash_pairs" in cold
+    # corpus-profile marker (VERDICT r13 ask 6): the cache-bearing
+    # queries' output row counts ride the artifact
+    assert out_rows == {"dedup_minhash_pairs": 0}
     duck_at = calls.index("DUCKDB")
     first_bearing = calls.index("dedup_minhash_pairs")
     last_comparable = max(
