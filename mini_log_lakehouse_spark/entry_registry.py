@@ -167,8 +167,10 @@ ENTRY_REGISTERED: dict[str, int] = {
     # one once this entry is added (51 > 50), so ONE r11 ENTRY IS
     # PRE-ANNOUNCED AS THE r15 DEFERRAL: nation_customer_counts —
     # chosen as the lowest-risk deferral (a plain dim⋈fact count
-    # aggregate, hash-green in every sampled round, code untouched
-    # since r4). The deferral is legal under the rotation contract
+    # aggregate, hash-green in every sampled round, body untouched
+    # since its introduction — git log -L on relational.py shows the
+    # original driver-contract commit). The deferral is legal under
+    # the rotation contract
     # (age 4 == ROTATION_MAX_AGE at r15, not beyond) and it MUST lead
     # the r16 window (age 5 forces it; same precedent as the r13
     # deferral of tpch_q3/q4, which led the r14 window above).
