@@ -1176,45 +1176,144 @@ def ngram_jaccard_pairs(
     provably equals the quadratic all-pairs filter — which is what the
     DuckDB oracle computes at driver scale.
 
-    Scale shape: one map pass for shingles + sort, explode ~(1−t)·|S|
-    prefix tokens per doc (half the tokens at t=0.5 — not the full set),
-    shuffle on token, length-filter ``min ≥ t·max`` prunes inside the
-    join, exact verify runs on candidates only.
+    Scale shape: one map pass for shingles, a DF count + re-sort pass
+    (below), explode ~(1−t)·|S| prefix tokens per doc (half the tokens
+    at t=0.5 — not the full set), shuffle on token, length-filter
+    ``min ≥ t·max`` prunes inside the join, exact verify runs on
+    candidates only.
+
+    TOKEN ORDER (r14): the global order that defines each doc's prefix
+    is ascending DOCUMENT FREQUENCY (ties lexicographic) — the
+    AllPairs/PPJoin ordering — NOT lexicographic. The correctness proof
+    above holds for ANY total order, so the output is identical; the
+    candidate volume is not: under lexicographic order the prefixes
+    fill with whatever sorts first, including corpus-frequent shingles,
+    and each frequent token's bucket joins quadratically. Rare-first
+    prefixes keep buckets small — the entire point of the AllPairs
+    family — at the cost of one extra linear DF-count + re-sort pass,
+    which is how every production set-similarity join pays for it.
+
+    EXACT-DUPLICATE COLLAPSE (r14, same shape as
+    minhash_candidate_pairs' collapse path): the join runs at
+    DISTINCT-TEXT grain and doc-grain pairs are recovered by expansion
+    joins. Identical texts have identical shingle sets, so J(a, b) for
+    members of classes A, B equals J(rep_A, rep_B) — substitution is
+    exact, not approximate. Without this, an exact-duplicate class of
+    size m shares its ENTIRE ~|S|/2-token prefix, so the token join
+    re-emits each within-class pair once per prefix token: m² × |S|/2
+    candidate rows per class (frequency ordering cannot help — the
+    shared tokens are identical). Within-class pairs are emitted
+    directly with jaccard 1.0, gated on the class having a NON-EMPTY
+    shingle set — a doc whose text yields no shingles (shorter than
+    ``shingle_n``, or NULL) was never a candidate under the direct join
+    and must not pair here either (NULL-text docs additionally drop out
+    because NULL = NULL is not true in the intra self-join).
+
+    MEASURED LIMIT (r14, heavy-profile sfx100: 500k docs, 129,792
+    distinct texts, ~204 shingles/doc): the two r14 changes cut the
+    identical-class multiplier to 1 and the largest prefix bucket from
+    3,916 to 555, but the corpus is near-dup SATURATED — thousands of
+    distinct texts per near-dup family share most shingles — so the
+    candidate mass at rep grain is still Σc² ≈ 4.7B occurrence rows
+    (~tens of GB of shuffle; one from-scratch run fills a 69 GB-free
+    single box). That mass is close to the algorithm's true work on
+    this profile: with t = 0.5 and 204-shingle docs the prefix is half
+    the doc, and a family of k mutually-qualifying reps genuinely
+    contains Θ(k²) output pairs. This is WHY production pipelines run
+    MinHash-LSH first (dedup_minhash_pairs: 33.7 s warm at sf30 on the
+    same profile) and reserve the lossless tier for bounded corpora or
+    audit slices — the oracle side of this entry is likewise flagged
+    deliberately-quadratic (bench BASELINE_SKIP). On a cluster the
+    candidate shuffle distributes; on one box, size the slice.
     """
-    sh = docs.select(
-        F.col(id_col),
-        F.array_sort(F.array_distinct(char_shingles(F.col(text_col), shingle_n))).alias("sh"),
-    ).select(F.col(id_col), "sh", F.array_size("sh").alias("sz"))
+    members = docs.select(
+        F.col(id_col).alias("_mid"), F.md5(F.col(text_col)).alias("_fp")
+    )
+    reps = docs.select(
+        F.md5(F.col(text_col)).alias("_fp"), F.col(text_col).alias("_rtext")
+    ).dropDuplicates(["_fp"])
+    toks = reps.select(
+        "_fp",
+        F.array_distinct(char_shingles(F.col("_rtext"), shingle_n)).alias("toks"),
+    )
+    ex = toks.select("_fp", F.explode("toks").alias("tok"))
+    dfreq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    sh = (
+        ex.join(dfreq, "tok")
+        .groupBy("_fp")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "tok"))),
+                lambda s: s["tok"],
+            ).alias("sh")
+        )
+        .select("_fp", "sh", F.array_size("sh").alias("sz"))
+    )
 
     prefix_len = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
     pre = sh.select(
-        F.col(id_col), "sz", F.explode(F.slice("sh", F.lit(1), prefix_len)).alias("tok")
+        "_fp", "sz", F.explode(F.slice("sh", F.lit(1), prefix_len)).alias("tok")
     )
-    a = pre.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "tok")
-    b = pre.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), "tok")
+    a = pre.select(F.col("_fp").alias("_fp_a"), F.col("sz").alias("sz_a"), "tok")
+    b = pre.select(F.col("_fp").alias("_fp_b"), F.col("sz").alias("sz_b"), "tok")
     cands = (
         a.join(b, "tok")
         .filter(
-            (F.col("id_a") < F.col("id_b"))
+            (F.col("_fp_a") < F.col("_fp_b"))
             & (F.least("sz_a", "sz_b") >= F.lit(threshold) * F.greatest("sz_a", "sz_b"))
         )
-        .select("id_a", "id_b")
+        .select("_fp_a", "_fp_b")
         .distinct()
     )
-    sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    sa = sh.select(F.col("_fp").alias("_fp_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("_fp").alias("_fp_b"), F.col("sh").alias("sh_b"))
     inter = F.array_size(F.array_intersect("sh_a", "sh_b"))
     union = F.array_size(F.array_union("sh_a", "sh_b"))
     # Threshold on the raw IEEE quotient (identical in both engines);
     # round only for display, so a value that *rounds up* to t can't
     # sneak past the lossless-candidate guarantee.
     jac = inter / union
-    return (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
+    rep_pairs = (
+        cands.join(sa, "_fp_a")
+        .join(sb, "_fp_b")
         .filter(jac >= threshold)
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .select("_fp_a", "_fp_b", F.round(jac, 6).alias("jaccard"))
     )
+    ma = members.select(F.col("_fp").alias("_fp_a"), F.col("_mid").alias("_ida"))
+    mb = members.select(F.col("_fp").alias("_fp_b"), F.col("_mid").alias("_idb"))
+    cross = (
+        rep_pairs.join(ma, "_fp_a")
+        .join(mb, "_fp_b")
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    # Same-text pairs: identical shingle sets, J exactly 1.0 — but only
+    # for classes with at least one shingle (the semi-join against sh:
+    # explode() dropped empty-shingle fingerprints, and the direct join
+    # never paired such docs).
+    intra = (
+        members.alias("x")
+        .join(
+            members.alias("y"),
+            (F.col("x._fp") == F.col("y._fp")) & (F.col("x._mid") < F.col("y._mid")),
+        )
+        .join(
+            sh.select(F.col("_fp").alias("_shfp")),
+            F.col("x._fp") == F.col("_shfp"),
+            "left_semi",
+        )
+        .select(
+            F.col("x._mid").alias("id_a"),
+            F.col("y._mid").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    if threshold > 1.0:
+        intra = intra.filter(F.lit(False))
+    return cross.unionByName(intra)
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
