@@ -7,6 +7,11 @@ module; this module only merges and sanity-checks the dicts.
 
 from __future__ import annotations
 
+import glob as _glob
+import json as _json
+import os as _os
+import re as _re
+
 from mini_log_lakehouse_spark.operators import (
     bloom,
     curation,
@@ -80,75 +85,141 @@ _unknown = set(ORACLES) - set(QUERIES)
 if _unknown:
     raise ValueError(f"oracles without queries: {sorted(_unknown)}")
 
-# The verification driver samples the FIRST 50 registry entries per round,
-# so this explicit window decides which queries get a driver-side
-# CORRECTNESS row. Round-14 priority (computed from the committed
-# CORRECTNESS_r*.json artifacts — tests/test_rotation.py re-derives the
-# same staleness table and fails if this window drifts):
-# (1) tpch_q3_shipping_priority and tpch_q4_order_priority LEAD: their
-# latest driver row is r9 (age 5 > ROTATION_MAX_AGE=4) — they were the
-# two documented r13 deferrals that made room for the r12-registered
-# incrementals (both incrementals got green first rows in
-# CORRECTNESS_r13), and the rotation contract now forces them.
-# (2) the 48 registry entries whose latest driver row is r10 — they sit
-# at age 4 (the ROTATION_MAX_AGE boundary) when CORRECTNESS_r14 lands.
-# (49 entries have an r10-latest row in the artifacts; the 49th,
-# approx_distinct_users, was retired from the registry in r11.)
-# 2 + 48 = exactly 50, so the r14 window needs NO deferral.
-# Everything past position 50 stays covered by the identical local
-# DuckDB hash-compare in tests/test_entry_contract.py.
-_FIRST_WINDOW = (
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "approx_percentile_quality_report",
-    "available_days",
-    "dedup_cluster_representatives",
-    "dedup_clusters",
-    "dedup_exact_summary",
-    "dedup_minhash_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
-    "dedup_sorted_neighborhood",
-    "dim_event_type",
-    "doc_blocklist_hits",
-    "doc_bpe_merge_table",
-    "doc_bpe_token_counts",
-    "doc_chunks",
-    "doc_curation_summary",
-    "doc_fingerprints",
-    "doc_lang_id",
-    "doc_normalized_fingerprints",
-    "doc_pii_signals",
-    "doc_quality_scores",
-    "doc_repetition_stats",
-    "doc_word_histogram",
-    "documents_csv_roundtrip",
-    "documents_orc_roundtrip",
-    "documents_zip_roundtrip",
-    "errors_by_type",
-    "event_association_rules",
-    "events_holt_forecast",
-    "events_state_enrichment",
-    "fct_events_hourly",
-    "hourly_trend",
-    "kpi_totals",
-    "lineitem_kmv_distinct_orders",
-    "multimodal_adpcm_features",
-    "multimodal_alaw_features",
-    "multimodal_avi_features",
-    "multimodal_flac_features",
-    "multimodal_jpeg_pixel_features",
-    "multimodal_mp4_features",
-    "orders_bloom_prefilter_revenue",
-    "orders_kmv_set_report",
-    "orders_skyline",
-    "props_k_histogram",
-    "stg_events",
-    "top_event_types",
-    "user_cooccurrence_triangles",
-    "user_sequence_patterns",
-    "value_stats_by_type",
-)
+# ---------------------------------------------------------------------------
+# Driver-sampling rotation (self-maintaining since r15).
+#
+# The verification driver samples the FIRST 50 registry entries per round, so
+# the window decides which queries get a driver-side CORRECTNESS row. Through
+# r14 the window was a hardcoded tuple, which guaranteed one red rotation test
+# every time the driver committed a new CORRECTNESS_rN.json (the artifact
+# advances next_round, staling the tuple before the builder can react — judge
+# VERDICT r14 "What's wrong" 1). Since r15 the window is DERIVED at import
+# time from the committed CORRECTNESS_r*.json artifacts plus the rotation
+# rules, so an artifact landing rotates the window automatically and
+# deterministically (artifacts only change when a round closes, so the
+# driver's position-based sampling sees a stable window all round):
+#   1. FORCED: entries whose staleness exceeds ROTATION_MAX_AGE — either
+#      their newest driver row is older than the limit, or they have no row
+#      at all and their ENTRY_REGISTERED grace (NEW_ENTRY_MAX_WAIT rounds)
+#      has expired. Sorted by (effective last round, name): most-overdue
+#      first, matching the r13/r14 precedent of overdue entries LEADING.
+#   2. FILL: remaining entries oldest-first (by effective last round, then
+#      name) up to 50, skipping this round's documented WINDOW_DEFERRALS.
+# A deferral is legal ONLY at the exact age boundary (the entry would be
+# forced NEXT round, not this one) — deferring an already-overdue entry is a
+# contract violation and fails at import.
+# Everything past position 50 stays covered by the identical local DuckDB
+# hash-compare in tests/test_entry_contract.py.
+
+#: An entry's newest driver row may be at most this many rounds old before
+#: it MUST re-enter the window. 201 entries / 50 slots needs a cycle of
+#: ceil(201/50)=5 rounds minus the current one; 4 gives one round of
+#: scheduling slack. tests/test_rotation.py imports this.
+ROTATION_MAX_AGE = 4
+
+#: A new entry recorded in ENTRY_REGISTERED may wait at most this many build
+#: rounds after its registration round before its first driver row is
+#: forced (registered r13, WAIT=1 -> r13/r14 may be saturated, the r15
+#: window must carry it). An entry NOT recorded there is forced immediately
+#: (the strict r6 rule for the undocumented case).
+NEW_ENTRY_MAX_WAIT = 1
+
+#: Documented deferrals: round -> names excluded from that round's FILL.
+#: Each needs a written justification; the derivation enforces legality
+#: (boundary age only). A deferred entry is age-forced the following round
+#: automatically — no separate bookkeeping.
+WINDOW_DEFERRALS: dict[int, tuple[str, ...]] = {
+    # r15: the forcing set is incremental_dedup_clusters (registered r13,
+    # first-row deadline r15) + the 50 r11-latest entries = 51 > 50, so one
+    # r11 entry must sit out. nation_customer_counts is the lowest-risk
+    # deferral: a plain dim-join count aggregate, hash-green in every
+    # sampled round, body untouched since its driver-contract commit. At
+    # r15 it sits exactly at age 4 == ROTATION_MAX_AGE (legal boundary
+    # deferral); at r16 it is age 5 and the derivation force-leads it —
+    # same precedent as the r13 deferral of tpch_q3/q4 which led r14.
+    15: ("nation_customer_counts",),
+}
+
+
+def scan_correctness_artifacts(repo_dir: str) -> tuple[int, dict[str, int]]:
+    """(next_round, newest sampled round per entry) from the committed
+    CORRECTNESS_r*.json files under ``repo_dir``. A row counts as
+    'sampled' whether hash-green or rows-only — visibility is what
+    rotation manages; red rows are caught by the gate itself."""
+    last: dict[str, int] = {}
+    rounds = [0]
+    for path in _glob.glob(_os.path.join(repo_dir, "CORRECTNESS_r*.json")):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        rounds.append(rnd)
+        with open(path) as fh:
+            for name in _json.load(fh):
+                last[name] = max(last.get(name, 0), rnd)
+    return max(rounds) + 1, last
+
+
+def derive_window(
+    names,
+    last: dict[str, int],
+    next_round: int,
+    registered: dict[str, int] | None = None,
+    deferrals: dict[int, tuple[str, ...]] | None = None,
+    size: int = 50,
+) -> tuple[str, ...]:
+    """Pure rotation derivation (unit-testable against synthetic
+    artifacts). ``names`` is the full registry ordering; returns the
+    ``size`` names the driver should sample this round."""
+    registered = registered or {}
+    deferred = set((deferrals or {}).get(next_round, ()))
+
+    def eff_last(name: str) -> int:
+        if name in last:
+            return last[name]
+        if name in registered:
+            # documented new entry: grace of NEW_ENTRY_MAX_WAIT rounds from
+            # registration, expressed as a synthetic "last sampled" round
+            return registered[name] + NEW_ENTRY_MAX_WAIT - ROTATION_MAX_AGE
+        # undocumented never-sampled entry: overdue immediately
+        return next_round - ROTATION_MAX_AGE - 1
+
+    unknown = deferred - set(names)
+    if unknown:
+        raise ValueError(f"WINDOW_DEFERRALS r{next_round} names unknown queries: {sorted(unknown)}")
+    forced = sorted(
+        (n for n in names if next_round - eff_last(n) > ROTATION_MAX_AGE),
+        key=lambda n: (eff_last(n), n),
+    )
+    illegal = deferred & set(forced)
+    if illegal:
+        raise ValueError(
+            f"WINDOW_DEFERRALS r{next_round} defers already-overdue entries "
+            f"{sorted(illegal)} — a deferral is legal only at the exact "
+            f"age-{ROTATION_MAX_AGE} boundary"
+        )
+    for n in deferred:
+        if next_round - eff_last(n) != ROTATION_MAX_AGE:
+            raise ValueError(
+                f"WINDOW_DEFERRALS r{next_round}: {n} is at age "
+                f"{next_round - eff_last(n)}, not the {ROTATION_MAX_AGE} "
+                f"boundary — deferring it buys nothing and hides intent"
+            )
+    if len(forced) > size:
+        raise ValueError(
+            f"rotation over-committed: {len(forced)} entries are overdue for "
+            f"round {next_round} but the driver samples only {size}; the "
+            f"schedule debt must be paid down explicitly: {forced}"
+        )
+    forced_set = set(forced)
+    fill = sorted(
+        (n for n in names if n not in forced_set and n not in deferred),
+        key=lambda n: (eff_last(n), n),
+    )
+    return tuple(forced + fill[: size - len(forced)])
+
+
+_REPO_DIR = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
 
 #: Entries that have shipped but never received a driver CORRECTNESS row,
 #: mapped to the round they were registered in. tests/test_rotation.py
@@ -162,33 +233,26 @@ _FIRST_WINDOW = (
 #: driver row, remove it from this dict.
 ENTRY_REGISTERED: dict[str, int] = {
     # incremental_dedup_clusters (r13): the third leg of the incremental
-    # dedup loop; its first-row deadline is the r15 window. r15's
-    # forcing set is the 50 r11-latest entries, which is over-full by
-    # one once this entry is added (51 > 50), so ONE r11 ENTRY IS
-    # PRE-ANNOUNCED AS THE r15 DEFERRAL: nation_customer_counts —
-    # chosen as the lowest-risk deferral (a plain dim⋈fact count
-    # aggregate, hash-green in every sampled round, body untouched
-    # since its introduction — git log -L on relational.py shows the
-    # original driver-contract commit). The deferral is legal under
-    # the rotation contract
-    # (age 4 == ROTATION_MAX_AGE at r15, not beyond) and it MUST lead
-    # the r16 window (age 5 forces it; same precedent as the r13
-    # deferral of tpch_q3/q4, which led the r14 window above).
-    # r15 window = incremental_dedup_clusters + the other 49 r11-latest
-    # entries = exactly 50.
+    # dedup loop; its first-row deadline is the r15 window (grace
+    # expired), which the derivation enforces — see WINDOW_DEFERRALS[15]
+    # for the one r11 entry its forcing displaces.
     "incremental_dedup_clusters": 13,
 }
 
-_missing = [n for n in _FIRST_WINDOW if n not in QUERIES]
-if _missing:
-    raise ValueError(f"_FIRST_WINDOW names unknown queries: {_missing}")
-if len(set(_FIRST_WINDOW)) != len(_FIRST_WINDOW):
-    raise ValueError("_FIRST_WINDOW has duplicates")
+_NEXT_ROUND, _LAST_SAMPLED = scan_correctness_artifacts(_REPO_DIR)
+_FIRST_WINDOW = derive_window(
+    tuple(QUERIES),
+    _LAST_SAMPLED,
+    _NEXT_ROUND,
+    registered=ENTRY_REGISTERED,
+    deferrals=WINDOW_DEFERRALS,
+)
 # the driver samples EXACTLY the first 50 — an unbalanced rotation that
 # silently pushes the tail past position 50 must fail at import time
-if len(_FIRST_WINDOW) != 50:
+if len(_FIRST_WINDOW) != 50 or len(set(_FIRST_WINDOW)) != 50:
     raise ValueError(
-        f"_FIRST_WINDOW must hold exactly 50 names, has {len(_FIRST_WINDOW)}"
+        f"derived window must hold exactly 50 distinct names, has "
+        f"{len(_FIRST_WINDOW)}"
     )
 
 QUERIES = {n: QUERIES[n] for n in _FIRST_WINDOW} | {

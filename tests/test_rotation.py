@@ -5,70 +5,48 @@ past position 50 forever on comment discipline alone. This test fails
 loudly instead: every entry must either have a driver row within the
 last ROTATION_MAX_AGE rounds or be scheduled in the CURRENT window.
 
-New entries (no row ever) are forced into the current window
-immediately — exactly the gap the r6 ADVICE flagged (ten round-6
-entries shipped with only local hash evidence).
+Since r15 the window is DERIVED at import time from the committed
+CORRECTNESS_r*.json artifacts (entry_registry.derive_window), so a new
+artifact landing rotates the window automatically; these tests check
+the derivation's invariants rather than a hardcoded tuple, and the
+fixture tests below prove the rotation advances with zero code edits
+when a synthetic artifact is dropped in (judge VERDICT r14 task 2).
 """
 
 from __future__ import annotations
 
-import glob
 import json
 import os
-import re
+
+import pytest
+
+from mini_log_lakehouse_spark import entry_registry as er
+from mini_log_lakehouse_spark.entry_registry import (
+    NEW_ENTRY_MAX_WAIT,
+    ROTATION_MAX_AGE,
+    derive_window,
+    scan_correctness_artifacts,
+)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-#: An entry's newest driver row may be at most this many rounds old
-#: before it MUST re-enter the window. 164+ entries / 50 slots needs a
-#: cycle of ceil(n/50) rounds; 4 gives one round of scheduling slack.
-ROTATION_MAX_AGE = 4
-
-#: A new entry recorded in entry_registry.ENTRY_REGISTERED may wait at
-#: most this many build rounds after its registration round before it
-#: MUST be scheduled for its first driver row. 1 = it may sit out the
-#: registration round and the one after (both can be saturated by
-#: max-age forcing sets), but is forced into the window two rounds
-#: later. An entry NOT recorded there is forced immediately — the
-#: strict r6 rule is unchanged for the undocumented case.
-NEW_ENTRY_MAX_WAIT = 1
-
-
-def _driver_rows() -> tuple[int, dict[str, int]]:
-    """(next_round, latest sampled round per entry) from the committed
-    CORRECTNESS_r*.json artifacts. A row counts as 'sampled' whether it
-    was hash-green or rows-only — visibility is what rotation manages;
-    red rows are caught by the gate itself."""
-    last: dict[str, int] = {}
-    rounds = [0]
-    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        if not m:
-            continue
-        rnd = int(m.group(1))
-        rounds.append(rnd)
-        with open(path) as fh:
-            for name in json.load(fh):
-                last[name] = max(last.get(name, 0), rnd)
-    return max(rounds) + 1, last
-
 
 def test_every_entry_sampled_recently_or_scheduled():
-    from mini_log_lakehouse_spark import entry_registry as er
-
-    next_round, last = _driver_rows()
+    """No registry entry may be overdue (> ROTATION_MAX_AGE rounds since
+    its newest driver row, with the documented new-entry grace) without
+    being scheduled in the current window. With the derived window this
+    holds by construction unless the forcing set overflows 50 — which
+    derive_window raises on — but the end-to-end check stays as the
+    contract statement."""
+    next_round, last = scan_correctness_artifacts(REPO)
     window = set(er._FIRST_WINDOW)
-    registered = getattr(er, "ENTRY_REGISTERED", {})
+    registered = er.ENTRY_REGISTERED
 
     def _effective_last(name: str) -> int:
         if name in last:
             return last[name]
         if name in registered:
-            # a documented new entry gets NEW_ENTRY_MAX_WAIT rounds of
-            # grace from its registration round before its first row
-            # is forced — the same bounded-staleness shape as re-sampling
             return registered[name] + NEW_ENTRY_MAX_WAIT - ROTATION_MAX_AGE
-        # undocumented never-sampled entry: overdue immediately
         return next_round - ROTATION_MAX_AGE - 1
 
     overdue = sorted(
@@ -80,7 +58,7 @@ def test_every_entry_sampled_recently_or_scheduled():
     assert not overdue, (
         f"entries overdue for a driver CORRECTNESS row (> {ROTATION_MAX_AGE} "
         f"rounds since last sample) and not scheduled in _FIRST_WINDOW: "
-        f"{overdue} — rotate them into the first 50"
+        f"{overdue}"
     )
 
 
@@ -89,11 +67,8 @@ def test_registration_ledger_is_tidy():
     registered in a real (non-future) round — once an entry has a driver
     row the record must be deleted, so the ledger can never mask a
     stale-entry problem behind a permanent grace."""
-    from mini_log_lakehouse_spark import entry_registry as er
-
-    next_round, last = _driver_rows()
-    registered = getattr(er, "ENTRY_REGISTERED", {})
-    for name, rnd in registered.items():
+    next_round, last = scan_correctness_artifacts(REPO)
+    for name, rnd in er.ENTRY_REGISTERED.items():
         assert name in er.QUERIES, f"ENTRY_REGISTERED names unknown query {name}"
         assert name not in last, (
             f"{name} has a driver row (r{last.get(name)}) — remove it from "
@@ -107,7 +82,106 @@ def test_registration_ledger_is_tidy():
 def test_window_is_exactly_the_driver_sample():
     """The registry must present _FIRST_WINDOW as the first 50 names in
     iteration order — the driver samples by position, not by name."""
-    from mini_log_lakehouse_spark import entry_registry as er
-
     first50 = list(er.QUERIES)[:50]
     assert first50 == list(er._FIRST_WINDOW)
+
+
+def test_deferrals_reference_known_queries_for_current_round():
+    """A current-round deferral naming a retired query should have failed
+    at import; assert the module-level state is consistent."""
+    next_round, _ = scan_correctness_artifacts(REPO)
+    for name in er.WINDOW_DEFERRALS.get(next_round, ()):
+        assert name in er.QUERIES
+        assert name not in er._FIRST_WINDOW
+
+
+# ---------------------------------------------------------------------------
+# Fixture tests: the derivation against synthetic artifact histories.
+
+
+def _write_artifact(dirpath, rnd, names):
+    with open(os.path.join(dirpath, f"CORRECTNESS_r{rnd}.json"), "w") as fh:
+        json.dump({n: {"match": "hash"} for n in names}, fh)
+
+
+def test_synthetic_artifact_rotates_window_with_zero_code_edits(tmp_path):
+    """Judge r14 done-criterion: drop a synthetic next-round artifact into
+    a fixture dir and the derived window advances by itself. 120 entries,
+    50-slot window: r1 samples e000-e049; committing that artifact makes
+    r2 fill with the never-sampled tail (oldest-first = still-never
+    entries), and committing r2's makes r3 force the remaining never-
+    sampled entries then re-fill with the r1 cohort."""
+    names = tuple(f"e{i:03d}" for i in range(120))
+    d = str(tmp_path)
+
+    nr, last = scan_correctness_artifacts(d)
+    assert (nr, last) == (1, {})
+    # round 1: everything is never-sampled and undocumented -> all 120 are
+    # overdue -> over-commit raises (the real repo never hits this state:
+    # entries are either sampled or in ENTRY_REGISTERED). With a ledger
+    # registering them this round, the grace holds and fill is by name.
+    with pytest.raises(ValueError, match="over-committed"):
+        derive_window(names, last, nr)
+    reg = {n: 1 for n in names}
+    w1 = derive_window(names, last, nr, registered=reg)
+    assert w1 == names[:50]
+
+    _write_artifact(d, 1, w1)
+    nr, last = scan_correctness_artifacts(d)
+    assert nr == 2
+    w2 = derive_window(names, last, nr, registered=reg)
+    assert w2 == names[50:100]
+
+    _write_artifact(d, 2, w2)
+    nr, last = scan_correctness_artifacts(d)
+    assert nr == 3
+    w3 = derive_window(names, last, nr, registered=reg)
+    # never-sampled tail (overdue: registered r1 + WAIT expired by r3)
+    # leads, then the oldest sampled cohort (r1) fills the rest
+    assert w3[:20] == names[100:120]
+    assert w3[20:] == names[:30]
+
+
+def test_age_forced_entry_leads_window():
+    names = ("a", "b", "c", "d")
+    last = {"a": 5, "b": 9, "c": 9, "d": 9}
+    # next_round=10: a is at age 5 > 4 -> forced to lead a 2-slot window
+    w = derive_window(names, last, 10, size=2)
+    assert w == ("a", "b")
+
+
+def test_boundary_deferral_is_legal_and_beyond_boundary_is_not():
+    names = ("a", "b", "c")
+    last = {"a": 6, "b": 6, "c": 9}
+    # next_round=10: a,b at age 4 (boundary) -> deferring a is legal
+    w = derive_window(names, last, 10, deferrals={10: ("a",)}, size=2)
+    assert w == ("b", "c")
+    # next_round=11: a at age 5 (overdue) -> deferral must raise
+    with pytest.raises(ValueError, match="already-overdue"):
+        derive_window(names, last, 11, deferrals={11: ("a",)}, size=2)
+    # deferring a fresh entry (age < boundary) is also an error
+    with pytest.raises(ValueError, match="boundary"):
+        derive_window(names, last, 10, deferrals={10: ("c",)}, size=3)
+
+
+def test_overcommitted_forcing_set_raises(tmp_path):
+    names = tuple(f"e{i}" for i in range(4))
+    last = {n: 1 for n in names}
+    with pytest.raises(ValueError, match="over-committed"):
+        derive_window(names, last, 10, size=2)
+
+
+def test_r15_window_matches_preannounced_composition():
+    """The real repo's derived r15 window must equal the composition
+    pre-announced in r14: incremental_dedup_clusters leads (first-row
+    deadline), the other 49 r11-latest entries fill, and
+    nation_customer_counts is the documented deferral. Guarded on
+    next_round so the test self-retires when CORRECTNESS_r15.json lands."""
+    next_round, last = scan_correctness_artifacts(REPO)
+    if next_round != 15:
+        pytest.skip("r15 artifact landed; composition check retired")
+    w = er._FIRST_WINDOW
+    assert w[0] == "incremental_dedup_clusters"
+    assert "nation_customer_counts" not in w
+    r11_latest = {n for n, r in last.items() if r == 11 and n in er.QUERIES}
+    assert set(w[1:]) == r11_latest - {"nation_customer_counts"}
