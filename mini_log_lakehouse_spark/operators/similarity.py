@@ -410,14 +410,34 @@ IVF_ADAPTIVE_TIERS: tuple[tuple[int, int, int], ...] = (
     (0, IVF_N_CELLS, IVF_TRAIN_SAMPLE),
 )
 
+# ADVICE r14: both halves of the step function must stay provably
+# identical. (1) The SQL CASE's ELSE arm unconditionally returns the
+# last tier, so the last tier MUST be the min_rows=0 sentinel or Python's
+# fallthrough and SQL's ELSE could diverge. (2) The oracle's k-means c0
+# init draws the k lowest vec_ids while the Spark trainer samples
+# vec_id < train_max, so every tier needs train_max >= ncells — the
+# per-call sanity check cannot fire on the expression-SQL path, so
+# enforce both at definition time.
+if IVF_ADAPTIVE_TIERS[-1][0] != 0:
+    raise AssertionError("IVF_ADAPTIVE_TIERS must end with a min_rows=0 sentinel tier")
+for _min_rows, _ncells, _train_max in IVF_ADAPTIVE_TIERS:
+    if _train_max < _ncells:
+        raise AssertionError(
+            f"IVF tier (min_rows={_min_rows}): train_max {_train_max} < "
+            f"ncells {_ncells} — centroid init would read past the training "
+            "sample and Spark/oracle geometry would diverge"
+        )
+
 
 def _ivf_layout(corpus_rows: int) -> tuple[int, int]:
     """(ncells, train_max) for a corpus of ``corpus_rows`` vectors —
-    the Python half of the shared IVF_ADAPTIVE_TIERS step function."""
+    the Python half of the shared IVF_ADAPTIVE_TIERS step function.
+    The final tier is the enforced min_rows=0 sentinel, so the loop
+    always returns — mirroring the SQL CASE's ELSE arm exactly."""
     for min_rows, ncells, train_max in IVF_ADAPTIVE_TIERS:
         if corpus_rows >= min_rows:
             return ncells, train_max
-    return IVF_N_CELLS, IVF_TRAIN_SAMPLE
+    raise AssertionError("unreachable: sentinel tier enforced above")
 
 
 def _ivf_layout_case_sql(col: str) -> tuple[str, str]:
@@ -795,11 +815,13 @@ IVF_BATCH = 32
 _IVF_INDEX_VERSION = 1
 
 #: Session-memoized incremental batch (list of (vec_id, embedding)) per
-#: (applicationId, sf_dir) — the batch is a pure function of the corpus
-#: (the IVF_BATCH highest vec_ids), so re-collecting it per call would
-#: re-scan the corpus for 32 rows; the comparator memoizes its query
-#: set the same way (_KNN_QUERIES).
-_INC_BATCH: dict[tuple[str, str], list] = {}
+#: (applicationId, sf_dir, source fingerprint) — the batch is a pure
+#: function of the corpus (the IVF_BATCH highest vec_ids), so
+#: re-collecting it per call would re-scan the corpus for 32 rows; the
+#: comparator memoizes its query set the same way (_KNN_QUERIES). The
+#: fingerprint component makes a mid-session append miss the memo
+#: (ADVICE r14) — same invalidation the persisted index pin gets.
+_INC_BATCH: dict[tuple[str, str, str], list] = {}
 
 #: Session-memoized (max vec_id, row count) per (applicationId,
 #: sf_dir): the batch cutoff and the adaptive IVF layout are both
@@ -1130,7 +1152,8 @@ def incremental_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sample — no quantizer means no index to probe
         return _empty_knn_frame(spark)
     lo = mx - IVF_BATCH + 1
-    fp = _source_fingerprint(sf_dir, "embeddings") + f":old=vec_id<{lo}"
+    src_fp = _source_fingerprint(sf_dir, "embeddings")
+    fp = src_fp + f":old=vec_id<{lo}"
     idx = ivf_cell_index(
         spark,
         e.filter(F.col("vec_id") < lo),
@@ -1138,7 +1161,11 @@ def incremental_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_tail{IVF_BATCH}",
         fp,
     )
-    bkey = (spark.sparkContext.applicationId, sf_dir)
+    # ADVICE r14: key the memoized batch on the source fingerprint (already
+    # computed above, one stat + footer-tail md5) so appending to the
+    # embeddings table mid-session invalidates the cached batch rows the
+    # same way it already invalidates the persisted index pin.
+    bkey = (spark.sparkContext.applicationId, sf_dir, src_fp)
     brows = _INC_BATCH.get(bkey)
     if brows is None:
         session.evict_stale(_INC_BATCH, bkey[0], unpersist=False)
@@ -1358,6 +1385,10 @@ def kmeans_assign_cte_sql(
         and train_max < k
     ):
         raise ValueError(f"train_max {train_max} < k {k}: init needs k sample rows")
+    # expression (string) k/train_max: this per-call check can't fire, so
+    # the same invariant is enforced at definition time on every
+    # IVF_ADAPTIVE_TIERS row (train_max >= ncells assert at module load) —
+    # the only source of expression geometry. ADVICE r14.
     where = (
         f"WHERE u.pos >= {slice_lo} AND u.pos < {slice_lo + slice_len}"
         if slice_len is not None
