@@ -406,6 +406,14 @@ IVF_LLOYD_ITERS = 5
 #: vectors) on the original 16/256 geometry, so the unrolled-SQL
 #: oracle stays cheap where it actually runs (driver sf0.01, pytest).
 IVF_ADAPTIVE_TIERS: tuple[tuple[int, int, int], ...] = (
+    # ≥1M vectors: 1024 cells ~ √N (FAISS guideline: √1M = 1000). At the
+    # measured sf270 leg (5.4M vectors) the 512-cell layout left the
+    # 32×4-probe union reading 1.46M index rows (27%) and the increment
+    # beat the full-corpus GEMM by only 1.12× — Arrow transfer of the
+    # probed rows, not the GEMM, was the cost. Halving the probed
+    # fraction is the scale path: cells shrink ∝ 1/ncells while the
+    # probe union stays ≤ batch×nprobe cells.
+    (1_000_000, 1024, 8192),
     (100_000, 512, 4096),
     (0, IVF_N_CELLS, IVF_TRAIN_SAMPLE),
 )
