@@ -231,6 +231,14 @@ _REPO_DIR = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
 #: unregistered never-sampled entry is overdue IMMEDIATELY (the strict
 #: r6 rule is unchanged for the undocumented case). Once an entry has a
 #: driver row, remove it from this dict.
+#: Registration round per entry that shipped without a driver row.
+#: The record is a PERMANENT historical fact, not a to-do list: once an
+#: entry has a driver CORRECTNESS row, derive_window's eff_last prefers
+#: the artifact row and the record becomes inert — leaving it in place
+#: can never extend grace past the first sample, so no cleanup edit is
+#: required when an artifact lands (the r14 lesson: any invariant that
+#: needs a code edit in the same instant the driver commits an artifact
+#: WILL spend a round red).
 ENTRY_REGISTERED: dict[str, int] = {
     # incremental_dedup_clusters (r13): the third leg of the incremental
     # dedup loop; its first-row deadline is the r15 window (grace
