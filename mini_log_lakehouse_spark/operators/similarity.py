@@ -536,7 +536,7 @@ def ivf_assign_cells(
 #: holds its index metadata; retraining the quantizer per request would
 #: be a bug, not a convenience. Session-keyed for the same staleness
 #: reason as _KNN_QUERIES.
-_IVF_CENTROIDS: dict[tuple[str, str], np.ndarray] = {}
+_IVF_CENTROIDS: dict[tuple[str, str, int, int], np.ndarray] = {}
 
 
 def _ivf_centroids_for(

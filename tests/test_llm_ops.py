@@ -1179,6 +1179,44 @@ def test_incremental_ann_adaptive_tier_matches_oracle(spark, monkeypatch):
     assert cent.shape[0] == 64
 
 
+def test_ivf_tier_table_boundaries_and_case_sql_agree():
+    """The REAL production tier table (not a monkeypatched stand-in):
+    Python's _ivf_layout and the generated SQL CASE must pick the same
+    tier at every boundary of IVF_ADAPTIVE_TIERS — including the r15
+    sqrt(N) tier at 1M vectors — and the module-load invariants
+    (min_rows=0 sentinel last, train_max >= ncells per tier) must hold
+    so the two halves stay provably identical (ADVICE r14)."""
+    import duckdb
+
+    from mini_log_lakehouse_spark.operators import similarity
+
+    tiers = similarity.IVF_ADAPTIVE_TIERS
+    assert tiers[-1][0] == 0
+    for _, ncells, train_max in tiers:
+        assert train_max >= ncells
+    # the r15 scale tier and its neighbors
+    assert similarity._ivf_layout(1_000_000) == (1024, 8192)
+    assert similarity._ivf_layout(999_999) == (512, 4096)
+    assert similarity._ivf_layout(100_000) == (512, 4096)
+    assert similarity._ivf_layout(99_999) == (
+        similarity.IVF_N_CELLS,
+        similarity.IVF_TRAIN_SAMPLE,
+    )
+    # SQL half evaluated by DuckDB at every boundary +-1 and far points
+    cells_expr, train_expr = similarity._ivf_layout_case_sql("n")
+    con = duckdb.connect()
+    probes = sorted(
+        {0, 1}
+        | {m + d for m, _, _ in tiers for d in (-1, 0, 1) if m + d >= 0}
+        | {10**8}
+    )
+    for n in probes:
+        got = con.execute(
+            f"SELECT {cells_expr} AS c, {train_expr} AS t FROM (SELECT {n}::BIGINT AS n)"
+        ).fetchone()
+        assert tuple(got) == similarity._ivf_layout(n), f"divergence at n={n}"
+
+
 def test_ivf_index_boundary_ties_keep_lowest_ids(spark):
     """Rank-k boundary ties are the hash-gate hazard: with many
     IDENTICAL corpus vectors every candidate ties at the same rounded
