@@ -248,13 +248,22 @@ ENTRY_REGISTERED: dict[str, int] = {
 }
 
 _NEXT_ROUND, _LAST_SAMPLED = scan_correctness_artifacts(_REPO_DIR)
-_FIRST_WINDOW = derive_window(
-    tuple(QUERIES),
-    _LAST_SAMPLED,
-    _NEXT_ROUND,
-    registered=ENTRY_REGISTERED,
-    deferrals=WINDOW_DEFERRALS,
-)
+if _LAST_SAMPLED:
+    _FIRST_WINDOW = derive_window(
+        tuple(QUERIES),
+        _LAST_SAMPLED,
+        _NEXT_ROUND,
+        registered=ENTRY_REGISTERED,
+        deferrals=WINDOW_DEFERRALS,
+    )
+else:
+    # No committed CORRECTNESS artifacts visible (a fresh environment or
+    # a stripped checkout): every entry would be "overdue" and the
+    # strict derivation would refuse — but crashing the package import
+    # would take bench.py and __spark_entry__ down with it. Fall back to
+    # the registry's natural order; the first artifact that lands
+    # restores the derived rotation.
+    _FIRST_WINDOW = tuple(QUERIES)[:50]
 # the driver samples EXACTLY the first 50 — an unbalanced rotation that
 # silently pushes the tail past position 50 must fail at import time
 if len(_FIRST_WINDOW) != 50 or len(set(_FIRST_WINDOW)) != 50:
