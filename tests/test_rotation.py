@@ -177,6 +177,36 @@ def test_overcommitted_forcing_set_raises(tmp_path):
         derive_window(names, last, 10, size=2)
 
 
+def test_import_survives_artifactless_checkout(tmp_path):
+    """A stripped checkout (no CORRECTNESS_r*.json beside the package)
+    must still import: the derived rotation falls back to registry
+    order instead of declaring all 201 entries overdue and crashing
+    bench.py / __spark_entry__ with the package import."""
+    import shutil
+    import subprocess
+    import sys
+
+    shutil.copytree(
+        os.path.join(REPO, "mini_log_lakehouse_spark"),
+        tmp_path / "mini_log_lakehouse_spark",
+        ignore=shutil.ignore_patterns("__pycache__"),
+    )
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "from mini_log_lakehouse_spark import entry_registry as er; "
+            "print(len(er._FIRST_WINDOW))",
+        ],
+        cwd=tmp_path,
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip() == "50"
+
+
 def test_r15_window_matches_preannounced_composition():
     """The real repo's derived r15 window must equal the composition
     pre-announced in r14: incremental_dedup_clusters leads (first-row
