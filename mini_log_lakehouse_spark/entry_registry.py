@@ -167,10 +167,18 @@ def derive_window(
     registered: dict[str, int] | None = None,
     deferrals: dict[int, tuple[str, ...]] | None = None,
     size: int = 50,
+    strict: bool = True,
 ) -> tuple[str, ...]:
     """Pure rotation derivation (unit-testable against synthetic
     artifacts). ``names`` is the full registry ordering; returns the
-    ``size`` names the driver should sample this round."""
+    ``size`` names the driver should sample this round.
+
+    ``strict=False`` is the import-survival mode: instead of raising on
+    an over-committed forcing set it serves the ``size`` MOST overdue
+    entries (deferral legality is still enforced — a caller wanting
+    lenience there passes ``deferrals=None``). The strict contract
+    checks then live in tests/test_rotation.py, which stays red until
+    the schedule debt is paid down."""
     registered = registered or {}
     deferred = set((deferrals or {}).get(next_round, ()))
 
@@ -206,11 +214,15 @@ def derive_window(
                 f"boundary — deferring it buys nothing and hides intent"
             )
     if len(forced) > size:
-        raise ValueError(
-            f"rotation over-committed: {len(forced)} entries are overdue for "
-            f"round {next_round} but the driver samples only {size}; the "
-            f"schedule debt must be paid down explicitly: {forced}"
-        )
+        if strict:
+            raise ValueError(
+                f"rotation over-committed: {len(forced)} entries are overdue "
+                f"for round {next_round} but the driver samples only {size}; "
+                f"the schedule debt must be paid down explicitly: {forced}"
+            )
+        # best-effort: serve the most overdue first (forced is already
+        # sorted oldest-first); the strict test stays red meanwhile
+        return tuple(forced[:size])
     forced_set = set(forced)
     fill = sorted(
         (n for n in names if n not in forced_set and n not in deferred),
@@ -249,13 +261,30 @@ ENTRY_REGISTERED: dict[str, int] = {
 
 _NEXT_ROUND, _LAST_SAMPLED = scan_correctness_artifacts(_REPO_DIR)
 if _LAST_SAMPLED:
-    _FIRST_WINDOW = derive_window(
-        tuple(QUERIES),
-        _LAST_SAMPLED,
-        _NEXT_ROUND,
-        registered=ENTRY_REGISTERED,
-        deferrals=WINDOW_DEFERRALS,
-    )
+    try:
+        _FIRST_WINDOW = derive_window(
+            tuple(QUERIES),
+            _LAST_SAMPLED,
+            _NEXT_ROUND,
+            registered=ENTRY_REGISTERED,
+            deferrals=WINDOW_DEFERRALS,
+        )
+    except ValueError:
+        # The STRICT derivation refused (over-committed forcing set from
+        # damaged/partial artifacts, or an illegal deferral). Crashing
+        # the package import would take bench.py and __spark_entry__
+        # down with the rotation — strictly worse than serving a
+        # best-effort window and letting tests/test_rotation.py report
+        # the contract violation (its overdue assertion re-derives the
+        # strict rules and stays red until the schedule debt is paid).
+        _FIRST_WINDOW = derive_window(
+            tuple(QUERIES),
+            _LAST_SAMPLED,
+            _NEXT_ROUND,
+            registered=ENTRY_REGISTERED,
+            deferrals=None,  # drop deferrals: never legal in this state
+            strict=False,
+        )
 else:
     # No committed CORRECTNESS artifacts visible (a fresh environment or
     # a stripped checkout): every entry would be "overdue" and the

@@ -1177,6 +1177,16 @@ class JaccardCandidateBudgetExceeded(RuntimeError):
     quadratic regime unwarned (judge r14 task 6)."""
 
 
+#: Single-slot persist of the guarded call's prefix frame, keyed
+#: (applicationId,): the guard aggregate and the join's two sides all
+#: consume ``pre`` (linear in the corpus — shingle explode, DF-count
+#: join, per-doc sort), so without a persist the guarded path recomputes
+#: that lineage per consumer. One slot bounds memory: each guarded call
+#: unpersists the previous call's frame (recompute-on-miss is always
+#: correct), and cross-session leftovers drop via the usual eviction.
+_GUARD_PRE_SLOT: dict[tuple[str], DataFrame] = {}
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -1280,10 +1290,23 @@ def ngram_jaccard_pairs(
     if candidate_budget is not None:
         # Σ bucket² over the prefix-token histogram = exactly the number
         # of occurrence rows the token self-join below will emit before
-        # its filters. One cheap aggregate (the prefix frame is linear in
-        # the corpus) bought against the measured r14 failure mode: the
-        # saturated heavy profile reaches ~4.7e9 and exhausts a single
-        # box, where real corpora measure 1.8e6 (sf0.01) / 1.8e8 (sf0.1).
+        # its filters. One cheap aggregate bought against the measured
+        # r14 failure mode: the saturated heavy profile reaches ~4.7e9
+        # and exhausts a single box, where real corpora measure 1.8e6
+        # (sf0.01) / 1.8e8 (sf0.1). The prefix frame is persisted so the
+        # guard's eager pass is the ONLY computation of the linear
+        # pipeline — the join's two sides below read the same cache
+        # (single slot, prior call evicted: _GUARD_PRE_SLOT).
+        skey = (docs.sparkSession.sparkContext.applicationId,)
+        session.evict_stale(_GUARD_PRE_SLOT, skey[0])
+        prior = _GUARD_PRE_SLOT.pop(skey, None)
+        if prior is not None:
+            try:
+                prior.unpersist(blocking=False)
+            except Exception:
+                pass  # owning context may already be gone
+        pre = pre.persist()
+        _GUARD_PRE_SLOT[skey] = pre
         mass_row = (
             pre.groupBy("tok")
             .agg(F.count(F.lit(1)).alias("c"))
@@ -1292,6 +1315,8 @@ def ngram_jaccard_pairs(
         )
         mass = int(mass_row["mass"] or 0)
         if mass > candidate_budget:
+            _GUARD_PRE_SLOT.pop(skey, None)
+            pre.unpersist(blocking=False)  # nothing will consume it
             raise JaccardCandidateBudgetExceeded(
                 f"exact-Jaccard prefix join would generate {mass:,} candidate "
                 f"occurrence rows (> budget {candidate_budget:,}): this corpus "

@@ -831,19 +831,30 @@ _IVF_INDEX_VERSION = 1
 #: (ADVICE r14) — same invalidation the persisted index pin gets.
 _INC_BATCH: dict[tuple[str, str, str], list] = {}
 
-#: Session-memoized (max vec_id, row count) per (applicationId,
-#: sf_dir): the batch cutoff and the adaptive IVF layout are both
-#: data-derived; ONE tiny agg per corpus per session serves both.
-_MAX_VEC_ID: dict[tuple[str, str], tuple[int, int]] = {}
+#: Session-memoized (max vec_id, row count) per (applicationId, sf_dir,
+#: source fingerprint): the batch cutoff and the adaptive IVF layout are
+#: both data-derived; ONE tiny agg per corpus VERSION per session serves
+#: both. The fingerprint component (r15, from the r14 ADVICE follow-up):
+#: a mid-session append must invalidate the cutoff and layout TOGETHER
+#: with the batch memo — fingerprinting only _INC_BATCH left the
+#: re-collected batch using a stale `lo`, yielding a mixed old+new batch
+#: that matches neither the pre-append state nor a fresh session.
+_MAX_VEC_ID: dict[tuple[str, str, str], tuple[int, int]] = {}
 
 
 def _embeddings_stats(
-    spark: SparkSession, sf_dir: str, e: DataFrame
+    spark: SparkSession, sf_dir: str, e: DataFrame, src_fp: str | None = None
 ) -> tuple[int, int] | None:
     """(max vec_id, corpus row count), or None on an empty corpus (None
     is never cached — an empty dir may be mid-population and the probe
-    is one tiny agg)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    is one tiny agg). ``src_fp`` lets a caller that already computed the
+    source fingerprint share it; otherwise one is computed here (a stat
+    plus a 64 KiB-tail md5 — cheap beside even the tiny agg)."""
+    from mini_log_lakehouse_spark.sources.registry import _source_fingerprint
+
+    if src_fp is None:
+        src_fp = _source_fingerprint(sf_dir, "embeddings")
+    key = (spark.sparkContext.applicationId, sf_dir, src_fp)
     got = _MAX_VEC_ID.get(key)
     if got is None:
         session.evict_stale(_MAX_VEC_ID, key[0], unpersist=False)
@@ -1145,7 +1156,8 @@ def incremental_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mini_log_lakehouse_spark.sources.registry import _source_fingerprint
 
     e = load_table(spark, sf_dir, "embeddings")
-    stats = _embeddings_stats(spark, sf_dir, e)
+    src_fp = _source_fingerprint(sf_dir, "embeddings")
+    stats = _embeddings_stats(spark, sf_dir, e, src_fp)
     if stats is None:
         # empty corpus: nothing ingested, nothing indexed, no batch —
         # probed before quantizer training so the trainer never sees a
@@ -1160,7 +1172,6 @@ def incremental_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sample — no quantizer means no index to probe
         return _empty_knn_frame(spark)
     lo = mx - IVF_BATCH + 1
-    src_fp = _source_fingerprint(sf_dir, "embeddings")
     fp = src_fp + f":old=vec_id<{lo}"
     idx = ivf_cell_index(
         spark,
@@ -1169,10 +1180,11 @@ def incremental_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_tail{IVF_BATCH}",
         fp,
     )
-    # ADVICE r14: key the memoized batch on the source fingerprint (already
-    # computed above, one stat + footer-tail md5) so appending to the
-    # embeddings table mid-session invalidates the cached batch rows the
-    # same way it already invalidates the persisted index pin.
+    # ADVICE r14 follow-through (r15): batch memo AND the stats memo
+    # above share the source fingerprint, so a mid-session append
+    # invalidates cutoff, layout, and batch together — a batch
+    # re-collected against a stale `lo` would mix old and new rows and
+    # match neither the pre-append state nor a fresh session.
     bkey = (spark.sparkContext.applicationId, sf_dir, src_fp)
     brows = _INC_BATCH.get(bkey)
     if brows is None:

@@ -1179,6 +1179,46 @@ def test_incremental_ann_adaptive_tier_matches_oracle(spark, monkeypatch):
     assert cent.shape[0] == 64
 
 
+def test_incremental_ann_append_invalidates_cutoff_and_batch(spark, tmp_path):
+    """Mid-session append contract (r14 ADVICE follow-through): appending
+    to the embeddings table must invalidate the memoized (max vec_id,
+    count) cutoff TOGETHER with the batch memo — with only the batch
+    fingerprinted (the initial r15 fix), the re-collected batch used the
+    stale `lo` and mixed old and new rows. After the append, the query
+    set must be exactly the NEW top-IVF_BATCH ids and neighbors must
+    stay below the new cutoff."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mini_log_lakehouse_spark.operators import similarity
+
+    def write(n):
+        rng = [[float((i * 7 + d * 3) % 13) + 1.0 for d in range(8)] for i in range(n)]
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(rng, pa.list_(pa.float32())),
+                "label": pa.array([i % 4 for i in range(n)], pa.int32()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    write(100)
+    sfd = str(tmp_path)
+    out1 = similarity.incremental_ann_ivf_topk(spark, sfd).collect()
+    q1 = {r["query_id"] for r in out1}
+    assert q1 == set(range(100 - similarity.IVF_BATCH, 100))
+    assert all(r["neighbor_id"] < 100 - similarity.IVF_BATCH for r in out1)
+
+    write(120)  # append 20 rows (and rewrite -> new fingerprint)
+    out2 = similarity.incremental_ann_ivf_topk(spark, sfd).collect()
+    q2 = {r["query_id"] for r in out2}
+    assert q2 == set(range(120 - similarity.IVF_BATCH, 120)), (
+        "stale cutoff: batch is not the new top-IVF_BATCH ids"
+    )
+    assert all(r["neighbor_id"] < 120 - similarity.IVF_BATCH for r in out2)
+
+
 def test_ivf_tier_table_boundaries_and_case_sql_agree():
     """The REAL production tier table (not a monkeypatched stand-in):
     Python's _ivf_layout and the generated SQL CASE must pick the same
