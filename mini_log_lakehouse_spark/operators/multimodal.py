@@ -61,6 +61,29 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
+def _spread(df: DataFrame, key: str = "media_id") -> DataFrame:
+    """Ensure at least session-parallelism partitions ahead of the
+    CPU-bound Python codec passes (guide §2/§4: the per-task work here is
+    interpreted codec code, so parallelism — not bytes — is the budget).
+
+    The warm-mode cached documents table is partitioned for SCAN cost
+    (~1 MiB per partition, registry.load_table), which strands the
+    mapInPandas synth/decode stages on a handful of cores (measured at
+    sf0.1: multimodal_gif_features 5.8 s warm on 6 of 32 cores). Only
+    engages when the input has FEWER partitions than the session
+    parallelism — a real at-scale corpus already has thousands of
+    partitions and must not pay a payload re-shuffle (§8's rule: decide
+    with small rows, never move heavy bytes for bookkeeping). Hash on
+    the id column: deterministic under retry (§2.5), no round-robin
+    pre-sort."""
+    from mini_log_lakehouse_spark.session import default_parallelism
+
+    n = default_parallelism()
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, F.col(key))
+
+
 def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a media table over the documents testdata: the utf-8 bytes of
     ``text`` play the opaque payload, so every downstream byte-level
@@ -73,6 +96,7 @@ def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_or_empty(),
     )
     kind = F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio")
+    d = _spread(d, "doc_id")
     return d.select(
         F.col("doc_id").alias("media_id"),
         kind.alias("kind"),
@@ -2399,7 +2423,10 @@ def _media_table(spark: SparkSession, sf_dir: str, synth) -> DataFrame:
     Arrow-batched pass (at scale this column arrives from storage; here
     the deterministic synthesizer doubles as the ground truth the
     oracle replays). One implementation for every codec family."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # narrow (doc_id) rows — the _spread re-shuffle is 8 B/row even when
+    # it engages, and the synth+decode passes downstream are the most
+    # CPU-expensive Python in the package (LZW/Huffman/inflate per doc)
+    d = _spread(load_table(spark, sf_dir, "documents").select("doc_id"), "doc_id")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

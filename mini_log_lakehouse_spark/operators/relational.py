@@ -184,17 +184,34 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def lineitem_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 exact interpolated percentiles (reference fct_requests_hourly.sql:8)
-    at three points, per group."""
+    at three points, per group.
+
+    One ``percentile(col, array(...))`` aggregate, not three scalar
+    ones: the exact percentile buffer is a per-group (value → count)
+    hash map, and three scalar calls build and merge THREE identical
+    maps per group per task (guide §1.2 "don't compute things you throw
+    away" / §2.3 aggregate cost). The array form shares one map and
+    reads the three order statistics off the same sorted counts —
+    values are identical by construction (measured 3.11 s → see
+    OPTIMIZATION_r15.md)."""
     l = load_table(spark, sf_dir, "lineitem")
-    p = lambda q: F.round(F.percentile("l_extendedprice", F.lit(q)), 6)
+    ps = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    )
     return (
         l.groupBy("l_returnflag")
         .agg(
-            p(0.5).alias("p50_price"),
-            p(0.9).alias("p90_price"),
-            p(0.99).alias("p99_price"),
+            ps.alias("_ps"),
             F.round(F.min("l_extendedprice"), 6).alias("min_price"),
             F.round(F.max("l_extendedprice"), 6).alias("max_price"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("_ps")[0], 6).alias("p50_price"),
+            F.round(F.col("_ps")[1], 6).alias("p90_price"),
+            F.round(F.col("_ps")[2], 6).alias("p99_price"),
+            "min_price",
+            "max_price",
         )
         .orderBy("l_returnflag")
     )

@@ -27,6 +27,7 @@ lakehouse's lateness SLA.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -34,6 +35,70 @@ from pyspark.sql import types as T
 
 from mini_log_lakehouse_spark.session import tune
 from mini_log_lakehouse_spark.sources.logs import parse_lines
+
+#: Target SOURCE bytes per streaming state partition (env-overridable).
+#: Every shuffle partition of a stateful streaming operator owns its own
+#: state store instance — a stream-stream join keeps FOUR per partition
+#: (two sides x keyToNumValues/keyWithIndexToValue) — and every
+#: microbatch pays a per-store open/commit/delta-file write even when
+#: the store holds three rows. The state-partition count is therefore a
+#: SCALE knob, not a constant (guide §2: derive partitioning from input
+#: size, never tune it to either local mode or the cluster): size it to
+#: the replayed source, clamped to the session's parallelism. Measured
+#: at sf0.1 (2 MB events source, 32 shuffle partitions → 1):
+#: streaming_error_followups 21.0 s → see OPTIMIZATION_r15.md; results
+#: are partitioning-independent (same rows, oracle-gated). On a real
+#: 100 TB feed bytes/target saturates the clamp and production instead
+#: raises SPARK_GRAFT_CPUS (or this target) to keep per-partition state
+#: in the store's comfort zone — the local default only DOWN-sizes.
+_STREAM_STATE_TARGET_BYTES = int(
+    os.environ.get("SPARK_GRAFT_STREAM_TARGET_BYTES", str(8 << 20))
+)
+
+
+def _path_bytes(path: str) -> int:
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _dirs, files in os.walk(path)
+            for f in files
+        )
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    return 0
+
+
+def _stream_partitions(*paths: str) -> int:
+    """State-partition count for a run-to-completion streaming query
+    replaying the given local source paths (see
+    _STREAM_STATE_TARGET_BYTES). Local-filesystem probe, matching the
+    driver contract's local sf_dir paths (same limitation as
+    read_events_stream's directory probe)."""
+    from mini_log_lakehouse_spark.session import default_parallelism
+
+    total = sum(_path_bytes(p) for p in paths)
+    n = max(1, -(-total // _STREAM_STATE_TARGET_BYTES))
+    return int(min(n, default_parallelism()))
+
+
+@contextmanager
+def _scoped_shuffle_partitions(spark: SparkSession, n: int):
+    """Pin spark.sql.shuffle.partitions for the duration of one
+    streaming query's start→drain (the microbatch planner reads it at
+    query start; these queries run to completion inside the scope, so
+    nothing else sees the altered conf). Restores the previous value
+    even on failure."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
+def _events_source_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "events.parquet")
 
 def events_stream(
     spark: SparkSession, path: str, glob: str | None = None
@@ -147,14 +212,17 @@ def stream_hourly_fact(
         )
     )
     name = "stream_hourly_fact_result"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scoped_shuffle_partitions(
+        spark, _stream_partitions(_events_source_path(sf_dir))
+    ):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -201,14 +269,17 @@ def streaming_hourly_fact_p95(
         )
     )
     name = "stream_hourly_fact_p95_result"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scoped_shuffle_partitions(
+        spark, _stream_partitions(_events_source_path(sf_dir))
+    ):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     out = spark.table(name)
     # exactness-regime guard (see docstring): the oracle is only valid
     # while every group's sketch kept all samples (delta == 0, i.e.
@@ -265,14 +336,17 @@ def streaming_daily_active_users(
     )
     agg = dd.groupBy("date").agg(F.count(F.lit(1)).alias("dau"))
     name = "stream_daily_active_users_result"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scoped_shuffle_partitions(
+        spark, _stream_partitions(_events_source_path(sf_dir))
+    ):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # single-microbatch exactness guard (same pattern as the p95 guard):
     # with >1 data-carrying batch, rows behind the watermark of a batch
     # two or more back are SLA-dropped on input (empirically pinned in
@@ -452,14 +526,17 @@ def streaming_append_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = "stream_append_hourly_result"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scoped_shuffle_partitions(
+        spark, _stream_partitions(_events_source_path(sf_dir))
+    ):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     data_batches = sum(
         1 for p in q.recentProgress if (p.get("numInputRows") or 0) > 0
     )
@@ -517,14 +594,17 @@ def streaming_update_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = "stream_update_hourly_result"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scoped_shuffle_partitions(
+        spark, _stream_partitions(_events_source_path(sf_dir))
+    ):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     data_batches = sum(
         1 for p in q.recentProgress if (p.get("numInputRows") or 0) > 0
     )
@@ -576,14 +656,17 @@ def streaming_sliding_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = "stream_sliding_fact_result"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scoped_shuffle_partitions(
+        spark, _stream_partitions(_events_source_path(sf_dir))
+    ):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).orderBy("window_start", "event_type")
 
 
@@ -618,14 +701,17 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = "stream_session_window_result"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scoped_shuffle_partitions(
+        spark, _stream_partitions(_events_source_path(sf_dir))
+    ):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).orderBy("user_id", "session_start")
 
 

@@ -24,7 +24,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mini_log_lakehouse_spark.streaming.ingest import read_events_stream
+from mini_log_lakehouse_spark.streaming.ingest import (
+    _events_source_path,
+    _scoped_shuffle_partitions,
+    _stream_partitions,
+    read_events_stream,
+)
 
 
 def stream_error_followups(
@@ -63,14 +68,20 @@ def stream_error_followups(
         "inner",
     ).select("user_id", "err_ts", "followup_type", "act_ts")
     name = "stream_error_followups_result"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # Stream-stream joins keep FOUR state stores per shuffle partition;
+    # size the partition count to the replayed source, not the session
+    # constant (see ingest._STREAM_STATE_TARGET_BYTES).
+    with _scoped_shuffle_partitions(
+        spark, _stream_partitions(_events_source_path(sf_dir))
+    ):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -141,14 +152,17 @@ def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("high_value_errors"),
     )
     name = "stream_static_enrichment_result"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scoped_shuffle_partitions(
+        spark, _stream_partitions(_events_source_path(sf_dir))
+    ):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).orderBy("tier")
 
 

@@ -23,7 +23,12 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from mini_log_lakehouse_spark.operators.sessions import SESSION_GAP_MINUTES
-from mini_log_lakehouse_spark.streaming.ingest import read_events_stream
+from mini_log_lakehouse_spark.streaming.ingest import (
+    _events_source_path,
+    _scoped_shuffle_partitions,
+    _stream_partitions,
+    read_events_stream,
+)
 
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -92,14 +97,17 @@ def stream_closed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = "stream_closed_sessions_result"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scoped_shuffle_partitions(
+        spark, _stream_partitions(_events_source_path(sf_dir))
+    ):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 

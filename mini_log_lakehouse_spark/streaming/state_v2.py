@@ -33,7 +33,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from mini_log_lakehouse_spark.streaming.ingest import read_events_stream
+from mini_log_lakehouse_spark.streaming.ingest import (
+    _events_source_path,
+    _scoped_shuffle_partitions,
+    _stream_partitions,
+    read_events_stream,
+)
 
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -166,14 +171,22 @@ def stream_user_totals(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     name = "stream_user_totals_result"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # Size state partitions to the replayed source; a caller-provided
+    # ``source`` stream has no local path to probe — keep the session
+    # conf for that (test-only) path.
+    if source is None:
+        n_parts = _stream_partitions(_events_source_path(sf_dir))
+    else:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    with _scoped_shuffle_partitions(spark, n_parts):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
