@@ -95,8 +95,12 @@ def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         text_or_empty(),
     )
+    # deliberately NOT _spread: the byte-level consumers (byte features,
+    # frame sampling, fake decode) are pyarrow-cheap per row, and the
+    # re-shuffle + extra Python tasks measured SLOWER at sf0.1
+    # (byte_features 0.73 s → 1.19 s) — only the real codecs below are
+    # CPU-bound enough to pay for the spread.
     kind = F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio")
-    d = _spread(d, "doc_id")
     return d.select(
         F.col("doc_id").alias("media_id"),
         kind.alias("kind"),
@@ -2457,6 +2461,32 @@ def _extract_features(media: DataFrame, decode, schema) -> DataFrame:
     return media.mapInPandas(run, schema=schema)
 
 
+def _synth_features(
+    spark: SparkSession, sf_dir: str, synth, decode, schema
+) -> DataFrame:
+    """Fused synthesize→decode in ONE Python pass: only the 8-byte
+    doc_id crosses into Python and only the integer feature row crosses
+    back — the synthesized payload bytes never transit the JVM↔Python
+    boundary at all (guide §4.1: you control how many columns cross and
+    how often; the split _media_table → _extract_features shape ships
+    every payload across Arrow twice). The split functions remain the
+    library surface (callers that need the media table itself);
+    the driver queries use this fused path."""
+    cols = [f.name for f in schema.fields if f.name != "media_id"]
+    d = _spread(load_table(spark, sf_dir, "documents").select("doc_id"), "doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            feats = [decode(synth(int(i))) for i in ids]
+            out = {"media_id": ids}
+            for k in cols:
+                out[k] = pd.Series([f[k] for f in feats], dtype="int64")
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(run, schema=schema)
+
+
 def wav_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _media_table(spark, sf_dir, synthesize_wav)
 
@@ -2540,7 +2570,9 @@ def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the integer generation law, so any header-walk or
     sample-decode defect in decode_wav (or drift in the synthesizer)
     breaks the gate."""
-    return extract_wav_features(wav_media(spark, sf_dir)).orderBy("media_id")
+    return _synth_features(
+        spark, sf_dir, synthesize_wav, decode_wav, WAV_FEATURES_SCHEMA
+    ).orderBy("media_id")
 
 
 def multimodal_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2550,7 +2582,9 @@ def multimodal_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoder that skipped the bottom-up flip, misread the pixel-array
     offset, or mis-sized row padding breaks the ``pos_weighted``
     column even though the channel sums would still agree."""
-    return extract_bmp_features(bmp_media(spark, sf_dir)).orderBy("media_id")
+    return _synth_features(
+        spark, sf_dir, synthesize_bmp, decode_bmp, BMP_FEATURES_SCHEMA
+    ).orderBy("media_id")
 
 
 def multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2561,7 +2595,9 @@ def multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     only one IDAT chunk, or mis-sized the inflated stream breaks
     ``pos_weighted`` / ``filter_weighted`` even though header columns
     would still agree."""
-    return extract_png_features(png_media(spark, sf_dir)).orderBy("media_id")
+    return _synth_features(
+        spark, sf_dir, synthesize_png, decode_png, PNG_FEATURES_SCHEMA
+    ).orderBy("media_id")
 
 
 def multimodal_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2571,7 +2607,9 @@ def multimodal_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrong LZW code (dictionary, variable-width reader, CLEAR reset,
     KwKwK case) shifts every subsequent pixel and breaks
     ``pos_weighted`` even where channel sums might survive."""
-    return extract_gif_features(gif_media(spark, sf_dir)).orderBy("media_id")
+    return _synth_features(
+        spark, sf_dir, synthesize_gif, decode_gif, GIF_FEATURES_SCHEMA
+    ).orderBy("media_id")
 
 
 def multimodal_jpeg_dc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2582,7 +2620,9 @@ def multimodal_jpeg_dc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hash-checked end to end: the oracle replays the DC/AC/quant laws;
     one wrong Huffman bit or a missed stuffing byte desynchronizes the
     stream and breaks pos_weighted_dc."""
-    return extract_jpeg_features(jpeg_media(spark, sf_dir)).orderBy("media_id")
+    return _synth_features(
+        spark, sf_dir, synthesize_jpeg, decode_jpeg_dc, JPEG_FEATURES_SCHEMA
+    ).orderBy("media_id")
 
 
 def multimodal_mulaw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2594,10 +2634,8 @@ def multimodal_mulaw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     0xFF→0, 0x00→−32124). Hash-checked end to end: the oracle replays
     the byte law AND the expansion law relationally, so a wrong shift,
     bias, or sign branch breaks peak/energy."""
-    return _extract_features(
-        _media_table(spark, sf_dir, synthesize_wav_mulaw),
-        decode_wav,
-        WAV_FEATURES_SCHEMA,
+    return _synth_features(
+        spark, sf_dir, synthesize_wav_mulaw, decode_wav, WAV_FEATURES_SCHEMA
     ).orderBy("media_id")
 
 
@@ -2610,8 +2648,8 @@ def multimodal_jpeg_pixel_features(spark: SparkSession, sf_dir: str) -> DataFram
     truncating descale in integer division), so both engines compute
     identical pixels — a genuinely lossy-codec decode gated bit-for-bit
     with no image library anywhere."""
-    return _extract_features(
-        jpeg_media(spark, sf_dir), decode_jpeg_pixels, JPEG_PIXEL_SCHEMA
+    return _synth_features(
+        spark, sf_dir, synthesize_jpeg, decode_jpeg_pixels, JPEG_PIXEL_SCHEMA
     ).orderBy("media_id")
 
 
@@ -2626,10 +2664,8 @@ def multimodal_avi_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join on adjacent frames) — a REAL video container + lossy
     codec pipeline, hash-gated bit for bit with no media library
     anywhere."""
-    return _extract_features(
-        _media_table(spark, sf_dir, synthesize_avi),
-        decode_avi,
-        AVI_FEATURES_SCHEMA,
+    return _synth_features(
+        spark, sf_dir, synthesize_avi, decode_avi, AVI_FEATURES_SCHEMA
     ).orderBy("media_id")
 
 
@@ -2643,10 +2679,8 @@ def multimodal_mp4_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     entry over a DIFFERENT frame corpus (its own count/coefficient
     laws) and a structurally different container family — index-table
     framing vs AVI's chunk-per-frame."""
-    return _extract_features(
-        _media_table(spark, sf_dir, synthesize_mp4),
-        decode_mp4,
-        AVI_FEATURES_SCHEMA,
+    return _synth_features(
+        spark, sf_dir, synthesize_mp4, decode_mp4, AVI_FEATURES_SCHEMA
     ).orderBy("media_id")
 
 
@@ -2659,10 +2693,8 @@ def multimodal_alaw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned in tests: 0x55→−8, 0xD5→+8, 0xAA→+32256, 0x2A→−32256).
     Hash-checked end to end: the oracle replays the byte law AND the
     expansion law relationally."""
-    return _extract_features(
-        _media_table(spark, sf_dir, synthesize_wav_alaw),
-        decode_wav,
-        WAV_FEATURES_SCHEMA,
+    return _synth_features(
+        spark, sf_dir, synthesize_wav_alaw, decode_wav, WAV_FEATURES_SCHEMA
     ).orderBy("media_id")
 
 
@@ -2677,10 +2709,8 @@ def multimodal_adpcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     step table and clamp arithmetic, so a wrong table entry, a missed
     clamp, swapped nibble order, or unhonored fact count shifts
     energy/peak and breaks the gate."""
-    return _extract_features(
-        _media_table(spark, sf_dir, synthesize_wav_adpcm),
-        decode_wav,
-        WAV_FEATURES_SCHEMA,
+    return _synth_features(
+        spark, sf_dir, synthesize_wav_adpcm, decode_wav, WAV_FEATURES_SCHEMA
     ).orderBy("media_id")
 
 
@@ -2696,10 +2726,8 @@ def multimodal_flac_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum (pure window functions), so one wrong Rice bit, predictor
     coefficient, or CRC acceptance shifts every later sample and
     breaks peak/energy."""
-    return _extract_features(
-        _media_table(spark, sf_dir, synthesize_flac),
-        decode_flac,
-        WAV_FEATURES_SCHEMA,
+    return _synth_features(
+        spark, sf_dir, synthesize_flac, decode_flac, WAV_FEATURES_SCHEMA
     ).orderBy("media_id")
 
 
@@ -2711,7 +2739,9 @@ def multimodal_tiff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     end: the oracle replays the pixel/dims/strip laws plus the
     endianness bit, so a decoder that assumed one byte order or misread
     an out-of-line array breaks half the corpus."""
-    return extract_tiff_features(tiff_media(spark, sf_dir)).orderBy("media_id")
+    return _synth_features(
+        spark, sf_dir, synthesize_tiff, decode_tiff, TIFF_FEATURES_SCHEMA
+    ).orderBy("media_id")
 
 
 #: The three IDCT basis rows the synthesized coefficient pattern needs
