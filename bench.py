@@ -193,6 +193,12 @@ def bench_comparable(spark, sf_dir: str, iters: int, warmup: int, names):
     return results
 
 
+def _noop_write(df) -> None:
+    """The guide §1.4 timing sink: computes every column of every row
+    and discards the result — no driver-side Row materialization."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def bench_cache_bearing(spark, sf_dir: str, iters: int, warmup: int, names):
     """Time the cache-bearing queries (persisted-intermediate reuse),
     strictly AFTER the comparable block: their warmups legitimately
@@ -200,23 +206,46 @@ def bench_cache_bearing(spark, sf_dir: str, iters: int, warmup: int, names):
     join over precomputed signatures — the production shape), but that
     working set must never sit resident under anyone else's median.
 
-    Also records each query's OUTPUT ROW COUNT (free — the timed runs
-    collect anyway) as the corpus-profile marker (VERDICT r13 ask 6):
-    the driver regenerates the corpus per session and its near-dup mass
-    can flip 10× between rounds (822,588 vs 81,732 qualifying pairs at
-    the 100× leg — the r12 'regression' that took a round to
-    root-cause); with the count in the artifact, the next apparent
-    dedup regression self-diagnoses as data or code at a glance."""
+    MEASUREMENT CHANGE (r15, declared in OPTIMIZATION_r15.md): the
+    timed action is the NOOP SINK (guide §1.4), not ``collect()``. The
+    r1–r14 collect-timed numbers for dedup_minhash_pairs measured
+    driver-side Python Row materialization of the multi-million-row
+    pair table, not the operator: at the sf30 leg the pipeline computes
+    in ~5.7 s (noop) while collect() reported ~31 s — 80% pickling.
+    These queries are baseline-skipped (BASELINE_SKIP), so no ratio
+    ever depended on the old numbers; for continuity each leg still
+    records ONE legacy collect() run per query (``queries_collect`` in
+    the artifact) beside the noop medians. The comparable block keeps
+    collect() — its outputs are rows-sized and the DuckDB baseline
+    times fetchall(), so collect-vs-fetchall stays apples-to-apples.
+
+    Also records each query's OUTPUT ROW COUNT (from the legacy collect
+    run) as the corpus-profile marker (VERDICT r13 ask 6): the driver
+    regenerates the corpus per session and its near-dup mass can flip
+    10× between rounds (822,588 vs 81,732 qualifying pairs at the 100×
+    leg — the r12 'regression' that took a round to root-cause); with
+    the count in the artifact, the next apparent dedup regression
+    self-diagnoses as data or code at a glance."""
     results: dict[str, float] = {}
     cold: dict[str, float] = {}
     out_rows: dict[str, int] = {}
+    collect_once: dict[str, float] = {}
     for name in names:
         fn = QUERIES[name]
-
-        def run(fn=fn, name=name):
-            out_rows[name] = len(fn(spark, sf_dir).collect())
-
-        results[name] = round(time_fn(run, warmup=warmup, iters=iters), 4)
+        results[name] = round(
+            time_fn(
+                lambda: _noop_write(fn(spark, sf_dir)),
+                warmup=warmup,
+                iters=iters,
+            ),
+            4,
+        )
+        # one legacy-methodology run: the old collect() number for
+        # cross-round continuity + the output row count for the
+        # corpus-profile marker
+        t0 = time.perf_counter()
+        out_rows[name] = len(fn(spark, sf_dir).collect())
+        collect_once[name] = round(time.perf_counter() - t0, 4)
         # Cold AFTER warm: the warm loop has JIT-compiled the whole
         # pipeline, so this single drop-caches run isolates the
         # signature recompute (hash→band→verify), not first-run JVM
@@ -224,14 +253,14 @@ def bench_cache_bearing(spark, sf_dir: str, iters: int, warmup: int, names):
         # would actually pay.
         _drop_pipeline_caches()
         t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
+        _noop_write(fn(spark, sf_dir))
         cold[name] = round(time.perf_counter() - t0, 4)
         # The cold run itself re-persisted the signatures; quiet the
         # heap so the isolation blocks run clean — r11 run-2 measured
         # the ISOLATED q1 at 3.85x (vs 1.16x in-suite) purely because
         # the re-persisted 4.6 GB working set was resident by then.
         _quiet_heap(spark)
-    return results, cold, out_rows
+    return results, cold, out_rows, collect_once
 
 
 def bench_spark(spark, sf_dir: str, iters: int, warmup: int, names=HEADLINE):
@@ -243,7 +272,7 @@ def bench_spark(spark, sf_dir: str, iters: int, warmup: int, names=HEADLINE):
     results = bench_comparable(spark, sf_dir, iters, warmup, comparable)
     cold: dict[str, float] = {}
     if bearing:
-        warm_b, cold, _rows = bench_cache_bearing(
+        warm_b, cold, _rows, _legacy = bench_cache_bearing(
             spark, sf_dir, iters, warmup, bearing
         )
         results.update(warm_b)
@@ -400,13 +429,14 @@ def _bench_leg(spark, leg_dir: str, names, iters: int, warmup: int):
     baseline = bench_duckdb(leg_dir, names, iters=iters)
     cold: dict[str, float] = {}
     out_rows: dict[str, int] = {}
+    collect_once: dict[str, float] = {}
     if bearing:
-        warm_b, cold, out_rows = bench_cache_bearing(
+        warm_b, cold, out_rows, collect_once = bench_cache_bearing(
             spark, leg_dir, iters, warmup, bearing
         )
         results.update(warm_b)
     results = {n: results[n] for n in names}
-    return results, cold, baseline, out_rows
+    return results, cold, baseline, out_rows, collect_once
 
 
 def scaled_leg(
@@ -430,7 +460,7 @@ def scaled_leg(
     # tables/signatures before warming this one (accumulated pins
     # measurably pressure storage memory by the 100x leg).
     release_corpus_caches(spark)
-    results, cold, baseline, out_rows = _bench_leg(
+    results, cold, baseline, out_rows, collect_once = _bench_leg(
         spark, scaled_dir, names, iters, WARMUP_SCALED
     )
     leg = _with_ratios(
@@ -448,6 +478,10 @@ def scaled_leg(
         # output row counts of the cache-bearing (dedup) queries: the
         # corpus-profile marker — see bench_cache_bearing's docstring
         leg["corpus_profile"] = out_rows
+    if collect_once:
+        # legacy collect()-timed numbers (pre-r15 methodology), one run
+        # per query — see bench_cache_bearing's measurement-change note
+        leg["queries_collect"] = collect_once
     if iso:
         attach_isolation(spark, scaled_dir, names, leg)
     if incremental:
@@ -628,7 +662,7 @@ def main() -> None:
     spark = get_spark(app_name="mini-log-lakehouse-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    results, cold, baseline, out_rows = _bench_leg(
+    results, cold, baseline, out_rows, collect_once = _bench_leg(
         spark, sf_dir, HEADLINE, ITERS, WARMUP
     )
 
@@ -646,6 +680,8 @@ def main() -> None:
     )
     if out_rows:
         payload["corpus_profile"] = out_rows
+    if collect_once:
+        payload["queries_collect"] = collect_once
     # Isolation at the SMALL legs too (VERDICT r13 ask 5): the driver's
     # fresh-rebuild environment inflated the r13 sf0.1 leg ~2x uniformly
     # across all nine queries (7.90 s vs 2.9-3.1 s builder-pinned at

@@ -462,10 +462,61 @@ def user_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(cooccurrence_edges(spark, sf_dir)).orderBy("user_id")
 
 
+#: Directed-edge count under which triangle_counts uses the
+#: adjacency-broadcast intersection tier: the broadcast hash relation
+#: holds one sorted long array per vertex totalling ~16 B per directed
+#: edge (8 M directed edges ≈ 128 MB per executor — the same order as
+#: the dedup estimate-join broadcast tier). Above it, the wedge-close
+#: join tier runs — it never holds adjacency in memory.
+TRIANGLE_BCAST_MAX_EDGES = 8_000_000
+
+
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-vertex triangle counts over an undirected (u < v once) edge
-    list — the node-ordered wedge-close enumeration (see
-    user_cooccurrence_triangles for the shape discussion)."""
+    list. Two tiers, identical output (vertices in ≥ 1 triangle):
+
+    - **adjacency-intersection** (≤ TRIANGLE_BCAST_MAX_EDGES directed
+      edges): per directed edge (a, b), |N(a) ∩ N(b)| via
+      ``array_intersect`` over broadcast sorted neighbor arrays; each
+      triangle {x,y,z} is counted at x once via (x,y) and once via
+      (x,z), so T(x) = Σ_cn / 2 exactly. The Σ deg² wedge work runs as
+      vectorized array walks INSIDE the edge stage — no wedge row is
+      ever materialized, probed, or aggregated (guide §1.2: fix the
+      algorithm before the per-task code; measured on the sf0.1
+      near-clique co-occurrence graph — 1.03 M edges, 1.43 B wedges —
+      117 s → see OPTIMIZATION_r15.md). Dense graphs are exactly where
+      the wedge form dies: wedge rows explode quadratically while the
+      adjacency stays linear in |E|.
+
+    - **wedge-close join** (bigger graphs): the node-ordered
+      wedge-close enumeration (see user_cooccurrence_triangles) — never
+      holds adjacency in memory, the scale-out tier at 100 TB where
+      per-executor adjacency no longer fits; there the broadcast cap —
+      not a collect — decides, same discipline as dedup's three-tier
+      estimate join."""
+    n_directed = 2 * edges.count()
+    if n_directed <= TRIANGLE_BCAST_MAX_EDGES:
+        und = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+            edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+        )
+        adj = und.groupBy("a").agg(F.array_sort(F.collect_list("b")).alias("nbrs"))
+        na = F.broadcast(adj.select(F.col("a").alias("_na"), F.col("nbrs").alias("nbrs_a")))
+        nb = F.broadcast(adj.select(F.col("a").alias("_nb"), F.col("nbrs").alias("nbrs_b")))
+        cn = (
+            und.join(na, und.a == F.col("_na"))
+            .join(nb, und.b == F.col("_nb"))
+            .select(
+                F.col("a").alias("user_id"),
+                F.array_size(F.array_intersect("nbrs_a", "nbrs_b")).alias("_cn"),
+            )
+        )
+        return (
+            cn.groupBy("user_id")
+            # integer halving (the sum is even by the double-count
+            # argument above) — no float ever touches the count
+            .agg(F.expr("sum(_cn) DIV 2").cast("long").alias("n_triangles"))
+            .filter(F.col("n_triangles") > 0)
+        )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.v") == F.col("e2.u"))

@@ -42,10 +42,26 @@ def test_comparables_and_baselines_run_before_any_cache_bearing_query(
     calls: list[str] = []
 
     def make(name):
+        class _Writer:
+            def format(self, *_a):
+                return self
+
+            def mode(self, *_a):
+                return self
+
+            def save(self):
+                # the cache-bearing timed action is the noop sink —
+                # record it like an execution for the order pin
+                calls.append(name)
+
         class _DF:
             def collect(self):
                 calls.append(name)
                 return []
+
+            @property
+            def write(self):
+                return _Writer()
 
         return lambda spark, sf_dir: _DF()
 
@@ -61,9 +77,12 @@ def test_comparables_and_baselines_run_before_any_cache_bearing_query(
         bench, "_drop_pipeline_caches", lambda: calls.append("DROP")
     )
 
-    results, cold, baseline, out_rows = bench._bench_leg(
+    results, cold, baseline, out_rows, collect_once = bench._bench_leg(
         _StubSpark(), "/tmp/nonexistent", names, iters=1, warmup=1
     )
+    # the legacy collect()-timed continuity number rides beside the
+    # noop-timed median for every cache-bearing query
+    assert set(collect_once) == {"dedup_minhash_pairs"}
 
     assert set(results) == set(names)
     assert "dedup_minhash_pairs" in cold
