@@ -695,6 +695,118 @@ LP_TOP_N = 100
 LP_JACCARD_SCALE = 10**6
 
 
+#: Dense-graph tier bounds for link_prediction's candidate generation:
+#: the whole adjacency rides as ONE (V × V) float32 matrix (0/1 cells)
+#: broadcast to the GEMM tasks — 4096² × 4 B = 64 MB at the node cap —
+#: and the edge list is pulled to the driver once to build it (Arrow
+#: path, ≤ LP_DENSE_MAX_EDGES rows). Beyond either bound the wedge-join
+#: tier runs (never holds the graph in memory).
+LP_DENSE_MAX_NODES = 4096
+LP_DENSE_MAX_EDGES = 4_000_000
+
+
+def _lp_candidates(edges: DataFrame, und: DataFrame) -> DataFrame:
+    """Non-adjacent (u < v) pairs with ≥1 common neighbor and their
+    common-neighbor count — two tiers, identical output.
+
+    **Dense tier** (V ≤ LP_DENSE_MAX_NODES, |E| ≤ LP_DENSE_MAX_EDGES,
+    and V² below the wedge mass Σ deg·(deg−1)/2): common-neighbor
+    counts for ALL pairs at once as one blocked 0/1-matrix product —
+    node blocks stream through mapInArrow, each task computes
+    (block × V) @ (V × V) in float32 BLAS (counts ≤ V < 2²⁴, so every
+    float32 value is the exact integer) and emits only the surviving
+    (u < v, non-adjacent, cn > 0) cells. On the sf0.1 near-clique
+    co-occurrence graph the wedge join enumerates Σ deg² ≈ 2.9 B rows
+    through a groupBy to produce 1.1 M candidate pairs; the GEMM does
+    the same arithmetic inside BLAS without materializing a row per
+    wedge (guide §1.2 — fix the algorithm first; same dense-graph
+    rationale as triangle_counts' intersection tier, same
+    driver-held-small-matrix idiom as similarity.knn_join_vectorized).
+
+    **Wedge tier** (everything else, and any tie): the node-ordered
+    wedge enumeration — und ⋈ und on the middle vertex, endpoints
+    ordered, counted per pair. Never collects or holds the graph; the
+    100 TB shape (wedge mass on a REAL sparse power-law graph is near
+    linear in |E|, exactly where the dense tier's V² loses)."""
+    n_edges = edges.count()
+    dense = n_edges <= LP_DENSE_MAX_EDGES
+    if dense:
+        deg_stats = und.groupBy("src").count().agg(
+            F.count(F.lit(1)).alias("v"),
+            F.sum(F.col("count") * (F.col("count") - 1)).alias("wedges2"),
+        ).first()
+        n_nodes = int(deg_stats["v"] or 0)
+        wedge_mass = int(deg_stats["wedges2"] or 0) // 2
+        dense = 0 < n_nodes <= LP_DENSE_MAX_NODES and n_nodes * n_nodes < wedge_mass
+    if dense:
+        import numpy as np
+        import pyarrow as pa
+        from pyspark.sql import types as T
+
+        spark = edges.sparkSession
+        tbl = edges.select("u", "v").toArrow()
+        us = tbl.column("u").to_numpy(zero_copy_only=False).astype("int64")
+        vs = tbl.column("v").to_numpy(zero_copy_only=False).astype("int64")
+        ids = np.unique(np.concatenate([us, vs]))
+        a_mat = np.zeros((len(ids), len(ids)), dtype=np.float32)
+        ui, vi = np.searchsorted(ids, us), np.searchsorted(ids, vs)
+        a_mat[ui, vi] = 1.0
+        a_mat[vi, ui] = 1.0
+        bc = spark.sparkContext.broadcast((ids, a_mat))
+
+        def cn_blocks(batches):
+            b_ids, b_a = bc.value
+            cols = np.arange(len(b_ids))
+            for batch in batches:
+                if batch.num_rows == 0:
+                    continue
+                uids = batch.column(0).to_numpy(zero_copy_only=False)
+                bi = np.searchsorted(b_ids, uids)
+                blk = b_a[bi]
+                cn = blk @ b_a
+                keep = (cn > 0) & (blk == 0) & (cols[None, :] > bi[:, None])
+                r, c = np.nonzero(keep)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(uids[r], type=pa.int64()),
+                        pa.array(b_ids[c], type=pa.int64()),
+                        pa.array(cn[r, c].astype("int64"), type=pa.int64()),
+                    ],
+                    names=["u", "v", "cn"],
+                )
+
+        from mini_log_lakehouse_spark.session import spread_cpu
+
+        nodes = spread_cpu(
+            spark.createDataFrame(
+                [(int(x),) for x in ids],
+                T.StructType([T.StructField("user_id", T.LongType())]),
+            ),
+            "user_id",
+        )
+        return nodes.mapInArrow(
+            cn_blocks,
+            T.StructType(
+                [
+                    T.StructField("u", T.LongType()),
+                    T.StructField("v", T.LongType()),
+                    T.StructField("cn", T.LongType()),
+                ]
+            ),
+        )
+    m1, m2 = und.alias("m1"), und.alias("m2")
+    return (
+        m1.join(
+            m2,
+            (F.col("m1.src") == F.col("m2.src"))
+            & (F.col("m1.dst") < F.col("m2.dst")),
+        )
+        .groupBy(F.col("m1.dst").alias("u"), F.col("m2.dst").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .join(edges.select("u", "v"), ["u", "v"], "left_anti")
+    )
+
+
 def link_prediction(edges: DataFrame, top_n: int = LP_TOP_N) -> DataFrame:
     """Common-neighbor / Jaccard link prediction over an undirected
     (u < v once) edge list: for every NON-adjacent pair with at least
@@ -719,17 +831,7 @@ def link_prediction(edges: DataFrame, top_n: int = LP_TOP_N) -> DataFrame:
     und = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
-    m1, m2 = und.alias("m1"), und.alias("m2")
-    cand = (
-        m1.join(
-            m2,
-            (F.col("m1.src") == F.col("m2.src"))
-            & (F.col("m1.dst") < F.col("m2.dst")),
-        )
-        .groupBy(F.col("m1.dst").alias("u"), F.col("m2.dst").alias("v"))
-        .agg(F.count(F.lit(1)).alias("cn"))
-        .join(edges.select("u", "v"), ["u", "v"], "left_anti")
-    )
+    cand = _lp_candidates(edges, und)
     deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     du, dv = deg.alias("du"), deg.alias("dv")
     return (

@@ -76,12 +76,9 @@ def _spread(df: DataFrame, key: str = "media_id") -> DataFrame:
     with small rows, never move heavy bytes for bookkeeping). Hash on
     the id column: deterministic under retry (§2.5), no round-robin
     pre-sort."""
-    from mini_log_lakehouse_spark.session import default_parallelism
+    from mini_log_lakehouse_spark.session import spread_cpu
 
-    n = default_parallelism()
-    if df.rdd.getNumPartitions() >= n:
-        return df
-    return df.repartition(n, F.col(key))
+    return spread_cpu(df, key)
 
 
 def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:

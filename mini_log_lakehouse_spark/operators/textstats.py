@@ -279,17 +279,35 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep/drop flag (the standard repetition filter in training-data
     pipelines; thresholds are the survey defaults, rational arithmetic
     only so the oracle reproduces doubles bit-for-bit). All signals are
-    per-row array expressions — a map-only pass at any scale."""
-    d = _docs(spark, sf_dir)
-    toks = ws_tokens(F.col("text"))
-    g2 = token_shingles(F.col("text"), 2)
-    g3 = token_shingles(F.col("text"), 3)
-    dup2 = F.lit(1.0) - F.array_size(F.array_distinct(g2)) / F.array_size(g2)
-    dup3 = F.lit(1.0) - F.array_size(F.array_distinct(g3)) / F.array_size(g3)
-    top_frac = _max_run_length(F.array_sort(toks)) / F.array_size(toks)
-    out = d.select(
+    per-row array expressions — a map-only pass at any scale.
+
+    spread_cpu: the shingle arrays + per-row array_sort/array_distinct
+    are the most expensive JVM per-row expressions in this module, and
+    the warm-mode cached documents table arrives in ~6 partitions
+    (measured 5.2 s warm at sf0.1 on 6 of 32 cores — see
+    OPTIMIZATION_r15.md)."""
+    from mini_log_lakehouse_spark.session import spread_cpu
+
+    d = spread_cpu(_docs(spark, sf_dir), "doc_id")
+    # Materialize the three arrays ONCE in their own projection: inlined,
+    # every stat column re-evaluates its shingle/tokenize regex tree
+    # independently (the signal expressions reference each array 2×, and
+    # whole-stage CSE does not span the interpreted HOF boundary) —
+    # measured 5.2 s → see OPTIMIZATION_r15.md. CollapseProject keeps
+    # the boundary because the array exprs are non-cheap and referenced
+    # more than once downstream (the minhash _base idiom).
+    arrs = d.select(
         "doc_id",
-        F.array_size(toks).cast("long").alias("n_tokens"),
+        ws_tokens(F.col("text")).alias("_t"),
+        token_shingles(F.col("text"), 2).alias("_g2"),
+        token_shingles(F.col("text"), 3).alias("_g3"),
+    )
+    dup2 = F.lit(1.0) - F.array_size(F.array_distinct("_g2")) / F.array_size("_g2")
+    dup3 = F.lit(1.0) - F.array_size(F.array_distinct("_g3")) / F.array_size("_g3")
+    top_frac = _max_run_length(F.array_sort("_t")) / F.array_size("_t")
+    out = arrs.select(
+        "doc_id",
+        F.array_size("_t").cast("long").alias("n_tokens"),
         F.round(dup2, 6).alias("dup_2gram_ratio"),
         F.round(dup3, 6).alias("dup_3gram_ratio"),
         F.round(top_frac, 6).alias("top_token_frac"),

@@ -93,6 +93,24 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def spread_cpu(df, key: str):
+    """Ensure at least session-parallelism partitions ahead of a
+    CPU-bound per-row pass (guide §2/§4: for shingle/regex/codec work
+    the budget is CORES, not bytes). Warm-mode cached tables are
+    partitioned for scan cost (~1 MiB/partition — sources/registry),
+    which strands heavy per-row expressions on a handful of cores at
+    small corpora. Only engages when the input has FEWER partitions
+    than the session's parallelism — an at-scale corpus already has
+    thousands of partitions and never pays the re-shuffle. Hash on
+    ``key``: deterministic under retry, no round-robin pre-sort."""
+    from pyspark.sql import functions as F
+
+    n = default_parallelism()
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, F.col(key))
+
+
 def evict_stale(cache: dict, app_id: str, unpersist: bool = True) -> None:
     """Drop cache entries from sessions other than ``app_id``.
 
