@@ -140,6 +140,35 @@ WINDOW_DEFERRALS: dict[int, tuple[str, ...]] = {
     15: ("nation_customer_counts",),
 }
 
+#: Entries whose ALGORITHM was rewritten in the given round: a rewrite
+#: invalidates the confidence of any driver CORRECTNESS row OLDER than
+#: the rewrite, so the entry is forced back into the window from the
+#: following round until a post-rewrite row lands (VERDICT r15 ask 3:
+#: triangles / link prediction / repetition stats shipped r15 rewrites
+#: with no driver-side hash row; rotation age alone would have waited up
+#: to ROTATION_MAX_AGE rounds to re-check them). Like ENTRY_REGISTERED,
+#: records are permanent historical facts: once a row at or after the
+#: rewrite round exists, the record is inert — no cleanup edit needed.
+REWRITE_RESAMPLE: dict[str, int] = {
+    # r15 optimization round: tier rewrites (OPTIMIZATION_r15.md §4-6)
+    "user_cooccurrence_triangles": 15,
+    "user_link_prediction": 15,
+    "doc_repetition_stats": 15,
+    # r16 optimization round: tier/plan rewrites (OPTIMIZATION_r16.md) —
+    # entries already in the r16 window get their row this round and the
+    # record goes inert; the rest are forced into r17.
+    "dedup_semantic_pairs": 16,
+    "dedup_embedding_cosine": 16,
+    "incremental_dedup_clusters": 16,
+    "user_wcc": 16,
+    "dedup_clusters": 16,
+    "dedup_cluster_representatives": 16,
+    "benchmark_contamination": 16,
+    "user_sssp_weighted": 16,
+    "ann_recall_report": 16,
+    "user_clustering_coefficient": 16,
+}
+
 
 def scan_correctness_artifacts(repo_dir: str) -> tuple[int, dict[str, int]]:
     """(next_round, newest sampled round per entry) from the committed
@@ -168,6 +197,7 @@ def derive_window(
     deferrals: dict[int, tuple[str, ...]] | None = None,
     size: int = 50,
     strict: bool = True,
+    rewrites: dict[str, int] | None = None,
 ) -> tuple[str, ...]:
     """Pure rotation derivation (unit-testable against synthetic
     artifacts). ``names`` is the full registry ordering; returns the
@@ -180,17 +210,27 @@ def derive_window(
     checks then live in tests/test_rotation.py, which stays red until
     the schedule debt is paid down."""
     registered = registered or {}
+    rewrites = rewrites or {}
     deferred = set((deferrals or {}).get(next_round, ()))
 
     def eff_last(name: str) -> int:
         if name in last:
-            return last[name]
-        if name in registered:
+            base = last[name]
+        elif name in registered:
             # documented new entry: grace of NEW_ENTRY_MAX_WAIT rounds from
             # registration, expressed as a synthetic "last sampled" round
-            return registered[name] + NEW_ENTRY_MAX_WAIT - ROTATION_MAX_AGE
-        # undocumented never-sampled entry: overdue immediately
-        return next_round - ROTATION_MAX_AGE - 1
+            base = registered[name] + NEW_ENTRY_MAX_WAIT - ROTATION_MAX_AGE
+        else:
+            # undocumented never-sampled entry: overdue immediately
+            base = next_round - ROTATION_MAX_AGE - 1
+        rw = rewrites.get(name)
+        if rw is not None and base < rw:
+            # algorithm rewritten after the newest row: pre-rewrite rows
+            # no longer vouch for the code — overdue from rewrite+1 on.
+            # A row AT the rewrite round vouches (the driver gathers
+            # CORRECTNESS at round end, after the round's commits).
+            base = min(base, rw - ROTATION_MAX_AGE)
+        return base
 
     unknown = deferred - set(names)
     if unknown:
@@ -268,6 +308,7 @@ if _LAST_SAMPLED:
             _NEXT_ROUND,
             registered=ENTRY_REGISTERED,
             deferrals=WINDOW_DEFERRALS,
+            rewrites=REWRITE_RESAMPLE,
         )
     except ValueError:
         # The STRICT derivation refused (over-committed forcing set from
@@ -284,6 +325,7 @@ if _LAST_SAMPLED:
             registered=ENTRY_REGISTERED,
             deferrals=None,  # drop deferrals: never legal in this state
             strict=False,
+            rewrites=REWRITE_RESAMPLE,
         )
 else:
     # No committed CORRECTNESS artifacts visible (a fresh environment or

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from mini_log_lakehouse_spark.functions.hashing import (
     portable_hash48,
@@ -1572,6 +1573,60 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- near-dup clustering (connected components) -------------------------------
 
+#: Edge cap for the driver-local connected-components tier: the edge
+#: list rides to the driver ONCE as two int64 Arrow columns (4 M edges
+#: = 64 MB — the same bounded-pull budget as LP_DENSE_MAX_EDGES) and
+#: min-label propagation runs as vectorized numpy sweeps. Above the cap
+#: the distributed join loop runs (never collects the graph) — the
+#: 100 TB tier. The win is per-ROUND floors, not arithmetic: each
+#: distributed round is ~4 jobs (join, agg, changed-probe, checkpoint)
+#: that cost the same on a 100-edge delta graph as the whole local
+#: fixpoint does in microseconds (guide §2.4 — remove shuffles
+#: outright; measured on incremental_dedup_clusters' warm increment,
+#: see OPTIMIZATION_r16.md).
+CC_LOCAL_MAX_EDGES = 4_000_000
+
+
+def _cc_local(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Driver-local tier of connected_components: the SAME min-label
+    propagation (one adoption sweep per round, quiet-round convergence,
+    loud failure past max_iter — behavior-identical to the distributed
+    loop, including the deep-graph raise) over numpy arrays."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    tbl = edges.toArrow()
+    s = tbl.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+    d = tbl.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes, inv = np.unique(np.concatenate([s, d]), return_inverse=True)
+    ia, ib = inv[: len(s)], inv[len(s) :]
+    lab = nodes.copy()
+    for _ in range(max_iter + 1):
+        new = lab.copy()
+        np.minimum.at(new, ia, lab[ib])
+        np.minimum.at(new, ib, lab[ia])
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter + 1} rounds "
+            "(component diameter exceeds max_iter); raise max_iter or use "
+            "a large-star/small-star variant for deep graphs"
+        )
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            T.StructField("node", T.LongType()),
+            T.StructField("component", T.LongType()),
+        ]
+    )
+    return edges.sparkSession.createDataFrame(
+        pd.DataFrame({"node": nodes, "component": lab}), schema
+    )
+
+
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
 ) -> DataFrame:
@@ -1580,10 +1635,14 @@ def connected_components(
     itself and its neighbors until fixpoint. Returns (node, component)
     with component = the minimum node id in the component.
 
-    This is the iterative-algorithm shape on Spark: a driver-side loop of
-    joins with ``localCheckpoint`` per round to truncate lineage (else
-    the plan doubles every iteration), early exit on a converged round.
-    Rounds needed = graph diameter; near-dup clusters are shallow (a dup
+    Two tiers, identical output (and identical deep-graph raise):
+    ≤ CC_LOCAL_MAX_EDGES edges runs the propagation driver-local over
+    numpy (the delta graphs of incremental cluster maintenance are
+    hundreds of edges — per-round join floors dwarfed them); above the
+    cap, the distributed shape: a driver-side loop of joins with
+    ``localCheckpoint`` per round to truncate lineage (else the plan
+    doubles every iteration), early exit on a converged round. Rounds
+    needed = graph diameter; near-dup clusters are shallow (a dup
     cluster's diameter is rarely > 3-4), so the loop is short. For
     web-scale graphs you'd switch to the large-star/small-star algorithm
     (same join primitives, O(log n) rounds)."""
@@ -1594,6 +1653,12 @@ def connected_components(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).localCheckpoint()
     src, dst = "src", "dst"
+    if (
+        isinstance(edges.schema["src"].dataType, LongType)
+        and isinstance(edges.schema["dst"].dataType, LongType)
+        and edges.count() <= CC_LOCAL_MAX_EDGES
+    ):
+        return _cc_local(edges, max_iter)
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
@@ -1870,22 +1935,191 @@ COSINE_DEDUP_THRESHOLD = 0.9
 _GATE_COSINE_THRESHOLD = 0.4
 
 
+#: Max rows of any single block for the vectorized within-block cosine
+#: tier: each task holds its whole block as a (n × dim) float64 matrix
+#: (1 M rows × 64 dims × 8 B = 512 MB) plus an A-sub-chunked score
+#: strip, so the bound is per-task memory — same tier discipline as
+#: TRIANGLE_BCAST_MAX_EDGES / LP_DENSE_MAX_EDGES. Above it the pair
+#: join runs (never holds a block in one task).
+COSINE_GEMM_MAX_BLOCK = 1_000_000
+
+#: Score-strip budget inside the kernel, in float64 CELLS: the A-side
+#: sub-chunk is sized m = CELLS / n so the (m × n) strip stays ~256 MB
+#: regardless of block size (m = whole block when blocks are small).
+_COSINE_GEMM_STRIP_CELLS = 32 * 1024 * 1024
+
+
+def _fold_pair_scores(ids, mat, threshold):
+    """All-pairs (id_a < id_b) raw cosine scores over one block, bit-
+    identical to functions/vector.py:cosine's interpreted fold: dots and
+    squared norms accumulate as d sequential rank-1 updates in float64 —
+    each step one IEEE multiply + one IEEE add, the exact sequence
+    F.aggregate(zip_with(...)) evaluates — then sqrt / multiply / divide
+    (all correctly rounded single ops) and the measured DuckDB zero-norm
+    branch (denom == 0 → -1.0). Yields (id_a, id_b, raw_cos) numpy
+    arrays per A-sub-chunk; rows are pre-filtered to raw ≥ threshold −
+    5.1e-7 (round-half-up to 6 decimals can lift a value by at most
+    5e-7, so no surviving pair is dropped; the exact round + ≥ filter
+    re-runs in the JVM on the raw double)."""
+    import numpy as np
+
+    n, d = mat.shape
+    nrm2 = np.zeros(n)
+    for k in range(d):
+        nrm2 += mat[:, k] * mat[:, k]
+    nrm = np.sqrt(nrm2)
+    cut = threshold - 5.1e-7
+    chunk = max(1, _COSINE_GEMM_STRIP_CELLS // max(1, n))
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        dots = np.zeros((hi - lo, n))
+        for k in range(d):
+            dots += np.multiply.outer(mat[lo:hi, k], mat[:, k])
+        denom = np.multiply.outer(nrm[lo:hi], nrm[:])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom == 0.0, -1.0, dots / denom)
+        keep = (ids[lo:hi, None] < ids[None, :]) & (cos >= cut)
+        r, c = np.nonzero(keep)
+        if len(r):
+            yield ids[lo + r], ids[c], cos[r, c]
+
+
+def _blocked_cosine_pairs(
+    blocked: DataFrame, block_col: str, threshold: float
+) -> DataFrame:
+    """Within-block exact cosine pairs ≥ threshold over (block_col,
+    vec_id, embedding) rows — the ONE body behind embedding_cosine_pairs
+    and semantic_dedup_pairs. Two tiers, identical output:
+
+    - **vectorized** (max block ≤ COSINE_GEMM_MAX_BLOCK rows): one
+      applyInArrow task per block computes every within-block score as
+      d rank-1 float64 updates (bit-identical to the interpreted fold —
+      see _fold_pair_scores) and emits only near-threshold survivors;
+      the exact F.round + ≥ filter stays in the JVM. Kills both r15
+      costs at once (guide §2.5/§4.2): reduce parallelism is one task
+      per block — exactly the per-key locality the pair join already
+      had — but the per-pair cost drops from an interpreted
+      zip_with/aggregate fold to a vectorized numpy sweep, and only
+      near-dup rows (not all n² pair rows) ever exist as rows.
+    - **pair join** (bigger blocks): the original within-block join with
+      the interpreted fold — no task ever holds a block in memory; the
+      scale-out tier when single blocks outgrow per-task memory.
+    """
+    # null block keys never pair: the equi-join tier drops them at the
+    # join; made explicit so the grouped tier can't emit a null group.
+    src = blocked.select(
+        F.col(block_col).alias("_blk"), F.col("vec_id"), F.col("embedding")
+    ).filter(F.col("_blk").isNotNull())
+    max_block = (
+        src.groupBy("_blk")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.max("_n").alias("_m"))
+        .first()["_m"]
+    )
+    if max_block is not None and max_block <= COSINE_GEMM_MAX_BLOCK:
+        import pyarrow as pa
+
+        from pyspark.sql import types as T
+
+        out_schema = T.StructType(
+            [
+                T.StructField(block_col, blocked.schema[block_col].dataType),
+                T.StructField("id_a", T.LongType()),
+                T.StructField("id_b", T.LongType()),
+                T.StructField("_raw", T.DoubleType()),
+            ]
+        )
+
+        # NOTE: deliberately no type annotations — under `from __future__
+        # import annotations` the hint strings don't resolve at runtime
+        # and pyspark's applyInArrow eval-type inference (4.1) raises on
+        # unresolvable hints instead of falling back to the default
+        # grouped-map type. No annotations → the documented default.
+        def block_pairs(tbl):
+            import numpy as np
+
+            n = tbl.num_rows
+            if n < 2:
+                return pa.table(
+                    {
+                        block_col: pa.array([], tbl.column("_blk").type),
+                        "id_a": pa.array([], pa.int64()),
+                        "id_b": pa.array([], pa.int64()),
+                        "_raw": pa.array([], pa.float64()),
+                    }
+                )
+            blk = tbl.column("_blk")[0]
+            ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+            mat = (
+                tbl.column("embedding")
+                .combine_chunks()
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(n, -1)
+            )
+            out_a, out_b, out_s = [], [], []
+            for ia, ib, s in _fold_pair_scores(ids, mat, threshold):
+                out_a.append(ia)
+                out_b.append(ib)
+                out_s.append(s)
+            cat = (
+                lambda parts, dt: np.concatenate(parts)
+                if parts
+                else np.array([], dtype=dt)
+            )
+            na = cat(out_a, np.int64)
+            return pa.table(
+                {
+                    block_col: pa.array([blk.as_py()] * len(na), tbl.column("_blk").type),
+                    "id_a": pa.array(na, pa.int64()),
+                    "id_b": pa.array(cat(out_b, np.int64), pa.int64()),
+                    "_raw": pa.array(cat(out_s, np.float64), pa.float64()),
+                }
+            )
+
+        return (
+            src.groupBy("_blk")
+            .applyInArrow(block_pairs, schema=out_schema)
+            .select(
+                block_col,
+                "id_a",
+                "id_b",
+                F.round(F.col("_raw"), 6).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= threshold)
+            .orderBy(block_col, "id_a", "id_b")
+        )
+    a = src.select(
+        F.col("_blk").alias(block_col),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = src.select(
+        F.col("_blk").alias(block_col),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    sim = cosine(F.col("emb_a"), F.col("emb_b"))
+    return (
+        a.join(b, [block_col])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(block_col, "id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .orderBy(block_col, "id_a", "id_b")
+    )
+
+
 def embedding_cosine_pairs(
     e: DataFrame, threshold: float = COSINE_DEDUP_THRESHOLD
 ) -> DataFrame:
     """Blocked exact near-dup: pairs within the same ``label`` block with
     cosine ≥ threshold. Blocking bounds the quadratic term to block sizes
     (at scale, blocks come from LSH/IVF assignment — see
-    operators/similarity.py); within-block compare is exact."""
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("emb_a"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("label"), F.col("embedding").alias("emb_b"))
-    sim = cosine(F.col("emb_a"), F.col("emb_b"))
-    return (
-        a.join(b, ["label"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("label", "id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= threshold)
-        .orderBy("label", "id_a", "id_b")
+    operators/similarity.py); within-block compare is exact (tiered —
+    see _blocked_cosine_pairs)."""
+    return _blocked_cosine_pairs(
+        e.select("label", "vec_id", "embedding"), "label", threshold
     )
 
 
@@ -1920,20 +2154,7 @@ def semantic_dedup_pairs(
     assigned = kmeans_assign(e.select("vec_id", "embedding"), cents).select(
         F.col("cluster"), F.col("vec_id"), F.col("embedding")
     )
-    a = assigned.select(
-        "cluster", F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a")
-    )
-    b = assigned.select(
-        "cluster", F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b")
-    )
-    sim = cosine(F.col("emb_a"), F.col("emb_b"))
-    return (
-        a.join(b, ["cluster"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("cluster", "id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= threshold)
-        .orderBy("cluster", "id_a", "id_b")
-    )
+    return _blocked_cosine_pairs(assigned, "cluster", threshold)
 
 
 def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

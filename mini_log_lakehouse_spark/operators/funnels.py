@@ -470,23 +470,81 @@ def user_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: join tier runs — it never holds adjacency in memory.
 TRIANGLE_BCAST_MAX_EDGES = 8_000_000
 
+#: Dense-graph GEMM tier bounds for triangle_counts — the same caps and
+#: density estimate as link prediction's dense tier (one V×V float32
+#: 0/1 adjacency broadcast, 4096² × 4 B = 64 MB; edge list pulled once,
+#: ≤ 4 M rows ≈ 64 MB), engaged only when V² is below the wedge mass.
+TRIANGLE_DENSE_MAX_NODES = 4096
+TRIANGLE_DENSE_MAX_EDGES = 4_000_000
+
+
+def _dense_adjacency(edges: DataFrame):
+    """(sorted node ids, V×V float32 0/1 adjacency) pulled to the
+    driver ONCE through Arrow — the shared build for the dense-graph
+    GEMM tiers (triangle_counts, _lp_candidates). Callers gate on
+    their edge/node caps; at the caps the pull is ≤ 64 MB and the
+    matrix ≤ 64 MB — the same bounded-driver-pull budget as a broadcast
+    small side."""
+    import numpy as np
+
+    tbl = edges.select("u", "v").toArrow()
+    us = tbl.column("u").to_numpy(zero_copy_only=False).astype("int64")
+    vs = tbl.column("v").to_numpy(zero_copy_only=False).astype("int64")
+    ids = np.unique(np.concatenate([us, vs]))
+    a_mat = np.zeros((len(ids), len(ids)), dtype=np.float32)
+    ui, vi = np.searchsorted(ids, us), np.searchsorted(ids, vs)
+    a_mat[ui, vi] = 1.0
+    a_mat[vi, ui] = 1.0
+    return ids, a_mat
+
+
+def _dense_graph_gate(und: DataFrame, max_nodes: int) -> bool:
+    """True when the graph is small AND dense enough that V² work in
+    BLAS beats wedge-mass work in the JVM: V ≤ max_nodes and
+    V² < Σ deg·(deg−1)/2 (the one-aggregate estimate both dense tiers
+    share). ``und`` is the symmetric closure with a ``src`` column."""
+    deg_stats = (
+        und.groupBy("src")
+        .count()
+        .agg(
+            F.count(F.lit(1)).alias("v"),
+            F.sum(F.col("count") * (F.col("count") - 1)).alias("wedges2"),
+        )
+        .first()
+    )
+    n_nodes = int(deg_stats["v"] or 0)
+    wedge_mass = int(deg_stats["wedges2"] or 0) // 2
+    return 0 < n_nodes <= max_nodes and n_nodes * n_nodes < wedge_mass
+
 
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-vertex triangle counts over an undirected (u < v once) edge
-    list. Two tiers, identical output (vertices in ≥ 1 triangle):
+    list. Three tiers, identical output (vertices in ≥ 1 triangle):
+
+    - **dense GEMM** (≤ TRIANGLE_DENSE_MAX_EDGES edges, V ≤
+      TRIANGLE_DENSE_MAX_NODES, and V² below the wedge mass): closed
+      wedges at x are Σ_y A_xy·(A²)_xy, so T(x) = that sum DIV 2 —
+      node blocks stream through mapInArrow, each task computes
+      (block × V) @ (V × V) in float32 BLAS ((A²)_xy = |N(x)∩N(y)| ≤
+      V < 2²⁴, exact; the final reduction runs in float64 where sums ≤
+      V² < 2⁵³, exact). The SAME arithmetic as the intersection tier
+      — |N(x)∩N(y)| per directed edge, summed and halved — executed as
+      a matrix product instead of 2|E| interpreted array walks (guide
+      §4.2: hand whole batches to vectorized native code; measured on
+      the sf0.1 near-clique — 1.03 M edges, avg degree 1380 — the
+      array_intersect tier spends ~29 s walking Σ deg² ≈ 2.9 B array
+      cells in the JVM, the GEMM ~2 s; see OPTIMIZATION_r16.md).
 
     - **adjacency-intersection** (≤ TRIANGLE_BCAST_MAX_EDGES directed
       edges): per directed edge (a, b), |N(a) ∩ N(b)| via
       ``array_intersect`` over broadcast sorted neighbor arrays; each
       triangle {x,y,z} is counted at x once via (x,y) and once via
-      (x,z), so T(x) = Σ_cn / 2 exactly. The Σ deg² wedge work runs as
-      vectorized array walks INSIDE the edge stage — no wedge row is
-      ever materialized, probed, or aggregated (guide §1.2: fix the
-      algorithm before the per-task code; measured on the sf0.1
-      near-clique co-occurrence graph — 1.03 M edges, 1.43 B wedges —
-      117 s → see OPTIMIZATION_r15.md). Dense graphs are exactly where
-      the wedge form dies: wedge rows explode quadratically while the
-      adjacency stays linear in |E|.
+      (x,z), so T(x) = Σ_cn / 2 exactly. No wedge row is ever
+      materialized, probed, or aggregated (guide §1.2; 117 s → 33 s on
+      the sf0.1 graph, see OPTIMIZATION_r15.md). The tier for graphs
+      too big to ride as one dense matrix but whose adjacency lists
+      still broadcast — real sparse graphs, where V² ≫ wedge mass and
+      the GEMM estimate correctly declines.
 
     - **wedge-close join** (bigger graphs): the node-ordered
       wedge-close enumeration (see user_cooccurrence_triangles) — never
@@ -494,20 +552,40 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
       per-executor adjacency no longer fits; there the broadcast cap —
       not a collect — decides, same discipline as dedup's three-tier
       estimate join."""
-    n_directed = 2 * edges.count()
+    n_edges = edges.count()
+    n_directed = 2 * n_edges
+    if n_edges <= TRIANGLE_DENSE_MAX_EDGES:
+        und_s = edges.select(F.col("u").alias("src")).unionAll(
+            edges.select(F.col("v").alias("src"))
+        )
+        if _dense_graph_gate(und_s, TRIANGLE_DENSE_MAX_NODES):
+            return _triangle_counts_dense(edges)
     if n_directed <= TRIANGLE_BCAST_MAX_EDGES:
         und = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
             edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
         )
-        adj = und.groupBy("a").agg(F.array_sort(F.collect_list("b")).alias("nbrs"))
-        na = F.broadcast(adj.select(F.col("a").alias("_na"), F.col("nbrs").alias("nbrs_a")))
-        nb = F.broadcast(adj.select(F.col("a").alias("_nb"), F.col("nbrs").alias("nbrs_b")))
+        # ONE adjacency aggregation, broadcast ONCE: the two sides join
+        # the same relation under plain SubqueryAliases (erased in
+        # physical planning), so the second BroadcastExchange
+        # canonicalizes equal to the first and ReusedExchange serves it
+        # — r15 aliased the columns per side, which put a differing
+        # Project UNDER each exchange and defeated reuse, doubling both
+        # the aggregation and the per-executor broadcast memory that
+        # sized TRIANGLE_BCAST_MAX_EDGES (ADVICE r15; plan evidence
+        # plans/r16/triangle_bcast_tier_reuse.txt — ReusedExchange on a
+        # sparse fixture that takes this tier).
+        adj = und.groupBy(F.col("a").alias("n_id")).agg(
+            F.array_sort(F.collect_list("b")).alias("nbrs")
+        )
+        na, nb = adj.alias("na"), adj.alias("nb")
         cn = (
-            und.join(na, und.a == F.col("_na"))
-            .join(nb, und.b == F.col("_nb"))
+            und.join(F.broadcast(na), und.a == F.col("na.n_id"))
+            .join(F.broadcast(nb), und.b == F.col("nb.n_id"))
             .select(
                 F.col("a").alias("user_id"),
-                F.array_size(F.array_intersect("nbrs_a", "nbrs_b")).alias("_cn"),
+                F.array_size(
+                    F.array_intersect(F.col("na.nbrs"), F.col("nb.nbrs"))
+                ).alias("_cn"),
             )
         )
         return (
@@ -537,6 +615,59 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
     return verts.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+
+
+def _triangle_counts_dense(edges: DataFrame) -> DataFrame:
+    """Dense tier of triangle_counts (see its docstring for the gate and
+    the exactness argument): per node block, (block × V) @ (V × V)
+    common-neighbor counts in float32 BLAS, closed-wedge reduction in
+    float64, integer halving at the end."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    from mini_log_lakehouse_spark.session import spread_cpu
+
+    spark = edges.sparkSession
+    ids, a_mat = _dense_adjacency(edges)
+    bc = spark.sparkContext.broadcast((ids, a_mat))
+
+    def tri_blocks(batches):
+        b_ids, b_a = bc.value
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            uids = batch.column(0).to_numpy(zero_copy_only=False)
+            bi = np.searchsorted(b_ids, uids)
+            blk = b_a[bi]  # (m, V) 0/1
+            cn = blk @ b_a  # (m, V): |N(x)∩N(y)|, exact ints ≤ V < 2²⁴
+            closed = (cn * blk).astype(np.float64).sum(axis=1)
+            t = closed.astype(np.int64) // 2  # even by double-counting
+            keep = t > 0
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(uids[keep], type=pa.int64()),
+                    pa.array(t[keep], type=pa.int64()),
+                ],
+                names=["user_id", "n_triangles"],
+            )
+
+    nodes = spread_cpu(
+        spark.createDataFrame(
+            [(int(x),) for x in ids],
+            T.StructType([T.StructField("user_id", T.LongType())]),
+        ),
+        "user_id",
+    )
+    return nodes.mapInArrow(
+        tri_blocks,
+        T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("n_triangles", T.LongType()),
+            ]
+        ),
     )
 
 
@@ -729,29 +860,16 @@ def _lp_candidates(edges: DataFrame, und: DataFrame) -> DataFrame:
     100 TB shape (wedge mass on a REAL sparse power-law graph is near
     linear in |E|, exactly where the dense tier's V² loses)."""
     n_edges = edges.count()
-    dense = n_edges <= LP_DENSE_MAX_EDGES
-    if dense:
-        deg_stats = und.groupBy("src").count().agg(
-            F.count(F.lit(1)).alias("v"),
-            F.sum(F.col("count") * (F.col("count") - 1)).alias("wedges2"),
-        ).first()
-        n_nodes = int(deg_stats["v"] or 0)
-        wedge_mass = int(deg_stats["wedges2"] or 0) // 2
-        dense = 0 < n_nodes <= LP_DENSE_MAX_NODES and n_nodes * n_nodes < wedge_mass
+    dense = n_edges <= LP_DENSE_MAX_EDGES and _dense_graph_gate(
+        und, LP_DENSE_MAX_NODES
+    )
     if dense:
         import numpy as np
         import pyarrow as pa
         from pyspark.sql import types as T
 
         spark = edges.sparkSession
-        tbl = edges.select("u", "v").toArrow()
-        us = tbl.column("u").to_numpy(zero_copy_only=False).astype("int64")
-        vs = tbl.column("v").to_numpy(zero_copy_only=False).astype("int64")
-        ids = np.unique(np.concatenate([us, vs]))
-        a_mat = np.zeros((len(ids), len(ids)), dtype=np.float32)
-        ui, vi = np.searchsorted(ids, us), np.searchsorted(ids, vs)
-        a_mat[ui, vi] = 1.0
-        a_mat[vi, ui] = 1.0
+        ids, a_mat = _dense_adjacency(edges)
         bc = spark.sparkContext.broadcast((ids, a_mat))
 
         def cn_blocks(batches):
@@ -1230,26 +1348,55 @@ def sssp_weighted(
             d.unionAll(cand).groupBy("user_id").agg(F.min("dist").alias("dist"))
         )
 
+    def state_mark(d: DataFrame) -> tuple[int, int]:
+        """(n_nodes, Σdist) — a complete change detector for one
+        relaxation, because relax is MONOTONE: the reached set only
+        grows and every dist only shrinks. Equal count ⇒ same node set
+        (it never shrinks); same set + equal Σdist ⇒ every dist equal
+        (each is ≤ its predecessor). One map-side-combined aggregate
+        over the checkpointed node-grain table — far cheaper than the
+        edge⋈frontier relaxation it lets us skip."""
+        row = d.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
+        ).first()
+        return int(row["n"]), int(row["s"] or 0)
+
+    # Early fixpoint detection (guide §1.2 — don't compute what you
+    # throw away): relax(dist) == dist makes every later round an
+    # identity, so dist after `rounds` rounds equals dist at first
+    # convergence — the bounded unrolled oracle sees the identical
+    # table. A quiet round (mark unchanged) IS the fixpoint proof, so
+    # the explicit probe relaxation only runs when all `rounds` rounds
+    # kept changing (saves the probe's edge join plus every post-
+    # convergence round — see OPTIMIZATION_r16.md).
+    mark = state_mark(dist)
+    converged = False
     for _ in range(rounds):
         dist = relax(dist).localCheckpoint()
-    # fixpoint assertion: one more relaxation must be a no-op — catches
-    # both a shorter distance AND a newly-reached node
-    probe = relax(dist)
-    changed = (
-        probe.alias("n")
-        .join(dist.alias("o"), "user_id", "left_outer")
-        .filter(
-            F.col("o.dist").isNull() | (F.col("n.dist") < F.col("o.dist"))
+        new_mark = state_mark(dist)
+        if new_mark == mark:
+            converged = True
+            break
+        mark = new_mark
+    if not converged:
+        # fixpoint assertion: one more relaxation must be a no-op —
+        # catches both a shorter distance AND a newly-reached node
+        probe = relax(dist)
+        changed = (
+            probe.alias("n")
+            .join(dist.alias("o"), "user_id", "left_outer")
+            .filter(
+                F.col("o.dist").isNull() | (F.col("n.dist") < F.col("o.dist"))
+            )
+            .limit(1)
+            .count()
         )
-        .limit(1)
-        .count()
-    )
-    if changed:
-        raise AssertionError(
-            f"sssp_weighted did not converge in {rounds} relaxation rounds "
-            "(a shortest path uses more edges); raise SSSP_ROUNDS before "
-            "trusting the bounded unrolled oracle"
-        )
+        if changed:
+            raise AssertionError(
+                f"sssp_weighted did not converge in {rounds} relaxation rounds "
+                "(a shortest path uses more edges); raise SSSP_ROUNDS before "
+                "trusting the bounded unrolled oracle"
+            )
     return dist.select("user_id", F.col("dist").cast("long").alias("dist"))
 
 

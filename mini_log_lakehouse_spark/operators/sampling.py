@@ -287,14 +287,25 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     grams = _doc_ngrams(d)
     is_bench = F.col("doc_id") % 97 == 0
-    # stop-gram removal: document frequency over the full corpus
-    df_ok = (
-        grams.groupBy("ngram")
-        .agg(F.count(F.lit(1)).alias("_df"))
+    # stop-gram removal: document frequency over the full corpus, as a
+    # COUNT window per n-gram instead of the old aggregate + self-join —
+    # the r15 plan evaluated the tokenize/shingle explode TWICE (once
+    # under the df aggregate, once under the kept side of the join;
+    # DataFrame plans share no CTEs). The window form explodes once:
+    # one exchange on ngram, the window's sort doubles as the
+    # sort-merge order for the train⋈bench self-join below, and the two
+    # join inputs differ only in a filter ABOVE the shared exchange, so
+    # ReusedExchange serves both sides (guide §1.2/§2.4; plan evidence
+    # plans/r16/benchmark_contamination_{before,after}.txt). df ≤ cap
+    # keeps exactly the same grams: count over the ngram partition IS
+    # the document frequency (grams are distinct per doc).
+    kept = (
+        grams.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("ngram"))
+        )
         .filter(F.col("_df") <= CONTAM_MAX_DF)
-        .select("ngram")
+        .drop("_df")
     )
-    kept = grams.join(df_ok, "ngram")
     train = kept.filter(~is_bench).withColumnRenamed("doc_id", "train_doc")
     bench = kept.filter(is_bench).withColumnRenamed("doc_id", "bench_doc")
     return (

