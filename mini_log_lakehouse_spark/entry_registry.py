@@ -167,6 +167,8 @@ REWRITE_RESAMPLE: dict[str, int] = {
     "user_sssp_weighted": 16,
     "ann_recall_report": 16,
     "user_clustering_coefficient": 16,
+    "streaming_user_sessions": 16,
+    "streaming_user_totals": 16,
 }
 
 

@@ -98,7 +98,8 @@ def stream_closed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "stream_closed_sessions_result"
     with _scoped_shuffle_partitions(
-        spark, _stream_partitions(_events_source_path(sf_dir))
+        spark,
+        _stream_partitions(_events_source_path(sf_dir), python_stateful=True),
     ):
         q = (
             out.writeStream.format("memory")

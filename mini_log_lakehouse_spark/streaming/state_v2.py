@@ -175,7 +175,9 @@ def stream_user_totals(
     # ``source`` stream has no local path to probe — keep the session
     # conf for that (test-only) path.
     if source is None:
-        n_parts = _stream_partitions(_events_source_path(sf_dir))
+        n_parts = _stream_partitions(
+            _events_source_path(sf_dir), python_stateful=True
+        )
     else:
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     with _scoped_shuffle_partitions(spark, n_parts):
