@@ -2005,11 +2005,14 @@ def _blocked_cosine_pairs(
       the interpreted fold — no task ever holds a block in memory; the
       scale-out tier when single blocks outgrow per-task memory.
     """
-    # null block keys never pair: the equi-join tier drops them at the
-    # join; made explicit so the grouped tier can't emit a null group.
+    # null block keys never pair (the equi-join tier drops them at the
+    # join) and a null embedding's cosine is null → below every
+    # threshold in the join tier; both made explicit here so the
+    # grouped tier can't emit a null group or feed a null list into the
+    # kernel's matrix build — identical row sets either way.
     src = blocked.select(
         F.col(block_col).alias("_blk"), F.col("vec_id"), F.col("embedding")
-    ).filter(F.col("_blk").isNotNull())
+    ).filter(F.col("_blk").isNotNull() & F.col("embedding").isNotNull())
     max_block = (
         src.groupBy("_blk")
         .agg(F.count(F.lit(1)).alias("_n"))
