@@ -1188,6 +1188,129 @@ class JaccardCandidateBudgetExceeded(RuntimeError):
 _GUARD_PRE_SLOT: dict[tuple[str], DataFrame] = {}
 
 
+#: Dense-corpus GEMM tier caps for the exact-Jaccard verify (guide §4.2,
+#: same budget discipline as the triangle / link-prediction dense tiers).
+#: Engaged only when the distinct-text corpus is small enough that ALL
+#: pairwise shingle-intersection counts are one 0/1 doc×token matrix
+#: product: the r16 profile of the sf0.1 corpus measured 4,992 reps over
+#: only T = 2,041 distinct 5-gram shingles, where the prefix join emits
+#: 178 M occurrence rows / 8.2 M candidate pairs to find 241 real pairs
+#: (~90 s of join+distinct+array_intersect for a 1e11-flop product).
+NGRAM_GEMM_MAX_DOCS = 65_536  # cheap probe: never scan shingles past this
+NGRAM_GEMM_MAX_NNZ = 4_000_000  # driver pull budget (≈ tens of MB Arrow)
+NGRAM_GEMM_MAX_CELLS = 64_000_000  # R×T float32 broadcast ≤ 256 MB
+NGRAM_GEMM_MAX_FLOPS = 2 * 10**12  # 2·R²·T — a few seconds of BLAS
+
+#: Score-strip budget inside the GEMM kernel, in float32 CELLS: each
+#: task multiplies row sub-chunks of m = CELLS / R so the (m × R) strip
+#: stays ~128 MB regardless of corpus size.
+_NGRAM_GEMM_STRIP_CELLS = 32 * 1024 * 1024
+
+
+def _ngram_gemm_rep_pairs(toks_nn: DataFrame, threshold: float):
+    """Dense tier of ngram_jaccard_pairs: all-pairs shingle-intersection
+    counts as a blocked 0/1 matrix product, rep-pair output identical to
+    the prefix-join tier (see ngram_jaccard_pairs for the gate).
+
+    ``toks_nn`` is (_fp, toks) at distinct-text grain, NULL texts already
+    excluded (exactly the fps the join tier's ``sh`` contains). The token
+    table rides to the driver once through Arrow (bounded by the caller's
+    nnz gate), tokens are integer-coded with ``dictionary_encode`` (an
+    injective exact mapping — intersection COUNTS are representation-
+    independent), and node blocks stream through ``mapInArrow``: each
+    task computes (block × T) @ (T × R) in float32 BLAS. Every product is
+    0/1 and every partial sum is an integer ≤ T < 2²⁴, so each count is
+    the exact integer |S_a ∩ S_b| (the triangle dense tier's argument).
+    The kernel emits only pairs with ≥ 1 shared token (exactly the pairs
+    the token join can generate) whose float64 quotient
+    i / (sz_a + sz_b − i) clears threshold − 1e-9; the authoritative
+    jaccard filter + round re-runs in the JVM on the exact integers, so
+    the output is value-identical by construction (|A∪B| = |A|+|B|−|A∩B|
+    for the distinct shingle sets — the same identity the DuckDB oracle
+    evaluates). Returns None when the post-pull caps (R×T cells, 2·R²·T
+    flops) fail — the caller falls back to the prefix join, which never
+    holds the corpus in memory."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from mini_log_lakehouse_spark.session import default_parallelism
+
+    spark = toks_nn.sparkSession
+    tbl = toks_nn.select("_fp", "toks").toArrow()
+    fps = np.asarray(tbl.column("_fp").to_pylist(), dtype=object)
+    n_reps = len(fps)
+    if n_reps < 2:
+        return None
+    lists = tbl.column("toks").combine_chunks()
+    enc = lists.values.dictionary_encode()
+    tok_ids = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    t_dim = len(enc.dictionary)
+    if (
+        n_reps * t_dim > NGRAM_GEMM_MAX_CELLS
+        or 2 * n_reps * n_reps * t_dim > NGRAM_GEMM_MAX_FLOPS
+    ):
+        return None
+    sz = np.diff(lists.offsets.to_numpy(zero_copy_only=False)).astype(np.int64)
+    # index order = lexicographic fp order (ASCII md5 hex), so emitting
+    # column index > row index IS the join tier's _fp_a < _fp_b rule.
+    order = np.argsort(fps)
+    inv = np.empty(n_reps, dtype=np.int64)
+    inv[order] = np.arange(n_reps)
+    fps_s, sz_s = fps[order], sz[order]
+    b_mat = np.zeros((n_reps, t_dim), dtype=np.float32)
+    b_mat[inv[np.repeat(np.arange(n_reps), sz)], tok_ids] = 1.0
+    bc = spark.sparkContext.broadcast((fps_s, b_mat, sz_s))
+    cut = threshold - 1e-9
+
+    def gemm_pairs(batches):
+        fps_b, b_b, sz_b = bc.value
+        r_n = b_b.shape[0]
+        cols = np.arange(r_n)
+        chunk = max(1, _NGRAM_GEMM_STRIP_CELLS // max(1, r_n))
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            idx = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            for lo in range(0, len(idx), chunk):
+                ii = idx[lo : lo + chunk]
+                inter = b_b[ii] @ b_b.T  # exact integer counts ≤ T < 2²⁴
+                union = (sz_b[ii, None] + sz_b[None, :]).astype(np.float64) - inter
+                jac = inter.astype(np.float64) / union  # union ≥ 1: sz ≥ 1
+                keep = (cols[None, :] > ii[:, None]) & (inter >= 1.0) & (jac >= cut)
+                r, c = np.nonzero(keep)
+                if not len(r):
+                    continue
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(fps_b[ii[r]], type=pa.string()),
+                        pa.array(fps_b[c], type=pa.string()),
+                        pa.array(inter[r, c].astype(np.int64), type=pa.int64()),
+                        pa.array(sz_b[ii[r]], type=pa.int64()),
+                        pa.array(sz_b[c], type=pa.int64()),
+                    ],
+                    names=["_fp_a", "_fp_b", "_i", "_sz_a", "_sz_b"],
+                )
+
+    kern = spark.range(0, n_reps, 1, min(default_parallelism(), n_reps)).mapInArrow(
+        gemm_pairs,
+        T.StructType(
+            [
+                T.StructField("_fp_a", T.StringType()),
+                T.StructField("_fp_b", T.StringType()),
+                T.StructField("_i", T.LongType()),
+                T.StructField("_sz_a", T.LongType()),
+                T.StructField("_sz_b", T.LongType()),
+            ]
+        ),
+    )
+    jac = F.col("_i") / (F.col("_sz_a") + F.col("_sz_b") - F.col("_i"))
+    return kern.filter(jac >= threshold).select(
+        "_fp_a", "_fp_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -1266,6 +1389,44 @@ def ngram_jaccard_pairs(
     reps = docs.select(
         F.md5(F.col(text_col)).alias("_fp"), F.col(text_col).alias("_rtext")
     ).dropDuplicates(["_fp"])
+    # DENSE TIER (r16, guide §4.2): when the distinct-text corpus is
+    # bounded (one cheap count probes it — the triangle tier's
+    # edges.count() discipline) and its shingle nnz fits the driver-pull
+    # budget, every pairwise intersection count is one blocked 0/1
+    # matrix product — candidate generation, the distinct shuffle, and
+    # the per-pair array_intersect verify all collapse into BLAS
+    # (measured at sf0.1: 4,992 reps × 2,041 distinct shingles; the
+    # prefix join spends ~90 s materializing 8.2 M candidates to keep
+    # 241). NULL-text classes are excluded exactly as the join tier
+    # excludes them (explode emits their single NULL token, which the
+    # dfreq inner join drops). The candidate_budget guard below is a
+    # prefix-JOIN-mass guard and so applies only to that tier; the dense
+    # tier bounds its own work by the nnz/cells/flops caps and emits
+    # only qualifying pairs. Corpora past any cap (real token-diverse
+    # corpora at scale, the r14 saturated heavy profile) fall through to
+    # the unchanged prefix join, which never holds the corpus in memory.
+    rep_pairs = None
+    if docs.count() <= NGRAM_GEMM_MAX_DOCS:
+        toks_nn = reps.filter(F.col("_rtext").isNotNull()).select(
+            "_fp",
+            F.array_distinct(char_shingles(F.col("_rtext"), shingle_n)).alias(
+                "toks"
+            ),
+        )
+        gate = toks_nn.agg(
+            F.count(F.lit(1)).alias("r"),
+            F.sum(F.array_size("toks")).alias("nnz"),
+        ).first()
+        if int(gate["r"] or 0) >= 2 and int(gate["nnz"] or 0) <= NGRAM_GEMM_MAX_NNZ:
+            rep_pairs = _ngram_gemm_rep_pairs(toks_nn, threshold)
+    if rep_pairs is not None:
+        # sh-membership ⇔ the class has ≥ 1 non-null shingle ⇔ its text
+        # is non-null (char_shingles of non-null text always yields ≥ 1
+        # non-null token) — the intra gate below needs no shingle pass.
+        shfps = reps.filter(F.col("_rtext").isNotNull()).select(
+            F.col("_fp").alias("_shfp")
+        )
+        return _ngram_pair_tail(members, rep_pairs, shfps, threshold)
     toks = reps.select(
         "_fp",
         F.array_distinct(char_shingles(F.col("_rtext"), shingle_n)).alias("toks"),
@@ -1352,6 +1513,19 @@ def ngram_jaccard_pairs(
         .filter(jac >= threshold)
         .select("_fp_a", "_fp_b", F.round(jac, 6).alias("jaccard"))
     )
+    return _ngram_pair_tail(
+        members, rep_pairs, sh.select(F.col("_fp").alias("_shfp")), threshold
+    )
+
+
+def _ngram_pair_tail(
+    members: DataFrame, rep_pairs: DataFrame, shfps: DataFrame, threshold: float
+) -> DataFrame:
+    """Shared tail of both ngram_jaccard_pairs tiers: expand rep-grain
+    pairs back to doc grain, then add same-text pairs (J exactly 1.0)
+    for classes with at least one shingle (``shfps``: the fps the join
+    tier's ``sh`` contains — explode() dropped empty-shingle
+    fingerprints, and the direct join never paired such docs)."""
     ma = members.select(F.col("_fp").alias("_fp_a"), F.col("_mid").alias("_ida"))
     mb = members.select(F.col("_fp").alias("_fp_b"), F.col("_mid").alias("_idb"))
     cross = (
@@ -1363,21 +1537,13 @@ def ngram_jaccard_pairs(
             "jaccard",
         )
     )
-    # Same-text pairs: identical shingle sets, J exactly 1.0 — but only
-    # for classes with at least one shingle (the semi-join against sh:
-    # explode() dropped empty-shingle fingerprints, and the direct join
-    # never paired such docs).
     intra = (
         members.alias("x")
         .join(
             members.alias("y"),
             (F.col("x._fp") == F.col("y._fp")) & (F.col("x._mid") < F.col("y._mid")),
         )
-        .join(
-            sh.select(F.col("_fp").alias("_shfp")),
-            F.col("x._fp") == F.col("_shfp"),
-            "left_semi",
-        )
+        .join(shfps, F.col("x._fp") == F.col("_shfp"), "left_semi")
         .select(
             F.col("x._mid").alias("id_a"),
             F.col("y._mid").alias("id_b"),
